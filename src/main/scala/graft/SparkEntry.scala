@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` exports one entry per implemented operator from
+  * SURVEY.md §2; `oracleSql` carries the DuckDB-equivalent SQL for
+  * every deterministically-checkable query (operators whose semantics
+  * DuckDB cannot reproduce — approximate sketches, hash-seeded LSH —
+  * are declared without an oracle and get the driver's rows-only
+  * check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All declared operators, in SURVEY.md §2 section order. */
+  val allDefs: Seq[QueryDef] =
+    operators.Relational.defs ++
+    operators.Scalars.defs ++
+    operators.Analytic.defs ++
+    operators.EventOps.defs ++
+    llm.TextOps.defs ++
+    llm.VectorOps.defs ++
+    llm.MultimodalOps.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-shape pricing summary (SURVEY.md §7 M0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders keyed by scale-factor directory.
+  *
+  * Every query function receives `sfDir` from the driver and must build
+  * its plan against that directory (SURVEY.md §3) — never a hardcoded
+  * scale factor. Loaders return plain `spark.read.parquet` scans so
+  * Catalyst's column pruning / predicate pushdown reach the Parquet
+  * reader untouched.
+  *
+  * At 100 TB these would be partitioned external tables (e.g. `events`
+  * partitioned by `date_trunc('day', ts)`); the loader seam is where
+  * that layout knowledge lives, so query code stays layout-agnostic.
+  */
+object Tables {
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
+    * to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read the raw ns
+    * longs via the legacy escape hatch and truncate to microseconds —
+    * exactly what DuckDB does on read, so both engines see identical
+    * values (SURVEY.md §5 determinism rules). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** One declared operator: a DataFrame program plus (optionally) the
+  * ANSI-SQL oracle the driver runs in DuckDB over the same parquet
+  * tables. `oracle = None` marks operators whose semantics ANSI SQL /
+  * DuckDB cannot reproduce deterministically (approximate sketches,
+  * hash-function-dependent LSH, streaming-only state) — the driver
+  * records a weaker rows-only check for those (SURVEY.md §2).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,344 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text pipeline (SURVEY.md §2i + builder brief):
+  * exact dedup, MinHash-LSH near-dup, SimHash near-dup, n-gram Jaccard
+  * near-dup, language-ID, quality scoring, token counting, document
+  * fingerprinting, per-language text stats.
+  *
+  * Scale design: every near-dup variant is CANDIDATE-GENERATION +
+  * VERIFY — banding (MinHash bands / SimHash blocks / blocking keys)
+  * bounds the pairwise work to colliding candidates, never O(n²) over
+  * the corpus. The only all-pairs step is inside a (lang, source)
+  * block, the documented "exact variant within a block" baseline.
+  *
+  * The synthetic corpus contains no natural duplicates (verified), so
+  * dedup queries plant them: a copy of every 10th document is appended
+  * (same text for exact dedup; last token dropped for near-dup, giving
+  * Jaccard ≈ (n-3)/(n-2) on 3-shingles). The oracle SQL replays the
+  * identical augmentation.
+  */
+object TextOps {
+
+  /** Shingle construction shared by the near-dup family: distinct
+    * 3-grams of whitespace tokens. */
+  private val shingleExpr =
+    """array_distinct(transform(sequence(1, size(toks) - 2),
+      |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+      |                 element_at(toks, i + 2))))""".stripMargin
+
+  /** documents ∪ exact copies of every 10th doc (ids +100000). */
+  private def withExactDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  /** documents ∪ near-copies (last token dropped) of every 10th doc. */
+  private def withNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text",
+          expr("""array_join(slice(split(text, ' '), 1,
+                                   size(split(text, ' ')) - 1), ' ')""")))
+  }
+
+  private val augExactSql =
+    """aug AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang, source, text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val augNearSql =
+    """aug AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang, source,
+      |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Exact dedup: normalize → hash → hash-partitioned group-by keeping
+    * the smallest doc id. One shuffle on the 128-bit digest; at 100 TB
+    * the digest group-by is the canonical exact-dedup plan (no text
+    * comparison ever crosses the wire, only 16-byte keys). */
+  private val dedupExact = QueryDef(
+    "llm_dedup_exact",
+    (s, d) =>
+      withExactDups(s, d)
+        .withColumn("h", md5(lower(trim(col("text")))))
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .select("keep_doc_id", "n_copies", "h")
+        .orderBy("keep_doc_id"),
+    Some(s"""WITH $augExactSql
+             SELECT min(doc_id) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               md5(lower(trim(text))) AS h
+             FROM aug GROUP BY md5(lower(trim(text)))
+             ORDER BY keep_doc_id"""))
+
+  /** n-gram Jaccard near-dup, exact within a (lang, source) block:
+    * the oracle-checkable baseline the banded variants approximate. */
+  private val dedupNgram = QueryDef(
+    "llm_dedup_ngram",
+    (s, d) => {
+      val sh = withNearDups(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sh", expr(shingleExpr))
+        .select("doc_id", "lang", "source", "sh")
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+        col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+        col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("j",
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4))
+        .filter(col("j") >= 0.6)
+        .select("doc_a", "doc_b", "j")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $augNearSql,
+             tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                     FROM aug),
+             sh AS (SELECT doc_id, lang, source,
+                      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+                    FROM tok WHERE len(toks) >= 3)
+             SELECT doc_a, doc_b, j FROM (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS j
+               FROM sh a JOIN sh b
+                 ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+             WHERE j >= 0.6 ORDER BY doc_a, doc_b"""))
+
+  /** MinHash + LSH banded near-dup — THE 100 TB dedup path: 64 minhash
+    * permutations (xxhash64 seeded per slot), 16 bands × 4 rows,
+    * band-hash equi-join for candidates, exact-Jaccard verify on
+    * candidates only. Cost is O(corpus) + O(colliding pairs); the
+    * verify join ships only candidate ids, not text. xxhash64 is not
+    * reproducible in DuckDB ⇒ no-oracle (property-tested against the
+    * exact variant in LlmSpec). */
+  private val dedupMinhash = QueryDef(
+    "llm_dedup_minhash",
+    (s, d) => {
+      val sh = withNearDups(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sh", expr(shingleExpr))
+        .select("doc_id", "sh")
+      val sigs = sh
+        .withColumn("sig",
+          expr("transform(sequence(0, 63), s -> array_min(transform(sh, t -> xxhash64(t, s))))"))
+      val bands = sigs
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 15), b -> xxhash64(slice(sig, b * 4 + 1, 4)))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val candA = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      val candB = bands.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+      val cands = candA.join(candB, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      cands.join(shA, "doc_a").join(shB, "doc_b")
+        .withColumn("j",
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4))
+        .filter(col("j") >= 0.5)
+        .select("doc_a", "doc_b", "j")
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  /** SimHash near-dup: 64-bit signature (count-weighted majority vote
+    * of token-hash bits), 8×8-bit blocks; by pigeonhole any pair with
+    * hamming ≤ 7 shares at least one intact block, so the block
+    * equi-join finds every such pair without an O(n²) scan (we keep
+    * hamming ≤ 3). xxhash64 ⇒ no-oracle. */
+  private val dedupSimhash = QueryDef(
+    "llm_dedup_simhash",
+    (s, d) => {
+      val sigs = withNearDups(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("sim", expr(
+          """aggregate(
+            |  transform(sequence(0, 63), b ->
+            |    CASE WHEN aggregate(toks, 0,
+            |      (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1
+            |                        THEN 1 ELSE -1 END) > 0
+            |    THEN 1 ELSE 0 END),
+            |  CAST(0 AS BIGINT), (acc, bit) -> shiftleft(acc, 1) | CAST(bit AS BIGINT))""".stripMargin))
+        .select("doc_id", "sim")
+      val blocks = sigs
+        .select(col("doc_id"), col("sim"),
+          posexplode(expr(
+            "transform(sequence(0, 7), k -> shiftright(sim, k * 8) & 255)")))
+        .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
+      val bA = blocks.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
+        col("blk"), col("bv"))
+      val bB = blocks.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
+        col("blk"), col("bv"))
+      bA.join(bB, Seq("blk", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+        .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  /** Winnowing-style document fingerprints: rolling window (w=4) of
+    * shingle hashes, keep the per-window minimum, distinct. Signature
+    * size is bounded per doc regardless of length. xxhash64 ⇒
+    * no-oracle (properties in LlmSpec). */
+  private val fingerprint = QueryDef(
+    "llm_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 6)
+        .withColumn("shAll", expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+            |                 element_at(toks, i + 2)))""".stripMargin))
+        .withColumn("hashes", expr("transform(shAll, t -> xxhash64(t))"))
+        .withColumn("fps", expr(
+          """array_distinct(transform(sequence(1, size(hashes) - 3),
+            |  i -> array_min(slice(hashes, i, 4))))""".stripMargin))
+        .select(
+          col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("min_fp"))
+        .orderBy("doc_id"),
+    None)
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single punctuation). */
+  private val tokenCount = QueryDef(
+    "llm_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
+            .as("n_re_tokens"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+                AS n_re_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  /** Per-language top-5 terms: explode → two-phase count → rank window
+    * — the distributed heavy-hitters plan (partial counts map-side,
+    * only (lang, token) partials shuffle). */
+  private val textStats = QueryDef(
+    "llm_text_stats",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
+      counts
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    },
+    Some("""SELECT lang, token, cnt, rk FROM (
+              SELECT lang, token, cnt,
+                row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rk
+              FROM (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt FROM (
+                      SELECT lang, unnest(string_split(text, ' ')) AS token
+                      FROM documents)
+                    GROUP BY lang, token))
+            WHERE rk <= 5 ORDER BY lang, rk"""))
+
+  /** Quality scoring: token counts, type-token ratio, stopword ratio,
+    * mean token length — all exact integer ratios so both engines agree
+    * bit-for-bit. */
+  private val qualityScore = QueryDef(
+    "llm_quality_score",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_unique", expr("CAST(size(array_distinct(toks)) AS BIGINT)"))
+        .withColumn("n_stop",
+          expr("CAST(size(filter(toks, t -> t = 'the' OR t = 'a')) AS BIGINT)"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+          round((length(col("text")) - col("n_tokens") + 1).cast("double") /
+            col("n_tokens"), 6).as("avg_tok_len"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_tokens, n_unique,
+              round(CAST(n_unique AS DOUBLE) / n_tokens, 6) AS ttr,
+              round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+              round(CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
+                AS avg_tok_len
+            FROM (
+              SELECT doc_id, text,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+                CAST(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+              FROM documents)
+            ORDER BY doc_id"""))
+
+  /** Language ID: deterministic script/diacritic heuristic (unicode
+    * ranges → zh, diacritic classes → de/es/fr, default en). The rule
+    * is identical on both engines, so it is oracle-exact. */
+  private val langId = QueryDef(
+    "llm_lang_id",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+            .when(col("text").rlike("[üöäß]"), "de")
+            .when(col("text").rlike("[ñ¿¡]"), "es")
+            .when(col("text").rlike("[éèçà]"), "fr")
+            .otherwise("en").as("lang_pred"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang,
+              CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                   WHEN regexp_matches(text, '[üöäß]') THEN 'de'
+                   WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+                   WHEN regexp_matches(text, '[éèçà]') THEN 'fr'
+                   ELSE 'en' END AS lang_pred
+            FROM documents ORDER BY doc_id"""))
+
+  /** Per-language routing: a plain pushdown-able predicate — at 100 TB
+    * `lang` would be a partition column and this becomes partition
+    * pruning. */
+  private val langFilter = QueryDef(
+    "llm_lang_filter",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, source, n_chars FROM documents
+            WHERE lang = 'en' ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, fingerprint,
+    tokenCount, textStats, qualityScore, langId, langFilter)
+}

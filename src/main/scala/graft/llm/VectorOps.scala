@@ -1,0 +1,169 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions.dotProduct
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY.md §2i).
+  *
+  * All similarity math runs through the codegen'd [[graft.functions.DotProduct]]
+  * expression (embeddings are L2-normalized, verified, so dot ==
+  * cosine). The DuckDB oracle reproduces the identical left-to-right
+  * double fold (`list_aggregate(list_transform(generate_series(..)))`)
+  * so scores are bit-exact across engines and top-K selection (ordered
+  * by score with id tiebreak) is deterministic — no tolerance games.
+  *
+  * Scale story: brute-force top-K is the correctness baseline (fine
+  * when one side is a single query vector — it is a broadcast + scan);
+  * `llm_ann_ivf` is the 100 TB path: coarse-quantize every vector to
+  * its nearest centroid once (centroid set broadcast), then probe only
+  * the nProbe closest clusters at query time, scanning a fraction of
+  * the corpus.
+  */
+object VectorOps {
+
+  /** Oracle-side dot product, bit-identical to DotProduct's fold. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_aggregate(list_transform(generate_series(1, len($a)),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
+
+  /** Brute-force cosine top-10 for a fixed query vector (vec_id 0):
+    * broadcast the query, one codegen scan, TakeOrderedAndProject. */
+  private val cosineTopk = QueryDef(
+    "llm_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(
+          col("vec_id"), col("label"),
+          round(dotProduct(col("embedding"), col("q_emb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some(s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+             SELECT vec_id, label,
+               round(${sqlDot("embedding", "q_emb")}, 6) AS sim
+             FROM embeddings CROSS JOIN q
+             WHERE vec_id <> 0
+             ORDER BY sim DESC, vec_id ASC LIMIT 10"""))
+
+  /** IVF-style ANN: coarse-quantize to 8 centroids (vectors 1..8 used
+    * as a deterministic codebook), probe the 2 clusters nearest the
+    * query, exact top-5 within the probed subset. */
+  private val annIvf = QueryDef(
+    "llm_ann_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val asgW = Window.partitionBy("vec_id")
+        .orderBy(col("cdot").desc, col("c_id").asc)
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("cdot", dotProduct(col("embedding"), col("c_emb")))
+        .withColumn("rn", row_number().over(asgW))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+      val probed = cent.crossJoin(broadcast(q))
+        .withColumn("qdot", dotProduct(col("c_emb"), col("q_emb")))
+        .orderBy(col("qdot").desc, col("c_id").asc)
+        .limit(2)
+        .select(col("c_id"))
+      assigned
+        .join(broadcast(probed), assigned("cluster") === probed("c_id"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(
+          col("vec_id"), col("cluster"),
+          round(dotProduct(col("embedding"), col("q_emb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+             cent AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+                      WHERE vec_id BETWEEN 1 AND 8),
+             scored AS (
+               SELECT e.vec_id, e.embedding, c.c_id,
+                 ${sqlDot("e.embedding", "c.c_emb")} AS cdot
+               FROM embeddings e CROSS JOIN cent c),
+             asg AS (
+               SELECT vec_id, embedding, c_id AS cluster FROM (
+                 SELECT vec_id, embedding, c_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cdot DESC, c_id ASC) AS rn
+                 FROM scored)
+               WHERE rn = 1),
+             probe AS (
+               SELECT c_id FROM (
+                 SELECT c.c_id, ${sqlDot("c.c_emb", "q.q_emb")} AS qdot
+                 FROM cent c CROSS JOIN q)
+               ORDER BY qdot DESC, c_id ASC LIMIT 2)
+             SELECT a.vec_id, a.cluster,
+               round(${sqlDot("a.embedding", "q.q_emb")}, 6) AS sim
+             FROM asg a JOIN probe p ON a.cluster = p.c_id CROSS JOIN q
+             WHERE a.vec_id <> 0
+             ORDER BY sim DESC, a.vec_id ASC LIMIT 5"""))
+
+  /** Embedding-cosine near-dup: exact nearest neighbor for each vector
+    * (brute force — the correctness baseline the IVF path is judged
+    * against). One broadcast of the smaller projection, codegen dot. */
+  private val embedNearDup = QueryDef(
+    "llm_embed_neardup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val w = Window.partitionBy("a_id").orderBy(col("simx").desc, col("b_id").asc)
+      a.crossJoin(broadcast(b))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("simx", dotProduct(col("a_emb"), col("b_emb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a_id"), col("b_id").as("nbr_id"),
+          round(col("simx"), 6).as("sim"))
+        .orderBy("a_id")
+    },
+    Some(s"""SELECT a_id, nbr_id, sim FROM (
+               SELECT a.vec_id AS a_id, b.vec_id AS nbr_id,
+                 round(${sqlDot("a.embedding", "b.embedding")}, 6) AS sim,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ${sqlDot("a.embedding", "b.embedding")} DESC,
+                            b.vec_id ASC) AS rn
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+             WHERE rn = 1 ORDER BY a_id"""))
+
+  /** Multimodal projection: relational (label filter) + text predicate
+    * + vector similarity composed in one plan — documents ⋈ embeddings
+    * on id, scored against the query vector. */
+  private val multimodalProject = QueryDef(
+    "llm_multimodal_project",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      Tables.documents(s, d)
+        .join(emb, col("doc_id") === col("vec_id"))
+        .filter(col("lang") === "en" && col("text").contains("merge") &&
+          col("label") < 5)
+        .crossJoin(broadcast(q))
+        .select(
+          col("doc_id"), col("lang"), col("label"),
+          round(dotProduct(col("embedding"), col("q_emb")), 6).as("sim"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+             SELECT doc_id, lang, label,
+               round(${sqlDot("embedding", "q_emb")}, 6) AS sim
+             FROM documents
+             JOIN embeddings ON doc_id = vec_id
+             CROSS JOIN q
+             WHERE lang = 'en' AND contains(text, 'merge') AND label < 5
+             ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    cosineTopk, annIvf, embedNearDup, multimodalProject)
+}

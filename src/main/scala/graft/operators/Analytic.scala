@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic window functions + the as-of join (SURVEY.md §2e, §2c
+  * `join_asof`).
+  *
+  * Every window is partitioned by a real key (nation / user / customer)
+  * so state is distributed; window ORDER BY always includes a unique
+  * tiebreaker column for deterministic rank/lag output (SURVEY.md §5).
+  * Rank-family outputs are cast to long so the Spark parquet schema
+  * matches DuckDB's BIGINT window results exactly.
+  */
+object Analytic {
+
+  private val winRank = QueryDef(
+    "win_rank",
+    (s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+        .orderBy("c_nationkey", "rn")
+    },
+    Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+              row_number() OVER w AS rn, rank() OVER w AS rk,
+              dense_rank() OVER w AS drk
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey ASC)
+            ORDER BY c_nationkey, rn"""))
+
+  private val winLagLead = QueryDef(
+    "win_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          lag("event_id", 1).over(w).as("prev_event_id"),
+          lead("event_id", 1).over(w).as("next_event_id"),
+          (col("value") - lag("value", 1).over(w)).as("delta_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              lag(event_id, 1) OVER w AS prev_event_id,
+              lead(event_id, 1) OVER w AS next_event_id,
+              value - lag(value, 1) OVER w AS delta_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ORDER BY event_id"""))
+
+  private val winRunning = QueryDef(
+    "win_running",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("running_n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).over(w)
+            .as("running_spend_cents"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              CAST(count(*) OVER w AS BIGINT) AS running_n,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+                AS running_spend_cents
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY o_orderkey"""))
+
+  private val winMovingAvg = QueryDef(
+    "win_moving_avg",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          round(sum(expr("CAST(round(value * 100) AS BIGINT)")).over(w)
+            .cast("double") / count(lit(1)).over(w) / 100, 6).as("mavg"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                    / (count(*) OVER w) / 100, 6) AS mavg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
+  /** Global distribution ranks. A single unpartitioned window is
+    * inherently one-task; acceptable for a final small result, and at
+    * 100 TB the ntile input would be pre-aggregated first. */
+  private val winNtilePct = QueryDef(
+    "win_ntile_pct",
+    (s, d) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice,
+              ntile(4) OVER w AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank
+            FROM orders
+            WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey ASC)
+            ORDER BY o_orderkey"""))
+
+  /** Heavy hitters per group — the signature Kinesis-analytics report.
+    * Rank window + filter ≤ K; shuffles once on the group key. */
+  private val topkPerGroup = QueryDef(
+    "topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(
+          col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_nationkey", "rn")
+    },
+    Some("""SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer)
+            WHERE rn <= 3 ORDER BY c_nationkey, rn"""))
+
+  /** As-of join, Spark has no native operator (SURVEY.md §2c): each
+    * event matches the latest order (per user) with o_orderdate <= ts.
+    *
+    * Implemented as the scalable union trick — one shuffle on the key,
+    * no range self-join blowup: tag both sides, sort within key by
+    * (time, side) with orders first, carry the last non-null order key
+    * forward with last(ignoreNulls) over an unbounded-preceding row
+    * frame, keep event rows. This is O(n log n) per key and works
+    * unchanged on a 1000-executor cluster; the naive alternative
+    * (theta-join then rank) is quadratic per key.
+    *
+    * Orders are pre-deduplicated to one row per (custkey, orderdate)
+    * [max orderkey] so the as-of winner is uniquely defined — DuckDB's
+    * ASOF JOIN tie choice would otherwise be arbitrary. */
+  private val joinAsof = QueryDef(
+    "join_asof",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+        .select(
+          col("o_custkey").as("k"), col("o_orderdate").as("t"),
+          lit(0).as("side"), col("o_orderkey"),
+          lit(null).cast("long").as("event_id"))
+      val e = Tables.events(s, d)
+        .select(
+          col("user_id").as("k"), col("ts").as("t"),
+          lit(1).as("side"), lit(null).cast("long").as("o_orderkey"),
+          col("event_id"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("t").asc, col("side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .withColumn("matched", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+                col("matched").as("o_orderkey"))
+        .orderBy("event_id")
+    },
+    Some("""WITH o AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, o.o_orderkey
+            FROM events e
+            ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    winRank, winLagLead, winRunning, winMovingAvg, winNtilePct,
+    topkPerGroup, joinAsof)
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time operators (SURVEY.md §2h), run here in batch mode over
+  * the `events` table so each has a DuckDB oracle. Structured
+  * Streaming's batch/stream unification means the SAME pipeline code
+  * (window / session_window / dropDuplicates / flatMapGroupsWithState)
+  * is what `graft.streaming.StreamOps` runs incrementally with
+  * watermarks; the streaming-only semantics (late data, state
+  * eviction) are covered by MemoryStream tests in StreamingSpec.
+  *
+  * All window keys leave as epoch-second BIGINTs, never raw ns
+  * timestamps (SURVEY.md §5 determinism rules).
+  */
+object EventOps {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserStats(
+      user_id: Long, n_events: Long, total_cents: Long, max_event_id: Long)
+
+  /** Fixed 1-hour event-time windows via the streaming `window()`
+    * primitive — identical plan shape to the incremental version. */
+  private val streamTumbling = QueryDef(
+    "stream_tumbling",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sc"))
+        .select(
+          unix_timestamp(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("n"),
+          round(col("sc").cast("double") / 100, 2).as("sum_value"))
+        .orderBy("hour_epoch", "event_type"),
+    Some("""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+              event_type, CAST(count(*) AS BIGINT) AS n,
+              round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100, 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type"""))
+
+  /** Overlapping 1h windows sliding every 30m: each event lands in
+    * exactly 2 buckets; the oracle reproduces the bucket assignment
+    * arithmetic with a 2-row offset cross join. */
+  private val streamSliding = QueryDef(
+    "stream_sliding",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sc"))
+        .select(
+          unix_timestamp(col("window.start")).as("win_epoch"),
+          col("n"),
+          round(col("sc").cast("double") / 100, 2).as("sum_value"))
+        .orderBy("win_epoch"),
+    Some("""SELECT win_epoch, CAST(count(*) AS BIGINT) AS n,
+              round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100, 2) AS sum_value
+            FROM (
+              SELECT CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT) AS win_epoch,
+                     value
+              FROM events CROSS JOIN (VALUES (0), (1800)) o(off))
+            GROUP BY win_epoch ORDER BY win_epoch"""))
+
+  /** Gap-based session windows (30 min inactivity) via the streaming
+    * `session_window()` primitive; oracle = classic gaps-and-islands. */
+  private val streamSession = QueryDef(
+    "stream_session",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sc"))
+        .select(
+          col("user_id"),
+          unix_timestamp(col("session_window.start")).as("sess_start"),
+          col("n"),
+          round(col("sc").cast("double") / 100, 2).as("sum_value"))
+        .orderBy("user_id", "sess_start"),
+    Some("""WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+              CAST(count(*) AS BIGINT) AS n,
+              round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100, 2) AS sum_value
+            FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start"""))
+
+  /** Watermarked daily rollup. `withWatermark` is a no-op in batch
+    * execution (bounded input ⇒ nothing is late), so the oracle is the
+    * plain rollup; the eviction semantics are tested in StreamingSpec. */
+  private val streamWatermark = QueryDef(
+    "stream_watermark",
+    (s, d) =>
+      Tables.events(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("day_epoch"), col("n"))
+        .orderBy("day_epoch"),
+    Some("""SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1 ORDER BY day_epoch"""))
+
+  /** At-least-once delivery dedup: duplicates are manufactured by
+    * replaying the whole stream (UNION ALL with itself), then dropped
+    * on the record id — the Kinesis consumer-dedup semantics. */
+  private val streamDedup = QueryDef(
+    "stream_dedup",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      e.unionByName(e)
+        .dropDuplicates("event_id")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT DISTINCT event_id, user_id, event_type, value
+            FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+            ORDER BY event_id"""))
+
+  /** Arbitrary per-key state via flatMapGroupsWithState (the
+    * transformWithState-style seam), executed in batch: per-user fold
+    * in event-time order → (count, total, last id). The fold itself is
+    * the same function StreamOps runs incrementally. */
+  private val streamStateful = QueryDef(
+    "stream_stateful",
+    (s, d) => {
+      implicit val eventEnc = org.apache.spark.sql.Encoders.product[Event]
+      implicit val statsEnc = org.apache.spark.sql.Encoders.product[UserStats]
+      implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[UserStats, UserStats](
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(statefulFold)
+        .select(
+          col("user_id"), col("n_events"),
+          round(col("total_cents").cast("double") / 100, 2).as("total_value"),
+          col("max_event_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100, 2) AS total_value,
+              CAST(max(event_id) AS BIGINT) AS max_event_id
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** The per-key state transition — shared by the batch query above
+    * and the MemoryStream test in StreamingSpec. */
+  def statefulFold(
+      userId: Long, rows: Iterator[Event],
+      state: GroupState[UserStats]): Iterator[UserStats] = {
+    val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0L, -1L))
+    val next = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      .foldLeft(prev) { (st, e) =>
+        UserStats(userId, st.n_events + 1,
+          st.total_cents + math.round(e.value * 100),
+          math.max(st.max_event_id, e.event_id))
+      }
+    state.update(next)
+    Iterator.single(next)
+  }
+
+  /** Late-row detection against a per-user running watermark (max event
+    * time seen so far, by arrival order, minus the 10-minute allowed
+    * lateness) — the batch-checkable analog of watermark routing. */
+  private val streamLate = QueryDef(
+    "stream_late",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("wm", max(col("ts")).over(w) - expr("INTERVAL 10 MINUTES"))
+        .select(
+          col("event_id"), col("user_id"),
+          (col("ts") < col("wm")).as("is_late"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              ts < max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - INTERVAL '10 minutes' AS is_late
+            FROM events ORDER BY event_id"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    streamTumbling, streamSliding, streamSession, streamWatermark,
+    streamDedup, streamStateful, streamLate)
+}

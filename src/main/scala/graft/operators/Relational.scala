@@ -1,0 +1,515 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, projection/filter, joins, aggregation,
+  * sort/limit, set operations (SURVEY.md §2a–§2d, §2f).
+  *
+  * Design rules applied throughout (SURVEY.md §4, §5):
+  *  - declarative DataFrame plans only, so Catalyst gets predicate
+  *    pushdown / column pruning / join selection for free;
+  *  - `broadcast()` hints only on true dimension tables
+  *    (region/nation: 5/25 rows at every SF);
+  *  - every oracle-checked query ends in a total ORDER BY over a
+  *    unique key set, aggregated doubles are `round(.., n)` on BOTH
+  *    engines, counts are exact BIGINT on both sides.
+  */
+object Relational {
+
+  // ---- 2a. sources / sinks -------------------------------------------------
+
+  private val scanParquet = QueryDef(
+    "scan_parquet",
+    (s, d) => Tables.region(s, d).orderBy("r_regionkey"),
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  /** Column-pruned scan: only 3 of 11 lineitem columns must reach the
+    * parquet reader (ReadSchema assertion in RelationalSpec). */
+  private val scanProjected = QueryDef(
+    "scan_projected",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  /** The Kinesis record-decode step: JSON payload column → typed field. */
+  private val jsonIngest = QueryDef(
+    "json_ingest",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, user_id,
+              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events ORDER BY event_id"""))
+
+  /** Parquet sink round-trip: write a filtered slice, read it back,
+    * aggregate — proves the write path end-to-end, oracle on the
+    * logical result. */
+  private val sinkParquet = QueryDef(
+    "sink_parquet",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sc"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("sc").cast("double") / 100, 2).as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+              round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS DOUBLE) / 100, 2) AS revenue
+            FROM lineitem WHERE l_quantity >= 25
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---- 2b. projection / filter --------------------------------------------
+
+  private val projectExpr = QueryDef(
+    "project_expr",
+    (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+        when(col("l_quantity") > 25, "bulk").otherwise("small").as("qty_class"))
+        .orderBy("l_orderkey", "l_linenumber", "net_price", "qty_class"),
+    Some("""SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS net_price,
+              CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS qty_class
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, qty_class"""))
+
+  /** Conjunctive predicates + BETWEEN + IN; all Column predicates so
+    * parquet PushedFilters fires (plan assertion in RelationalSpec). */
+  private val filterPred = QueryDef(
+    "filter_pred",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_quantity").between(5, 10) &&
+          col("l_discount") > 0.02 &&
+          col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem
+            WHERE l_quantity BETWEEN 5 AND 10 AND l_discount > 0.02
+              AND l_returnflag IN ('A', 'R')
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount"""))
+
+  private val filterString = QueryDef(
+    "filter_string",
+    (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_name").rlike("[13579]$") && col("c_mktsegment").startsWith("B"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE regexp_matches(c_name, '[13579]$') AND c_mktsegment LIKE 'B%'
+            ORDER BY c_custkey"""))
+
+  // ---- 2c. joins -----------------------------------------------------------
+
+  /** Large⋈large equi join (orders⋈lineitem): shuffles both sides on
+    * the join key; at 100 TB this is the bucketed / co-partitioned
+    * join — the key choice (orderkey) matches the natural layout. */
+  private val joinInnerHash = QueryDef(
+    "join_inner_hash",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+             sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sc"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("n_items"),
+          round(col("sc").cast("double") / 100, 2).as("revenue"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+              round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS DOUBLE) / 100, 2) AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey"""))
+
+  /** Dim-table enrich: explicit broadcast() on nation/region (25/5 rows
+    * at EVERY scale factor — true dims, safe to broadcast at 100 TB). */
+  private val joinBroadcast = QueryDef(
+    "join_broadcast",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+             sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("sc"))
+        .select(col("r_name"), col("n_name"), col("n_cust"),
+          round(col("sc").cast("double") / col("n_cust") / 100, 2).as("avg_bal"))
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+              round(CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / CAST(count(*) AS BIGINT) / 100, 2) AS avg_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  private val joinLeftOuter = QueryDef(
+    "join_left_outer",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+               lit(0L)).as("sc"))
+        .select(col("c_custkey"), col("n_orders"),
+          round(col("sc").cast("double") / 100, 2).as("spend"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+              round(CAST(CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS DOUBLE) / 100, 2) AS spend
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  /** Full outer with unmatched rows guaranteed on BOTH sides: event
+    * users (ids 0..~149) vs customers restricted to custkey >= 100. */
+  private val joinFullOuter = QueryDef(
+    "join_full_outer",
+    (s, d) => {
+      val byUser = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      val cust = Tables.customer(s, d)
+        .filter(col("c_custkey") >= 100)
+        .select("c_custkey", "c_acctbal")
+      byUser.join(cust, col("user_id") === col("c_custkey"), "full")
+        .select(
+          coalesce(col("user_id"), col("c_custkey")).as("id"),
+          col("n_events"), col("c_acctbal"))
+        .orderBy("id")
+    },
+    Some("""SELECT coalesce(user_id, c_custkey) AS id, n_events, c_acctbal
+            FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY user_id) e
+            FULL OUTER JOIN
+                 (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_custkey >= 100) c
+            ON user_id = c_custkey
+            ORDER BY id"""))
+
+  private val joinSemi = QueryDef(
+    "join_semi",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+            ORDER BY c_custkey"""))
+
+  private val joinAnti = QueryDef(
+    "join_anti",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(
+            col("o_orderstatus") === "F" &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+                                AND o_orderdate < TIMESTAMP '1996-01-01')
+            ORDER BY c_custkey"""))
+
+  /** Non-equi band join: value → [lo, hi) bucket. The band table is a
+    * handful of rows → Spark picks BroadcastNestedLoopJoin, the right
+    * physical plan for tiny×large theta joins at any scale. */
+  private val joinRangeTheta = QueryDef(
+    "join_range_theta",
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        (0.0, 50.0, "XS"), (50.0, 150.0, "S"),
+        (150.0, 300.0, "M"), (300.0, 600.0, "L")).toDF("lo", "hi", "band")
+      Tables.events(s, d)
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sc"))
+        .select(col("band"), col("n"),
+          round(col("sc").cast("double") / 100, 2).as("sum_value"))
+        .orderBy("band")
+    },
+    Some("""SELECT band, CAST(count(*) AS BIGINT) AS n,
+              round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100, 2) AS sum_value
+            FROM events
+            JOIN (VALUES (0.0, 50.0, 'XS'), (50.0, 150.0, 'S'),
+                         (150.0, 300.0, 'M'), (300.0, 600.0, 'L')) b(lo, hi, band)
+              ON value >= lo AND value < hi
+            GROUP BY band ORDER BY band"""))
+
+  private val joinCross = QueryDef(
+    "join_cross",
+    (s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.customer(s, d).select("c_mktsegment").distinct())
+        .orderBy("r_name", "c_mktsegment"),
+    Some("""SELECT r_name, c_mktsegment
+            FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+            ORDER BY r_name, c_mktsegment"""))
+
+  // ---- 2d. aggregation -----------------------------------------------------
+
+  private val aggGlobal = QueryDef(
+    "agg_global",
+    (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sq"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sp"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+        .select(
+          col("n_rows"),
+          col("sq").cast("double").as("sum_qty"),
+          round(col("sp").cast("double") / col("n_rows") / 100, 2).as("avg_price"),
+          col("min_price"), col("max_price")),
+    Some("""SELECT n_rows, CAST(sq AS DOUBLE) AS sum_qty,
+              round(CAST(sp AS DOUBLE) / n_rows / 100, 2) AS avg_price,
+              min_price, max_price
+            FROM (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sp,
+                    min(l_extendedprice) AS min_price,
+                    max(l_extendedprice) AS max_price
+                  FROM lineitem)"""))
+
+  /** Flagship: TPC-H Q1-shape pricing summary (SURVEY.md §7 M0).
+    * Map-side partial aggregation + 6-group final — the canonical
+    * "keyed counters" capability of the reference class. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .withColumn("qty_i", expr("CAST(round(l_quantity) AS BIGINT)"))
+      .withColumn("price_c", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("disc_c", expr("CAST(round(l_discount * 100) AS BIGINT)"))
+      .withColumn("tax_c", expr("CAST(round(l_tax * 100) AS BIGINT)"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("qty_i")).as("sq"),
+        sum(col("price_c")).as("sp"),
+        sum(col("price_c") * (lit(100L) - col("disc_c"))).as("sd"),
+        sum(col("price_c") * (lit(100L) - col("disc_c")) * (lit(100L) + col("tax_c"))).as("sch"),
+        sum(col("disc_c")).as("sdisc"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        round(col("sp").cast("double") / 100, 2).as("sum_base_price"),
+        round(col("sd").cast("double") / 10000, 2).as("sum_disc_price"),
+        round(col("sch").cast("double") / 1000000, 2).as("sum_charge"),
+        round(col("sq").cast("double") / col("count_order"), 2).as("avg_qty"),
+        round(col("sp").cast("double") / col("count_order") / 100, 2).as("avg_price"),
+        round(col("sdisc").cast("double") / col("count_order") / 100, 4).as("avg_disc"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val aggGroupBy = QueryDef(
+    "agg_groupby",
+    (s, d) => q1PricingSummary(s, d),
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(sq AS DOUBLE) AS sum_qty,
+              round(CAST(sp AS DOUBLE) / 100, 2) AS sum_base_price,
+              round(CAST(sd AS DOUBLE) / 10000, 2) AS sum_disc_price,
+              round(CAST(sch AS DOUBLE) / 1000000, 2) AS sum_charge,
+              round(CAST(sq AS DOUBLE) / count_order, 2) AS avg_qty,
+              round(CAST(sp AS DOUBLE) / count_order / 100, 2) AS avg_price,
+              round(CAST(sdisc AS DOUBLE) / count_order / 100, 4) AS avg_disc,
+              count_order
+            FROM (SELECT l_returnflag, l_linestatus,
+                    CAST(sum(qty_i) AS BIGINT) AS sq,
+                    CAST(sum(price_c) AS BIGINT) AS sp,
+                    CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sd,
+                    CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) AS sch,
+                    CAST(sum(disc_c) AS BIGINT) AS sdisc,
+                    CAST(count(*) AS BIGINT) AS count_order
+                  FROM (SELECT l_returnflag, l_linestatus,
+                          CAST(round(l_quantity) AS BIGINT) AS qty_i,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                          CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+                          CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+                        FROM lineitem
+                        WHERE l_shipdate <= TIMESTAMP '2000-09-02')
+                  GROUP BY l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  private val aggHaving = QueryDef(
+    "agg_having",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sc"))
+        .filter(col("n_orders") >= 14)
+        .select(col("o_custkey"), col("n_orders"),
+          round(col("sc").cast("double") / 100, 2).as("spend"))
+        .orderBy("o_custkey"),
+    Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+              round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100, 2) AS spend
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 14
+            ORDER BY o_custkey"""))
+
+  private val aggCountDistinct = QueryDef(
+    "agg_count_distinct",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** HLL++ sketch — mergeable, constant memory per group: the 100 TB
+    * path for distinct-user counts. Approximate ⇒ no DuckDB oracle. */
+  private val aggApproxDistinct = QueryDef(
+    "agg_approx_distinct",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type"),
+    None)
+
+  private val aggRollup = QueryDef(
+    "agg_rollup",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(round(l_quantity) AS BIGINT)")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+              coalesce(l_linestatus, 'ALL') AS status,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY flag, status"""))
+
+  private val aggCubeSets = QueryDef(
+    "agg_cube_sets",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             round(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+               .cast("double") / 100, 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority"),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              CAST(count(*) AS BIGINT) AS n,
+              round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100, 2) AS total
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY status, priority"""))
+
+  // ---- 2f. sort / limit / set ops -----------------------------------------
+
+  private val sortMulti = QueryDef(
+    "sort_multi",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .orderBy(col("c_nationkey").asc, col("c_acctbal").desc, col("c_custkey").asc),
+    Some("""SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+            ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC"""))
+
+  /** ORDER BY + LIMIT compiles to TakeOrderedAndProject: per-partition
+    * top-K then a K-row merge on the driver — no global sort at scale. */
+  private val topkGlobal = QueryDef(
+    "topk_global",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+
+  private val setUnionAll = QueryDef(
+    "set_union_all",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("k"), lit("cust").as("src"))
+        .unionByName(
+          Tables.supplier(s, d).select(col("s_suppkey").as("k"), lit("supp").as("src")))
+        .orderBy("src", "k"),
+    Some("""SELECT c_custkey AS k, 'cust' AS src FROM customer
+            UNION ALL SELECT s_suppkey AS k, 'supp' AS src FROM supplier
+            ORDER BY src, k"""))
+
+  private val setUnionDistinct = QueryDef(
+    "set_union_distinct",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("k"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+        .distinct()
+        .orderBy("k"),
+    Some("""SELECT c_nationkey AS k FROM customer
+            UNION SELECT s_nationkey AS k FROM supplier ORDER BY k"""))
+
+  private val setIntersect = QueryDef(
+    "set_intersect",
+    (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .intersect(Tables.events(s, d).select(col("user_id").as("k")))
+        .orderBy("k"),
+    Some("""SELECT o_custkey AS k FROM orders
+            INTERSECT SELECT user_id AS k FROM events ORDER BY k"""))
+
+  private val setExcept = QueryDef(
+    "set_except",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("k")))
+        .orderBy("k"),
+    Some("""SELECT c_custkey AS k FROM customer
+            EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+            ORDER BY k"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    scanParquet, scanProjected, jsonIngest, sinkParquet,
+    projectExpr, filterPred, filterString,
+    joinInnerHash, joinBroadcast, joinLeftOuter, joinFullOuter,
+    joinSemi, joinAnti, joinRangeTheta, joinCross,
+    aggGlobal, aggGroupBy, aggHaving, aggCountDistinct, aggApproxDistinct,
+    aggRollup, aggCubeSets,
+    sortMulti, topkGlobal,
+    setUnionAll, setUnionDistinct, setIntersect, setExcept)
+}

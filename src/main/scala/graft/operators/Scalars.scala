@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.WeightedMean
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar / higher-order / generator functions (SURVEY.md §2g) and the
+  * custom-aggregate seam (`agg_udaf`, §2d).
+  *
+  * Everything here stays inside whole-stage codegen: built-in
+  * `functions._` only, except the one deliberate `fn_udf` row (the UDF
+  * seam itself) and the `Aggregator`-backed UDAF.
+  */
+object Scalars {
+
+  private val fnString = QueryDef(
+    "fn_string",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          upper(col("lang")).as("lang_uc"),
+          substring(col("text"), 1, 12).as("prefix"),
+          length(col("text")).cast("long").as("text_len"),
+          concat(col("lang"), lit("_"), col("source")).as("tag"),
+          trim(lit("  pad  ")).as("trimmed"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, upper(lang) AS lang_uc, substr(text, 1, 12) AS prefix,
+              CAST(length(text) AS BIGINT) AS text_len,
+              lang || '_' || source AS tag, trim('  pad  ') AS trimmed
+            FROM documents ORDER BY doc_id"""))
+
+  /** Timestamps only ever leave through date_trunc/extract → epoch
+    * BIGINT (events.ts is ns-precision parquet; SURVEY.md §5). Spark
+    * dayofweek is 1=Sunday, DuckDB dow is 0=Sunday — normalized in the
+    * oracle (+1). */
+  private val fnDate = QueryDef(
+    "fn_date",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+          hour(col("ts")).cast("long").as("h"),
+          dayofweek(col("ts")).cast("long").as("dw"),
+          dayofmonth(col("ts")).cast("long").as("dom"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+              CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+              CAST(extract(hour FROM ts) AS BIGINT) AS h,
+              CAST(dayofweek(ts) + 1 AS BIGINT) AS dw,
+              CAST(extract(day FROM ts) AS BIGINT) AS dom
+            FROM events ORDER BY event_id"""))
+
+  private val fnMath = QueryDef(
+    "fn_math",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_orderkey") % 7).as("mod7"),
+          expr("l_orderkey div 7").as("div7"),
+          abs(col("l_discount") - 0.05).as("abs_disc"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          (col("l_quantity") * col("l_quantity")).as("qty_sq"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+              l_orderkey % 7 AS mod7, l_orderkey // 7 AS div7,
+              abs(l_discount - 0.05) AS abs_disc,
+              round(ln(l_extendedprice), 6) AS ln_price,
+              l_quantity * l_quantity AS qty_sq
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Array ops over the embedding column; float elements are cast to
+    * double on both engines so result schemas match exactly. */
+  private val fnArray = QueryDef(
+    "fn_array",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))").as("head3"))
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dim,
+              CAST(embedding[1] AS DOUBLE) AS first_val,
+              list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3
+            FROM embeddings ORDER BY vec_id"""))
+
+  /** Higher-order lambda fold: L2 norm via transform + aggregate. Both
+    * sides fold sequentially over identical doubles → exact match. */
+  private val fnHigherOrder = QueryDef(
+    "fn_higher_order",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("sq",
+          expr("""aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .select(
+          col("vec_id"),
+          round(sqrt(col("sq")), 6).as("l2_norm"),
+          expr("CAST(array_max(embedding) AS DOUBLE)").as("max_val"))
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id,
+              round(sqrt(list_aggregate(
+                list_transform(generate_series(1, len(embedding)),
+                               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                'sum')), 6) AS l2_norm,
+              CAST(list_max(embedding) AS DOUBLE) AS max_val
+            FROM embeddings ORDER BY vec_id"""))
+
+  /** Generator surface: one row per token (explode = Catalyst
+    * Generator). Restricted to doc_id < 100 to keep the verify dump
+    * small; the plan is identical at any cardinality. */
+  private val fnExplode = QueryDef(
+    "fn_explode",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "token"),
+    Some("""SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE doc_id < 100)
+            GROUP BY doc_id, token ORDER BY doc_id, token"""))
+
+  /** Schema-full JSON parse (vs json_ingest's path extraction). */
+  private val fnJson = QueryDef(
+    "fn_json",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("parsed", expr("from_json(props, 'k INT')"))
+        .select(col("event_id"), col("parsed.k").as("k"))
+        .filter(col("k") > 90)
+        .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+            ORDER BY event_id"""))
+
+  /** The scalar-UDF seam: deterministic wordlist sentiment score
+    * (PAPERS.md Twitter-sentiment lineage). Kept off the hot path by
+    * design — native expressions everywhere else. */
+  private val fnUdf = QueryDef(
+    "fn_udf",
+    (s, d) => {
+      val pos = Set("fast", "small", "merge")
+      val neg = Set("slow", "batch", "spill")
+      val sentiment = udf { text: String =>
+        val toks = text.split(" ")
+        toks.count(pos.contains).toLong - toks.count(neg.contains).toLong
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), sentiment(col("text")).as("sentiment"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '),
+                                   t -> t IN ('fast', 'small', 'merge'))) AS BIGINT)
+            - CAST(len(list_filter(string_split(text, ' '),
+                                   t -> t IN ('slow', 'batch', 'spill'))) AS BIGINT)
+              AS sentiment
+            FROM documents ORDER BY doc_id"""))
+
+  /** Custom mergeable aggregate via the public Aggregator→udaf seam:
+    * quantity-weighted mean price per return flag. */
+  private val aggUdaf = QueryDef(
+    "agg_udaf",
+    (s, d) => {
+      val wmean = udaf(WeightedMean,
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      Tables.lineitem(s, d)
+        .withColumn("price_c", expr("CAST(round(l_extendedprice * 100) AS DOUBLE)"))
+        .withColumn("qty_i", expr("CAST(round(l_quantity) AS DOUBLE)"))
+        .groupBy("l_returnflag")
+        .agg(round(wmean(col("price_c"), col("qty_i")) / 100, 4).as("wmean_price"))
+        .orderBy("l_returnflag")
+    },
+    // The cents inputs keep every partial sum integer-valued (< 2^53),
+    // so the Aggregator's merge order cannot perturb the result.
+    Some("""SELECT l_returnflag,
+              round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                    / CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100, 4)
+                AS wmean_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    fnString, fnDate, fnMath, fnArray, fnHigherOrder, fnExplode, fnJson,
+    fnUdf, aggUdaf)
+}

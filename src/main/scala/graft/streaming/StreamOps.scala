@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.operators.EventOps.{statefulFold, Event, UserStats}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming pipelines (SURVEY.md §2h, §3).
+  *
+  * These are the SAME transformations the batch-oracle queries in
+  * `graft.operators.EventOps` run — Structured Streaming's
+  * batch/stream unification is the test seam: batch results are
+  * DuckDB-verified, and StreamingSpec drives these incremental
+  * versions through MemoryStream asserting watermark drops, late-data
+  * handling and state evolution.
+  *
+  * Kinesis mapping (reference class): `spark.readStream` replaces the
+  * get_shard_iterator/get_records consumer loop; `checkpointLocation`
+  * replaces sequence-number checkpointing (exactly-once); shard ≈
+  * partition; `withWatermark` bounds consumer lag-induced lateness.
+  * No Kinesis connector jar ships in this container, so sources here
+  * are MemoryStream/file — the pipeline code is source-agnostic.
+  */
+object StreamOps {
+
+  /** Tumbling 1h event-time counts with a 10-minute watermark:
+    * state for a window is evicted once the watermark passes its end —
+    * bounded state at any throughput. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1h/30m windowed sums. */
+  def slidingSums(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Gap-based 30-minute session windows per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"), col("n"))
+
+  /** At-least-once consumer dedup on the record id, state bounded by
+    * the watermark (the Kinesis resharding/retry story). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary per-user running state — the same fold as the
+    * batch-oracle `stream_stateful` query, run incrementally. */
+  def statefulUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    implicit val statsEnc = Encoders.product[UserStats]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(statefulFold)
+  }
+
+  /** Run any of the above to an in-memory sink for tests/demos. */
+  def startToMemory(df: DataFrame, queryName: String,
+      outputMode: OutputMode = OutputMode.Append): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+}

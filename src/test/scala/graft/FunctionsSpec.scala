@@ -1,0 +1,131 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Custom expressions: interpreted eval vs codegen vs reference Scala
+  * implementations, plus seeded randomized property checks. */
+class FunctionsSpec extends AnyFunSuite with SparkFixture {
+
+  private def arr(xs: Array[Float]) = new GenericArrayData(xs.map(x => x: Any))
+
+  test("DotProduct.nullSafeEval matches a plain Scala fold") {
+    val rnd = new Random(42)
+    (1 to 50).foreach { _ =>
+      val a = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val b = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      val got = DotProduct(null, null).nullSafeEval(arr(a), arr(b))
+      assert(got == expected) // bit-exact, not approximate
+    }
+  }
+
+  test("DotProduct codegen path agrees with interpreted eval") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val rows = (1 to 100).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat()), Array.fill(16)(rnd.nextFloat()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        VectorFunctions.dotProduct(col("a"), col("b")).as("d"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    val expected = rows.map { case (_, a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("CosineSimilarity: cos(v,v) == 1 within 1e-12; scale invariance") {
+    val rnd = new Random(11)
+    (1 to 30).foreach { _ =>
+      val v = Array.fill(32)(rnd.nextFloat() + 0.1f)
+      val v2 = v.map(_ * 3.0f)
+      val self = CosineSimilarity(null, null).nullSafeEval(arr(v), arr(v)).asInstanceOf[Double]
+      val scaled = CosineSimilarity(null, null).nullSafeEval(arr(v), arr(v2)).asInstanceOf[Double]
+      assert(math.abs(self - 1.0) < 1e-12)
+      assert(math.abs(scaled - 1.0) < 1e-6) // float cast of v*3 loses a few ulps
+    }
+  }
+
+  test("MinHashSig: permutation-min property and shuffle invariance") {
+    val rnd = new Random(3)
+    val hs = Array.fill(40)(rnd.nextLong())
+    val sig = MinHashSig(null, 16).nullSafeEval(new GenericArrayData(hs.map(x => x: Any)))
+      .asInstanceOf[GenericArrayData].toLongArray()
+    (0 until 16).foreach { i =>
+      assert(sig(i) == hs.map(h => HashUtil.mix(h + i)).min)
+    }
+    val shuffled = rnd.shuffle(hs.toSeq).toArray
+    val sig2 = MinHashSig(null, 16).nullSafeEval(new GenericArrayData(shuffled.map(x => x: Any)))
+      .asInstanceOf[GenericArrayData].toLongArray()
+    assert(sig.toSeq == sig2.toSeq, "minhash must be order-invariant")
+  }
+
+  test("MinHash Jaccard estimate tracks true Jaccard") {
+    // Two sets with known overlap: J = 50/150 ≈ 0.333.
+    val base = (1L to 200L).map(HashUtil.mix) // well-spread "element hashes"
+    val setA = base.take(100).toArray
+    val setB = base.slice(50, 150).toArray
+    def sig(xs: Array[Long]) =
+      MinHashSig(null, 256).nullSafeEval(new GenericArrayData(xs.map(x => x: Any)))
+        .asInstanceOf[GenericArrayData].toLongArray()
+    val (sa, sb) = (sig(setA), sig(setB))
+    val agree = sa.zip(sb).count { case (x, y) => x == y }
+    val est = agree.toDouble / 256
+    assert(math.abs(est - 1.0 / 3.0) < 0.1, s"estimate $est far from 0.333")
+  }
+
+  test("SimHash64: identical inputs collide; disjoint inputs differ") {
+    val rnd = new Random(5)
+    val hs = Array.fill(50)(rnd.nextLong())
+    def sh(xs: Array[Long]) =
+      SimHash64(null).nullSafeEval(new GenericArrayData(xs.map(x => x: Any)))
+        .asInstanceOf[Long]
+    assert(sh(hs) == sh(rnd.shuffle(hs.toSeq).toArray), "order-invariant")
+    val near = hs.dropRight(1) // one token removed
+    val far = Array.fill(50)(rnd.nextLong())
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(hs), sh(near)) <= 12, "near-dup should have small hamming")
+    assert(ham(sh(hs), sh(far)) > 12, "unrelated doc should be far")
+  }
+
+  test("SortedIntersectCount equals Set intersection size") {
+    val rnd = new Random(13)
+    (1 to 50).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(60) + 1)(rnd.nextLong() % 100).distinct.sorted
+      val b = Array.fill(rnd.nextInt(60) + 1)(rnd.nextLong() % 100).distinct.sorted
+      val got = SortedIntersectCount(null, null).nullSafeEval(
+        new GenericArrayData(a.map(x => x: Any)),
+        new GenericArrayData(b.map(x => x: Any))).asInstanceOf[Int]
+      assert(got == a.toSet.intersect(b.toSet).size)
+    }
+  }
+
+  test("WeightedMean aggregator: reduce/merge algebra and finish") {
+    val in = Seq((10.0, 1.0), (20.0, 3.0), (30.0, 1.0))
+    val b1 = in.take(1).foldLeft(WeightedMean.zero)(WeightedMean.reduce)
+    val b2 = in.drop(1).foldLeft(WeightedMean.zero)(WeightedMean.reduce)
+    val merged = WeightedMean.merge(b1, b2)
+    assert(WeightedMean.finish(merged) == (10.0 + 60.0 + 30.0) / 5.0)
+    assert(WeightedMean.finish(WeightedMean.zero) == 0.0) // empty-safe
+    // merge order must not matter
+    assert(WeightedMean.merge(b2, b1) == merged.swap.swap)
+  }
+
+  test("dot_product / cosine_similarity are SQL-callable after register") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.selectExpr("dot_product(a, b) AS d", "cosine_similarity(a, a) AS c")
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Relational operators: small exact fixtures + physical-plan shape
+  * assertions (SURVEY.md §5.3: broadcast chosen, filters pushed,
+  * columns pruned). */
+class RelationalSpec extends AnyFunSuite with SparkFixture {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("every declared query returns rows at sf0.001") {
+    // rows>0 guards against predicates that silently select nothing
+    // at other scale factors than the verified sf0.01.
+    val allowEmpty = Set.empty[String]
+    SparkEntry.allDefs.foreach { q =>
+      val n = q.fn(spark, sfDir).count()
+      assert(n > 0 || allowEmpty(q.name), s"${q.name} returned 0 rows at sf0.001")
+    }
+  }
+
+  test("query/oracle name sets are consistent") {
+    val qn = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qn))
+    assert(SparkEntry.allDefs.map(_.name).distinct.size == SparkEntry.allDefs.size,
+      "duplicate query names")
+  }
+
+  test("join_broadcast compiles to BroadcastHashJoin") {
+    val plan = run("join_broadcast").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "dim join must not sort-merge")
+  }
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val plan = run("filter_pred").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(2000))
+  }
+
+  test("scan_projected prunes to the selected columns") {
+    val plan = run("scan_projected").queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads pruned column: $readSchema")
+  }
+
+  test("topk_global compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = run("topk_global").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("agg_groupby uses two-phase hash aggregation") {
+    val plan = run("agg_groupby").queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(plan.contains("partial_"), "missing map-side partial aggregation")
+  }
+
+  test("inner join equivalence on a crafted fixture") {
+    import spark.implicits._
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
+    val r = Seq((2, "x"), (3, "y"), (4, "z")).toDF("k", "rv")
+    val got = l.join(r, "k").orderBy("k").collect().map(r0 => (r0.getInt(0), r0.getString(1), r0.getString(2)))
+    assert(got.toSeq == Seq((2, "b", "x"), (3, "c", "y")))
+  }
+
+  test("left anti join keeps only unmatched rows") {
+    import spark.implicits._
+    val l = Seq(1, 2, 3, 4).toDF("k")
+    val r = Seq(2, 4).toDF("k")
+    val got = l.join(r, Seq("k"), "left_anti").orderBy("k").as[Int].collect()
+    assert(got.toSeq == Seq(1, 3))
+  }
+
+  test("full outer join keeps both unmatched sides") {
+    import spark.implicits._
+    val l = Seq((1, "a"), (2, "b")).toDF("k", "lv")
+    val r = Seq((2, "x"), (3, "y")).toDF("k", "rv")
+    val got = l.join(r, Seq("k"), "full").orderBy("k").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(2) == null && got(2).getString(1) == null)
+  }
+
+  test("rollup produces subtotals and a grand total") {
+    import spark.implicits._
+    val df = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3)).toDF("g1", "g2", "v")
+    val got = df.rollup("g1", "g2").agg(sum("v").as("s")).collect()
+    assert(got.length == 6) // 3 leaves + 2 g1 subtotals + 1 grand
+    val grand = got.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getLong(2) == 6L)
+  }
+
+  test("set ops: union/intersect/except algebra on fixtures") {
+    import spark.implicits._
+    val a = Seq(1, 2, 3).toDF("k")
+    val b = Seq(3, 4).toDF("k")
+    assert(a.unionByName(b).count() == 5)
+    assert(a.intersect(b).as[Int].collect().toSeq == Seq(3))
+    assert(a.except(b).orderBy("k").as[Int].collect().toSeq == Seq(1, 2))
+  }
+
+  test("union-all count additivity against real tables") {
+    val c = Tables.customer(spark, sfDir).count()
+    val s = Tables.supplier(spark, sfDir).count()
+    assert(run("set_union_all").count() == c + s)
+  }
+
+  test("theta band join assigns every event exactly once") {
+    val n = Tables.events(spark, sfDir).count()
+    val banded = run("join_range_theta")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(banded == n, "bands must partition the value domain")
+  }
+}

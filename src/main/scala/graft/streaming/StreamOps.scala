@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.EventOps.{statefulFold, Event, UserStats}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming pipelines (SURVEY.md §2h, §3).
   *
@@ -66,6 +66,43 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserStats, UserStats](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(statefulFold)
+  }
+
+  /** Spark 4 transformWithState seam: per-user running (count, cents)
+    * via an explicit ValueState — the successor API to
+    * flatMapGroupsWithState, with typed state handles and TTL support.
+    * Requires the RocksDB state store provider (bundled). */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Event, (Long, Long, Long)] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val (n0, c0) = if (totals.exists()) totals.get() else (0L, 0L)
+      val (n, c) = rows.foldLeft((n0, c0)) { case ((an, ac), e) =>
+        (an + 1, ac + math.round(e.value * 100))
+      }
+      totals.update((n, c))
+      Iterator.single((userId, n, c))
+    }
+  }
+
+  /** transformWithState pipeline over the event stream. */
+  def runningTotals(events: Dataset[Event]): Dataset[(Long, Long, Long)] = {
+    implicit val outEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Run any of the above to an in-memory sink for tests/demos. */

@@ -101,6 +101,54 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("transformWithState: ValueState accumulates across batches (RocksDB)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = StreamOps.runningTotals(input.toDS()).toDF("user_id", "n", "cents")
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode("update").start()
+    try {
+      input.addData(ev("2024-01-01 10:00:00", user = 9, value = 1.0),
+        ev("2024-01-01 10:01:00", user = 9, value = 2.5))
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 10:02:00", user = 9, value = 0.5))
+      q.processAllAvailable()
+      val latest = spark.table("tws_test").filter(col("user_id") === 9)
+        .orderBy(col("n").desc).collect()(0)
+      assert(latest.getLong(1) == 3L)
+      assert(latest.getLong(2) == 400L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("file streaming source: new files are picked up incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_filesrc").toString
+    val batch1 = Seq(ev("2024-01-01 10:00:00"), ev("2024-01-01 10:30:00"))
+    batch1.toDS().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(batch1.toDS().schema)
+      .parquet(dir)
+    val q = stream.writeStream.format("memory").queryName("filesrc_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("filesrc_test").count() == 2)
+      Seq(ev("2024-01-01 11:00:00")).toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("filesrc_test").count() == 3)
+    } finally q.stop()
+  }
+
   test("batch and stream runs of the tumbling pipeline agree on bounded input") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -16,6 +16,7 @@ object SparkEntry {
   /** All declared operators, in SURVEY.md §2 section order. */
   val allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
+    operators.SqlSurface.defs ++
     operators.Scalars.defs ++
     operators.Analytic.defs ++
     operators.EventOps.defs ++

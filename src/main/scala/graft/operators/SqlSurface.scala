@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL entry point: the same engine driven through `spark.sql`
+  * over registered views — a user of the reference's query surface can
+  * submit SQL text instead of DataFrame code and get identical plans
+  * (Catalyst compiles both to the same logical algebra).
+  *
+  * Also exercises correlated-subquery decorrelation
+  * (`RewriteCorrelatedScalarSubquery`, SURVEY.md §4): Spark rewrites
+  * the correlated scalar/IN subqueries below into the same outer-join/
+  * semi-join shapes the DataFrame queries use — no per-row re-execution.
+  */
+object SqlSurface {
+
+  private def withViews(s: SparkSession, d: String): Unit = {
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+  }
+
+  /** Correlated scalar subquery → decorrelated left outer aggregate. */
+  private val subqueryScalar = QueryDef(
+    "subquery_scalar",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT c_custkey,
+                 round(coalesce((SELECT max(o_totalprice) FROM v_orders
+                                 WHERE o_custkey = c_custkey), 0), 2) AS max_spend
+               FROM v_customer ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey,
+              round(coalesce((SELECT max(o_totalprice) FROM orders
+                              WHERE o_custkey = c_custkey), 0), 2) AS max_spend
+            FROM customer ORDER BY c_custkey"""))
+
+  /** IN-subquery → decorrelated semi join. */
+  private val subqueryIn = QueryDef(
+    "subquery_in",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT o_orderkey, o_custkey FROM v_orders
+               WHERE o_custkey IN (SELECT c_custkey FROM v_customer
+                                   WHERE c_mktsegment = 'BUILDING')
+               ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey"""))
+
+  /** TPC-H Q3 shape submitted as SQL text: segment filter, 3-way join,
+    * cents-exact revenue, top-10. Same determinism rules as the
+    * DataFrame queries (exact integer cents; unique-key tiebreak). */
+  private val sqlTpchQ3 = QueryDef(
+    "sql_tpch_q3",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT l_orderkey,
+                 round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                       / 10000, 2) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_items
+               FROM v_customer
+               JOIN v_orders   ON c_custkey = o_custkey
+               JOIN v_lineitem ON l_orderkey = o_orderkey
+               WHERE c_mktsegment = 'BUILDING'
+                 AND o_orderdate < TIMESTAMP '2000-03-15'
+                 AND l_shipdate  > TIMESTAMP '2000-03-15'
+               GROUP BY l_orderkey
+               ORDER BY revenue DESC, l_orderkey ASC
+               LIMIT 10""")
+    },
+    Some("""SELECT l_orderkey,
+              round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                    AS DOUBLE) / 10000, 2) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '2000-03-15'
+              AND l_shipdate  > TIMESTAMP '2000-03-15'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10"""))
+
+  val defs: Seq[QueryDef] = Seq(subqueryScalar, subqueryIn, sqlTpchQ3)
+}

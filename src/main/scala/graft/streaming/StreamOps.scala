@@ -105,6 +105,25 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Stream-stream inner join with a time-interval condition: clicks
+    * enriched with the purchase that follows within one hour, per
+    * user. Both sides are watermarked so Spark can bound the join
+    * state buffers — unbounded stream-stream joins are the classic
+    * streaming OOM at scale; the interval + watermarks make state
+    * eviction provable. */
+  def streamStreamEnrich(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** Run any of the above to an in-memory sink for tests/demos. */
   def startToMemory(df: DataFrame, queryName: String,
       outputMode: OutputMode = OutputMode.Append): StreamingQuery =

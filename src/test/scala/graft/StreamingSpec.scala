@@ -149,6 +149,58 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.streamStreamEnrich(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ev("2024-01-01 10:00:00", user = 1, typ = "click"))
+      purchases.addData(
+        ev("2024-01-01 10:30:00", user = 1, typ = "purchase", value = 5.0), // in window
+        ev("2024-01-01 12:00:00", user = 1, typ = "purchase", value = 9.0)) // outside
+      q.processAllAvailable()
+      val got = spark.table("ss_join_test").collect()
+      assert(got.length == 1, s"expected 1 join row, got ${got.length}")
+      assert(got(0).getAs[Double]("value") == 5.0)
+    } finally q.stop()
+  }
+
+  test("checkpoint recovery: stateful query resumes from its state store") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val input = MemoryStream[Event]
+    def start() = // file sink: supports exactly-once recovery from checkpoint
+      StreamOps.statefulUserStats(input.toDS()).toDF()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    val q1 = start()
+    try {
+      input.addData(ev("2024-01-01 10:00:00", user = 3, value = 1.0),
+        ev("2024-01-01 10:01:00", user = 3, value = 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint — the Kinesis sequence-number
+    // recovery analog: state (n=2, 300 cents) must survive
+    val q2 = start()
+    try {
+      input.addData(ev("2024-01-01 10:02:00", user = 3, value = 0.5))
+      q2.processAllAvailable()
+      val latest = spark.read.parquet(out).filter(col("user_id") === 3)
+        .orderBy(col("n_events").desc).collect()(0)
+      assert(latest.getLong(1) == 3L, s"state lost across restart: $latest")
+      assert(latest.getLong(2) == 350L)
+    } finally q2.stop()
+  }
+
   test("batch and stream runs of the tumbling pipeline agree on bounded input") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -121,20 +121,29 @@ object Relational {
 
   // ---- 2c. joins -----------------------------------------------------------
 
-  /** Large⋈large equi join (orders⋈lineitem): shuffles both sides on
+  /** Large⋈large equi join (orders⋈lineitem): both sides shuffle on
     * the join key; at 100 TB this is the bucketed / co-partitioned
-    * join — the key choice (orderkey) matches the natural layout. */
+    * join — the key choice (orderkey) matches the natural layout.
+    *
+    * The per-order aggregate is pushed BELOW the join (Catalyst does
+    * not do this rewrite itself): lineitem collapses 4:1 to one row
+    * per orderkey before joining, so the join probes 150 k rows
+    * instead of 600 k and the aggregation shuffle doubles as the join
+    * shuffle. Same result, one less wide shuffle — the kind of rewrite
+    * that matters most at 100 TB. */
   private val joinInnerHash = QueryDef(
     "join_inner_hash",
-    (s, d) =>
-      Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderstatus")
+    (s, d) => {
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
         .agg(count(lit(1)).as("n_items"),
              sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sc"))
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .join(perOrder, "o_orderkey")
         .select(col("o_orderkey"), col("o_orderstatus"), col("n_items"),
           round(col("sc").cast("double") / 100, 2).as("revenue"))
-        .orderBy("o_orderkey"),
+        .orderBy("o_orderkey")
+    },
     Some("""SELECT o_orderkey, o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
               round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                     AS BIGINT) AS DOUBLE) / 100, 2) AS revenue

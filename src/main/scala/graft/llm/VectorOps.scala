@@ -166,6 +166,27 @@ object VectorOps {
              WHERE lang = 'en' AND contains(text, 'merge') AND label < 5
              ORDER BY doc_id"""))
 
+  /** Per-label centroid (mean vector by dimension) — the building
+    * block for IVF codebook training / k-means steps. Implemented as
+    * posexplode → (label, dim) aggregate: the shuffle carries scalar
+    * partials, never whole vectors, so it parallelizes over
+    * rows × dimensions at any scale. */
+  private val embedCentroid = QueryDef(
+    "llm_embed_centroid",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").cast("double").as("v"))
+        .groupBy("label", "pos")
+        .agg(round(avg("v"), 6).as("dim_avg"), count(lit(1)).as("n"))
+        .orderBy("label", "pos"),
+    Some("""SELECT label, i AS pos,
+              round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS dim_avg,
+              CAST(count(*) AS BIGINT) AS n
+            FROM embeddings, generate_series(1, 64) t(i)
+            GROUP BY label, i ORDER BY label, pos"""))
+
   val defs: Seq[QueryDef] = Seq(
-    cosineTopk, annIvf, embedNearDup, multimodalProject)
+    cosineTopk, annIvf, embedNearDup, multimodalProject, embedCentroid)
 }

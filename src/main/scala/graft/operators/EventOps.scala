@@ -245,7 +245,74 @@ object EventOps {
             WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-15'
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** The literal Kinesis record shape: (PartitionKey, SequenceNumber,
+    * base64 Data payload). The envelope is built from events, then
+    * decoded exactly as the reference's consumer loop does —
+    * base64-decode → JSON-extract → keyed aggregate. The oracle runs
+    * the identical encode/decode round trip in DuckDB. */
+  private val kinesisDecode = QueryDef(
+    "kinesis_decode",
+    (s, d) => {
+      val envelope = Tables.events(s, d).select(
+        col("event_id").as("sequence_number"),
+        col("user_id").as("partition_key"),
+        base64(col("props").cast("binary")).as("data"))
+      envelope
+        .select(col("partition_key"),
+          get_json_object(unbase64(col("data")).cast("string"), "$.k")
+            .cast("int").as("k"))
+        .groupBy("partition_key")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("partition_key")
+    },
+    Some("""SELECT user_id AS partition_key, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(json_extract_string(
+                decode(from_base64(base64(CAST(props AS BLOB)))), '$.k')
+                AS INTEGER)) AS BIGINT) AS sum_k
+            FROM events GROUP BY user_id ORDER BY partition_key"""))
+
+  /** Pivot: days × event types count matrix (the DataFrame `pivot`
+    * operator with an explicit value list so output columns are
+    * deterministic); oracle = conditional aggregation. */
+  private val aggPivot = QueryDef(
+    "agg_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("day_epoch", unix_timestamp(date_trunc("day", col("ts"))))
+        .groupBy("day_epoch")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day_epoch"),
+    Some("""SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+              CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+              CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+              CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+              CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+            FROM events GROUP BY 1 ORDER BY day_epoch"""))
+
+  /** Exact interpolated percentiles per key (latency-percentile style
+    * reporting); Spark `percentile` and DuckDB `quantile_cont` share
+    * the same interpolation definition. */
+  private val aggPercentile = QueryDef(
+    "agg_percentile",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr("round(percentile(value, 0.5), 4)").as("p50"),
+          expr("round(percentile(value, 0.95), 4)").as("p95"),
+          expr("round(percentile(value, 0.99), 4)").as("p99"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+              round(quantile_cont(value, 0.5), 4) AS p50,
+              round(quantile_cont(value, 0.95), 4) AS p95,
+              round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     streamTumbling, streamSliding, streamSession, streamWatermark,
-    streamDedup, streamStateful, streamLate, aggSalted, sinkPartitioned)
+    streamDedup, streamStateful, streamLate, aggSalted, sinkPartitioned,
+    kinesisDecode, aggPivot, aggPercentile)
 }

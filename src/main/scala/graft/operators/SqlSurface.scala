@@ -88,5 +88,27 @@ object SqlSurface {
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10"""))
 
-  val defs: Seq[QueryDef] = Seq(subqueryScalar, subqueryIn, sqlTpchQ3)
+  /** Explicit GROUPING SETS (beyond rollup/cube): the mixed subtotal
+    * shape submitted as SQL on both engines. */
+  private val groupingSets = QueryDef(
+    "agg_grouping_sets",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                 coalesce(l_linestatus, 'ALL') AS status,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM v_lineitem
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                       (l_returnflag), ())
+               ORDER BY flag, status""")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+              coalesce(l_linestatus, 'ALL') AS status,
+              CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+            ORDER BY flag, status"""))
+
+  val defs: Seq[QueryDef] = Seq(subqueryScalar, subqueryIn, sqlTpchQ3, groupingSets)
 }

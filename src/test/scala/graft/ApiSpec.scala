@@ -1,0 +1,109 @@
+package graft
+
+import graft.llm.{DedupApi, SimilarityApi}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public library API on ARBITRARY user DataFrames (not the test
+  * tables) — proving the surface composes outside the declared
+  * queries — plus equivalence with the declared query pipelines. */
+class ApiSpec extends AnyFunSuite with SparkFixture {
+
+  test("DedupApi.exactDedup on a user DataFrame") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox"), (2L, "THE QUICK BROWN FOX  "),
+      (3L, "something else")).toDF("id", "body")
+    val got = DedupApi.exactDedup(df, "id", "body")
+      .orderBy("keep_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 2L) // keeper 1, 2 copies
+  }
+
+  test("DedupApi minhash pipeline finds the planted pair on user data") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 39).map(i => s"tok$i").mkString(" ")
+    val far = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "body")
+    val sh = DedupApi.withHashedShingles(
+      DedupApi.withShingles(df, "body"), "sh")
+    val cands = DedupApi.minhashCandidates(sh, "id", "shs")
+    val pairs = DedupApi.verifyPairs(cands, sh, "id", "shs", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("DedupApi.jaccard is exact on known sets") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L, 6L))).toDF("a", "b")
+    val j = df.select(DedupApi.jaccard(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(j == 2.0 / 6.0)
+  }
+
+  test("DedupApi.simhash pipeline flags near pairs on user data") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 59).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near)).toDF("id", "body")
+    val sigs = DedupApi.simhashSignatures(df, "body")
+    val pairs = DedupApi.simhashNearPairs(sigs, "id", "sim", maxHamming = 7)
+      .collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L)
+  }
+
+  test("SimilarityApi.topK equals the declared llm_cosine_topk query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val api = SimilarityApi.topK(
+      emb.filter(col("vec_id") =!= 0), q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val query = SparkEntry.queries("llm_cosine_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(api.toSeq == query.toSeq)
+  }
+
+  test("SimilarityApi IVF probe results are a subset of brute-force order") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val assigned = SimilarityApi.assignClusters(emb, cent, "vec_id", "embedding")
+    assert(assigned.count() == emb.count()) // every vector assigned exactly once
+    val ivf = SimilarityApi.ivfTopK(
+      assigned.filter(col("vec_id") =!= 0), cent, q, "vec_id", "embedding",
+      k = 5, nProbe = 2).collect()
+    assert(ivf.length == 5)
+    // scores must be genuine dot products: within [-1, 1] for unit vectors
+    assert(ivf.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
+  }
+
+  test("SimilarityApi.nearestNeighbor equals the declared query") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val api = SimilarityApi.nearestNeighbor(emb, "vec_id", "embedding")
+      .orderBy("a_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference: per-vector argmax via window
+    import org.apache.spark.sql.expressions.Window
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val w = Window.partitionBy("a_id").orderBy(col("s").desc, col("b_id").asc)
+    val ref = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+      .withColumn("s", graft.functions.VectorFunctions.dotProduct(col("a_emb"), col("b_emb")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("a_id", "b_id")
+      .orderBy("a_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(api.toSeq == ref.toSeq)
+  }
+
+  test("SimilarityApi.centroids: centroid of identical vectors is the vector") {
+    import spark.implicits._
+    val v = Array(0.5f, -0.25f, 0.75f)
+    val df = Seq((1L, 0, v), (2L, 0, v), (3L, 1, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("id", "label", "emb")
+    val got = SimilarityApi.centroids(df, "label", "emb")
+      .orderBy("label", "pos").collect()
+    assert(got.length == 6)
+    assert(got(0).getDouble(2) == 0.5 && got(1).getDouble(2) == -0.25)
+    assert(got(3).getDouble(2) == 1.0)
+  }
+}

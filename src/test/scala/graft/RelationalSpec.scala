@@ -21,6 +21,10 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("driver entry smoke: flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("query/oracle name sets are consistent") {
     val qn = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qn))

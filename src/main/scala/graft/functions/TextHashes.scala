@@ -195,6 +195,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object TextHashFunctions {
+  def ngramHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(NGramHashes(exprOf(tokens), n))
   def minhashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(exprOf(hashes), numHashes))
   def simhash64(hashes: Column): Column =
@@ -204,4 +206,71 @@ object TextHashFunctions {
 
   private def exprOf(c: Column): Expression =
     ColumnBridge.expression(org.apache.spark.sql.SparkSession.active, c)
+}
+
+/** Hashes of all word n-grams of a token array, in document order,
+  * WITHOUT materializing shingle strings: each token is xxhash64'd
+  * once, then n consecutive token hashes are combined with a
+  * splitmix64 chain. Distinct shingles map to distinct hashes w.h.p.,
+  * so Jaccard over these equals Jaccard over string shingles — at a
+  * fraction of the cost (no per-shingle string allocation; measured
+  * the dominant cost of the dedup family at sf0.1). */
+case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var h = 0x51_7c_c1_b7_27_22_0a_95L
+      var k = 0
+      while (k < n) { h = HashUtil.mix(h + th(i + k)); k += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    ctx.addNewFunction("graftMix", HashUtil.MixBody)
+    nullSafeCodeGen(ctx, ev, toks => {
+      val m = ctx.freshName("m"); val th = ctx.freshName("th")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k"); val h = ctx.freshName("h")
+      val t = ctx.freshName("t")
+      s"""
+         |int $m = $toks.numElements();
+         |long[] $th = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $t = $toks.getUTF8String($i);
+         |  $th[$i] = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 42L);
+         |}
+         |long[] $out = new long[$m < $n ? 0 : $m - $n + 1];
+         |for (int $i = 0; $i + $n <= $m; $i++) {
+         |  long $h = 0x517cc1b727220a95L;
+         |  for (int $k = 0; $k < $n; $k++) { $h = graftMix($h + $th[$i + $k]); }
+         |  $out[$i] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashes =
+    copy(child = newChild)
 }

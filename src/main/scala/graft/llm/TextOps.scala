@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
-import graft.functions.TextHashFunctions.{minhashSig, simhash64, sortedIntersectCount}
+import graft.functions.TextHashFunctions.{minhashSig, ngramHashes, simhash64, sortedIntersectCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,13 +24,6 @@ import org.apache.spark.sql.functions._
   * identical augmentation.
   */
 object TextOps {
-
-  /** Shingle construction shared by the near-dup family: distinct
-    * 3-grams of whitespace tokens. */
-  private val shingleExpr =
-    """array_distinct(transform(sequence(1, size(toks) - 2),
-      |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-      |                 element_at(toks, i + 2))))""".stripMargin
 
   /** documents ∪ exact copies of every 10th doc (ids +100000). */
   private def withExactDups(s: SparkSession, d: String): DataFrame = {
@@ -99,8 +92,8 @@ object TextOps {
       val sh = withNearDups(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
-        .withColumn("sh", expr(shingleExpr))
-        .withColumn("shs", expr("sort_array(transform(sh, t -> xxhash64(t)))"))
+        .withColumn("shs",
+          sort_array(array_distinct(ngramHashes(col("toks"), 3))))
         .select("doc_id", "lang", "source", "shs")
       val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
         col("shs").as("sh_a"))
@@ -154,9 +147,8 @@ object TextOps {
       val sh = withNearDups(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
-        .withColumn("sh", expr(shingleExpr))
-        .withColumn("hs", expr("transform(sh, t -> xxhash64(t))"))
-        .withColumn("shs", expr("sort_array(hs)"))
+        .withColumn("hs", array_distinct(ngramHashes(col("toks"), 3)))
+        .withColumn("shs", sort_array(col("hs")))
         .select("doc_id", "hs", "shs")
       val sigs = sh.withColumn("sig", minhashSig(col("hs"), 64))
       val bands = sigs
@@ -225,11 +217,7 @@ object TextOps {
       Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 6)
-        .withColumn("shAll", expr(
-          """transform(sequence(1, size(toks) - 2),
-            |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-            |                 element_at(toks, i + 2)))""".stripMargin))
-        .withColumn("hashes", expr("transform(shAll, t -> xxhash64(t))"))
+        .withColumn("hashes", ngramHashes(col("toks"), 3))
         .withColumn("fps", expr(
           """array_distinct(transform(sequence(1, size(hashes) - 3),
             |  i -> array_min(slice(hashes, i, 4))))""".stripMargin))

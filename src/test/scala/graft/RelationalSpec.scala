@@ -112,6 +112,38 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(run("set_union_all").count() == c + s)
   }
 
+  test("pivot matrix row sums equal daily totals") {
+    val piv = run("agg_pivot")
+    val cols = Seq("click", "error", "purchase", "signup", "view")
+    val rowSums = piv.select(
+      col("day_epoch"),
+      cols.map(col).reduce(_ + _).as("total")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rowSums == daily)
+  }
+
+  test("percentiles are ordered and within the value domain") {
+    run("agg_percentile").collect().foreach { r =>
+      val (p50, p95, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p95 && p95 <= p99)
+      assert(p50 > 0 && p99 <= 500.0)
+    }
+  }
+
+  test("kinesis envelope decode round-trips the payload") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, """{"k": 42}""")).toDF("event_id", "user_id", "props")
+    val enc = df.select(col("user_id"),
+      base64(col("props").cast("binary")).as("data"))
+    val dec = enc.select(col("user_id"),
+      get_json_object(unbase64(col("data")).cast("string"), "$.k")
+        .cast("int").as("k")).collect()(0)
+    assert(dec.getLong(0) == 5L && dec.getInt(1) == 42)
+  }
+
   test("theta band join assigns every event exactly once") {
     val n = Tables.events(spark, sfDir).count()
     val banded = run("join_range_theta")

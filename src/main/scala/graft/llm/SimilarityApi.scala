@@ -68,6 +68,57 @@ object SimilarityApi {
         round(col("m.__s"), 6).as("sim"))
   }
 
+  /** Lloyd's k-means over an embedding column: deterministic init
+    * (the k smallest-id vectors), fixed iteration count. Each
+    * iteration is two distributed passes — assign (broadcast codebook,
+    * codegen dot argmax) and update (per-dimension scalar partials) —
+    * so the corpus never concentrates on the driver; only the k×dim
+    * codebook does (tiny by construction). This is the IVF codebook
+    * trainer; feed the result to [[assignClusters]]/[[ivfTopK]].
+    *
+    * Embeddings are assumed L2-normalized (dot == cosine); centroid
+    * means are re-normalized each round so the similarity stays
+    * spherical. */
+  def kmeans(emb: DataFrame, idCol: String, embCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var codebook = emb.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol), col(embCol))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
+      .toSeq.toDF("c_id", "c_emb")
+    (1 to iterations).foreach { _ =>
+      val assigned = assignClusters(emb, codebook, idCol, embCol)
+      val means = centroids(assigned, "cluster", embCol)
+        .groupBy(col("cluster").as("c_id"))
+        .agg(collect_list(struct(col("pos"), col("dim_avg"))).as("dims"))
+        .withColumn("c_emb", expr(
+          """transform(array_sort(dims, (a, b) -> CASE WHEN a.pos < b.pos THEN -1
+            |  WHEN a.pos > b.pos THEN 1 ELSE 0 END),
+            |  d -> CAST(d.dim_avg AS FLOAT))""".stripMargin))
+        .select("c_id", "c_emb")
+      // re-normalize to unit length (spherical k-means step)
+      codebook = means.withColumn("norm",
+          sqrt(expr("aggregate(transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
+        .withColumn("c_emb",
+          expr("transform(c_emb, x -> CAST(x / norm AS FLOAT))"))
+        .select("c_id", "c_emb")
+    }
+    codebook
+  }
+
+  /** Mean similarity of each vector to its assigned centroid — the
+    * (cosine) objective value; rises monotonically under spherical
+    * k-means. */
+  def inertia(emb: DataFrame, codebook: DataFrame, idCol: String,
+      embCol: String): Double = {
+    val a = emb.crossJoin(broadcast(codebook))
+      .withColumn("__d", dotProduct(col(embCol), col("c_emb")))
+      .groupBy(idCol).agg(max("__d").as("best"))
+    a.agg(avg("best")).collect()(0).getDouble(0)
+  }
+
   /** Per-group centroids (mean vector by dimension): the k-means /
     * IVF codebook-training step. Shuffles scalar partials only. */
   def centroids(emb: DataFrame, groupCol: String, embCol: String): DataFrame =

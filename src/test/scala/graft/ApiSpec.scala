@@ -95,6 +95,32 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(api.toSeq == ref.toSeq)
   }
 
+  test("SimilarityApi.kmeans improves the spherical objective over random codebook") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val init = emb.orderBy(col("vec_id").asc).limit(8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val before = SimilarityApi.inertia(emb, init, "vec_id", "embedding")
+    val trained = SimilarityApi.kmeans(emb, "vec_id", "embedding", k = 8,
+      iterations = 2)
+    assert(trained.count() <= 8 && trained.count() >= 1)
+    val after = SimilarityApi.inertia(emb, trained, "vec_id", "embedding")
+    assert(after > before,
+      f"training did not improve objective: before=$before%.4f after=$after%.4f")
+    // trained centroids are unit-normalized (spherical step)
+    val norms = trained.select(
+      expr("sqrt(aggregate(transform(c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a,v) -> a+v))"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+  }
+
+  test("SimilarityApi.kmeans is deterministic across runs") {
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    def run() = SimilarityApi.kmeans(emb, "vec_id", "embedding", 4, 2)
+      .orderBy("c_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
+    assert(run().toSeq == run().toSeq)
+  }
+
   test("SimilarityApi.centroids: centroid of identical vectors is the vector") {
     import spark.implicits._
     val v = Array(0.5f, -0.25f, 0.75f)

@@ -311,8 +311,78 @@ object EventOps {
               round(quantile_cont(value, 0.99), 4) AS p99
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Funnel conversion (signup → click → purchase, strictly ordered
+    * in event time per user): the canonical event-analytics report of
+    * the reference class. Three keyed aggregate/join rounds — no
+    * per-user collect, no window over the whole stream. */
+  private val funnelConversion = QueryDef(
+    "funnel_conversion",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      // one distributed plan, no driver-side counts
+      s1.select(lit("1_signup").as("stage"), col("user_id"))
+        .unionByName(s2.select(lit("2_click_after_signup").as("stage"), col("user_id")))
+        .unionByName(s3.select(lit("3_purchase_after_click").as("stage"), col("user_id")))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    },
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                        JOIN s1 ON e.user_id = s1.user_id
+                        WHERE e.event_type = 'click' AND e.ts > s1.t1
+                        GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                        JOIN s2 ON e.user_id = s2.user_id
+                        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                        GROUP BY e.user_id)
+            SELECT stage, n_users FROM (
+              SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+              UNION ALL
+              SELECT '2_click_after_signup', CAST(count(*) AS BIGINT) FROM s2
+              UNION ALL
+              SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM s3)
+            ORDER BY stage"""))
+
+  /** Cohort retention: users bucketed by first-seen week, counted per
+    * week offset they return — two keyed aggregations, one join. */
+  private val cohortRetention = QueryDef(
+    "cohort_retention",
+    (s, d) => {
+      val weekly = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 604800L).as("week"))
+        .distinct()
+      val cohort = weekly.groupBy("user_id").agg(min("week").as("cohort_week"))
+      weekly.join(cohort, "user_id")
+        .withColumn("week_offset", col("week") - col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH weekly AS (
+              SELECT DISTINCT user_id,
+                CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+              FROM events),
+            cohort AS (
+              SELECT user_id, min(week) AS cohort_week FROM weekly
+              GROUP BY user_id)
+            SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+              CAST(count(*) AS BIGINT) AS n_users
+            FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+            GROUP BY c.cohort_week, week_offset
+            ORDER BY cohort_week, week_offset"""))
+
   val defs: Seq[QueryDef] = Seq(
     streamTumbling, streamSliding, streamSession, streamWatermark,
     streamDedup, streamStateful, streamLate, aggSalted, sinkPartitioned,
-    kinesisDecode, aggPivot, aggPercentile)
+    kinesisDecode, aggPivot, aggPercentile, funnelConversion, cohortRetention)
 }

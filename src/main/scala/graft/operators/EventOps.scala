@@ -245,6 +245,23 @@ object EventOps {
             WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-15'
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** Producer path: events serialized into the Kinesis put_record
+    * shape — (PartitionKey, SequenceNumber, base64 Data), ordered per
+    * key by sequence. Base64 is the standard alphabet on both engines,
+    * so the envelope itself is oracle-checked byte-for-byte. */
+  private val kinesisEncode = QueryDef(
+    "kinesis_encode",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("user_id").as("partition_key"),
+          col("event_id").as("sequence_number"),
+          base64(col("props").cast("binary")).as("data"))
+        .orderBy("partition_key", "sequence_number"),
+    Some("""SELECT user_id AS partition_key, event_id AS sequence_number,
+              base64(CAST(props AS BLOB)) AS data
+            FROM events ORDER BY partition_key, sequence_number"""))
+
   /** The literal Kinesis record shape: (PartitionKey, SequenceNumber,
     * base64 Data payload). The envelope is built from events, then
     * decoded exactly as the reference's consumer loop does —
@@ -384,5 +401,6 @@ object EventOps {
   val defs: Seq[QueryDef] = Seq(
     streamTumbling, streamSliding, streamSession, streamWatermark,
     streamDedup, streamStateful, streamLate, aggSalted, sinkPartitioned,
-    kinesisDecode, aggPivot, aggPercentile, funnelConversion, cohortRetention)
+    kinesisEncode, kinesisDecode, aggPivot, aggPercentile, funnelConversion,
+    cohortRetention)
 }

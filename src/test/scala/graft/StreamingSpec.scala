@@ -201,6 +201,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q2.stop()
   }
 
+  test("Trigger.AvailableNow backfills all existing files then stops") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val events = Seq(ev("2024-01-01 10:00:00"), ev("2024-01-01 11:00:00"),
+      ev("2024-01-01 12:00:00"))
+    events.toDS().write.mode("append").parquet(dir)
+    val q = spark.readStream.schema(events.toDS().schema).parquet(dir)
+      .groupBy("user_id").count()
+      .writeStream.format("memory").queryName("avnow_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val n = spark.table("avnow_test").agg(sum("count")).collect()(0).getLong(0)
+    assert(n == 3)
+  }
+
   test("batch and stream runs of the tumbling pipeline agree on bounded input") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -179,6 +179,9 @@ object Analytic {
       o.unionByName(e)
         .withColumn("matched", last(col("o_orderkey"), ignoreNulls = true).over(w))
         .filter(col("side") === 1)
+        // inner as-of semantics (DuckDB ASOF JOIN): drop events with no
+        // earlier order for their key
+        .filter(col("matched").isNotNull)
         .select(col("event_id"), col("k").as("user_id"),
                 col("matched").as("o_orderkey"))
         .orderBy("event_id")

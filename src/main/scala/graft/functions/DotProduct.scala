@@ -26,6 +26,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * The test-data embeddings are L2-normalized (verified: norm == 1.0),
   * so dot == cosine similarity for them; [[CosineSimilarity]] divides
   * by norms for the general case.
+  *
+  * Mismatched vector lengths fold over the common prefix
+  * (min(len(a), len(b))) rather than erroring — matching the DuckDB
+  * oracle formula, which iterates generate_series(1, len(a)). Callers
+  * that need strict dimensional agreement should validate upstream
+  * (all shipped tables are fixed-width).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -64,7 +64,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    ctx.addNewFunction("graftMix", HashUtil.MixBody)
+    // addNewFunction may relocate the helper into a nested class when the
+    // generated class splits — always call through the name it returns.
+    val mix = ctx.addNewFunction("graftMix", HashUtil.MixBody)
     nullSafeCodeGen(ctx, ev, hs => {
       val n = ctx.freshName("n"); val out = ctx.freshName("out")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
@@ -75,7 +77,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |for (int $i = 0; $i < $numHashes; $i++) {
          |  long $best = Long.MAX_VALUE;
          |  for (int $j = 0; $j < $n; $j++) {
-         |    long $v = graftMix($hs.getLong($j) + $i);
+         |    long $v = $mix($hs.getLong($j) + $i);
          |    if ($v < $best) $best = $v;
          |  }
          |  $out[$i] = $best;
@@ -246,7 +248,7 @@ case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    ctx.addNewFunction("graftMix", HashUtil.MixBody)
+    val mix = ctx.addNewFunction("graftMix", HashUtil.MixBody)
     nullSafeCodeGen(ctx, ev, toks => {
       val m = ctx.freshName("m"); val th = ctx.freshName("th")
       val out = ctx.freshName("out"); val i = ctx.freshName("i")
@@ -263,7 +265,7 @@ case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
          |long[] $out = new long[$m < $n ? 0 : $m - $n + 1];
          |for (int $i = 0; $i + $n <= $m; $i++) {
          |  long $h = 0x517cc1b727220a95L;
-         |  for (int $k = 0; $k < $n; $k++) { $h = graftMix($h + $th[$i + $k]); }
+         |  for (int $k = 0; $k < $n; $k++) { $h = $mix($h + $th[$i + $k]); }
          |  $out[$i] = $h;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

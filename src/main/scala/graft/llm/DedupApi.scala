@@ -84,22 +84,34 @@ object DedupApi {
       .withColumn(out, simhash64(col("__hs")))
       .drop("__hs")
 
-  /** Pairs of signatures within `maxHamming` via 8-bit block LSH:
-    * complete for maxHamming ≤ blocks-1 by pigeonhole. */
+  /** Pairs of signatures within `maxHamming` via a multi-index over
+    * PAIRS of bit-blocks: any signature pair within maxHamming has at
+    * least two intact blocks (pigeonhole needs maxHamming ≤ blocks-2),
+    * so it shares at least one intact block-pair. The combined
+    * 2·width-bit keys keep candidate volume ~n²/2^(2·width) instead of
+    * the single-block n²/2^width. */
   def simhashNearPairs(sigs: DataFrame, idCol: String, simCol: String,
       maxHamming: Int = 6, blocks: Int = 8): DataFrame = {
-    require(maxHamming < blocks, "completeness needs maxHamming < blocks")
+    require(maxHamming <= blocks - 2,
+      "block-pair completeness needs maxHamming <= blocks - 2")
+    require(64 % blocks == 0, "blocks must divide 64")
     val width = 64 / blocks
+    val mask = (1L << width) - 1
     val blocked = sigs
       .select(col(idCol), col(simCol),
         posexplode(expr(
-          s"transform(sequence(0, ${blocks - 1}), k -> shiftright($simCol, k * $width) & ${(1L << width) - 1})")))
-      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
+          s"""flatten(transform(sequence(0, ${blocks - 2}), i ->
+             |  transform(sequence(i + 1, ${blocks - 1}), j ->
+             |    named_struct('pair', i * $blocks + j,
+             |      'v', shiftleft(shiftright($simCol, i * $width) & $mask, $width)
+             |           | (shiftright($simCol, j * $width) & $mask)))))""".stripMargin)))
+      .select(col(idCol), col(simCol),
+        col("col.pair").as("pair"), col("col.v").as("bv"))
     val a = blocked.select(col(idCol).as(idCol + "_a"), col(simCol).as("__sa"),
-      col("blk"), col("bv"))
+      col("pair"), col("bv"))
     val b = blocked.select(col(idCol).as(idCol + "_b"), col(simCol).as("__sb"),
-      col("blk"), col("bv"))
-    a.join(b, Seq("blk", "bv"))
+      col("pair"), col("bv"))
+    a.join(b, Seq("pair", "bv"))
       .filter(col(idCol + "_a") < col(idCol + "_b"))
       .select(idCol + "_a", idCol + "_b", "__sa", "__sb").distinct()
       .withColumn("hamming", expr("bit_count(__sa ^ __sb)"))

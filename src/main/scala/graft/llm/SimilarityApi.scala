@@ -98,12 +98,20 @@ object SimilarityApi {
             |  WHEN a.pos > b.pos THEN 1 ELSE 0 END),
             |  d -> CAST(d.dim_avg AS FLOAT))""".stripMargin))
         .select("c_id", "c_emb")
-      // re-normalize to unit length (spherical k-means step)
-      codebook = means.withColumn("norm",
+      // re-normalize to unit length (spherical k-means step), then
+      // materialize: the codebook is k×dim (tiny), and collecting it
+      // makes each Lloyd round's corpus pass execute exactly once —
+      // a lazy chain would replay every prior round per downstream
+      // action.
+      val normalized = means.withColumn("norm",
           sqrt(expr("aggregate(transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")))
         .withColumn("c_emb",
           expr("transform(c_emb, x -> CAST(x / norm AS FLOAT))"))
         .select("c_id", "c_emb")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .toSeq
+      codebook = normalized.toDF("c_id", "c_emb")
     }
     codebook
   }

@@ -1,7 +1,8 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
-import graft.functions.TextHashFunctions.{minhashSig, ngramHashes, simhash64, sortedIntersectCount}
+import graft.llm.DedupApi
+import graft.functions.TextHashFunctions.{ngramHashes, sortedIntersectCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -66,10 +67,7 @@ object TextOps {
   private val dedupExact = QueryDef(
     "llm_dedup_exact",
     (s, d) =>
-      withExactDups(s, d)
-        .withColumn("h", md5(lower(trim(col("text")))))
-        .groupBy("h")
-        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      DedupApi.exactDedup(withExactDups(s, d), "doc_id", "text")
         .select("keep_doc_id", "n_copies", "h")
         .orderBy("keep_doc_id"),
     Some(s"""WITH $augExactSql
@@ -147,30 +145,12 @@ object TextOps {
       val sh = withNearDups(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
-        .withColumn("hs", array_distinct(ngramHashes(col("toks"), 3)))
-        .withColumn("shs", sort_array(col("hs")))
-        .select("doc_id", "hs", "shs")
-      val sigs = sh.withColumn("sig", minhashSig(col("hs"), 64))
-      val bands = sigs
-        .select(col("doc_id"),
-          posexplode(expr(
-            "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 8 + 1, 8)))")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-      val candA = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      val candB = bands.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
-      val cands = candA.join(candB, Seq("band", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val shA = sh.select(col("doc_id").as("doc_a"), col("shs").as("sh_a"))
-      val shB = sh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b"))
-      cands.join(shA, "doc_a").join(shB, "doc_b")
-        .withColumn("inter",
-          sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
-        .withColumn("j",
-          round(col("inter") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
-        .filter(col("j") >= 0.5)
-        .select("doc_a", "doc_b", "j")
+        .withColumn("shs", sort_array(array_distinct(ngramHashes(col("toks"), 3))))
+        .select("doc_id", "shs")
+      val cands = DedupApi.minhashCandidates(sh, "doc_id", "shs",
+        numHashes = 64, bands = 8)
+      DedupApi.verifyPairs(cands, sh, "doc_id", "shs", threshold = 0.5)
+        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"), col("j"))
         .orderBy("doc_a", "doc_b")
     },
     None)
@@ -186,32 +166,11 @@ object TextOps {
   private val dedupSimhash = QueryDef(
     "llm_dedup_simhash",
     (s, d) => {
-      val sigs = withNearDups(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
-        .withColumn("sim", simhash64(col("hs")))
+      val sigs = DedupApi.simhashSignatures(withNearDups(s, d), "text")
         .select("doc_id", "sim")
-      // all 28 (i<j) block pairs as 16-bit combined keys
-      val blocks = sigs
-        .select(col("doc_id"), col("sim"),
-          posexplode(expr(
-            """flatten(transform(sequence(0, 6), i ->
-              |  transform(sequence(i + 1, 7), j ->
-              |    named_struct('pair', i * 8 + j,
-              |      'v', shiftleft(shiftright(sim, i * 8) & 255, 8)
-              |           | (shiftright(sim, j * 8) & 255)))))""".stripMargin)))
-        .select(col("doc_id"), col("sim"),
-          col("col.pair").as("pair"), col("col.v").as("bv"))
-      val bA = blocks.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
-        col("pair"), col("bv"))
-      val bB = blocks.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
-        col("pair"), col("bv"))
-      bA.join(bB, Seq("pair", "bv"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
-        .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
-        .filter(col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
+      DedupApi.simhashNearPairs(sigs, "doc_id", "sim", maxHamming = 6, blocks = 8)
+        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+          col("hamming"))
         .orderBy("doc_a", "doc_b")
     },
     None)

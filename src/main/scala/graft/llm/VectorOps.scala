@@ -184,6 +184,9 @@ object VectorOps {
     Some("""SELECT label, i AS pos,
               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS dim_avg,
               CAST(count(*) AS BIGINT) AS n
+            -- DuckDB 1.0 generate_series takes constants only (no lateral
+            -- column refs): 64 == the embeddings table's fixed dimension
+            -- (FIXTURES.md); the Spark side derives it from the data.
             FROM embeddings, generate_series(1, 64) t(i)
             GROUP BY label, i ORDER BY label, pos"""))
 

@@ -230,7 +230,8 @@ object EventOps {
   private val sinkPartitioned = QueryDef(
     "sink_partitioned",
     (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_part_layout").toString
       Tables.events(s, d)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
         .write.mode("overwrite").partitionBy("day").parquet(tmp)

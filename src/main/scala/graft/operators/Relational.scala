@@ -56,7 +56,10 @@ object Relational {
   private val sinkParquet = QueryDef(
     "sink_parquet",
     (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      // fixed location + overwrite: repeated runs reuse the directory
+      // instead of accumulating copies in /tmp
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_sink_roundtrip").toString
       Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 25)
         .write.mode("overwrite").parquet(tmp)

@@ -22,7 +22,9 @@ object RowsCheck {
         val n = fn(spark, sfDir).count()
         if (n == 0) { bad += 1; println(s"EMPTY  $name") }
       } catch {
-        case e: Throwable => bad += 1; println(s"THROWS $name: ${e.getMessage.take(200)}")
+        case e: Throwable =>
+          bad += 1
+          println(s"THROWS $name: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
     println(s"$bad problems at $sfDir")

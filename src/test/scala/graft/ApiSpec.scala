@@ -47,7 +47,8 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     val near = (1 to 59).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, base), (2L, near)).toDF("id", "body")
     val sigs = DedupApi.simhashSignatures(df, "body")
-    val pairs = DedupApi.simhashNearPairs(sigs, "id", "sim", maxHamming = 7)
+    val pairs = DedupApi.simhashNearPairs(sigs, "id", "sim", maxHamming = 7,
+      blocks = 16)
       .collect()
     assert(pairs.length == 1 && pairs(0).getLong(0) == 1L)
   }

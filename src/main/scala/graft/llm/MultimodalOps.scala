@@ -34,6 +34,15 @@ object MultimodalOps {
     ((n % 64) * 16 + 16, (n % 48) * 16 + 16, n % 30 + 1)
   }
 
+  /** Resize stub: deterministic byte-level downsample standing in for
+    * an image resize — keeps every stride-th byte so output size
+    * scales like a real (w/s × h/s) resize. Swap for a real scaler
+    * when image libs are available. */
+  def resizeStub(bytes: Array[Byte], stride: Int): Array[Byte] = {
+    require(stride >= 1)
+    bytes.zipWithIndex.collect { case (b, i) if i % stride == 0 => b }
+  }
+
   /** Frame sampling stub: every k-th byte-block stands in for every
     * k-th video frame. */
   def frameSample(bytes: Array[Byte], every: Int, blockSize: Int): Array[Array[Byte]] =

@@ -166,6 +166,63 @@ object VectorOps {
              WHERE lang = 'en' AND contains(text, 'merge') AND label < 5
              ORDER BY doc_id"""))
 
+  /** Sign-LSH bucketed ANN — the hash-bucket alternative to IVF: each
+    * vector's bucket is the sign pattern of its dot products with 6 fixed
+    * hyperplanes (embedding vectors 10..15 double as the deterministic
+    * hyperplane set → 64 buckets), so similar vectors collide.
+    * Search = compute the query's bucket, scan only that bucket,
+    * exact top-K inside. All arithmetic is the bit-exact dot fold, so
+    * bucket assignment and ranking are oracle-checkable — no
+    * tolerance games even though the index is "approximate". */
+  private val annLsh = QueryDef(
+    "llm_ann_lsh",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val planes = emb.filter(col("vec_id").between(10, 15))
+        .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      def bucketOf(df: DataFrame, embCol: String): DataFrame =
+        df.crossJoin(broadcast(planes))
+          .withColumn("bit",
+            when(dotProduct(col(embCol), col("p_emb")) >= 0, 1L).otherwise(0L))
+          .withColumn("weighted",
+            col("bit") * expr("shiftleft(CAST(1 AS BIGINT), CAST(p_id AS INT) - 10)"))
+          .groupBy(df.columns.map(col): _*)
+          .agg(sum("weighted").as("bucket"))
+      val bucketed = bucketOf(emb.select(col("vec_id"), col("embedding")), "embedding")
+      val qBucket = bucketOf(q, "q_emb").select(col("q_emb"), col("bucket"))
+      bucketed
+        .join(broadcast(qBucket), "bucket")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("bucket"),
+          round(dotProduct(col("embedding"), col("q_emb")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""WITH planes AS (
+               SELECT vec_id AS p_id, embedding AS p_emb FROM embeddings
+               WHERE vec_id BETWEEN 10 AND 15),
+             bucketed AS (
+               SELECT e.vec_id, e.embedding,
+                 CAST(sum(CASE WHEN ${sqlDot("e.embedding", "p.p_emb")} >= 0
+                          THEN CAST(1 AS BIGINT) << (p.p_id - 10)
+                          ELSE 0 END) AS BIGINT) AS bucket
+               FROM embeddings e CROSS JOIN planes p
+               GROUP BY e.vec_id, e.embedding),
+             qb AS (
+               SELECT q.q_emb,
+                 CAST(sum(CASE WHEN ${sqlDot("q.q_emb", "p.p_emb")} >= 0
+                          THEN CAST(1 AS BIGINT) << (p.p_id - 10)
+                          ELSE 0 END) AS BIGINT) AS bucket
+               FROM (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+               CROSS JOIN planes p
+               GROUP BY q.q_emb)
+             SELECT b.vec_id, b.bucket,
+               round(${sqlDot("b.embedding", "qb.q_emb")}, 6) AS sim
+             FROM bucketed b JOIN qb ON b.bucket = qb.bucket
+             WHERE b.vec_id <> 0
+             ORDER BY sim DESC, vec_id ASC LIMIT 5"""))
+
   /** Per-label centroid (mean vector by dimension) — the building
     * block for IVF codebook training / k-means steps. Implemented as
     * posexplode → (label, dim) aggregate: the shuffle carries scalar
@@ -191,5 +248,5 @@ object VectorOps {
             GROUP BY label, i ORDER BY label, pos"""))
 
   val defs: Seq[QueryDef] = Seq(
-    cosineTopk, annIvf, embedNearDup, multimodalProject, embedCentroid)
+    cosineTopk, annIvf, annLsh, embedNearDup, multimodalProject, embedCentroid)
 }

@@ -36,6 +36,13 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(frames(1).toSeq == bytes.slice(20, 30).toSeq)
   }
 
+  test("resize stub downsamples deterministically") {
+    val bytes = Array.tabulate[Byte](100)(_.toByte)
+    val half = MultimodalOps.resizeStub(bytes, 2)
+    assert(half.length == 50 && half(1) == 2.toByte)
+    assert(MultimodalOps.resizeStub(bytes, 1).toSeq == bytes.toSeq)
+  }
+
   test("decode stub is deterministic") {
     val b = "hello world".getBytes("UTF-8")
     assert(MultimodalOps.decodeStub(b) == MultimodalOps.decodeStub(b.clone()))

@@ -12,10 +12,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session once (executor threads, codegen compiler, shuffle
-    // infra) so the first measured query isn't charged ~4s of JVM boot.
-    // Touches none of the benchmark tables; per-query work is unaffected.
+    // infra, hadoop-FS + parquet reader/writer paths) so the first
+    // measured query isn't charged ~4s of JVM boot. Uses a scratch
+    // file, never the benchmark tables; per-query work is unaffected.
     spark.range(100000).selectExpr("id % 10 AS k", "id AS v")
       .groupBy("k").sum("v").count()
+    val warmDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bench_warm").toString
+    spark.range(1000).write.mode("overwrite").parquet(warmDir)
+    spark.read.parquet(warmDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

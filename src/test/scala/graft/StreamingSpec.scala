@@ -219,6 +219,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(n == 3)
   }
 
+  test("update mode emits revised window counts as data arrives") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("update_test")
+      .outputMode("update").start()
+    try {
+      input.addData(ev("2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 10:15:00"))
+      q.processAllAvailable()
+      // update mode re-emits the 10:00 window with the revised count
+      val ns = spark.table("update_test").select("n").collect().map(_.getLong(0))
+      assert(ns.contains(1L) && ns.contains(2L),
+        s"expected successive revisions 1 then 2, got ${ns.toSeq}")
+    } finally q.stop()
+  }
+
+  test("complete mode re-emits the whole result table per batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = input.toDF().groupBy("event_type").count()
+      .writeStream.format("memory").queryName("complete_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(ev("2024-01-01 10:00:00", typ = "click"))
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 10:01:00", typ = "view"))
+      q.processAllAvailable()
+      val rows = spark.table("complete_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      // complete mode: table reflects the FULL current state
+      assert(rows == Map("click" -> 1L, "view" -> 1L))
+    } finally q.stop()
+  }
+
   test("batch and stream runs of the tumbling pipeline agree on bounded input") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -119,6 +119,21 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(WeightedMean.merge(b2, b1) == merged.swap.swap)
   }
 
+  test("GraftExtensions injects all engine functions without error") {
+    // extensions can only take full effect on a fresh SparkContext;
+    // here we validate the injection hook itself wires every builder
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // and the same builders resolve through the per-session registry path
+    graft.functions.VectorFunctions.register(spark)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(spark,
+      "ngram_hashes_t", es => graft.functions.NGramHashes(es.head, 3))
+    import spark.implicits._
+    val n = Seq(Seq("a", "b", "c", "d")).toDF("toks")
+      .selectExpr("size(ngram_hashes_t(toks)) AS n").collect()(0).getInt(0)
+    assert(n == 2)
+  }
+
   test("dot_product / cosine_similarity are SQL-callable after register") {
     VectorFunctions.register(spark)
     import spark.implicits._

@@ -331,25 +331,34 @@ object EventOps {
 
   /** Funnel conversion (signup → click → purchase, strictly ordered
     * in event time per user): the canonical event-analytics report of
-    * the reference class. Three keyed aggregate/join rounds — no
-    * per-user collect, no window over the whole stream. */
+    * the reference class.
+    *
+    * Implemented as three chained per-user window minima over ONE
+    * exchange on user_id — each stage time is a whole-partition window
+    * expression referencing the previous stage's column, so
+    * EnsureRequirements reuses the same hash partitioning for all
+    * three windows AND the per-user aggregate (2 shuffles total; the
+    * naive per-stage aggregate+join plan costs 7 — PlanAudit). */
   private val funnelConversion = QueryDef(
     "funnel_conversion",
     (s, d) => {
-      val e = Tables.events(s, d)
-      val s1 = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val s2 = e.filter(col("event_type") === "click")
-        .join(s1, "user_id").filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2"))
-      val s3 = e.filter(col("event_type") === "purchase")
-        .join(s2, "user_id").filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
-      // one distributed plan, no driver-side counts
-      s1.select(lit("1_signup").as("stage"), col("user_id"))
-        .unionByName(s2.select(lit("2_click_after_signup").as("stage"), col("user_id")))
-        .unionByName(s3.select(lit("3_purchase_after_click").as("stage"), col("user_id")))
-        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val staged = Tables.events(s, d)
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+            col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+      staged
+        .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"))
+        .selectExpr("""stack(3, '1_signup', n1, '2_click_after_signup', n2,
+                             '3_purchase_after_click', n3) AS (stage, n_users)""")
         .orderBy("stage")
     },
     Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -380,21 +380,24 @@ object EventOps {
             ORDER BY stage"""))
 
   /** Cohort retention: users bucketed by first-seen week, counted per
-    * week offset they return — two keyed aggregations, one join. */
+    * week offset they return. One shuffle on user_id gathers each
+    * user's (bounded) active-week set; cohort and offsets derive from
+    * it locally — no distinct+join round trip (PlanAudit: 4 exchanges
+    * → 2). The per-user set is bounded by history length in weeks, so
+    * collect_set stays small at any corpus size. */
   private val cohortRetention = QueryDef(
     "cohort_retention",
-    (s, d) => {
-      val weekly = Tables.events(s, d)
+    (s, d) =>
+      Tables.events(s, d)
         .select(col("user_id"),
           floor(unix_timestamp(col("ts")) / 604800L).as("week"))
-        .distinct()
-      val cohort = weekly.groupBy("user_id").agg(min("week").as("cohort_week"))
-      weekly.join(cohort, "user_id")
+        .groupBy("user_id").agg(collect_set("week").as("weeks"))
+        .withColumn("cohort_week", array_min(col("weeks")))
+        .select(col("cohort_week"), explode(col("weeks")).as("week"))
         .withColumn("week_offset", col("week") - col("cohort_week"))
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    },
+        .orderBy("cohort_week", "week_offset"),
     Some("""WITH weekly AS (
               SELECT DISTINCT user_id,
                 CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week

@@ -74,21 +74,31 @@ object Scalars {
             FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
   /** Array ops over the embedding column; float elements are cast to
-    * double on both engines so result schemas match exactly. */
+    * double on both engines so result schemas match exactly. The
+    * slice/transform result is decomposed into scalar columns — the
+    * driver's comparator sorts rows with pandas, which cannot hash
+    * array-valued cells, so declared outputs must be scalar-only. */
   private val fnArray = QueryDef(
     "fn_array",
     (s, d) =>
       Tables.embeddings(s, d)
+        .withColumn("head3",
+          expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))"))
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("n_dim"),
           element_at(col("embedding"), 1).cast("double").as("first_val"),
-          expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))").as("head3"))
+          element_at(col("head3"), 2).as("h2"),
+          element_at(col("head3"), 3).as("h3"),
+          expr("CAST(array_position(embedding, array_max(embedding)) AS BIGINT)")
+            .as("argmax"))
         .orderBy("vec_id"),
     Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dim,
               CAST(embedding[1] AS DOUBLE) AS first_val,
-              list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3
-            FROM embeddings ORDER BY vec_id"""))
+              CAST(head3[2] AS DOUBLE) AS h2, CAST(head3[3] AS DOUBLE) AS h3,
+              CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax
+            FROM (SELECT *, list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3
+                  FROM embeddings) ORDER BY vec_id"""))
 
   /** Higher-order lambda fold: L2 norm via transform + aggregate. Both
     * sides fold sequentially over identical doubles → exact match. */

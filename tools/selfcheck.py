@@ -53,6 +53,14 @@ for name in sorted(os.listdir(out)):
         print(f"{name:28s} ORACLE ERROR: {str(e)[:200]}")
         fails.append((name, f"oracle error: {e}"))
         continue
+    # The real driver sorts rows via pandas, which cannot hash
+    # array-valued cells — any list-typed output column crashes its
+    # compare even when values match. Flag it here so it never ships.
+    listy = [c for c, t in zip(scols, stypes) if "[]" in t or t.startswith("LIST")]
+    if listy:
+        print(f"{name:28s} LIST-TYPED OUTPUT (driver compare would crash): {listy}")
+        fails.append((name, f"list-typed output columns {listy}"))
+        continue
     sidx = sorted(range(len(scols)), key=lambda i: scols[i])
     oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
     sc = [scols[i] for i in sidx]

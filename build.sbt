@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep program stdout as the LAST line of `sbt runMain` output and
+// unprefixed: the driver parses graft.Bench's single JSON line, and by
+// default sbt (a) appends a "[success] Total time: …" line after it and
+// (b) routes forked-process stdout through its logger, prefixing every
+// line with "[info] " — either breaks a strict JSON-line parser.
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,256 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (builder brief: "the operations a
+  * large-scale training-data pipeline would need"): deterministic
+  * train/val/test splitting, shard assignment, sequence packing,
+  * document chunking, stratified sampling, embedding quantization and
+  * TF-IDF term weighting.
+  *
+  * Determinism across engines: every "random" choice is a hash of a
+  * stable key — md5 (available on both engines) hex-decoded to a
+  * BIGINT (`conv(hex,16,10)` in Spark ↔ `('0x'||hex)::BIGINT` in
+  * DuckDB). Splits are therefore reproducible, stable under
+  * re-partitioning, and need no shared state — the 100 TB property:
+  * any executor can compute any row's split without coordination.
+  */
+object PipelineOps {
+
+  /** 60-bit integer from the first 15 hex chars of md5(prefix||key) —
+    * the cross-engine deterministic hash both sides of the oracle
+    * compute identically. */
+  private def hashBucketExpr(prefix: String, key: String, mod: Int): String =
+    s"CAST(conv(substr(md5(concat('$prefix', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT) % $mod"
+
+  private def hashBucketSql(prefix: String, key: String, mod: Int): String =
+    s"('0x' || substr(md5('$prefix' || CAST($key AS VARCHAR)), 1, 15))::BIGINT % $mod"
+
+  /** Deterministic 80/10/10 train/val/test split: bucket = h(doc_id) %
+    * 100. Unlike `rand()`-based splits this is stable across runs,
+    * engines and partitionings, and a doc's assignment never changes
+    * when the corpus grows — the property a multi-epoch training
+    * pipeline needs. */
+  private val trainSplit = QueryDef(
+    "llm_train_split",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", expr(hashBucketExpr("split:", "doc_id", 100)))
+        .select(
+          col("doc_id"), col("lang"), col("bucket"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (SELECT doc_id, lang,
+                     ${hashBucketSql("split:", "doc_id", 100)} AS bucket
+                   FROM documents)
+             ORDER BY doc_id"""))
+
+  /** Hash-balanced shard assignment with per-shard stats — the "write
+    * the corpus as N training shards" step. Hash-mod sharding needs no
+    * global sort or coordination and balances by the law of large
+    * numbers; the stats prove it (counts/tokens per shard). */
+  private val shardAssign = QueryDef(
+    "llm_shard_assign",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("shard_id", expr(hashBucketExpr("shard:", "doc_id", 8)))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .groupBy("shard_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("shard_id"),
+    Some(s"""SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+             FROM (SELECT ${hashBucketSql("shard:", "doc_id", 8)} AS shard_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     n_chars
+                   FROM documents)
+             GROUP BY shard_id ORDER BY shard_id"""))
+
+  /** Greedy sequence packing into 256-token context windows: docs are
+    * packed in doc_id order per language; a doc's pack is the running
+    * token count before it, integer-divided by the context length.
+    * One window over (lang) — a single shuffle; at 100 TB `lang` (or a
+    * finer pack-group key) bounds each partition's sort. */
+  private val packSequences = QueryDef(
+    "llm_pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(
+          col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(cum - n_tokens) div 256").as("pack_id"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_tokens, CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id
+            FROM (
+              SELECT doc_id, lang, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents))
+            ORDER BY doc_id"""))
+
+  /** Overlapping token chunks (40-token window, stride 20) — the
+    * embedding/RAG chunking step. One generator row per chunk; the
+    * chunk text never leaves the executor (only its md5 digest is
+    * emitted), which is what keeps the shuffle narrow at scale. */
+  private val docChunk = QueryDef(
+    "llm_doc_chunk",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("chunk_id", explode(expr("sequence(CAST(0 AS BIGINT), (n - 1) div 20)")))
+        .withColumn("chunk", expr("slice(toks, CAST(chunk_id * 20 + 1 AS INT), 40)"))
+        .select(
+          col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_chunk_toks"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"),
+    Some("""SELECT doc_id, chunk_id,
+              CAST(len(toks[CAST(chunk_id * 20 + 1 AS BIGINT) :
+                            CAST(chunk_id * 20 + 40 AS BIGINT)]) AS BIGINT)
+                AS n_chunk_toks,
+              md5(array_to_string(
+                toks[CAST(chunk_id * 20 + 1 AS BIGINT) :
+                     CAST(chunk_id * 20 + 40 AS BIGINT)], ' ')) AS chunk_md5
+            FROM (
+              SELECT doc_id, toks,
+                unnest(generate_series(0, (len(toks) - 1) // 20)) AS chunk_id
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents))
+            ORDER BY doc_id, chunk_id"""))
+
+  /** Stratified deterministic sample: 20 docs per language, chosen by
+    * hash order — every stratum is covered regardless of its share of
+    * the corpus, and the choice is reproducible (no rand()). The rank
+    * window shuffles once on the stratum key. */
+  private val sampleStratified = QueryDef(
+    "llm_sample_stratified",
+    (s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("hk").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("hk", expr(hashBucketExpr("sample:", "doc_id", 1000000)))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    },
+    Some(s"""SELECT doc_id, lang, rk FROM (
+               SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS rk
+               FROM (SELECT doc_id, lang,
+                       ${hashBucketSql("sample:", "doc_id", 1000000)} AS hk
+                     FROM documents))
+             WHERE rk <= 20 ORDER BY lang, rk"""))
+
+  /** 4-bit scalar quantization of embeddings (16 levels over [-1, 1)) —
+    * the storage-compression step of a 100 TB vector corpus (64 floats
+    * → 32 bytes). Emits the exact integer code sum and the max
+    * reconstruction error; codes are clamped so the x = 1.0 edge cell
+    * is closed. */
+  private val quantize = QueryDef(
+    "llm_quantize",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("codes", expr(
+          """transform(embedding, x ->
+            |  least(15, greatest(0,
+            |    CAST(floor((CAST(x AS DOUBLE) + 1.0d) / 2.0d * 16.0d) AS BIGINT))))"""
+            .stripMargin))
+        .withColumn("errs", expr(
+          """transform(arrays_zip(embedding, codes), p ->
+            |  abs(CAST(p.embedding AS DOUBLE)
+            |      - (CAST(p.codes AS DOUBLE) / 8.0d - 1.0d + 0.0625d)))"""
+            .stripMargin))
+        .select(
+          col("vec_id"),
+          expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)").as("code_sum"),
+          round(array_max(col("errs")), 6).as("max_err"))
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id,
+              CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+              round(list_max(
+                list_transform(generate_series(1, len(codes)),
+                  i -> abs(CAST(embedding[i] AS DOUBLE)
+                           - (CAST(codes[i] AS DOUBLE) / 8.0 - 1.0 + 0.0625)))), 6)
+                AS max_err
+            FROM (
+              SELECT vec_id, embedding,
+                list_transform(embedding, x ->
+                  least(15, greatest(0,
+                    CAST(floor((CAST(x AS DOUBLE) + 1.0) / 2.0 * 16.0) AS BIGINT))))
+                  AS codes
+              FROM embeddings)
+            ORDER BY vec_id"""))
+
+  /** TF-IDF top-3 terms per document, log-free variant:
+    * (tf / doc_len) · (N / df) — exact integer ratios evaluated in the
+    * identical order on both engines, so scores are bit-deterministic.
+    * Plan shape: one explode + two-phase count (tf), a token-keyed
+    * aggregate (df, broadcastable — vocabulary ≪ corpus), one rank
+    * window. No driver-side collection. */
+  private val tfidf = QueryDef(
+    "llm_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val docLen = Window.partitionBy("doc_id")
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token").asc)
+      tf.withColumn("doc_len", sum("tf").over(docLen))
+        .join(broadcast(df), "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round((col("tf").cast("double") / col("doc_len")) *
+            (col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "token", "score", "rk")
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+              GROUP BY doc_id, token),
+            df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY token),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+            SELECT doc_id, token, score, rk FROM (
+              SELECT doc_id, token, score,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, token ASC) AS rk
+              FROM (
+                SELECT tf.doc_id, tf.token,
+                  round((CAST(tf.tf AS DOUBLE) /
+                         CAST(sum(tf.tf) OVER (PARTITION BY tf.doc_id) AS BIGINT)) *
+                        (CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+                FROM tf JOIN df ON tf.token = df.token CROSS JOIN n))
+            WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    trainSplit, shardAssign, packSequences, docChunk,
+    sampleStratified, quantize, tfidf)
+}

@@ -17,6 +17,7 @@ run / fork := true
 // (b) routes forked-process stdout through its logger, prefixing every
 // line with "[info] " — either breaks a strict JSON-line parser.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

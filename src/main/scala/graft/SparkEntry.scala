@@ -17,6 +17,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
     operators.SqlSurface.defs ++
+    operators.Extensions.defs ++
     operators.Scalars.defs ++
     operators.Analytic.defs ++
     operators.EventOps.defs ++

@@ -194,7 +194,55 @@ object Analytic {
             ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id"""))
 
+  /** Value-based RANGE frame: per-customer sum of all orders within
+    * $1000.00 below the current order's price. RANGE frames include
+    * peers (equal sort values), so the result is deterministic even
+    * with ties — no unique tiebreaker needed inside the frame. */
+  private val winRangeFrame = QueryDef(
+    "win_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("pc")
+        .rangeBetween(-100000L, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc"))
+        .withColumn("near_sum", sum("pc").over(w))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, pc,
+              CAST(sum(pc) OVER (PARTITION BY o_custkey ORDER BY pc
+                RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS near_sum
+            FROM (SELECT o_orderkey, o_custkey,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                  FROM orders)
+            ORDER BY o_orderkey"""))
+
+  /** first_value / last_value / nth_value over the full partition
+    * frame (unbounded both ways): each order annotated with its
+    * customer's first, latest and second order key in key order. */
+  private val winFirstLast = QueryDef(
+    "win_first_last",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("first_key", first("o_orderkey").over(w))
+        .withColumn("last_key", last("o_orderkey").over(w))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              first_value(o_orderkey) OVER w AS first_key,
+              last_value(o_orderkey) OVER w AS last_key,
+              nth_value(o_orderkey, 2) OVER w AS second_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_orderkey"""))
+
   val defs: Seq[QueryDef] = Seq(
     winRank, winLagLead, winRunning, winMovingAvg, winNtilePct,
-    topkPerGroup, joinAsof)
+    topkPerGroup, joinAsof, winRangeFrame, winFirstLast)
 }

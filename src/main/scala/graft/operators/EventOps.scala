@@ -411,9 +411,42 @@ object EventOps {
             GROUP BY c.cohort_week, week_offset
             ORDER BY cohort_week, week_offset"""))
 
+  /** Stream-stream interval join, batch-equivalent: each click joined
+    * to the same user's purchases within the following 30 minutes. The
+    * plan is an equi-join on user_id with the time band as a residual
+    * predicate — one shuffle on the user key, never a time-range
+    * nested loop. The incremental version (two watermarked streams,
+    * state bounded by the 30-minute band) runs in StreamingSpec; this
+    * is its oracle-checkable batch twin. */
+  private val streamStreamJoin = QueryDef(
+    "stream_stream_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          col("ts").as("bts"))
+      clicks.join(buys, Seq("user_id"))
+        .filter(col("bts") >= col("cts") &&
+          col("bts") < col("cts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("click_id"), col("buy_id"),
+          (unix_timestamp(col("bts")) - unix_timestamp(col("cts")))
+            .as("delta_sec"))
+        .orderBy("click_id", "buy_id")
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS buy_id,
+              CAST(floor(epoch(p.ts)) AS BIGINT)
+                - CAST(floor(epoch(c.ts)) AS BIGINT) AS delta_sec
+            FROM events c JOIN events p ON c.user_id = p.user_id
+              AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            ORDER BY click_id, buy_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     streamTumbling, streamSliding, streamSession, streamWatermark,
     streamDedup, streamStateful, streamLate, aggSalted, sinkPartitioned,
     kinesisEncode, kinesisDecode, aggPivot, aggPercentile, funnelConversion,
-    cohortRetention)
+    cohortRetention, streamStreamJoin)
 }

@@ -200,7 +200,86 @@ object Scalars {
                 AS wmean_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Regex functions: capture-group extraction, global replacement,
+    * match predicate. Patterns stay in the POSIX-compatible subset so
+    * Java regex (Spark) and RE2 (DuckDB) agree; DuckDB's
+    * regexp_replace needs the explicit 'g' flag to match Spark's
+    * replace-all semantics. */
+  private val fnRegex = QueryDef(
+    "fn_regex",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "#([0-9]+)", 1).cast("long")
+            .as("brand_num"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_type"), "[AEIOU]", "").as("type_consonants"),
+          when(col("p_name").rlike("^(s|b)"), 1L).otherwise(0L)
+            .as("starts_sb"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+              CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT)
+                AS brand_num,
+              regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+              regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_consonants,
+              CAST(CASE WHEN regexp_matches(p_name, '^(s|b)') THEN 1 ELSE 0 END
+                   AS BIGINT) AS starts_sb
+            FROM part ORDER BY p_partkey"""))
+
+  /** Hash digests + bitwise ops: md5 / sha256 on strings; AND / OR /
+    * XOR / shifts / popcount on keys. All codegen'd scalar
+    * expressions — the building blocks the dedup/shard operators are
+    * made of, exposed as first-class functions. */
+  private val fnHash = QueryDef(
+    "fn_hash",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          md5(col("c_name")).as("h_md5"),
+          sha2(col("c_name"), 256).as("h_sha256"),
+          (col("c_custkey").bitwiseAND(lit(255L))).as("b_and"),
+          (col("c_custkey").bitwiseOR(lit(15L))).as("b_or"),
+          (col("c_custkey").bitwiseXOR(lit(42L))).as("b_xor"),
+          expr("shiftleft(c_custkey, 3)").as("b_shl"),
+          expr("shiftright(c_custkey, 2)").as("b_shr"),
+          expr("CAST(bit_count(c_custkey) AS BIGINT)").as("b_pop"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+              md5(c_name) AS h_md5, sha256(c_name) AS h_sha256,
+              c_custkey & 255 AS b_and,
+              c_custkey | 15 AS b_or,
+              xor(c_custkey, 42) AS b_xor,
+              c_custkey << 3 AS b_shl,
+              c_custkey >> 2 AS b_shr,
+              CAST(bit_count(c_custkey) AS BIGINT) AS b_pop
+            FROM customer ORDER BY c_custkey"""))
+
+  /** Null-handling semantics: nullif / coalesce / nvl2 and null-safe
+    * aggregation — nulls are manufactured (nullif on zero discounts)
+    * since the fixtures ship none, then collapsed back deterministically. */
+  private val fnNull = QueryDef(
+    "fn_null",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("dn", expr("nullif(CAST(round(l_discount * 100) AS BIGINT), 0)"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("dn"), lit(-1L)).as("disc_or_neg1"),
+          expr("nvl2(dn, 'disc', 'free')").as("disc_flag"),
+          expr("CAST(isnull(dn) AS INT)").cast("long").as("is_null"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+              coalesce(dn, -1) AS disc_or_neg1,
+              CASE WHEN dn IS NOT NULL THEN 'disc' ELSE 'free' END AS disc_flag,
+              CAST(CASE WHEN dn IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_null
+            FROM (SELECT l_orderkey, l_linenumber,
+                    nullif(CAST(round(l_discount * 100) AS BIGINT), 0) AS dn
+                  FROM lineitem)
+            ORDER BY l_orderkey, l_linenumber"""))
+
   val defs: Seq[QueryDef] = Seq(
     fnString, fnDate, fnMath, fnArray, fnHigherOrder, fnExplode, fnJson,
-    fnUdf, aggUdaf)
+    fnUdf, aggUdaf, fnRegex, fnHash, fnNull)
 }

@@ -19,6 +19,9 @@ object SqlSurface {
     Tables.customer(s, d).createOrReplaceTempView("v_customer")
     Tables.orders(s, d).createOrReplaceTempView("v_orders")
     Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("v_nation")
+    Tables.region(s, d).createOrReplaceTempView("v_region")
   }
 
   /** Correlated scalar subquery → decorrelated left outer aggregate. */
@@ -110,5 +113,77 @@ object SqlSurface {
                                     (l_returnflag), ())
             ORDER BY flag, status"""))
 
-  val defs: Seq[QueryDef] = Seq(subqueryScalar, subqueryIn, sqlTpchQ3, groupingSets)
+  /** TPC-H Q5 shape: six-table star join (customer⋈orders⋈lineitem⋈
+    * supplier⋈nation⋈region) with the local-supplier correlation
+    * (c_nationkey = s_nationkey), region + date filters, cents-exact
+    * revenue per nation. Catalyst reorders the join tree and
+    * broadcasts the three dims (nation/region/supplier are tiny at
+    * every SF); only the two fact tables shuffle. */
+  private val sqlTpchQ5 = QueryDef(
+    "sql_tpch_q5",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT n_name,
+                 round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                       / 10000, 2) AS revenue
+               FROM v_customer
+               JOIN v_orders   ON c_custkey = o_custkey
+               JOIN v_lineitem ON l_orderkey = o_orderkey
+               JOIN v_supplier ON l_suppkey = s_suppkey
+                              AND c_nationkey = s_nationkey
+               JOIN v_nation   ON s_nationkey = n_nationkey
+               JOIN v_region   ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate <  TIMESTAMP '1998-01-01'
+               GROUP BY n_name
+               ORDER BY revenue DESC, n_name ASC""")
+    },
+    Some("""SELECT n_name,
+              round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                    AS DOUBLE) / 10000, 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC"""))
+
+  /** TPC-H Q6 shape: the pure scan-filter-aggregate forecast query.
+    * Every predicate is pushdown-able to the parquet reader; the
+    * revenue lands as one exact integer (cents × cents-of-discount =
+    * 10⁻⁴ dollar units) so no float ever aggregates. */
+  private val sqlTpchQ6 = QueryDef(
+    "sql_tpch_q6",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_c4,
+                 CAST(count(*) AS BIGINT) AS n_items
+               FROM v_lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate <  TIMESTAMP '1997-01-01'
+                 AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+                 AND l_quantity < 24""")
+    },
+    Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    subqueryScalar, subqueryIn, sqlTpchQ3, sqlTpchQ5, sqlTpchQ6, groupingSets)
 }

@@ -150,4 +150,69 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(banded == n, "bands must partition the value domain")
   }
+
+  test("join_bucketed joins co-located buckets without a shuffle") {
+    // Force the sort-merge path (at test scale Catalyst would broadcast)
+    // to prove the bucketed scans satisfy the join's distribution: the
+    // only exchange left is the final groupBy's.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = run("join_bucketed").queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1,
+        s"expected no join-input exchange (only the aggregate's), got $exchanges:\n" +
+          plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("merge_upsert applies updates and appends inserts") {
+    val base = Tables.orders(spark, sfDir)
+    val nBase = base.count()
+    val nChanged = base.filter(col("o_orderkey") % 100 === 0).count()
+    val merged = run("merge_upsert").cache()
+    try {
+      assert(merged.count() == nBase + nChanged, "inserts must append")
+      assert(merged.filter(col("status") === "U").count() == nChanged)
+      assert(merged.filter(col("status") === "N").count() == nChanged)
+      // an updated row carries exactly +100000 cents over its base price
+      val k = base.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc0"))
+      val diff = merged.filter(col("status") === "U")
+        .join(k, "o_orderkey")
+        .filter(col("price_cents") =!= col("pc0") + 100000L).count()
+      assert(diff == 0, "update must add exactly 100000 cents")
+    } finally merged.unpersist()
+  }
+
+  test("stream_stream_join deltas stay inside the 30-minute band") {
+    val rows = run("stream_stream_join").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val delta = r.getLong(2)
+      assert(delta >= 0 && delta < 1800, s"delta_sec $delta outside [0, 1800)")
+    }
+  }
+
+  test("csv_roundtrip equals the direct parquet aggregate") {
+    val viaCsv = run("csv_roundtrip").collect().map(_.toSeq)
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_cents"),
+        min(unix_timestamp(col("o_orderdate"))).as("first_epoch"),
+        max(unix_timestamp(col("o_orderdate"))).as("last_epoch"))
+      .orderBy("o_orderstatus").collect().map(_.toSeq)
+    assert(viaCsv.toSeq == direct.toSeq, "CSV round trip must be lossless")
+  }
+
+  test("unpivot_stack is the inverse of the wide aggregate") {
+    val long = run("unpivot_stack").collect()
+    assert(long.length % 3 == 0, "three metric rows per flag")
+    val metrics = long.map(_.getString(1)).distinct.sorted
+    assert(metrics.toSeq == Seq("disc_cents", "price_cents", "qty_sum"))
+  }
 }

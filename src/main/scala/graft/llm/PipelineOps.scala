@@ -250,7 +250,46 @@ object PipelineOps {
                 FROM tf JOIN df ON tf.token = df.token CROSS JOIN n))
             WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  /** PII scrubbing: regex redaction of emails and numeric identifiers
+    * before training. The corpus is synthetic (no real PII), so each
+    * doc is deterministically salted with an email + numeric id first,
+    * then scrubbed; counts and the scrubbed digest prove the redaction.
+    * Email pattern stays in the Java∩RE2 subset ([.] instead of \\.)
+    * and emails are scrubbed before digit runs so '<EMAIL>' survives.
+    * Pure per-row codegen'd string work — embarrassingly parallel. */
+  private val piiScrub = QueryDef(
+    "llm_pii_scrub",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("raw", concat(
+          lit("contact user"), col("doc_id"), lit("@mail.com ref "),
+          (col("doc_id") * 7919).cast("string"), lit(" "), col("text")))
+        .withColumn("no_email",
+          regexp_replace(col("raw"), "[a-z0-9]+@[a-z]+[.][a-z]+", "<EMAIL>"))
+        .select(
+          col("doc_id"),
+          expr("CAST(size(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+[.][a-z]+', 0)) AS BIGINT)")
+            .as("n_emails"),
+          expr("CAST(size(regexp_extract_all(no_email, '[0-9]+', 0)) AS BIGINT)")
+            .as("n_nums"),
+          md5(regexp_replace(col("no_email"), "[0-9]+", "<NUM>")).as("scrub_md5"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+[.][a-z]+')) AS BIGINT)
+                AS n_emails,
+              CAST(len(regexp_extract_all(no_email, '[0-9]+')) AS BIGINT) AS n_nums,
+              md5(regexp_replace(no_email, '[0-9]+', '<NUM>', 'g')) AS scrub_md5
+            FROM (
+              SELECT doc_id, raw,
+                regexp_replace(raw, '[a-z0-9]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g')
+                  AS no_email
+              FROM (SELECT doc_id,
+                      'contact user' || CAST(doc_id AS VARCHAR) || '@mail.com ref '
+                        || CAST(doc_id * 7919 AS VARCHAR) || ' ' || text AS raw
+                    FROM documents))
+            ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     trainSplit, shardAssign, packSequences, docChunk,
-    sampleStratified, quantize, tfidf)
+    sampleStratified, quantize, tfidf, piiScrub)
 }

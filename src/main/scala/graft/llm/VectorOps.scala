@@ -247,6 +247,44 @@ object VectorOps {
             FROM embeddings, generate_series(1, 64) t(i)
             GROUP BY label, i ORDER BY label, pos"""))
 
+  /** k-NN JOIN: top-3 neighbors for EVERY query vector in a batch
+    * (vec_id < 5), not just one — the shape of batch retrieval /
+    * embedding-based dedup lookups. The query batch is broadcast, so
+    * the corpus is scanned once regardless of batch size; per-query
+    * ranking is one window over the broadcast-joined scores. At 100 TB
+    * the same plan holds with the batch capped at broadcast size
+    * (~10k vectors); beyond that, IVF-partition both sides. */
+  private val knnJoin = QueryDef(
+    "llm_knn_join",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      emb.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(dotProduct(col("embedding"), col("q_emb")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("q_id", "vec_id", "sim", "rk")
+        .orderBy("q_id", "rk")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                        FROM embeddings WHERE vec_id < 5),
+             scored AS (
+               SELECT q_id, vec_id,
+                 round(${sqlDot("embedding", "q_emb")}, 6) AS sim
+               FROM embeddings CROSS JOIN q
+               WHERE vec_id >= 5)
+             SELECT q_id, vec_id, sim, rk FROM (
+               SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM scored)
+             WHERE rk <= 3 ORDER BY q_id, rk"""))
+
   val defs: Seq[QueryDef] = Seq(
-    cosineTopk, annIvf, annLsh, embedNearDup, multimodalProject, embedCentroid)
+    cosineTopk, annIvf, annLsh, embedNearDup, multimodalProject,
+    embedCentroid, knnJoin)
 }

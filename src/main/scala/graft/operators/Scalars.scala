@@ -279,7 +279,32 @@ object Scalars {
                   FROM lineitem)
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Struct + map types: JSON decoded into a typed MAP, element
+    * lookup, key enumeration, struct construction and field access —
+    * the nested-type surface. Outputs stay scalar (the driver's
+    * comparator hashes flat columns). */
+  private val fnStructMap = QueryDef(
+    "fn_struct_map",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("m", expr("from_json(props, 'map<string,int>')"))
+        .select(
+          col("event_id"),
+          expr("CAST(element_at(m, 'k') AS BIGINT)").as("k_val"),
+          expr("CAST(size(m) AS BIGINT)").as("n_keys"),
+          expr("array_join(map_keys(m), ',')").as("keys_csv"),
+          expr("named_struct('u', user_id, 'e', event_type).e").as("etype"),
+          expr("CAST(struct(user_id, event_type).user_id AS BIGINT)").as("uid"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+              CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+              array_to_string(json_keys(props), ',') AS keys_csv,
+              event_type AS etype,
+              CAST(user_id AS BIGINT) AS uid
+            FROM events ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     fnString, fnDate, fnMath, fnArray, fnHigherOrder, fnExplode, fnJson,
-    fnUdf, aggUdaf, fnRegex, fnHash, fnNull)
+    fnUdf, aggUdaf, fnRegex, fnHash, fnNull, fnStructMap)
 }

@@ -285,4 +285,27 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-static join enriches events with the dimension table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // The canonical Kinesis enrichment: an unbounded stream joined to a
+    // bounded dim. No watermark needed — the static side never grows,
+    // so the join holds no stream state.
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "segment")
+    val input = MemoryStream[Event]
+    val q = StreamOps.startToMemory(
+      input.toDF().join(dim, Seq("user_id")), "static_join_test")
+    try {
+      input.addData(
+        ev("2024-01-01 10:00:00", user = 1),
+        ev("2024-01-01 10:01:00", user = 2), // no dim row → dropped (inner)
+        ev("2024-01-01 10:02:00", user = 3))
+      q.processAllAvailable()
+      val got = spark.table("static_join_test")
+        .select("user_id", "segment").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got.toSeq == Seq((1L, "gold"), (3L, "silver")))
+    } finally q.stop()
+  }
 }

@@ -26,13 +26,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal (ms) precision keeps the one-line JSON compact enough to
-    // survive tail-buffer truncation on the driver side.
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query timings go to a file: with 100+ queries the map no
+    // longer fits the driver's 2000-char output-tail buffer, and a
+    // truncated line is unparseable.
+    val full = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullPath = new java.io.File("BENCH_FULL.json")
+    val w = new java.io.PrintWriter(fullPath, "UTF-8")
+    try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+    finally w.close()
+    // The printed line keeps the slowest queries, greedily, up to a
+    // budget that leaves the whole line intact inside the tail buffer.
+    val budget = 1600
+    val slowFirst = results.toSeq.sortBy { case (n, t) => (-t, n) }
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowFirst.foreach { case (k, v) =>
+      val ent = s"\"" + k + "\":" + fmt(v)
+      if (used + ent.length + 1 <= budget) { picked += ent; used += ent.length + 1 }
+    }
+    val qs = picked.mkString("{", ",", "}")
+    // Stop Spark BEFORE printing so no shutdown log line can land after
+    // the JSON in the driver's combined-output tail.
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_note":"slowest subset; all ${results.size} in BENCH_FULL.json","sf":"$sfDir"}""")
   }
 }

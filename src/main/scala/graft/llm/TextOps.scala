@@ -176,16 +176,24 @@ object TextOps {
     None)
 
   /** Winnowing-style document fingerprints: rolling window (w=4) of
-    * shingle hashes, keep the per-window minimum, distinct. Signature
-    * size is bounded per doc regardless of length. xxhash64 ⇒
-    * no-oracle (properties in LlmSpec). */
+    * 3-gram hashes, keep the per-window minimum, distinct. Signature
+    * size is bounded per doc regardless of length. The hash family
+    * here is a portable 60-bit md5 prefix (identical in any engine ⇒
+    * fully oracle-checkable, and lets fingerprints be compared against
+    * ones computed outside Spark); for raw 100 TB throughput swap in
+    * the codegen'd xxhash64 [[graft.functions.NGramHashes]] used by
+    * the minhash path — winnowing semantics are hash-agnostic. */
   private val fingerprint = QueryDef(
     "llm_fingerprint",
     (s, d) =>
       Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 6)
-        .withColumn("hashes", ngramHashes(col("toks"), 3))
+        .withColumn("hashes", expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> CAST(conv(substring(md5(concat_ws(' ',
+            |         toks[i-1], toks[i], toks[i+1])), 1, 15), 16, 10)
+            |       AS BIGINT))""".stripMargin))
         .withColumn("fps", expr(
           """array_distinct(transform(sequence(1, size(hashes) - 3),
             |  i -> array_min(slice(hashes, i, 4))))""".stripMargin))
@@ -194,7 +202,22 @@ object TextOps {
           size(col("fps")).cast("long").as("n_fp"),
           array_min(col("fps")).as("min_fp"))
         .orderBy("doc_id"),
-    None)
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents),
+             h AS (SELECT doc_id,
+                     list_transform(generate_series(1, len(toks) - 2),
+                       i -> CAST(('0x' || substring(md5(toks[i] || ' ' ||
+                              toks[i+1] || ' ' || toks[i+2]), 1, 15))
+                            AS BIGINT)) AS hashes
+                   FROM tok WHERE len(toks) >= 6),
+             fp AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        generate_series(1, len(hashes) - 3),
+                        i -> list_min(hashes[i:i+3]))) AS fps
+                    FROM h)
+             SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+               list_min(fps) AS min_fp
+             FROM fp ORDER BY doc_id"""))
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single punctuation). */

@@ -401,15 +401,30 @@ object Relational {
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** HLL++ sketch — mergeable, constant memory per group: the 100 TB
-    * path for distinct-user counts. Approximate ⇒ no DuckDB oracle. */
+    * path for distinct-user counts. The sketch value itself is
+    * engine-specific, so the oracle checks the validated property
+    * instead: the HLL estimate (rsd 2%) must land within 5% of the
+    * exact count, which DuckDB asserts as a constant TRUE next to the
+    * exact count it computes itself. Deterministic: HLL on a fixed
+    * dataset always yields the same estimate. */
   private val aggApproxDistinct = QueryDef(
     "agg_approx_distinct",
     (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_within_5pct"))
         .orderBy("event_type"),
-    None)
+    Some("""SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              TRUE AS approx_within_5pct
+            FROM events GROUP BY event_type ORDER BY event_type"""))
 
   private val aggRollup = QueryDef(
     "agg_rollup",

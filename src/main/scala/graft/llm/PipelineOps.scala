@@ -289,7 +289,39 @@ object PipelineOps {
                     FROM documents))
             ORDER BY doc_id"""))
 
+  /** Data-mixture composition report: per (lang, source) domain —
+    * docs, tokens, chars, and each domain's share of total tokens.
+    * This is the input to mixture-weight planning (how much of each
+    * domain goes into a training run). One partial-agg shuffle over
+    * the corpus; the global-share window runs on the already-tiny
+    * grouped result, so the unpartitioned window is not a scale
+    * hazard. */
+  private val domainMix = QueryDef(
+    "llm_domain_mix",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("tok_share",
+          round(col("n_tokens").cast("double") /
+            sum(col("n_tokens")).over(Window.partitionBy()), 4))
+        .orderBy("lang", "source"),
+    Some("""WITH t AS (SELECT lang, source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS n_tokens,
+                         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                       FROM documents GROUP BY lang, source)
+             SELECT lang, source, n_docs, n_tokens, sum_chars,
+               round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 4)
+                 AS tok_share
+             FROM t ORDER BY lang, source"""))
+
   val defs: Seq[QueryDef] = Seq(
     trainSplit, shardAssign, packSequences, docChunk,
-    sampleStratified, quantize, tfidf, piiScrub)
+    sampleStratified, quantize, tfidf, piiScrub, domainMix)
 }

@@ -331,7 +331,111 @@ object TextOps {
     Some("""SELECT doc_id, source, n_chars FROM documents
             WHERE lang = 'en' ORDER BY doc_id"""))
 
+  /** Benchmark-contamination check: flag training docs sharing any
+    * 5-gram with a holdout set (the real pipeline's "n-gram decontam"
+    * step, e.g. 13-gram overlap vs eval suites — 5-grams here because
+    * the synthetic docs are short). Holdout = the planted near-copies
+    * (ids ≥ 100000), so every 10th doc is contaminated by
+    * construction. The holdout gram set is DISTINCT + broadcast —
+    * eval suites are tiny next to a 100 TB corpus, so the corpus-side
+    * gram stream never shuffles; with a larger holdout, drop the
+    * broadcast hint and let AQE pick a shuffle join keyed on the gram. */
+  private val contamination = QueryDef(
+    "llm_contamination",
+    (s, d) => {
+      val grams = withNearDups(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(toks) - 4),
+            |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1],
+            |                 toks[i+2], toks[i+3])))""".stripMargin)).as("gram"))
+      val holdout = grams.filter(col("doc_id") >= 100000)
+        .select("gram").distinct().withColumn("hit", lit(1))
+      grams.filter(col("doc_id") < 100000)
+        .join(broadcast(holdout), Seq("gram"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_shared"))
+        .filter(col("n_shared") >= 1)
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_grams"), 4).as("ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $augNearSql,
+             tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+             g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+                   FROM tok WHERE len(toks) >= 5),
+             hold AS (SELECT DISTINCT gram FROM g WHERE doc_id >= 100000),
+             tr AS (SELECT doc_id, gram FROM g WHERE doc_id < 100000)
+             SELECT doc_id, n_grams, n_shared,
+               round(CAST(n_shared AS DOUBLE) / n_grams, 4) AS ratio
+             FROM (SELECT tr.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(count(hold.gram) AS BIGINT) AS n_shared
+                   FROM tr LEFT JOIN hold ON tr.gram = hold.gram
+                   GROUP BY tr.doc_id)
+             WHERE n_shared >= 1
+             ORDER BY doc_id"""))
+
+  /** Gopher-style repetition filters: per-doc duplicate-2-gram
+    * fraction and most-frequent-token fraction, plus the keep/drop
+    * decision. Both signals are per-row (the token histogram is a
+    * per-doc group-by keyed on doc_id — co-partitioned with the doc,
+    * no global state), so the filter streams at corpus scale. */
+  private val repetitionFilter = QueryDef(
+    "llm_repetition_filter",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      val base = t.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("CAST(size(toks) - 1 AS BIGINT)").as("n_2g"),
+        expr("""CAST(size(array_distinct(transform(sequence(1, size(toks) - 1),
+               |  i -> concat_ws(' ', toks[i-1], toks[i])))) AS BIGINT)""".stripMargin)
+          .as("n_2g_d"))
+      val top = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).cast("long").as("top_tok"))
+      base.join(top, Seq("doc_id"))
+        .select(col("doc_id"),
+          round((col("n_2g") - col("n_2g_d")).cast("double") / col("n_2g"), 4)
+            .as("dup_2g_frac"),
+          round(col("top_tok").cast("double") / col("n_toks"), 4)
+            .as("top_tok_frac"))
+        .withColumn("keep",
+          col("dup_2g_frac") < lit(0.2) && col("top_tok_frac") < lit(0.2))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents),
+             base AS (SELECT doc_id,
+                        CAST(len(toks) AS BIGINT) AS n_toks,
+                        CAST(len(toks) - 1 AS BIGINT) AS n_2g,
+                        CAST(len(list_distinct(list_transform(
+                          generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS n_2g_d
+                      FROM tok WHERE len(toks) >= 2),
+             top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok FROM (
+                       SELECT doc_id, tok, count(*) AS c
+                       FROM (SELECT doc_id, unnest(toks) AS tok
+                             FROM tok WHERE len(toks) >= 2)
+                       GROUP BY doc_id, tok)
+                     GROUP BY doc_id)
+             SELECT doc_id, dup_2g_frac, top_tok_frac,
+               (dup_2g_frac < 0.2 AND top_tok_frac < 0.2) AS keep
+             FROM (SELECT base.doc_id,
+                     round(CAST(n_2g - n_2g_d AS DOUBLE) / n_2g, 4) AS dup_2g_frac,
+                     round(CAST(top_tok AS DOUBLE) / n_toks, 4) AS top_tok_frac
+                   FROM base JOIN top ON base.doc_id = top.doc_id)
+             ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupNgram, dedupMinhash, dedupSimhash, fingerprint,
-    tokenCount, textStats, qualityScore, langId, langFilter)
+    tokenCount, textStats, qualityScore, langId, langFilter,
+    contamination, repetitionFilter)
 }

@@ -304,7 +304,32 @@ object Scalars {
               CAST(user_id AS BIGINT) AS uid
             FROM events ORDER BY event_id"""))
 
+  /** Bitwise operator surface: and/or/xor, shifts, popcount — all
+    * codegen'd built-ins (feature-flag decoding, bitmap membership,
+    * hash mixing at the row level). */
+  private val fnBitwise = QueryDef(
+    "fn_bitwise",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          expr("CAST(user_id & 255 AS BIGINT)").as("andv"),
+          expr("CAST(user_id | 4096 AS BIGINT)").as("orv"),
+          expr("CAST(user_id ^ event_id AS BIGINT)").as("xorv"),
+          expr("CAST(shiftleft(user_id, 3) AS BIGINT)").as("shl"),
+          expr("CAST(shiftright(user_id, 2) AS BIGINT)").as("shr"),
+          expr("CAST(bit_count(user_id) AS BIGINT)").as("nbits"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+              CAST(user_id & 255 AS BIGINT) AS andv,
+              CAST(user_id | 4096 AS BIGINT) AS orv,
+              CAST(xor(user_id, event_id) AS BIGINT) AS xorv,
+              CAST(user_id << 3 AS BIGINT) AS shl,
+              CAST(user_id >> 2 AS BIGINT) AS shr,
+              CAST(bit_count(user_id) AS BIGINT) AS nbits
+            FROM events ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     fnString, fnDate, fnMath, fnArray, fnHigherOrder, fnExplode, fnJson,
-    fnUdf, aggUdaf, fnRegex, fnHash, fnNull, fnStructMap)
+    fnUdf, aggUdaf, fnRegex, fnHash, fnNull, fnStructMap, fnBitwise)
 }

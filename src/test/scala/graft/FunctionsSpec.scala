@@ -143,4 +143,17 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(0) == 11.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
+
+  test("fn_bitwise agrees with JVM bit arithmetic on a known row") {
+    val r = SparkEntry.queries("fn_bitwise")(spark, sfDir)
+      .filter("event_id = 42").collect()(0)
+    val uid = Tables.events(spark, sfDir)
+      .filter("event_id = 42").select("user_id").collect()(0).getLong(0)
+    assert(r.getLong(1) == (uid & 255L))
+    assert(r.getLong(2) == (uid | 4096L))
+    assert(r.getLong(3) == (uid ^ 42L))
+    assert(r.getLong(4) == (uid << 3))
+    assert(r.getLong(5) == (uid >> 2))
+    assert(r.getLong(6) == java.lang.Long.bitCount(uid).toLong)
+  }
 }

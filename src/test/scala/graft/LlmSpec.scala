@@ -116,4 +116,50 @@ class LlmSpec extends AnyFunSuite with SparkFixture {
       assert(stop >= 0 && stop < 1.0)
     }
   }
+
+  test("llm_contamination: every doc with a planted near-copy is flagged hot") {
+    val rows = run("llm_contamination").collect()
+    val byDoc = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val planted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // a near-copy (last token dropped) shares all but 4 of the train
+    // doc's 5-grams → ratio near 1 for every planted doc
+    planted.foreach { id =>
+      assert(byDoc.contains(id), s"planted doc $id not flagged")
+      assert(byDoc(id) > 0.5, s"planted doc $id ratio ${byDoc(id)} too low")
+    }
+    // the holdout join must broadcast (corpus side never shuffles)
+    val plan = run("llm_contamination").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("llm_repetition_filter: repetitive docs score high, normal docs keep") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "spam spam spam spam spam spam spam spam", "en", "web", 40L),
+      (2L, "a genuinely varied sentence with distinct tokens overall", "en", "web", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // run the same signal logic inline on the probe docs
+    val toks = synth.withColumn("toks", split(col("text"), " "))
+    val frac = toks.select(col("doc_id"),
+      (size(expr("array_distinct(transform(sequence(1, size(toks)-1), i -> concat_ws(' ', toks[i-1], toks[i])))"))
+        .cast("double") / (size(col("toks")) - 1)).as("distinct2g"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(frac(1L) < 0.2, "all-identical doc: 2-grams nearly all duplicate")
+    assert(frac(2L) == 1.0, "varied doc: all 2-grams distinct")
+    // and the query itself: keep is monotone in the two fractions
+    run("llm_repetition_filter").collect().foreach { r =>
+      val keep = r.getBoolean(3)
+      assert(keep == (r.getDouble(1) < 0.2 && r.getDouble(2) < 0.2))
+    }
+  }
+
+  test("llm_domain_mix: token shares sum to ~1 and docs partition the corpus") {
+    val rows = run("llm_domain_mix").collect()
+    val shareSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
+    val nDocs = rows.map(_.getLong(2)).sum
+    assert(nDocs == Tables.documents(spark, sfDir).count())
+  }
 }

@@ -21,12 +21,30 @@ object Bench {
       System.getProperty("java.io.tmpdir"), "graft_bench_warm").toString
     spark.range(1000).write.mode("overwrite").parquet(warmDir)
     spark.read.parquet(warmDir).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic execution order: `queries` is a HashMap, so
+    // iteration order was unspecified and whichever query ran first
+    // absorbed residual first-use costs (parquet footer reads, codegen
+    // of new operator shapes) — the r2/r3 driver benches blamed 5-11s
+    // on arbitrary queries for exactly this reason. Sort by name.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Untimed warm pass (default on; SPARK_GRAFT_BENCH_WARM=0 skips):
+    // runs every query once so the timed pass measures steady-state
+    // execution, not first-use JIT/codegen/footer-cache effects. Write
+    // queries are mode=overwrite, so the second run is equivalent.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0")
+      ordered.foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
-    def fmt(v: Double): String = f"$v%.3f"
+    }.toMap
+    // Locale-pinned formatting: the f-interpolator uses the JVM default
+    // locale, which on comma-decimal locales emits "0,123" — invalid
+    // JSON for the driver's strict parser.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full per-query timings go to a file: with 100+ queries the map no
     // longer fits the driver's 2000-char output-tail buffer, and a

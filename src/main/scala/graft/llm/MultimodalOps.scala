@@ -77,26 +77,28 @@ object MultimodalOps {
   /** Oracle-checked metadata extraction over the binary column: byte
     * length, content digest, stub-decoded dimensions. The decode
     * arithmetic is mirrored in the oracle so the stub itself is
-    * verified, not just the plumbing. */
+    * verified, not just the plumbing.
+    *
+    * The stub dimension math is pure byte-length arithmetic, so the
+    * declared query uses built-in `octet_length` expressions (fully
+    * codegen'd, no UDF in the plan — same formulas as [[decodeStub]],
+    * which remains the body of the `mapPartitions` batch-decode seam
+    * where a real codec genuinely needs opaque-bytes access). */
   private val multimodalMeta = QueryDef(
     "llm_multimodal_meta",
     (s, d) => {
-      val decodeDims = udf { bytes: Array[Byte] =>
-        val (w, h, f) = decodeStub(bytes)
-        (w, h, f)
-      }
+      val blen = octet_length(col("text"))
       Tables.documents(s, d)
         .withColumn("asset", col("text").cast("binary"))
-        .withColumn("dims", decodeDims(col("asset")))
         .select(
           col("doc_id"),
-          octet_length(col("text")).cast("long").as("byte_size"),
+          blen.cast("long").as("byte_size"),
           md5(col("asset")).as("content_md5"),
           lit("application/octet-stream").as("mime"),
           upper(substring(md5(col("asset")), 1, 8)).as("frame_sig"),
-          col("dims._1").as("width"),
-          col("dims._2").as("height"),
-          col("dims._3").as("n_frames"))
+          ((blen % 64) * 16 + 16).cast("int").as("width"),
+          ((blen % 48) * 16 + 16).cast("int").as("height"),
+          (blen % 30 + 1).cast("int").as("n_frames"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_size,

@@ -127,6 +127,53 @@ object SimilarityApi {
     a.agg(avg("best")).collect()(0).getDouble(0)
   }
 
+  /** Sign-LSH band signatures for ALL-PAIRS neighbor search — the
+    * embedding analog of MinHash banding. `planes` carries
+    * (p_id, p_emb) with p_id 0-based contiguous; plane i contributes
+    * bit (i % bandBits) of band (i div bandBits)'s bucket. Two vectors
+    * collide in a band iff they fall on the same side of all of that
+    * band's hyperplanes — P[collide] = (1 - θ/π)^bandBits per band, so
+    * banding trades candidate volume (longer bands) against recall
+    * (more bands), exactly the MinHash S-curve. The signature pass
+    * shuffles only (id, band, partial-bucket) longs — vectors never
+    * cross the wire here. */
+  def signBandSignatures(emb: DataFrame, planes: DataFrame, idCol: String,
+      embCol: String, bandBits: Int): DataFrame =
+    emb.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(planes))
+      .withColumn("band", expr(s"CAST(p_id div $bandBits AS BIGINT)"))
+      .withColumn("__w", when(dotProduct(col(embCol), col("p_emb")) >= 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p_id % $bandBits AS INT))"))
+        .otherwise(0L))
+      .groupBy(col(idCol), col("band"))
+      .agg(sum("__w").as("bucket"))
+
+  /** Candidate pairs = pairs sharing ANY band bucket: a plain
+    * equi-join on (band, bucket), O(corpus + collisions) — never the
+    * O(n²) all-pairs product. Output deduplicated to (a_id, b_id),
+    * a_id < b_id. */
+  def bandedCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    val a = sigs.select(col("band"), col("bucket"), col(idCol).as("a_id"))
+    val b = sigs.select(col("band"), col("bucket"), col(idCol).as("b_id"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Exact verification of banded candidates: join the vectors back by
+    * id (two hash joins — vectors move once each), keep pairs whose
+    * rounded similarity clears `tau`. Every emitted pair is exact; the
+    * banding only bounds which pairs get LOOKED AT. */
+  def verifyPairs(emb: DataFrame, cand: DataFrame, idCol: String,
+      embCol: String, tau: Double): DataFrame = {
+    val ea = emb.select(col(idCol).as("a_id"), col(embCol).as("a_emb"))
+    val eb = emb.select(col(idCol).as("b_id"), col(embCol).as("b_emb"))
+    cand.join(ea, "a_id").join(eb, "b_id")
+      .withColumn("sim", round(dotProduct(col("a_emb"), col("b_emb")), 6))
+      .filter(col("sim") >= tau)
+      .select("a_id", "b_id", "sim")
+  }
+
   /** Per-group centroids (mean vector by dimension): the k-means /
     * IVF codebook-training step. Shuffles scalar partials only. */
   def centroids(emb: DataFrame, groupCol: String, embCol: String): DataFrame =

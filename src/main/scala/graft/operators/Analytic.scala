@@ -102,18 +102,56 @@ object Analytic {
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
             ORDER BY event_id"""))
 
-  /** Global distribution ranks. A single unpartitioned window is
-    * inherently one-task; acceptable for a final small result, and at
-    * 100 TB the ntile input would be pre-aggregated first. */
+  /** Global distribution ranks — WITHOUT the single-task unpartitioned
+    * window (`Window.orderBy(...)` with no partition puts the whole
+    * table through one task; a non-starter at 100 TB).
+    *
+    * Distributed two-phase global rank instead:
+    *   1. range-bucket every row on its sort value (price cents mapped
+    *      to 64 descending buckets via the broadcast global [lo, hi]);
+    *      equal prices always share a bucket, so bucket order is
+    *      consistent with the global (price DESC, key ASC) order;
+    *   2. per-bucket counts → cumulative offsets (a 64-row aggregate —
+    *      the only unpartitioned window runs over those 64 rows);
+    *   3. within-bucket `row_number` (partitioned window, 64-way
+    *      parallel) + broadcast offset = exact global rank; the sort
+    *      key is unique (orderkey tiebreak) so rank == row_number.
+    * `ntile(4)` and `percent_rank` are then pure arithmetic on
+    * (rank, n): ntile's first n%4 buckets take ceil(n/4) rows, the
+    * rest floor(n/4); percent_rank = (rank-1)/(n-1). Integer `div`
+    * keeps it exact at any n. */
   private val winNtilePct = QueryDef(
     "win_ntile_pct",
     (s, d) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables.orders(s, d)
-        .select(
-          col("o_orderkey"), col("o_totalprice"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"))
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_totalprice"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc"))
+      val bounds = base.agg(
+        min("pc").as("lo"), max("pc").as("hi"), count(lit(1)).as("n"))
+      val bucketed = base.crossJoin(broadcast(bounds))
+        .withColumn("bkt",
+          least(lit(63L), floor(
+            (col("hi") - col("pc")).cast("double") * 64 /
+              (col("hi") - col("lo") + 1))).cast("long"))
+      val offsets = bucketed.groupBy("bkt")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("offset", coalesce(
+          sum("c").over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "offset")
+      val w = Window.partitionBy("bkt")
+        .orderBy(col("pc").desc, col("o_orderkey").asc)
+      bucketed.join(broadcast(offsets), "bkt")
+        .withColumn("rn", col("offset") + row_number().over(w))
+        .withColumn("quartile", expr(
+          """CASE WHEN n < 4 THEN rn
+               WHEN rn <= (n % 4) * (n div 4 + 1)
+                 THEN (rn + n div 4) div (n div 4 + 1)
+               ELSE n % 4 + (rn - (n % 4) * (n div 4 + 1) + n div 4 - 1)
+                 div (n div 4) END""").cast("long"))
+        .withColumn("pct_rank",
+          round((col("rn") - 1).cast("double") / (col("n") - 1), 6))
+        .select("o_orderkey", "o_totalprice", "quartile", "pct_rank")
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_totalprice,

@@ -19,8 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Extensions {
 
-  private def tmpPath(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), name).toString
+  /** Scratch paths are suffixed with a sanitized sfDir so two
+    * concurrent runs over different scale factors (e.g. Verify at
+    * sf0.01 while Bench runs sf0.1, or two users on one host) never
+    * clobber each other's files or catalog entries. NOTE for BENCH
+    * readers: `join_bucketed` and `csv_roundtrip` deliberately time
+    * write + read — the design point being demonstrated (pay the
+    * shuffle/encode once at write time) includes the write. */
+  private def runTag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def tmpPath(name: String, d: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      name + "_" + runTag(d)).toString
 
   /** orders as (key, status, exact price cents). */
   private def ordersCents(s: SparkSession, d: String): DataFrame =
@@ -76,20 +87,22 @@ object Extensions {
   private val joinBucketed = QueryDef(
     "join_bucketed",
     (s, d) => {
+      val oTab = "graft_b_orders_" + runTag(d)
+      val lTab = "graft_b_lineitem_" + runTag(d)
       ordersCents(s, d)
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", tmpPath("graft_b_orders"))
-        .saveAsTable("graft_b_orders")
+        .option("path", tmpPath("graft_b_orders", d))
+        .saveAsTable(oTab)
       Tables.lineitem(s, d)
         .select(col("l_orderkey"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ec"))
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", tmpPath("graft_b_lineitem"))
-        .saveAsTable("graft_b_lineitem")
-      s.table("graft_b_orders")
-        .join(s.table("graft_b_lineitem"),
+        .option("path", tmpPath("graft_b_lineitem", d))
+        .saveAsTable(lTab)
+      s.table(oTab)
+        .join(s.table(lTab),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"), sum("ec").as("sum_cents"))
@@ -108,7 +121,7 @@ object Extensions {
   private val csvRoundtrip = QueryDef(
     "csv_roundtrip",
     (s, d) => {
-      val out = tmpPath("graft_csv_rt")
+      val out = tmpPath("graft_csv_rt", d)
       Tables.orders(s, d)
         .select(
           col("o_orderkey"), col("o_orderstatus"),
@@ -132,31 +145,88 @@ object Extensions {
 
   /** Statistical aggregates: sample stddev/variance, correlation and
     * covariance — the moment-sketch family. All are mergeable partial
-    * aggregates (sum/sum-of-squares/co-moments cross the shuffle, not
-    * rows), so the plan is the same two-phase HashAggregate as any
-    * sum. Outputs rounded to 3 decimals on both engines. */
+    * aggregates, so the plan is the same two-phase HashAggregate as
+    * any sum.
+    *
+    * Determinism: the engines' native stddev/corr accumulate doubles
+    * in different orders, so a value near a rounding boundary could
+    * flip the last digit on one engine only. Instead BOTH engines
+    * aggregate exact integer moments (n, Σq, Σq², Σd, Σd², Σqd in
+    * centi-units — each exactly representable as a double at any
+    * tested SF) and derive the statistics through the IDENTICAL fixed
+    * sequence of IEEE-754 double ops, so the pre-round doubles are
+    * bit-identical cross-engine and round(.., 3) can never diverge.
+    * This is also the right 100 TB plan: six longs per group cross
+    * the shuffle, never rows. */
   private val aggStats = QueryDef(
     "agg_stats",
     (s, d) =>
       Tables.lineitem(s, d)
-        .withColumn("dc", expr("CAST(round(l_discount * 100) AS BIGINT)"))
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qc"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc"))
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
-          round(var_samp(col("l_quantity")), 3).as("var_qty"),
-          round(corr(col("l_quantity"), col("dc")), 3).as("corr_qty_disc"),
-          round(covar_samp(col("l_quantity"), col("dc")), 3).as("cov_qty_disc"))
+          sum(col("qc")).as("sq"),
+          sum(col("qc") * col("qc")).as("sq2"),
+          sum(col("dc")).as("sd1"),
+          sum(col("dc") * col("dc")).as("sd2"),
+          sum(col("qc") * col("dc")).as("sqd"))
+        .select(col("l_returnflag"), col("n"),
+          expr("""round(sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100, 3)""")
+            .as("sd_qty"),
+          expr("""round((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000, 3)""")
+            .as("var_qty"),
+          expr("""round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sd1 AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                            - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))), 3)""")
+            .as("corr_qty_disc"),
+          expr("""round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sd1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100, 3)""")
+            .as("cov_qty_disc"))
         .orderBy("l_returnflag"),
-    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-              round(stddev_samp(l_quantity), 3) AS sd_qty,
-              round(var_samp(l_quantity), 3) AS var_qty,
-              round(corr(l_quantity, dc), 3) AS corr_qty_disc,
-              round(covar_samp(l_quantity, dc), 3) AS cov_qty_disc
-            FROM (SELECT l_returnflag, l_quantity,
-                    CAST(round(l_discount * 100) AS BIGINT) AS dc
-                  FROM lineitem)
-            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+    Some("""WITH m AS (
+              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(qc) AS BIGINT) AS sq,
+                CAST(sum(qc * qc) AS BIGINT) AS sq2,
+                CAST(sum(dc) AS BIGINT) AS sd1,
+                CAST(sum(dc * dc) AS BIGINT) AS sd2,
+                CAST(sum(qc * dc) AS BIGINT) AS sqd
+              FROM (SELECT l_returnflag,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                      CAST(round(l_discount * 100) AS BIGINT) AS dc
+                    FROM lineitem)
+              GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+              round(sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+                - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100, 3)
+                AS sd_qty,
+              round((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+                - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000, 3)
+                AS var_qty,
+              round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                - CAST(sq AS DOUBLE) * CAST(sd1 AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+                        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                          - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))), 3)
+                AS corr_qty_disc,
+              round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                - CAST(sq AS DOUBLE) * CAST(sd1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100, 3)
+                AS cov_qty_disc
+            FROM m ORDER BY l_returnflag"""))
 
   /** UNPIVOT (wide → long): per-flag metric columns melted into
     * (metric, value) rows via the Dataset.unpivot API — the inverse of

@@ -290,7 +290,11 @@ object Scalars {
         .withColumn("m", expr("from_json(props, 'map<string,int>')"))
         .select(
           col("event_id"),
-          expr("CAST(element_at(m, 'k') AS BIGINT)").as("k_val"),
+          // try_element_at, not element_at: under ANSI mode a missing
+          // map key would throw MAP_KEY_DOES_NOT_EXIST and kill the
+          // query, while DuckDB's json_extract_string returns NULL —
+          // try_element_at yields NULL on both engines.
+          expr("CAST(try_element_at(m, 'k') AS BIGINT)").as("k_val"),
           expr("CAST(size(m) AS BIGINT)").as("n_keys"),
           expr("array_join(map_keys(m), ',')").as("keys_csv"),
           expr("named_struct('u', user_id, 'e', event_type).e").as("etype"),

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.operators.EventOps.{statefulFold, Event, UserStats}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming pipelines (SURVEY.md §2h, §3).
   *
@@ -71,8 +71,15 @@ object StreamOps {
   /** Spark 4 transformWithState seam: per-user running (count, cents)
     * via an explicit ValueState — the successor API to
     * flatMapGroupsWithState, with typed state handles and TTL support.
-    * Requires the RocksDB state store provider (bundled). */
-  class RunningTotalsProcessor
+    * Requires the RocksDB state store provider (bundled).
+    *
+    * `ttl` is the state's eviction policy: with `TTLConfig.NONE` the
+    * totals live forever (the batch-parity demo); with a real duration
+    * (and `TimeMode.ProcessingTime`) a key idle longer than the TTL is
+    * evicted and its totals restart — the bounded-state guarantee a
+    * 100 TB deployment needs for an unbounded key space (proven in
+    * StreamingSpec "state TTL evicts idle keys"). */
+  class RunningTotalsProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, Event, (Long, Long, Long)] {
     @transient private var totals: ValueState[(Long, Long)] = _
 
@@ -80,7 +87,7 @@ object StreamOps {
       totals = getHandle.getValueState[(Long, Long)](
         "totals",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE)
+        ttl)
 
     override def handleInputRows(
         userId: Long, rows: Iterator[Event],
@@ -104,6 +111,117 @@ object StreamOps {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** TTL variant: totals for a key idle longer than `ttl` are evicted
+    * (TTL is processing-time based, hence `TimeMode.ProcessingTime`). */
+  def runningTotalsWithTtl(
+      events: Dataset[Event], ttl: java.time.Duration): Dataset[(Long, Long, Long)] = {
+    implicit val outEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  /** Event-time session close-out via transformWithState TIMERS: each
+    * input row re-arms a per-user timer at (last event ts + gap); when
+    * the watermark passes it, `handleExpiredTimer` fires, the finished
+    * session (user, n_events) is emitted and the state is CLEARED —
+    * i.e. eviction is driven by event time, not by processing-time
+    * TTL. This is the session_window semantics rebuilt on raw timers,
+    * and the proof that the Spark-4 stateful API's timer surface works
+    * end-to-end (StreamingSpec "event-time timers close sessions"). */
+  class SessionCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, (Long, Long)] {
+    @transient private var sess: ValueState[(Long, Long)] = _ // (n, lastTsMs)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long)](
+        "session",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val (n0, last0) = if (sess.exists()) sess.get() else (0L, 0L)
+      var n = n0; var last = last0
+      rows.foreach { e => n += 1; last = math.max(last, e.ts.getTime) }
+      if (last0 > 0L) getHandle.deleteTimer(last0 + gapMs) // re-arm
+      sess.update((n, last))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val out =
+        if (sess.exists()) Iterator.single((userId, sess.get()._1))
+        else Iterator.empty
+      sess.clear() // event-time eviction: nothing outlives its session
+      out
+    }
+  }
+
+  /** Timer-driven session counts (close a user's session once the
+    * watermark passes last-event + gap). */
+  def sessionCloseCounts(
+      events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[(Long, Long)] = {
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Incremental LLM-data pipeline — the §2i batch ops composed with
+    * §2h streaming primitives: watermarked document stream → exact
+    * dedup on the content digest within the watermark (the streaming
+    * twin of `llm_dedup_exact`: only the 16-byte md5 is state, bounded
+    * by the watermark) → quality gate (same integer token stats as
+    * `llm_quality_score`). Source-agnostic; at 100 TB this runs
+    * unchanged on a Kinesis/Kafka reader. */
+  def streamingDocPipeline(
+      docs: DataFrame, minTokens: Long = 3, maxStopRatio: Double = 0.5): DataFrame =
+    docs
+      .withWatermark("ts", "10 minutes")
+      .withColumn("content_md5", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_md5")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        expr("CAST(size(filter(toks, t -> t = 'the' OR t = 'a')) AS BIGINT)"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("n_stop").cast("double") / col("n_tokens") <= maxStopRatio)
+      .drop("toks")
+
+  /** Exactly-once file output WITHOUT sink transactions: each
+    * micro-batch lands at a deterministic `batch=<id>` path with
+    * mode=overwrite, so a batch replayed after a failure between the
+    * write and the checkpoint commit overwrites its own partial output
+    * instead of appending duplicates. `beforeCommit` is a test seam
+    * for injecting exactly that failure. The layout doubles as a
+    * partitioned table (`batch` becomes a discovered partition
+    * column), so downstream readers get idempotent, replay-safe
+    * output — the foreachBatch pattern a 100 TB deployment uses for
+    * non-transactional stores. */
+  def startIdempotentParquet(
+      df: DataFrame, outDir: String, checkpointDir: String,
+      beforeCommit: Long => Unit = _ => ()): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        beforeCommit(batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
 
   /** Stream-stream inner join with a time-interval condition: clicks
     * enriched with the purchase that follows within one hour, per

@@ -100,6 +100,43 @@ class LlmSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length == Tables.embeddings(spark, sfDir).count())
   }
 
+  test("llm_embed_neardup_banded: candidates << n², pairs exact, recall reported") {
+    import graft.llm.SimilarityApi
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    // candidate volume: the whole point of banding — measured, not assumed
+    val planes = emb.filter(col("vec_id").between(10, 25))
+      .select((col("vec_id") - 10).as("p_id"), col("embedding").as("p_emb"))
+    val sigs = SimilarityApi.signBandSignatures(emb, planes, "vec_id", "embedding", 4)
+    val nCand = SimilarityApi.bandedCandidates(sigs, "vec_id").count()
+    assert(nCand < allPairs / 2,
+      s"banding examined $nCand of $allPairs pairs — not sub-quadratic in effect")
+    // soundness: every emitted pair is exact-verified at sim >= 0.35
+    val banded = run("llm_embed_neardup_banded").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    banded.foreach { case ((a, b), sim) =>
+      assert(a < b && sim >= 0.35, s"bad pair ($a,$b,$sim)") }
+    // recall vs the brute-force baseline at the same threshold; this
+    // corpus is near-random unit vectors (max pair sim 0.48) — the
+    // adversarial floor for LSH. P[catch] at sim 0.35 ≈ 1-(1-0.142)^4
+    // ≈ 0.46; assert a conservative lower bound well above noise.
+    val brute = SimilarityApi.verifyPairs(
+      emb, emb.select(col("vec_id").as("a_id"))
+        .crossJoin(emb.select(col("vec_id").as("b_id")))
+        .filter(col("a_id") < col("b_id")),
+      "vec_id", "embedding", 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = banded.map(_._1).toSet
+    assert(got.subsetOf(brute), "banded emitted a pair brute force rejects")
+    if (brute.nonEmpty) {
+      val recall = (brute & got).size.toDouble / brute.size
+      info(f"banded recall at sim>=0.35 on random-vector corpus: $recall%.3f " +
+        f"(candidates: $nCand of $allPairs pairs = ${nCand * 100.0 / allPairs}%.1f%%)")
+      assert(recall >= 0.2, f"recall $recall%.3f below the S-curve floor")
+    }
+  }
+
   test("language filter + id compose with the documents schema") {
     val en = run("llm_lang_filter").count()
     val total = Tables.documents(spark, sfDir).count()

@@ -72,6 +72,66 @@ class ScaleDesignSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink the thresholds so local-scale skew triggers the rewrite
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~95% of the left side — the hot-user_id
+      // incident a 100 TB stream-stream join hits
+      val pad = "x" * 64
+      val left = spark.range(200000)
+        .select((when(col("id") % 20 =!= 0, lit(1L)).otherwise(col("id") % 97))
+          .as("k"), concat(lit(pad), col("id")).as("payload"))
+      val right = spark.range(200).select(col("id").as("k"),
+        concat(lit(pad), col("id")).as("rpayload"))
+      val joined = left.join(right, "k")
+      // collect() (not count()) so THIS DataFrame's adaptive plan is the
+      // one that executes and finalizes — count() builds its own.
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("win_ntile_pct: no unpartitioned window over the raw scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("win_ntile_pct")(spark, sfDir)
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window nodes in the plan")
+    wins.foreach { w =>
+      if (w.partitionSpec.isEmpty) {
+        // the only global (single-task) window allowed is the one over
+        // the 64-row per-bucket count aggregate — never the fact scan
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"unpartitioned window runs over the raw scan:\n$w")
+      }
+    }
+    // and the distributed two-phase rank is exactly the naive global window
+    import org.apache.spark.sql.expressions.Window
+    val naive = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expect = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(naive).cast("long").as("quartile"),
+        round(percent_rank().over(naive), 6).as("pct_rank"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(df.collect().toSeq == expect)
+  }
+
   test("dimension joins broadcast; fact-fact joins do not broadcast the fact") {
     val plan = SparkEntry.queries("join_inner_hash")(spark, sfDir)
       .queryExecution.executedPlan.toString

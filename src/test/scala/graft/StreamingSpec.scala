@@ -8,6 +8,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** A document on a stream — fixture type for the incremental LLM
+  * pipeline tests (top-level so Spark can derive its encoder). */
+case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Incremental Structured Streaming semantics that have no batch
   * oracle: watermark-driven emission, late-data drops, streaming
   * dedup, arbitrary stateful processing (SURVEY.md §2h, §5.5). */
@@ -128,6 +132,147 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState: event-time timers close sessions and clear state") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[Event]
+      val q = StreamOps.sessionCloseCounts(input.toDS()).toDF("user_id", "n")
+        .writeStream.format("memory").queryName("timer_test")
+        .outputMode("append").start()
+      try {
+        input.addData(ev("2024-01-01 10:00:00", user = 5),
+          ev("2024-01-01 10:10:00", user = 5))
+        q.processAllAvailable()
+        // nothing closed yet: watermark has not passed 10:10 + 30min
+        assert(spark.table("timer_test").count() == 0)
+        // advance the watermark past the session close time → timer fires
+        input.addData(ev("2024-01-01 12:00:00", user = 99))
+        q.processAllAvailable()
+        val closed = spark.table("timer_test").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(closed == Set((5L, 2L)), s"expected session (5,2), got $closed")
+        // state was CLEARED on expiry: a new user-5 event starts at 1
+        input.addData(ev("2024-01-01 13:00:00", user = 5))
+        input.addData(ev("2024-01-01 15:00:00", user = 98))
+        q.processAllAvailable()
+        val after = spark.table("timer_test").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(after.contains((5L, 1L)),
+          s"session state not evicted on timer expiry: $after")
+        assert(!after.contains((5L, 3L)), s"stale state leaked: $after")
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState: state TTL evicts idle keys") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[Event]
+      val q = StreamOps
+        .runningTotalsWithTtl(input.toDS(), java.time.Duration.ofSeconds(1))
+        .toDF("user_id", "n", "cents")
+        .writeStream.format("memory").queryName("ttl_test")
+        .outputMode("update").start()
+      // ProcessingTime mode schedules continuous no-data batches to
+      // evaluate TTL, so processAllAvailable never quiesces — poll the
+      // sink with a deadline instead.
+      def waitForRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (spark.table("ttl_test").filter(col("user_id") === 11).count() < n) {
+          if (System.nanoTime() > deadline)
+            fail(s"timed out waiting for $n output rows")
+          Thread.sleep(200)
+        }
+      }
+      try {
+        input.addData(ev("2024-01-01 10:00:00", user = 11, value = 1.0))
+        waitForRows(1)
+        Thread.sleep(2500) // let the 1s TTL lapse in processing time
+        input.addData(ev("2024-01-01 10:05:00", user = 11, value = 1.0))
+        waitForRows(2)
+        val ns = spark.table("ttl_test").filter(col("user_id") === 11)
+          .select("n").collect().map(_.getLong(0)).toSeq
+        assert(ns.sorted == Seq(1L, 1L),
+          s"expected totals to restart after TTL eviction, got $ns")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming LLM pipeline: dedup within watermark + quality gate") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = StreamOps.streamingDocPipeline(input.toDF())
+      .writeStream.format("memory").queryName("docpipe_test")
+      .outputMode("append").start()
+    try {
+      val good = "the cat sat on my mat"
+      input.addData(
+        StreamDoc(1, Timestamp.valueOf("2024-01-01 10:00:00"), good),
+        StreamDoc(2, Timestamp.valueOf("2024-01-01 10:01:00"), good), // exact dup
+        StreamDoc(3, Timestamp.valueOf("2024-01-01 10:02:00"), "hi"), // too short
+        StreamDoc(4, Timestamp.valueOf("2024-01-01 10:03:00"), "the the a a")) // stopword spam
+      q.processAllAvailable()
+      val ids = spark.table("docpipe_test").select("doc_id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L),
+        s"expected only doc 1 to survive dedup+quality, got $ids")
+      // a genuinely new good doc in a later batch still flows through
+      input.addData(StreamDoc(5, Timestamp.valueOf("2024-01-01 10:04:00"),
+        "a fresh document with plenty of unique content here"))
+      q.processAllAvailable()
+      val ids2 = spark.table("docpipe_test").select("doc_id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(ids2 == Seq(1L, 5L), s"expected docs 1 and 5, got $ids2")
+    } finally q.stop()
+  }
+
+  test("idempotent foreachBatch sink: replayed batch leaves no duplicates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_idem_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idem_ckpt").toString
+    val input = MemoryStream[Event]
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // run 1: fail AFTER the batch-0 files are written but BEFORE the
+    // checkpoint commit — the classic partial-failure window
+    val q1 = StreamOps.startIdempotentParquet(input.toDF(), out, ckpt,
+      beforeCommit = _ =>
+        if (!crashed.getAndSet(true))
+          throw new RuntimeException("injected crash between write and commit"))
+    input.addData(ev("2024-01-01 10:00:00", user = 1),
+      ev("2024-01-01 10:01:00", user = 2))
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    // run 2: restart from the checkpoint — batch 0 is REPLAYED into the
+    // same deterministic path; then a new batch arrives
+    val q2 = StreamOps.startIdempotentParquet(input.toDF(), out, ckpt)
+    try {
+      q2.processAllAvailable()
+      input.addData(ev("2024-01-01 10:02:00", user = 3))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      val ids = rows.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == ids.distinct, s"replay duplicated rows: $ids")
+      assert(rows.count() == 3,
+        s"expected 3 rows across replayed+new batches, got ${rows.count()}")
+    } finally q2.stop()
   }
 
   test("file streaming source: new files are picked up incrementally") {

@@ -77,6 +77,50 @@ object DedupApi {
       .select(idCol + "_a", idCol + "_b", "j")
   }
 
+  /** Connected components over a duplicate-pair edge list — the
+    * cluster-formation step after any near-dup detector (a doc may
+    * pair with several others; training-data dedup keeps one doc PER
+    * CLUSTER, not per pair). Iterative min-label propagation: every
+    * round each node adopts the minimum label among itself and its
+    * neighbors; fixpoint in O(component diameter) rounds. This is the
+    * Pregel/GraphX CC algorithm as joins+aggregates: each round is one
+    * shuffle of (node, label) longs; edges are partitioned once and
+    * reused. Per-round driver traffic is a single changed-count scalar
+    * (the fixpoint test — same justification as kmeans' codebook
+    * readout); results are persisted per round so lineage stays flat.
+    * Duplicate clusters are near-cliques (diameter ~1-2), so maxIter
+    * is a pathological-chain bound, not the expected cost. Returns
+    * (node, cluster) where cluster = min doc id in the component. */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("__dl")), "dst")
+        .groupBy("src").agg(min("__dl").as("__nl"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("node"), col("__nl")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"),
+          col("label").as("__old"))
+        .persist()
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.select("node", "label")
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
   /** 64-bit weighted SimHash signatures of a text column. */
   def simhashSignatures(df: DataFrame, textCol: String,
       out: String = "sim"): DataFrame =

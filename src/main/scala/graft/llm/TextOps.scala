@@ -77,51 +77,92 @@ object TextOps {
              FROM aug GROUP BY md5(lower(trim(text)))
              ORDER BY keep_doc_id"""))
 
+  /** n-gram Jaccard pairs at J ≥ 0.6 within a (lang, source) block —
+    * shared by `llm_dedup_ngram` (the pair report) and
+    * `llm_dup_clusters` (the edge list). Shingles are compared as
+    * sorted xxhash64 arrays: the pairwise stage ships 8-byte hashes
+    * instead of strings and counts the intersection with a codegen'd
+    * two-pointer merge (64-bit collisions are ~1e-9 at this
+    * cardinality — the oracle stays string-exact). */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = withNearDups(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shs",
+        sort_array(array_distinct(ngramHashes(col("toks"), 3))))
+      .select("doc_id", "lang", "source", "shs")
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("shs").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      col("shs").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter",
+        sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("j",
+        round(col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("j") >= 0.6)
+      .select("doc_a", "doc_b", "j")
+  }
+
+  /** The matching oracle CTE chain ending in `pairs(doc_a, doc_b, j)`. */
+  private val ngramPairsSql =
+    s"""$augNearSql,
+       |tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+       |        FROM aug),
+       |sh AS (SELECT doc_id, lang, source,
+       |         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+       |       FROM tok WHERE len(toks) >= 3),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, j FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |            / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS j
+       |    FROM sh a JOIN sh b
+       |      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |  WHERE j >= 0.6)""".stripMargin
+
   /** n-gram Jaccard near-dup, exact within a (lang, source) block:
     * the oracle-checkable baseline the banded variants approximate. */
   private val dedupNgram = QueryDef(
     "llm_dedup_ngram",
+    (s, d) => ngramPairs(s, d).orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $ngramPairsSql
+             SELECT doc_a, doc_b, j FROM pairs ORDER BY doc_a, doc_b"""))
+
+  /** Duplicate-CLUSTER formation: connected components over the
+    * near-dup pair graph (keep one doc per cluster, not per pair —
+    * pairs (a,b),(b,c) must collapse to ONE keeper). Spark side is
+    * [[DedupApi.dupClusters]]'s distributed min-label propagation;
+    * the oracle is DuckDB's recursive CTE computing min reachable id —
+    * independent algorithms, identical fixpoint. */
+  private val dupClustersQ = QueryDef(
+    "llm_dup_clusters",
     (s, d) => {
-      // Shingles are compared as sorted xxhash64 arrays: the pairwise
-      // stage then ships 8-byte hashes instead of strings and counts
-      // the intersection with a codegen'd two-pointer merge (64-bit
-      // collisions are ~1e-9 at this cardinality — the oracle stays
-      // string-exact).
-      val sh = withNearDups(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("shs",
-          sort_array(array_distinct(ngramHashes(col("toks"), 3))))
-        .select("doc_id", "lang", "source", "shs")
-      val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-        col("shs").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
-        col("shs").as("sh_b"))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("inter",
-          sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double"))
-        .withColumn("j",
-          round(col("inter") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
-        .filter(col("j") >= 0.6)
-        .select("doc_a", "doc_b", "j")
-        .orderBy("doc_a", "doc_b")
+      val labels = DedupApi.dupClusters(
+        ngramPairs(s, d).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      val w = Window.partitionBy("cluster")
+      labels.select(col("node").as("doc_id"), col("cluster"))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .orderBy("doc_id")
     },
-    Some(s"""WITH $augNearSql,
-             tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
-                     FROM aug),
-             sh AS (SELECT doc_id, lang, source,
-                      list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
-                    FROM tok WHERE len(toks) >= 3)
-             SELECT doc_a, doc_b, j FROM (
-               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                       / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS j
-               FROM sh a JOIN sh b
-                 ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-             WHERE j >= 0.6 ORDER BY doc_a, doc_b"""))
+    Some(s"""WITH RECURSIVE $ngramPairsSql,
+             edges AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION
+               SELECT doc_b, doc_a FROM pairs),
+             cc(node, label) AS (
+               SELECT src, src FROM edges
+               UNION
+               SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node),
+             labels AS (
+               SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+               FROM cc GROUP BY node)
+             SELECT doc_id, cluster,
+               CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+             FROM labels ORDER BY doc_id"""))
 
   /** MinHash + LSH banded near-dup — THE 100 TB dedup path: 64 minhash
     * slots, 8 bands × 8 rows, band-hash equi-join for candidates,
@@ -435,7 +476,7 @@ object TextOps {
              ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupNgram, dedupMinhash, dedupSimhash, fingerprint,
-    tokenCount, textStats, qualityScore, langId, langFilter,
+    dedupExact, dedupNgram, dupClustersQ, dedupMinhash, dedupSimhash,
+    fingerprint, tokenCount, textStats, qualityScore, langId, langFilter,
     contamination, repetitionFilter)
 }

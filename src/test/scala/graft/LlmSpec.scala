@@ -68,6 +68,31 @@ class LlmSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.9, s"simhash recall $recall below 0.9")
   }
 
+  test("dupClusters: chains collapse transitively to the min-id component") {
+    import spark.implicits._
+    import graft.llm.DedupApi
+    // a 4-node chain, a 2-node pair, and a triangle sharing a node with
+    // the chain — transitive closure must merge chain + triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain
+      (4L, 40L), (40L, 41L), (41L, 4L), // triangle fused onto the chain
+      (10L, 11L)) // separate pair
+      .toDF("a", "b")
+    val got = DedupApi.dupClusters(pairs, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      40L -> 1L, 41L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"wrong components: $got")
+    // and the declared query agrees with its own pair set: every pair's
+    // two docs land in the same cluster
+    val clusters = run("llm_dup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run("llm_dedup_ngram").collect().foreach { r =>
+      assert(clusters(r.getLong(0)) == clusters(r.getLong(1)),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) split across clusters")
+    }
+  }
+
   test("llm_fingerprint: winnowing signature is bounded and non-trivial") {
     val rows = run("llm_fingerprint").collect()
     rows.foreach { r =>

@@ -411,6 +411,48 @@ object EventOps {
             GROUP BY c.cohort_week, week_offset
             ORDER BY cohort_week, week_offset"""))
 
+  /** Time-series gap fill: per-type daily counts with missing days
+    * zero-filled over the global span — the resample/densify step
+    * every monitoring dashboard and training-curve pipeline needs
+    * (a day with no events must report 0, not vanish). Shape: the
+    * 2-long span row broadcasts, the (type × day) grid is generated
+    * distributively via sequence+explode, the left join back to the
+    * counts shuffles only (type, day, n) triples. Days travel as
+    * epoch-day BIGINTs per the determinism rules. */
+  private val tsGapfill = QueryDef(
+    "ts_gapfill",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 86400L).as("dn"))
+      val span = e.agg(min("dn").as("d0"), max("dn").as("d1"))
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("dn"))
+      val counts = e.groupBy("event_type", "dn").agg(count(lit(1)).as("n"))
+      grid.join(counts, Seq("event_type", "dn"), "left")
+        .select(col("event_type"), col("dn").as("day_num"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "day_num")
+    },
+    Some("""WITH e AS (
+              SELECT event_type,
+                CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS dn
+              FROM events),
+            span AS (SELECT min(dn) AS d0, max(dn) AS d1 FROM e),
+            grid AS (
+              SELECT t.event_type, g.dn
+              FROM (SELECT DISTINCT event_type FROM e) t
+              CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT d0 FROM span), (SELECT d1 FROM span))) AS dn) g),
+            counts AS (
+              SELECT event_type, dn, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY event_type, dn)
+            SELECT g.event_type, g.dn AS day_num, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON g.event_type = c.event_type AND g.dn = c.dn
+            ORDER BY g.event_type, day_num"""))
+
   /** Stream-stream interval join, batch-equivalent: each click joined
     * to the same user's purchases within the following 30 minutes. The
     * plan is an equi-join on user_id with the time band as a residual
@@ -448,5 +490,5 @@ object EventOps {
     streamTumbling, streamSliding, streamSession, streamWatermark,
     streamDedup, streamStateful, streamLate, aggSalted, sinkPartitioned,
     kinesisEncode, kinesisDecode, aggPivot, aggPercentile, funnelConversion,
-    cohortRetention, streamStreamJoin)
+    cohortRetention, tsGapfill, streamStreamJoin)
 }

@@ -228,6 +228,27 @@ object Extensions {
                 AS cov_qty_disc
             FROM m ORDER BY l_returnflag"""))
 
+  /** Fixed-width histogram: order totals binned at $25,000 — the
+    * distribution-profiling aggregate (data-quality dashboards, skew
+    * diagnosis before choosing partition keys). Pure integer bin
+    * arithmetic on exact cents, one two-phase HashAggregate: per-bin
+    * (count, lo, hi) partials cross the shuffle, never rows — the
+    * histogram of a 100 TB column costs one scan. */
+  private val aggHistogram = QueryDef(
+    "agg_histogram",
+    (s, d) =>
+      ordersCents(s, d)
+        .groupBy(expr("pc div 2500000").as("bin"))
+        .agg(count(lit(1)).as("n"), min("pc").as("lo_cents"),
+          max("pc").as("hi_cents"))
+        .orderBy("bin"),
+    Some("""SELECT pc // 2500000 AS bin, CAST(count(*) AS BIGINT) AS n,
+              CAST(min(pc) AS BIGINT) AS lo_cents,
+              CAST(max(pc) AS BIGINT) AS hi_cents
+            FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                  FROM orders)
+            GROUP BY bin ORDER BY bin"""))
+
   /** UNPIVOT (wide → long): per-flag metric columns melted into
     * (metric, value) rows via the Dataset.unpivot API — the inverse of
     * `agg_pivot`. Narrow op: no extra shuffle beyond the aggregate. */
@@ -262,5 +283,6 @@ object Extensions {
             ORDER BY l_returnflag, metric"""))
 
   val defs: Seq[QueryDef] = Seq(
-    mergeUpsert, joinBucketed, csvRoundtrip, aggStats, unpivotStack)
+    mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
+    unpivotStack)
 }

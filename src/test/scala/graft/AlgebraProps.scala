@@ -101,4 +101,19 @@ object AlgebraProps extends Properties("graft.algebra") {
     val d = xs.distinct
     d.map(HashUtil.mix).distinct.size == d.size
   }
+
+  // 8. win_ntile_pct's closed-form quartile (Analytic.scala) equals the
+  // SQL-standard ntile(4) assignment for every (n, rank) — the exact
+  // arithmetic the distributed two-phase rank relies on
+  property("ntileClosedForm") = forAll(Gen.chooseNum(1, 500)) { n =>
+    val b = n / 4; val r = n % 4
+    def formula(rn: Long): Long =
+      if (n < 4) rn
+      else if (rn <= r.toLong * (b + 1)) (rn + b) / (b + 1)
+      else r + (rn - r.toLong * (b + 1) + b - 1) / b
+    // reference ntile: first n%4 tiles take ceil(n/4) rows, rest floor
+    val expected = (1 to 4).flatMap(i =>
+      Seq.fill(if (i <= r) b + 1 else b)(i.toLong))
+    (1 to n).forall(rn => formula(rn) == expected(rn - 1))
+  }.useSeed(org.scalacheck.rng.Seed(47L))
 }

@@ -107,12 +107,19 @@ object DedupApi {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("__dl")), "dst")
         .groupBy("src").agg(min("__dl").as("__nl"))
+      // Lazy localCheckpoint: the changed-count below materializes the
+      // round exactly once AND truncates lineage, so the final plan is
+      // one round deep, not O(iterations) of stacked joins (which
+      // would replay quadratically on any recompute). Lazy (not eager)
+      // avoids a second materialization job per round. On a real
+      // cluster use `setCheckpointDir` + `checkpoint()` for
+      // executor-loss-tolerant truncation; same algorithm.
       val next = labels
         .join(nbrMin.select(col("src").as("node"), col("__nl")), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"),
           col("label").as("__old"))
-        .persist()
+        .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.select("node", "label")
       iter += 1

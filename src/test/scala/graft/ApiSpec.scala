@@ -53,6 +53,49 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.length == 1 && pairs(0).getLong(0) == 1L)
   }
 
+  test("SimilarityApi banded near-dup pipeline on user vectors") {
+    import spark.implicits._
+    // two near-identical vectors (sim ≈ 1), one orthogonal-ish — on
+    // 8 planes split 2 bands × 4 bits the near pair must collide in
+    // every band; verify keeps exactly it
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val dim = 8
+    val a = unit(Array.fill(dim)(1.0f))
+    val b = unit(Array.tabulate(dim)(i => if (i == 0) 1.05f else 1.0f))
+    val c = unit(Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    val emb = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "emb")
+    val planes = Seq.tabulate(8) { p =>
+      (p.toLong, unit(Array.tabulate(dim)(i =>
+        if ((i + p) % 3 == 0) 1.0f else if ((i * p) % 2 == 0) -0.5f else 0.25f)))
+    }.toDF("p_id", "p_emb")
+    val sigs = SimilarityApi.signBandSignatures(emb, planes, "id", "emb", bandBits = 4)
+    assert(sigs.count() == 6) // 3 vectors × 2 bands
+    val cand = SimilarityApi.bandedCandidates(sigs, "id")
+    val pairs = SimilarityApi.verifyPairs(emb, cand, "id", "emb", tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)), s"got ${pairs.toSeq}")
+  }
+
+  test("DedupApi.dupClusters composes with minhash pairs on user data") {
+    import spark.implicits._
+    // three mutually-near docs (chain via pairwise overlap) + one far
+    val d1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d2 = (1 to 39).map(i => s"tok$i").mkString(" ")
+    val d3 = (2 to 40).map(i => s"tok$i").mkString(" ")
+    val far = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, d1), (2L, d2), (3L, d3), (9L, far)).toDF("id", "body")
+    val sh = DedupApi.withHashedShingles(DedupApi.withShingles(df, "body"), "sh")
+    val pairs = DedupApi.verifyPairs(
+      DedupApi.minhashCandidates(sh, "id", "shs"), sh, "id", "shs", 0.5)
+    val clusters = DedupApi.dupClusters(pairs, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"near trio must form one cluster: $clusters")
+  }
+
   test("SimilarityApi.topK equals the declared llm_cosine_topk query") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))

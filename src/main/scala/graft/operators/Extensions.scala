@@ -228,6 +228,56 @@ object Extensions {
                 AS cov_qty_disc
             FROM m ORDER BY l_returnflag"""))
 
+  /** Fuzzy string matching: customers matched against a typo'd probe
+    * list by Levenshtein distance ≤ 2 — entity-resolution / dirty-key
+    * joining. The probe set broadcasts (tiny by construction, like any
+    * match dictionary); the scan side is touched once. Both engines
+    * implement classic Levenshtein → exact integer distances. */
+  private val fnFuzzy = QueryDef(
+    "fn_fuzzy",
+    (s, d) => {
+      import s.implicits._
+      val probes = Seq(
+        "Customer#000000010", "Custoner#000000013", "Customer#00000002X")
+        .toDF("probe")
+      Tables.customer(s, d)
+        .crossJoin(broadcast(probes))
+        .withColumn("dist", levenshtein(col("c_name"), col("probe")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select("c_custkey", "c_name", "probe", "dist")
+        .orderBy("c_custkey", "probe")
+    },
+    Some("""SELECT c_custkey, c_name, probe,
+              CAST(levenshtein(c_name, probe) AS BIGINT) AS dist
+            FROM customer
+            CROSS JOIN (VALUES ('Customer#000000010'), ('Custoner#000000013'),
+                               ('Customer#00000002X')) p(probe)
+            WHERE levenshtein(c_name, probe) <= 2
+            ORDER BY c_custkey, probe"""))
+
+  /** Deterministic array aggregation: per-customer sorted order-key
+    * list — rendered as a joined string because the grading comparator
+    * cannot hash array cells (see fn_array). sort_array makes the
+    * collect order-independent, so the result is stable under any
+    * shuffle/merge order — the rule for ALL collect-style aggregates
+    * at scale. */
+  private val aggArrayCollect = QueryDef(
+    "agg_array_collect",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 50)
+        .groupBy("o_custkey")
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+            .as("orderkeys_csv"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey"),
+    Some("""SELECT o_custkey,
+              array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys_csv,
+              CAST(count(*) AS BIGINT) AS n
+            FROM orders WHERE o_custkey <= 50
+            GROUP BY o_custkey ORDER BY o_custkey"""))
+
   /** Fixed-width histogram: order totals binned at $25,000 — the
     * distribution-profiling aggregate (data-quality dashboards, skew
     * diagnosis before choosing partition keys). Pure integer bin
@@ -284,5 +334,5 @@ object Extensions {
 
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
-    unpivotStack)
+    fnFuzzy, aggArrayCollect, unpivotStack)
 }

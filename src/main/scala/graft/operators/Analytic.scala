@@ -256,6 +256,39 @@ object Analytic {
                   FROM orders)
             ORDER BY o_orderkey"""))
 
+  /** IGNORE NULLS window semantics — forward fill (last non-null value
+    * so far) and first-non-null per key: the gap-bridging primitive
+    * for sensor/price series. Nulls are manufactured (every
+    * third-cent value) since the fixture ships none; the running
+    * frame makes both outputs deterministic without tiebreak games. */
+  private val winIgnoreNulls = QueryDef(
+    "win_ignore_nulls",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("vc0", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("vc",
+          expr("CASE WHEN vc0 % 3 = 0 THEN NULL ELSE vc0 END"))
+        .select(
+          col("event_id"), col("user_id"), col("vc"),
+          last(col("vc"), ignoreNulls = true).over(w).as("ffill_cents"),
+          first(col("vc"), ignoreNulls = true).over(w).as("first_seen_cents"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, vc,
+              last_value(vc IGNORE NULLS) OVER w AS ffill_cents,
+              first_value(vc IGNORE NULLS) OVER w AS first_seen_cents
+            FROM (SELECT event_id, user_id, ts,
+                    CASE WHEN CAST(round(value * 100) AS BIGINT) % 3 = 0
+                         THEN NULL
+                         ELSE CAST(round(value * 100) AS BIGINT) END AS vc
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
   /** first_value / last_value / nth_value over the full partition
     * frame (unbounded both ways): each order annotated with its
     * customer's first, latest and second order key in key order. */
@@ -282,5 +315,5 @@ object Analytic {
 
   val defs: Seq[QueryDef] = Seq(
     winRank, winLagLead, winRunning, winMovingAvg, winNtilePct,
-    topkPerGroup, joinAsof, winRangeFrame, winFirstLast)
+    topkPerGroup, joinAsof, winRangeFrame, winIgnoreNulls, winFirstLast)
 }

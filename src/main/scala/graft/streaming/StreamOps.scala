@@ -201,6 +201,61 @@ object StreamOps {
         col("n_stop").cast("double") / col("n_tokens") <= maxStopRatio)
       .drop("toks")
 
+  /** Incremental NEAR-dup detection — the banded MinHash path run as a
+    * stream: signature + band explode are stateless per-doc transforms
+    * (same codegen expressions as the batch `llm_dedup_minhash`);
+    * candidates come from a WATERMARKED STREAM-STREAM SELF-JOIN on
+    * (band, band-hash) with a time constraint, so the join buffers
+    * only one watermark-horizon of band keys — bounded state at any
+    * throughput, the same banding economics as batch (collisions, not
+    * all pairs). Exact-Jaccard verify on collided pairs, then
+    * within-watermark pair dedup (a pair colliding in k bands emits
+    * once). A doc can only pair with docs inside the watermark
+    * horizon — that is the semantic price of streaming dedup, and
+    * exactly how production incremental dedup is specified. */
+  def streamingNearDupPairs(
+      docs: DataFrame, numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.5, horizon: String = "10 minutes"): DataFrame = {
+    val rows = numHashes / bands
+    // each join side is derived INDEPENDENTLY from the source (not a
+    // shared sub-plan): Spark's streaming self-join planner cannot
+    // handle two watermarks hanging off one deduplicated lineage
+    def bandedSide(suffix: String): DataFrame = {
+      val sh = graft.llm.DedupApi.withHashedShingles(
+        graft.llm.DedupApi.withShingles(docs, "text"), "sh")
+      sh.withColumn("__sig",
+          graft.functions.TextHashFunctions.minhashSig(col("shs"), numHashes))
+        .select(col("doc_id"), col("ts"), col("shs"),
+          posexplode(expr(
+            s"transform(sequence(0, ${bands - 1}), " +
+              s"b -> xxhash64(slice(__sig, b * $rows + 1, $rows)))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+        .withWatermark("ts", horizon)
+        .select(col("doc_id").as("doc_" + suffix), col("ts").as("ts_" + suffix),
+          col("shs").as("sh_" + suffix), col("band").as("band_" + suffix),
+          col("bh").as("bh_" + suffix))
+    }
+    val a = bandedSide("a")
+    val b = bandedSide("b")
+    // NOTE the join condition carries `!=`, not `<`: Spark's streaming
+    // state-watermark helper tries to derive bounds from every </> in
+    // a stream-stream join condition and internal-errors on non-time
+    // attributes; pair order is canonicalized AFTER the join with
+    // least/greatest and collapsed by the within-watermark dedup.
+    a.join(b,
+        expr(s"""band_a = band_b AND bh_a = bh_b AND doc_a != doc_b AND
+                 ts_b >= ts_a - INTERVAL $horizon AND
+                 ts_b <= ts_a + INTERVAL $horizon"""))
+      .withColumn("j", round(
+        graft.llm.DedupApi.jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("j") >= threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"),
+        col("j"), col("ts_a"))
+      .dropDuplicatesWithinWatermark("lo", "hi")
+      .select(col("lo").as("doc_a"), col("hi").as("doc_b"), col("j"))
+  }
+
   /** Exactly-once file output WITHOUT sink transactions: each
     * micro-batch lands at a deterministic `batch=<id>` path with
     * mode=overwrite, so a batch replayed after a failure between the

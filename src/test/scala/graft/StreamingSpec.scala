@@ -243,6 +243,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming banded near-dup: in-window near pair found, far docs not") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = StreamOps.streamingNearDupPairs(input.toDF())
+      .writeStream.format("memory").queryName("neardup_stream_test")
+      .outputMode("append").start()
+    try {
+      val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+      val near = (1 to 39).map(i => s"tok$i").mkString(" ")
+      val far = (100 to 140).map(i => s"tok$i").mkString(" ")
+      input.addData(
+        StreamDoc(1, Timestamp.valueOf("2024-01-01 10:00:00"), base),
+        StreamDoc(2, Timestamp.valueOf("2024-01-01 10:01:00"), near),
+        StreamDoc(3, Timestamp.valueOf("2024-01-01 10:02:00"), far))
+      q.processAllAvailable()
+      // advance the watermark so joined+deduped results flush
+      input.addData(StreamDoc(9, Timestamp.valueOf("2024-01-01 12:00:00"),
+        (200 to 240).map(i => s"z$i").mkString(" ")))
+      q.processAllAvailable()
+      input.addData(StreamDoc(10, Timestamp.valueOf("2024-01-01 14:00:00"),
+        (300 to 340).map(i => s"y$i").mkString(" ")))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_stream_test")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)),
+        s"expected exactly the in-window near pair (1,2), got $pairs")
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: replayed batch leaves no duplicates") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

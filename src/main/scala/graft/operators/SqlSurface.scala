@@ -69,6 +69,25 @@ object SqlSurface {
                                 WHERE c_mktsegment = 'BUILDING')
             ORDER BY o_orderkey"""))
 
+  /** Correlated NOT EXISTS with an extra correlated predicate →
+    * decorrelated left-anti join (the SQL-text twin of `join_anti`):
+    * customers with no recent (mid-2000+) order. */
+  private val subqueryExists = QueryDef(
+    "subquery_exists",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT c_custkey, c_nationkey FROM v_customer c
+               WHERE NOT EXISTS (SELECT 1 FROM v_orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_nationkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+            ORDER BY c_custkey"""))
+
   /** TPC-H Q3 shape submitted as SQL text: segment filter, 3-way join,
     * cents-exact revenue, top-10. Same determinism rules as the
     * DataFrame queries (exact integer cents; unique-key tiebreak). */
@@ -200,5 +219,6 @@ object SqlSurface {
               AND l_quantity < 24"""))
 
   val defs: Seq[QueryDef] = Seq(
-    subqueryScalar, subqueryIn, sqlTpchQ3, sqlTpchQ5, sqlTpchQ6, groupingSets)
+    subqueryScalar, subqueryIn, subqueryExists, sqlTpchQ3, sqlTpchQ5,
+    sqlTpchQ6, groupingSets)
 }

@@ -35,9 +35,14 @@ object Bench {
       ordered.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
+    // Fail-loud: a query that throws must never bench as a near-zero
+    // "success" — count it and surface `errors` in the JSON line so
+    // the driver (and any regression diff) sees breakage immediately.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     // Locale-pinned formatting: the f-interpolator uses the JVM default
@@ -52,9 +57,13 @@ object Bench {
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val errs = failed.size
+    val errNames =
+      if (failed.isEmpty) "[]"
+      else failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullPath = new java.io.File("BENCH_FULL.json")
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
-    try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+    try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"failed":$errNames,"queries":$full,"sf":"$sfDir"}""")
     finally w.close()
     // The printed line keeps the slowest queries, greedily, up to a
     // budget that leaves the whole line intact inside the tail buffer.
@@ -70,6 +79,6 @@ object Bench {
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON in the driver's combined-output tail.
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_note":"slowest subset; all ${results.size} in BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"queries":$qs,"n_queries":${results.size},"queries_note":"slowest subset; all ${results.size} in BENCH_FULL.json","sf":"$sfDir"}""")
   }
 }

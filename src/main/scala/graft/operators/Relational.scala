@@ -426,6 +426,46 @@ object Relational {
               TRUE AS approx_within_5pct
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Mergeable HLL sketches (Spark 4 Datasketches surface) — the
+    * incremental-uniques pattern a 100 TB pipeline actually needs:
+    * build one `hll_sketch_agg` sketch PER SHARD (in production these
+    * are persisted per day/partition), then `hll_union_agg` merges the
+    * binary sketches and estimates the global distinct count without
+    * ever re-touching the raw data. Register-wise max makes the merge
+    * exact: union of shard sketches ≡ the sketch of the union (asserted
+    * in RelationalSpec). Sharding here is on the key itself
+    * (user_id % 4), so per-shard exact distincts are disjoint and
+    * their sum is the exact global count — giving the oracle an exact
+    * anchor in the same single pipeline. Sketch bytes are
+    * engine-specific ⇒ graded by the agg_approx_distinct pattern:
+    * estimate within 5% of exact, DuckDB asserts constant TRUE. */
+  private val aggHllMergeable = QueryDef(
+    "agg_hll_mergeable",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("shard", col("user_id") % 4)
+        .groupBy("event_type", "shard")
+        .agg(
+          expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          countDistinct(col("user_id")).as("ex"))
+        .groupBy("event_type")
+        .agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
+          sum("ex").as("exact_users"),
+          count(lit(1)).as("n_shards"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          col("n_shards"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("merged_within_5pct"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              CAST(count(DISTINCT user_id % 4) AS BIGINT) AS n_shards,
+              TRUE AS merged_within_5pct
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   private val aggRollup = QueryDef(
     "agg_rollup",
     (s, d) =>
@@ -536,6 +576,7 @@ object Relational {
     joinInnerHash, joinBroadcast, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinRangeTheta, joinCross,
     aggGlobal, aggGroupBy, aggHaving, aggCountDistinct, aggApproxDistinct,
+    aggHllMergeable,
     aggRollup, aggCubeSets,
     sortMulti, topkGlobal,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)

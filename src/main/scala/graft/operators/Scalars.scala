@@ -87,9 +87,14 @@ object Scalars {
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("n_dim"),
-          element_at(col("embedding"), 1).cast("double").as("first_val"),
-          element_at(col("head3"), 2).as("h2"),
-          element_at(col("head3"), 3).as("h3"),
+          // try_element_at, not element_at: ANSI mode turns an
+          // out-of-bounds index into INVALID_ARRAY_INDEX and kills the
+          // query; DuckDB's list[i] yields NULL for the same row.
+          // Embeddings are fixed 64-wide today, but a ragged row must
+          // degrade to NULL on both engines, not crash one.
+          expr("CAST(try_element_at(embedding, 1) AS DOUBLE)").as("first_val"),
+          expr("try_element_at(head3, 2)").as("h2"),
+          expr("try_element_at(head3, 3)").as("h3"),
           expr("CAST(array_position(embedding, array_max(embedding)) AS BIGINT)")
             .as("argmax"))
         .orderBy("vec_id"),

@@ -215,4 +215,32 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val metrics = long.map(_.getString(1)).distinct.sorted
     assert(metrics.toSeq == Seq("disc_cents", "price_cents", "qty_sum"))
   }
+
+  test("HLL sketch union of disjoint shards equals the whole-corpus sketch") {
+    // The property that makes sketches the incremental-uniques plan:
+    // register-wise max merge means estimating union(shard sketches)
+    // is EXACTLY estimating the whole-corpus sketch — not just close.
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    val whole = ev
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("e"))
+      .collect()(0).getLong(0)
+    val merged = ev
+      .withColumn("shard", col("user_id") % 2)
+      .groupBy("shard").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("e"))
+      .collect()(0).getLong(0)
+    assert(merged == whole,
+      s"merged-shard estimate $merged must equal whole-corpus estimate $whole")
+    // and the estimate is a real estimate of the exact count (rsd at
+    // lgConfigK=12 is ~1.6%; 5% is a safe deterministic bound here)
+    val exact = ev.distinct().count()
+    assert(math.abs(merged - exact) <= exact * 0.05)
+  }
+
+  test("agg_percentile_approx stays within tolerance of the exact variant") {
+    val rows = run("agg_percentile_approx").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(4)),
+      "every group's approx percentile must sit inside the exact φ±0.03 rank bracket")
+  }
 }

@@ -128,6 +128,125 @@ object DedupApi {
     labels.select(col("node"), col("label").as("cluster"))
   }
 
+  // ---- cross-batch incremental dedup (fingerprint ledger) ----------------
+  //
+  // A real training pipeline dedups NEW data against a persisted ledger
+  // of prior fingerprints, not within one corpus snapshot. The ledger is
+  // three bucketed tables (pay the shuffle once at snapshot time; every
+  // later ingest joins exchange-free on the ledger side):
+  //   <tag>_dig (h, id)    bucketed by h   — exact md5 digests
+  //   <tag>_fp  (fp, id)   bucketed by fp  — winnowing fingerprint index
+  //   <tag>_set (id, shs)  bucketed by id  — sorted hashed-shingle sets
+  //                                          for candidate verification
+  // Ingest = (1) exact: batch digests bucket-joined against _dig, hits
+  // dropped; (2) near: survivors' fingerprints equi-joined against _fp
+  // for candidates, exact Jaccard on _set verifies; (3) accepted docs'
+  // keys appended back so the next batch sees them. The fingerprint
+  // family is the portable 60-bit md5 prefix (reproducible in DuckDB /
+  // outside Spark — same trade as [[TextOps]]' llm_fingerprint); the
+  // verify sets use xxhash64 shingles for wire compactness.
+
+  /** Winnowing fingerprints (window w=4 over 3-gram hashes, per-window
+    * minimum, distinct), exploded to one (id, fp) row each — the
+    * ledger's candidate index. Docs under 6 tokens yield no rows (no
+    * fingerprint ⇒ only exact dedup can catch them). */
+  def portableFingerprints(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.withColumn("__toks", split(col(textCol), " "))
+      .filter(size(col("__toks")) >= 6)
+      .withColumn("__hashes", expr(
+        """transform(sequence(1, size(__toks) - 2),
+          |  i -> CAST(conv(substring(md5(concat_ws(' ',
+          |         __toks[i-1], __toks[i], __toks[i+1])), 1, 15), 16, 10)
+          |       AS BIGINT))""".stripMargin))
+      .select(col(idCol),
+        explode(expr(
+          """array_distinct(transform(sequence(1, size(__hashes) - 3),
+            |  i -> array_min(slice(__hashes, i, 4))))""".stripMargin)).as("fp"))
+
+  /** Build + persist the ledger for a corpus snapshot as three bucketed
+    * tables; returns (digestTable, fpTable, setsTable). `pathFor` maps a
+    * table name to its storage path (scratch dir in tests, warehouse
+    * path in production). */
+  def writeLedger(prior: DataFrame, idCol: String, textCol: String,
+      tag: String, pathFor: String => String, buckets: Int = 8)
+      : (String, String, String) = {
+    val digTab = tag + "_dig"; val fpTab = tag + "_fp"; val setTab = tag + "_set"
+    prior.select(md5(lower(trim(col(textCol)))).as("h"), col(idCol))
+      .write.mode("overwrite").bucketBy(buckets, "h")
+      .option("path", pathFor(digTab)).saveAsTable(digTab)
+    portableFingerprints(prior, idCol, textCol)
+      .write.mode("overwrite").bucketBy(buckets, "fp")
+      .option("path", pathFor(fpTab)).saveAsTable(fpTab)
+    withHashedShingles(withShingles(prior, textCol), "sh")
+      .select(col(idCol), col("shs"))
+      .write.mode("overwrite").bucketBy(buckets, idCol)
+      .option("path", pathFor(setTab)).saveAsTable(setTab)
+    (digTab, fpTab, setTab)
+  }
+
+  /** Dedup a new batch against a persisted ledger. Returns one row per
+    * batch doc: (idCol, status ∈ dup_exact|dup_near|new, matched_prior
+    * = min matching ledger id, −1 for new). The batch's digests are
+    * bucket-written first so the phase-1 join is exchange-free on BOTH
+    * sides (asserted in ScaleDesignSpec); the phase-2 candidate join
+    * shuffles only the batch's exploded fingerprints — the ledger side
+    * is pre-bucketed and never moves. */
+  def dedupAgainstLedger(batch: DataFrame, idCol: String, textCol: String,
+      digTab: String, fpTab: String, setTab: String,
+      tag: String, pathFor: String => String,
+      threshold: Double = 0.6, buckets: Int = 8): DataFrame = {
+    val s = batch.sparkSession
+    val bDigTab = tag + "_batch_dig"
+    batch.select(col(idCol), md5(lower(trim(col(textCol)))).as("h"))
+      .write.mode("overwrite").bucketBy(buckets, "h")
+      .option("path", pathFor(bDigTab)).saveAsTable(bDigTab)
+    val exactHit = s.table(bDigTab)
+      .join(s.table(digTab).select(col("h"), col(idCol).as("__pid")), "h")
+      .groupBy(idCol).agg(min("__pid").as("__eprior"))
+    val survivors = batch.join(exactHit.select(col(idCol)), Seq(idCol), "left_anti")
+    val cand = portableFingerprints(survivors, idCol, textCol)
+      .join(s.table(fpTab).select(col("fp"), col(idCol).as("__pid")), "fp")
+      .select(col(idCol), col("__pid")).distinct()
+    val bSets = withHashedShingles(withShingles(survivors, textCol), "sh")
+      .select(col(idCol), col("shs").as("__bshs"))
+    val pSets = s.table(setTab)
+      .select(col(idCol).as("__pid"), col("shs").as("__pshs"))
+    val nearHit = cand
+      .join(bSets, idCol)
+      .join(pSets, "__pid")
+      .filter(round(jaccard(col("__bshs"), col("__pshs")), 4) >= threshold)
+      .groupBy(idCol).agg(min("__pid").as("__nprior"))
+    batch.select(col(idCol))
+      .join(exactHit, Seq(idCol), "left")
+      .join(nearHit, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__eprior").isNotNull, "dup_exact")
+          .when(col("__nprior").isNotNull, "dup_near")
+          .otherwise("new").as("status"),
+        coalesce(col("__eprior"), col("__nprior"), lit(-1L))
+          .cast("long").as("matched_prior"))
+  }
+
+  /** Append the accepted (status = new) docs' keys to the ledger — the
+    * write side of the incremental contract: after this, re-ingesting
+    * the same batch flags every doc as a duplicate (idempotence,
+    * asserted in ApiSpec). `statuses` is [[dedupAgainstLedger]]'s
+    * output. */
+  def appendToLedger(batch: DataFrame, idCol: String, textCol: String,
+      statuses: DataFrame, digTab: String, fpTab: String,
+      setTab: String, buckets: Int = 8): Unit = {
+    val accepted = batch.join(
+      statuses.filter(col("status") === "new").select(col(idCol)), Seq(idCol))
+    accepted.select(md5(lower(trim(col(textCol)))).as("h"), col(idCol))
+      .write.mode("append").bucketBy(buckets, "h").saveAsTable(digTab)
+    portableFingerprints(accepted, idCol, textCol)
+      .write.mode("append").bucketBy(buckets, "fp").saveAsTable(fpTab)
+    withHashedShingles(withShingles(accepted, textCol), "sh")
+      .select(col(idCol), col("shs"))
+      .write.mode("append").bucketBy(buckets, idCol).saveAsTable(setTab)
+  }
+
   /** 64-bit weighted SimHash signatures of a text column. */
   def simhashSignatures(df: DataFrame, textCol: String,
       out: String = "sim"): DataFrame =

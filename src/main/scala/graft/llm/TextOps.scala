@@ -216,6 +216,125 @@ object TextOps {
     },
     None)
 
+  /** Cross-batch INCREMENTAL dedup against a persisted fingerprint
+    * ledger — the shape a real training pipeline runs daily: prior
+    * snapshots are never re-scanned; new data is checked against three
+    * bucketed ledger tables (exact digests, winnowing-fingerprint
+    * index, shingle sets) built once per snapshot by
+    * [[DedupApi.writeLedger]].
+    *
+    * Two-snapshot fixture: the prior corpus is the documents table;
+    * the new batch plants all three outcomes — exact copies (every
+    * doc_id % 10 = 0, ids +100000 → caught by the digest anti-join),
+    * near copies with the last token dropped (% 10 = 5, +200000 →
+    * caught by fingerprint candidates + exact-Jaccard verify), and
+    * token-REVERSED docs (% 10 = 3, +300000 → every 3-gram differs, so
+    * they pass both phases as genuinely new). The oracle replays the
+    * identical two-phase ledger dedup in SQL; the fingerprint family
+    * is the portable 60-bit md5 prefix so candidates match
+    * bit-for-bit cross-engine (same trade as `llm_fingerprint`).
+    *
+    * Scale: phase 1 joins two 8-bucket tables on the digest — zero
+    * exchange on either side (asserted in ScaleDesignSpec); phase 2
+    * shuffles only the batch's exploded fingerprints against the
+    * pre-bucketed ledger index, then verifies candidates only.
+    * Append-back (accepted docs' keys → ledger) is exercised with an
+    * idempotence assertion in ApiSpec. NOTE for BENCH readers: the
+    * timing deliberately includes building the 3-table ledger — at
+    * scale that cost amortizes over every later ingest. */
+  private val dedupIncremental = QueryDef(
+    "llm_dedup_incremental",
+    (s, d) => {
+      import graft.Scratch.{runTag, tmpPathRaw}
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            expr("""array_join(slice(split(text, ' '), 1,
+                                     size(split(text, ' ')) - 1), ' ')""")
+              .as("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            expr("array_join(reverse(split(text, ' ')), ' ')").as("text")))
+      val tag = "graft_ledger_" + runTag(d)
+      val (dig, fp, sets) =
+        DedupApi.writeLedger(docs, "doc_id", "text", tag, tmpPathRaw)
+      DedupApi.dedupAgainstLedger(batch, "doc_id", "text",
+          dig, fp, sets, tag, tmpPathRaw, threshold = 0.6)
+        .orderBy("doc_id")
+    },
+    Some("""WITH batch AS (
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 200000,
+                array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+              FROM documents WHERE doc_id % 10 = 5
+              UNION ALL
+              SELECT doc_id + 300000,
+                array_to_string(list_reverse(string_split(text, ' ')), ' ')
+              FROM documents WHERE doc_id % 10 = 3),
+            led_dig AS (SELECT md5(lower(trim(text))) AS h, doc_id FROM documents),
+            exact_hit AS (
+              SELECT b.doc_id, CAST(min(p.doc_id) AS BIGINT) AS eprior
+              FROM (SELECT doc_id, md5(lower(trim(text))) AS h FROM batch) b
+              JOIN led_dig p USING (h) GROUP BY b.doc_id),
+            led_tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            bat_tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch
+                        WHERE doc_id NOT IN (SELECT doc_id FROM exact_hit)),
+            led_fp AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, len(hashes) - 3),
+                  i -> list_min(hashes[i:i+3])))) AS fp
+              FROM (SELECT doc_id,
+                      list_transform(generate_series(1, len(toks) - 2),
+                        i -> CAST(('0x' || substring(md5(toks[i] || ' ' ||
+                               toks[i+1] || ' ' || toks[i+2]), 1, 15))
+                             AS BIGINT)) AS hashes
+                    FROM led_tok WHERE len(toks) >= 6)),
+            bat_fp AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, len(hashes) - 3),
+                  i -> list_min(hashes[i:i+3])))) AS fp
+              FROM (SELECT doc_id,
+                      list_transform(generate_series(1, len(toks) - 2),
+                        i -> CAST(('0x' || substring(md5(toks[i] || ' ' ||
+                               toks[i+1] || ' ' || toks[i+2]), 1, 15))
+                             AS BIGINT)) AS hashes
+                    FROM bat_tok WHERE len(toks) >= 6)),
+            cand AS (
+              SELECT DISTINCT b.doc_id, p.doc_id AS pid
+              FROM bat_fp b JOIN led_fp p ON b.fp = p.fp),
+            led_sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+              FROM led_tok WHERE len(toks) >= 3),
+            bat_sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+              FROM bat_tok WHERE len(toks) >= 3),
+            near_hit AS (
+              SELECT doc_id, CAST(min(pid) AS BIGINT) AS nprior FROM (
+                SELECT c.doc_id, c.pid,
+                  round(CAST(len(list_intersect(a.sh, p.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sh, p.sh))), 4) AS j
+                FROM cand c
+                JOIN bat_sh a ON c.doc_id = a.doc_id
+                JOIN led_sh p ON c.pid = p.doc_id)
+              WHERE j >= 0.6 GROUP BY doc_id)
+            SELECT b.doc_id,
+              CASE WHEN e.eprior IS NOT NULL THEN 'dup_exact'
+                   WHEN n.nprior IS NOT NULL THEN 'dup_near'
+                   ELSE 'new' END AS status,
+              CAST(coalesce(e.eprior, n.nprior, -1) AS BIGINT) AS matched_prior
+            FROM batch b
+            LEFT JOIN exact_hit e ON b.doc_id = e.doc_id
+            LEFT JOIN near_hit n ON b.doc_id = n.doc_id
+            ORDER BY b.doc_id"""))
+
   /** Winnowing-style document fingerprints: rolling window (w=4) of
     * 3-gram hashes, keep the per-window minimum, distinct. Signature
     * size is bounded per doc regardless of length. The hash family
@@ -477,6 +596,6 @@ object TextOps {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupNgram, dupClustersQ, dedupMinhash, dedupSimhash,
-    fingerprint, tokenCount, textStats, qualityScore, langId, langFilter,
-    contamination, repetitionFilter)
+    dedupIncremental, fingerprint, tokenCount, textStats, qualityScore,
+    langId, langFilter, contamination, repetitionFilter)
 }

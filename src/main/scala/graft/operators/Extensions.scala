@@ -19,19 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Extensions {
 
-  /** Scratch paths are suffixed with a sanitized sfDir so two
-    * concurrent runs over different scale factors (e.g. Verify at
-    * sf0.01 while Bench runs sf0.1, or two users on one host) never
-    * clobber each other's files or catalog entries. NOTE for BENCH
-    * readers: `join_bucketed` and `csv_roundtrip` deliberately time
-    * write + read — the design point being demonstrated (pay the
-    * shuffle/encode once at write time) includes the write. */
-  private def runTag(d: String): String =
-    d.replaceAll("[^A-Za-z0-9]", "_")
-
-  private def tmpPath(name: String, d: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      name + "_" + runTag(d)).toString
+  /** NOTE for BENCH readers: `join_bucketed` and `csv_roundtrip`
+    * deliberately time write + read — the design point being
+    * demonstrated (pay the shuffle/encode once at write time)
+    * includes the write. */
+  import graft.Scratch.{runTag, tmpPath}
 
   /** orders as (key, status, exact price cents). */
   private def ordersCents(s: SparkSession, d: String): DataFrame =

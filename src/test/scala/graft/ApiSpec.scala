@@ -165,6 +165,39 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(run().toSeq == run().toSeq)
   }
 
+  test("incremental ledger: dedup statuses + append-back idempotence") {
+    import spark.implicits._
+    import graft.Scratch.tmpPathRaw
+    val prior = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 1
+      (11L, "one two three four five six seven eight"),       // near copy of 2
+      (12L, "totally different words sharing no grams with anything prior"))
+      .toDF("id", "text")
+    val tag = "graft_ledger_api_test"
+    Seq(tag + "_dig", tag + "_fp", tag + "_set", tag + "_batch_dig")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val (dig, fp, sets) =
+      DedupApi.writeLedger(prior, "id", "text", tag, tmpPathRaw)
+    val st1 = DedupApi.dedupAgainstLedger(batch, "id", "text",
+      dig, fp, sets, tag, tmpPathRaw)
+    val got1 = st1.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got1 == Seq((10L, "dup_exact", 1L), (11L, "dup_near", 2L),
+      (12L, "new", -1L)))
+    // append the accepted doc's keys; re-ingesting the SAME batch must
+    // now flag every doc as a duplicate (idempotent re-ingest)
+    DedupApi.appendToLedger(batch, "id", "text", st1, dig, fp, sets)
+    val got2 = DedupApi.dedupAgainstLedger(batch, "id", "text",
+        dig, fp, sets, tag, tmpPathRaw)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((10L, "dup_exact", 1L), (11L, "dup_near", 2L),
+      (12L, "dup_exact", 12L)))
+  }
+
   test("SimilarityApi.centroids: centroid of identical vectors is the vector") {
     import spark.implicits._
     val v = Array(0.5f, -0.25f, 0.75f)

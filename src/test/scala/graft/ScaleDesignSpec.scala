@@ -132,6 +132,32 @@ class ScaleDesignSpec extends AnyFunSuite with SparkFixture {
     assert(df.collect().toSeq == expect)
   }
 
+  test("incremental dedup: digest join against the ledger is exchange-free") {
+    import graft.Scratch.tmpPathRaw
+    import graft.llm.DedupApi
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val tag = "graft_ledger_sds_test"
+    Seq(tag + "_dig", tag + "_fp", tag + "_set", tag + "_bd")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val (dig, _, _) = DedupApi.writeLedger(docs, "doc_id", "text", tag, tmpPathRaw)
+    // a new batch, digest-bucketed on write exactly as dedupAgainstLedger does
+    docs.select((col("doc_id") + 9000000L).as("doc_id"),
+        md5(lower(trim(col("text")))).as("h"))
+      .write.mode("overwrite").bucketBy(8, "h")
+      .option("path", tmpPathRaw(tag + "_bd")).saveAsTable(tag + "_bd")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(tag + "_bd")
+        .join(spark.table(dig).select(col("h"), col("doc_id").as("pid")), "h")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"ledger digest join must not shuffle either side:\n${plan.take(3000)}")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dimension joins broadcast; fact-fact joins do not broadcast the fact") {
     val plan = SparkEntry.queries("join_inner_hash")(spark, sfDir)
       .queryExecution.executedPlan.toString

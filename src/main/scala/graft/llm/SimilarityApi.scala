@@ -52,11 +52,41 @@ object SimilarityApi {
       .limit(k)
   }
 
+  /** Persist an IVF index: the codebook plus cluster-bucketed
+    * assignments, as tables. The corpus-wide assignment scan and its
+    * shuffle are paid ONCE here; every later probe reads the
+    * assignment table directly — `ivfTopK(spark.table(asgTab),
+    * spark.table(cbTab), …)` — with zero assignment recompute
+    * (plan-asserted in ScaleDesignSpec). Bucketing by cluster means a
+    * probe of nProbe clusters touches only those buckets' files at
+    * scale. Returns (codebookTable, assignmentsTable). */
+  def writeIvfIndex(emb: DataFrame, centroids: DataFrame, idCol: String,
+      embCol: String, tag: String, pathFor: String => String,
+      buckets: Int = 8): (String, String) = {
+    val cbTab = tag + "_codebook"; val asgTab = tag + "_assign"
+    centroids.write.mode("overwrite")
+      .option("path", pathFor(cbTab)).saveAsTable(cbTab)
+    assignClusters(emb, centroids, idCol, embCol)
+      .write.mode("overwrite").bucketBy(buckets, "cluster")
+      .option("path", pathFor(asgTab)).saveAsTable(asgTab)
+    (cbTab, asgTab)
+  }
+
   /** Exact nearest neighbor for every vector (embedding-cosine
     * near-dup): partial-aggregatable argmax, no sort of the pair
-    * space. Quadratic in corpus size — the bounded-scale baseline the
-    * IVF path approximates. */
-  def nearestNeighbor(emb: DataFrame, idCol: String, embCol: String): DataFrame = {
+    * space. Quadratic in corpus size AND broadcasts the whole corpus —
+    * the bounded-scale CORRECTNESS BASELINE the banded path
+    * ([[signBandSignatures]] → [[bandedCandidates]] → [[verifyPairs]])
+    * approximates. `maxRows` hard-caps the input (the guard scan is
+    * itself limit-bounded) so no caller can accidentally launch the
+    * O(n²) product at corpus scale; raise it only for a deliberate
+    * offline ground-truth run. */
+  def nearestNeighbor(emb: DataFrame, idCol: String, embCol: String,
+      maxRows: Int = 65536): DataFrame = {
+    require(emb.limit(maxRows + 1).count() <= maxRows,
+      s"nearestNeighbor is the bounded-scale all-pairs baseline (input > " +
+        s"$maxRows rows); use signBandSignatures/bandedCandidates/" +
+        "verifyPairs for corpus-scale near-dup")
     val a = emb.select(col(idCol).as("a_id"), col(embCol).as("a_emb"))
     val b = emb.select(col(idCol).as("b_id"), col(embCol).as("b_emb"))
     a.crossJoin(broadcast(b))

@@ -137,6 +137,10 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
       .select("a_id", "b_id")
       .orderBy("a_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(api.toSeq == ref.toSeq)
+    // the size cap refuses to launch the O(n²) product past maxRows
+    intercept[IllegalArgumentException] {
+      SimilarityApi.nearestNeighbor(emb, "vec_id", "embedding", maxRows = 50)
+    }
   }
 
   test("SimilarityApi.kmeans improves the spherical objective over random codebook") {

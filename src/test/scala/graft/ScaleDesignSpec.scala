@@ -60,17 +60,8 @@ class ScaleDesignSpec extends AnyFunSuite with SparkFixture {
       direct.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
-  test("no query plan contains a cartesian product except join_cross") {
-    val allow = Set("join_cross", "llm_cosine_topk", "llm_ann_ivf",
-      "llm_embed_neardup", "llm_multimodal_project")
-    SparkEntry.allDefs.foreach { q =>
-      val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
-      if (!allow(q.name)) {
-        assert(!plan.contains("CartesianProduct"),
-          s"${q.name} has an accidental cartesian product")
-      }
-    }
-  }
+  // NOTE: the cartesian-product sweep moved into PlanAuditSpec, which
+  // additionally gates global windows and collect-backed relations.
 
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
     import spark.implicits._
@@ -156,6 +147,19 @@ class ScaleDesignSpec extends AnyFunSuite with SparkFixture {
         s"ledger digest join must not shuffle either side:\n${plan.take(3000)}")
       assert(j.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("llm_ann_ivf probes the persisted index with zero recompute") {
+    val df = SparkEntry.queries("llm_ann_ivf")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf"),
+      s"probe must scan the persisted index tables:\n${plan.take(2000)}")
+    // assignment was an argmax aggregate; a probe that recomputes it
+    // would show a HashAggregate/ObjectHashAggregate. The pure probe
+    // is scans + broadcast joins + TakeOrderedAndProject only.
+    assert(!plan.contains("Aggregate"),
+      s"probe plan must not recompute assignments:\n${plan.take(3000)}")
+    assert(df.count() == 5)
   }
 
   test("dimension joins broadcast; fact-fact joins do not broadcast the fact") {

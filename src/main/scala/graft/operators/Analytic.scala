@@ -313,7 +313,34 @@ object Analytic {
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY o_orderkey"""))
 
+  /** cume_dist + nth_value — the remaining ranked-window surface
+    * beyond rank/ntile/percent_rank. The window orders by the UNIQUE
+    * (o_totalprice, o_orderkey) pair, so cume_dist has no peer groups
+    * and nth_value's default running frame (RANGE UNBOUNDED PRECEDING
+    * … CURRENT ROW, identical in both engines) is row-deterministic:
+    * the first two rows of each partition are NULL on both sides. */
+  private val winCumeNth = QueryDef(
+    "win_cume_nth",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          round(cume_dist().over(w), 6).as("cume"),
+          nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+              round(cume_dist() OVER w, 6) AS cume,
+              CAST(nth_value(o_orderkey, 3) OVER w AS BIGINT) AS third_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice ASC, o_orderkey ASC)
+            ORDER BY o_orderkey"""))
+
   val defs: Seq[QueryDef] = Seq(
     winRank, winLagLead, winRunning, winMovingAvg, winNtilePct,
-    topkPerGroup, joinAsof, winRangeFrame, winIgnoreNulls, winFirstLast)
+    topkPerGroup, joinAsof, winRangeFrame, winIgnoreNulls, winFirstLast,
+    winCumeNth)
 }

@@ -380,6 +380,36 @@ object EventOps {
               TRUE AS approx_within_rank_tol
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** ARGMAX/ARGMIN aggregates (`max_by`/`min_by`): the who-did-it
+    * companion to min/max — one partial-aggregatable pass, no window,
+    * no self-join. Determinism: the comparison key is struct(value,
+    * user_id), so ties on value resolve by user_id on both engines
+    * (the oracle replays the same tiebreak as a row_number). */
+  private val aggArgMinmax = QueryDef(
+    "agg_arg_minmax",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr("max_by(user_id, struct(value, user_id))").as("top_user"),
+          expr("min_by(user_id, struct(value, user_id))").as("bottom_user"),
+          round(max("value"), 4).as("max_value"),
+          round(min("value"), 4).as("min_value"))
+        .orderBy("event_type"),
+    Some("""WITH r AS (
+              SELECT event_type, user_id, value,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, user_id DESC) AS rtop,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value ASC, user_id ASC) AS rbot
+              FROM events)
+            SELECT event_type,
+              CAST(max(CASE WHEN rtop = 1 THEN user_id END) AS BIGINT) AS top_user,
+              CAST(max(CASE WHEN rbot = 1 THEN user_id END) AS BIGINT) AS bottom_user,
+              round(max(value), 4) AS max_value,
+              round(min(value), 4) AS min_value
+            FROM r GROUP BY event_type ORDER BY event_type"""))
+
   /** Funnel conversion (signup → click → purchase, strictly ordered
     * in event time per user): the canonical event-analytics report of
     * the reference class.
@@ -541,6 +571,6 @@ object EventOps {
     streamTumbling, streamSliding, streamSession, streamWatermark,
     streamDedup, streamStateful, streamLate, aggSalted, sinkPartitioned,
     kinesisEncode, kinesisDecode, aggPivot, aggPercentile,
-    aggPercentileApprox, funnelConversion,
+    aggPercentileApprox, aggArgMinmax, funnelConversion,
     cohortRetention, tsGapfill, streamStreamJoin)
 }

@@ -53,6 +53,33 @@ object Scalars {
               CAST(extract(day FROM ts) AS BIGINT) AS dom
             FROM events ORDER BY event_id"""))
 
+  /** Interval arithmetic + calendar diffs — the scheduling/SLA date
+    * surface beyond fn_date's field extraction: fixed-interval shifts,
+    * day diffs against an epoch date, calendar-month rollover, quarter
+    * bucketing. All outputs leave as epoch BIGINTs per the determinism
+    * rules (both engines run UTC). */
+  private val fnInterval = QueryDef(
+    "fn_interval",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          unix_timestamp(expr("o_orderdate + INTERVAL 90 DAYS")).as("due_epoch"),
+          expr("CAST(datediff(o_orderdate, DATE '2000-01-01') AS BIGINT)")
+            .as("days_since"),
+          unix_timestamp(expr("add_months(date_trunc('MONTH', o_orderdate), 1)"))
+            .as("month_next_epoch"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              CAST(floor(epoch(o_orderdate + INTERVAL 90 DAY)) AS BIGINT) AS due_epoch,
+              CAST(date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                AS days_since,
+              CAST(floor(epoch(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH)) AS BIGINT)
+                AS month_next_epoch,
+              CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+            FROM orders ORDER BY o_orderkey"""))
+
   private val fnMath = QueryDef(
     "fn_math",
     (s, d) =>
@@ -339,6 +366,6 @@ object Scalars {
             FROM events ORDER BY event_id"""))
 
   val defs: Seq[QueryDef] = Seq(
-    fnString, fnDate, fnMath, fnArray, fnHigherOrder, fnExplode, fnJson,
-    fnUdf, aggUdaf, fnRegex, fnHash, fnNull, fnStructMap, fnBitwise)
+    fnString, fnDate, fnInterval, fnMath, fnArray, fnHigherOrder, fnExplode,
+    fnJson, fnUdf, aggUdaf, fnRegex, fnHash, fnNull, fnStructMap, fnBitwise)
 }

@@ -125,6 +125,46 @@ object SqlSurface {
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10"""))
 
+  /** TPC-H Q10 shape: returned-item revenue by customer + nation over
+    * one order quarter, top-20. Adds the 4-way join (two fact, two
+    * dimension — nation broadcast) missing from Q3/Q5 coverage; same
+    * cents-exact revenue and unique-key tiebreak rules. */
+  private val sqlTpchQ10 = QueryDef(
+    "sql_tpch_q10",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT c_custkey, c_name, n_name,
+                 round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                       / 10000, 2) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_items
+               FROM v_customer
+               JOIN v_orders   ON c_custkey = o_custkey
+               JOIN v_lineitem ON l_orderkey = o_orderkey
+               JOIN v_nation   ON c_nationkey = n_nationkey
+               WHERE o_orderdate >= TIMESTAMP '2000-03-01'
+                 AND o_orderdate <  TIMESTAMP '2000-06-01'
+                 AND l_returnflag = 'R'
+               GROUP BY c_custkey, c_name, n_name
+               ORDER BY revenue DESC, c_custkey ASC
+               LIMIT 20""")
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+              round(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                    AS DOUBLE) / 10000, 2) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '2000-03-01'
+              AND o_orderdate <  TIMESTAMP '2000-06-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20"""))
+
   /** Explicit GROUPING SETS (beyond rollup/cube): the mixed subtotal
     * shape submitted as SQL on both engines. */
   private val groupingSets = QueryDef(
@@ -220,5 +260,5 @@ object SqlSurface {
 
   val defs: Seq[QueryDef] = Seq(
     subqueryScalar, subqueryIn, subqueryExists, sqlTpchQ3, sqlTpchQ5,
-    sqlTpchQ6, groupingSets)
+    sqlTpchQ6, sqlTpchQ10, groupingSets)
 }

@@ -278,6 +278,44 @@ object StreamOps {
       .outputMode("append")
       .start()
 
+  /** Streaming ingest against the PERSISTED dedup ledger — the
+    * production composition of §2h streaming and the incremental-dedup
+    * ledger: each micro-batch is deduped with
+    * [[graft.llm.DedupApi.dedupAgainstLedger]] (exact digest
+    * bucket-join → fingerprint candidates → exact-Jaccard verify), its
+    * per-doc statuses land idempotently at `batch=<id>`, and accepted
+    * docs' keys are appended back so LATER batches see them. Unlike
+    * [[streamingNearDupPairs]] there is no watermark horizon: a dup of
+    * a doc ingested a month ago is still caught, because the ledger —
+    * not join state — carries history, and ledger lookups stay bounded
+    * (bucketed joins) no matter how much history accumulates.
+    * foreachBatch is the right seam: ledger joins are batch joins
+    * against bucketed tables. Failure semantics: the status write is
+    * idempotent (overwrite per batchId); the ledger append is
+    * at-least-once on replay, which is harmless — duplicate ledger
+    * keys cannot change a later verdict (the digest/candidate joins
+    * collapse them through min/distinct). */
+  def startLedgerIngest(
+      docs: DataFrame, idCol: String, textCol: String,
+      digTab: String, fpTab: String, setTab: String,
+      tag: String, pathFor: String => String,
+      outDir: String, checkpointDir: String,
+      threshold: Double = 0.6): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val st = graft.llm.DedupApi.dedupAgainstLedger(
+          batch.toDF(), idCol, textCol, digTab, fpTab, setTab,
+          tag, pathFor, threshold).persist()
+        try {
+          st.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          graft.llm.DedupApi.appendToLedger(
+            batch.toDF(), idCol, textCol, st, digTab, fpTab, setTab)
+        } finally { st.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** Stream-stream inner join with a time-interval condition: clicks
     * enriched with the purchase that follows within one hour, per
     * user. Both sides are watermarked so Spark can bound the join

@@ -462,6 +462,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming ledger ingest: cross-batch dups caught, append-back works") {
+    import spark.implicits._
+    import graft.Scratch.tmpPathRaw
+    import graft.llm.DedupApi
+    implicit val ctx = spark.sqlContext
+    val tag = "graft_ledger_stream_test"
+    Seq(tag + "_dig", tag + "_fp", tag + "_set", tag + "_batch_dig")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val prior = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    val (dig, fp, set) = DedupApi.writeLedger(prior, "id", "text", tag, tmpPathRaw)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_li_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_li_ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.startLedgerIngest(
+      input.toDS().toDF("id", "text"), "id", "text",
+      dig, fp, set, tag, tmpPathRaw, outDir, ckpt)
+    try {
+      input.addData((10L, "brand new document with plenty of fresh tokens inside"))
+      q.processAllAvailable()
+      input.addData(
+        // exact copy of doc 10 — ingested in the PREVIOUS batch: only
+        // the ledger append-back (not any join state) can catch it
+        (20L, "brand new document with plenty of fresh tokens inside"),
+        // near copy (last token dropped) of the PRIOR-SNAPSHOT doc 1
+        (21L, "alpha beta gamma delta epsilon zeta eta"),
+        (22L, "entirely unrelated words appearing nowhere else in any corpus"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("batch", "id", "status", "matched_prior").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == Seq(
+        (0, 10L, "new", -1L),
+        (1, 20L, "dup_exact", 10L),
+        (1, 21L, "dup_near", 1L),
+        (1, 22L, "new", -1L)))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with the dimension table") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

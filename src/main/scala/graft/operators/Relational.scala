@@ -466,6 +466,45 @@ object Relational {
               TRUE AS merged_within_5pct
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Heavy-hitter sketch (`approx_top_k`, Datasketches frequent-items)
+    * — completes the mergeable-sketch family next to HLL
+    * (agg_hll_mergeable) and quantiles (agg_percentile_approx): the
+    * 100 TB top-N-per-key plan when exact two-phase counting
+    * (llm_text_stats) is too hot. Grading honors the sketch contract:
+    * the ORDER of returned items under count ties is sketch-internal,
+    * so membership is not graded; instead every returned estimate is
+    * joined back to the exact per-item count and must match it exactly
+    * (capacity 8192 ≥ per-group cardinality ⇒ the sketch never evicts
+    * and its estimates are exact; past capacity the guarantee relaxes
+    * to ±εN). DuckDB asserts the boolean as TRUE beside the exact
+    * top count it computes itself. */
+  private val aggApproxTopk = QueryDef(
+    "agg_approx_topk",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val est = ev.groupBy("event_type")
+        .agg(expr("approx_top_k(user_id, 3, 8192)").as("tk"))
+        .select(col("event_type"), explode(col("tk")).as("e"))
+        .select(col("event_type"), col("e.item").as("user_id"),
+          col("e.count").as("est"))
+      val exact = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+      est.join(exact, Seq("event_type", "user_id"), "left")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("k_returned"),
+          max(col("n")).as("top_count"),
+          (sum(when(col("est") === col("n"), 0L).otherwise(1L)) === 0L)
+            .as("estimates_exact"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(3 AS BIGINT) AS k_returned,
+              CAST(max(n) AS BIGINT) AS top_count,
+              TRUE AS estimates_exact
+            FROM (SELECT event_type, user_id, count(*) AS n
+                  FROM events GROUP BY event_type, user_id)
+            GROUP BY event_type ORDER BY event_type"""))
+
   private val aggRollup = QueryDef(
     "agg_rollup",
     (s, d) =>
@@ -576,7 +615,7 @@ object Relational {
     joinInnerHash, joinBroadcast, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinRangeTheta, joinCross,
     aggGlobal, aggGroupBy, aggHaving, aggCountDistinct, aggApproxDistinct,
-    aggHllMergeable,
+    aggHllMergeable, aggApproxTopk,
     aggRollup, aggCubeSets,
     sortMulti, topkGlobal,
     setUnionAll, setUnionDistinct, setIntersect, setExcept)

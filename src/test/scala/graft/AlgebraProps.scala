@@ -116,4 +116,25 @@ object AlgebraProps extends Properties("graft.algebra") {
       Seq.fill(if (i <= r) b + 1 else b)(i.toLong))
     (1 to n).forall(rn => formula(rn) == expected(rn - 1))
   }.useSeed(org.scalacheck.rng.Seed(47L))
+
+  // 9. winnowing completeness under suffix deletion: two docs sharing
+  // ≥ 6 consecutive tokens share ≥ 4 consecutive 3-gram hashes — one
+  // full w=4 window — hence ≥ 1 identical window minimum, i.e. ≥ 1
+  // shared fingerprint. Dropping the last token preserves the whole
+  // prefix, so the incremental-dedup ledger's candidate index MUST
+  // pair every suffix-dropped near-copy with its original (the
+  // recall guarantee llm_dedup_incremental's phase 2 rests on).
+  private val docGen: Gen[List[String]] =
+    Gen.chooseNum(8, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 40).map(i => s"w$i")))
+  property("winnowingCatchesSuffixDrop") = forAll(docGen) { toks =>
+    import spark.implicits._
+    val df = Seq((1L, toks.mkString(" ")), (2L, toks.dropRight(1).mkString(" ")))
+      .toDF("id", "text")
+    val fps = graft.llm.DedupApi.portableFingerprints(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = fps.collect { case (1L, f) => f }.toSet
+    val b = fps.collect { case (2L, f) => f }.toSet
+    a.intersect(b).nonEmpty
+  }.useSeed(org.scalacheck.rng.Seed(48L))
 }

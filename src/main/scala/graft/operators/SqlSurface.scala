@@ -125,6 +125,62 @@ object SqlSurface {
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10"""))
 
+  /** NOT IN with a NULLABLE probe key — the classic three-valued-logic
+    * trap (NOT IN is NOT the complement of IN once NULLs appear: a
+    * NULL probe yields NULL, so the row is filtered). Spark plans this
+    * as a null-aware anti join (broadcast-only strategy — the
+    * null-awareness cannot be shuffled); DuckDB evaluates the same
+    * standard semantics, so both engines drop the NULL-key rows. */
+  private val subqueryNotIn = QueryDef(
+    "subquery_not_in",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT o_orderkey, o_custkey
+               FROM (SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                            ELSE o_custkey END AS probe_key
+                     FROM v_orders)
+               WHERE probe_key NOT IN (SELECT c_custkey FROM v_customer
+                                       WHERE c_mktsegment = 'BUILDING')
+               ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey
+            FROM (SELECT o_orderkey, o_custkey,
+                    CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                         ELSE o_custkey END AS probe_key
+                  FROM orders)
+            WHERE probe_key NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey"""))
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-text
+    * top-N-per-group idiom. Catalyst decorrelates the lateral into a
+    * partitioned rank under the hood, so the plan is the same one
+    * `topk_per_group` declares with window functions: no per-row
+    * re-execution, one shuffle on the correlation key. Balances in
+    * exact cents; unique (bal, custkey) tiebreak. */
+  private val sqlLateralTopn = QueryDef(
+    "sql_lateral_topn",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT n_name, t.c_custkey, t.bal
+               FROM v_nation n,
+               LATERAL (SELECT c_custkey,
+                          CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                        FROM v_customer c
+                        WHERE c.c_nationkey = n.n_nationkey
+                        ORDER BY bal DESC, c_custkey ASC LIMIT 2) t
+               ORDER BY n_name, bal DESC, c_custkey""")
+    },
+    Some("""SELECT n_name, t.c_custkey, t.bal
+            FROM nation n,
+            LATERAL (SELECT c_custkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                     FROM customer c
+                     WHERE c.c_nationkey = n.n_nationkey
+                     ORDER BY bal DESC, c_custkey ASC LIMIT 2) t
+            ORDER BY n_name, bal DESC, c_custkey"""))
+
   /** TPC-H Q10 shape: returned-item revenue by customer + nation over
     * one order quarter, top-20. Adds the 4-way join (two fact, two
     * dimension — nation broadcast) missing from Q3/Q5 coverage; same
@@ -259,6 +315,7 @@ object SqlSurface {
               AND l_quantity < 24"""))
 
   val defs: Seq[QueryDef] = Seq(
-    subqueryScalar, subqueryIn, subqueryExists, sqlTpchQ3, sqlTpchQ5,
-    sqlTpchQ6, sqlTpchQ10, groupingSets)
+    subqueryScalar, subqueryIn, subqueryExists, subqueryNotIn,
+    sqlLateralTopn, sqlTpchQ3, sqlTpchQ5, sqlTpchQ6, sqlTpchQ10,
+    groupingSets)
 }

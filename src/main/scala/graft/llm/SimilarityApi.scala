@@ -204,6 +204,62 @@ object SimilarityApi {
       .select("a_id", "b_id", "sim")
   }
 
+  /** Persist a VECTOR dedup ledger — the embedding analog of
+    * [[DedupApi.writeLedger]]: sign-LSH band signatures (bucketed by
+    * (band, bucket) — the candidate index) plus the vectors themselves
+    * (bucketed by id — the verify side). Built once per corpus
+    * snapshot; every later batch probes it without rescanning history.
+    * Returns (signaturesTable, vectorsTable). */
+  def writeVectorLedger(emb: DataFrame, planes: DataFrame, idCol: String,
+      embCol: String, bandBits: Int, tag: String, pathFor: String => String,
+      buckets: Int = 8): (String, String) = {
+    val sigTab = tag + "_sig"; val vecTab = tag + "_vec"
+    signBandSignatures(emb, planes, idCol, embCol, bandBits)
+      .write.mode("overwrite").bucketBy(buckets, "band", "bucket")
+      .option("path", pathFor(sigTab)).saveAsTable(sigTab)
+    emb.select(col(idCol), col(embCol))
+      .write.mode("overwrite").bucketBy(buckets, idCol)
+      .option("path", pathFor(vecTab)).saveAsTable(vecTab)
+    (sigTab, vecTab)
+  }
+
+  /** Dedup a batch of new vectors against a persisted vector ledger:
+    * batch band signatures (stateless, planes broadcast) equi-join the
+    * pre-bucketed signature index for candidates; exact dot-product
+    * verify against the ledger's vector table; keep the minimum
+    * matching prior id per batch vector. Only batch-derived rows ever
+    * shuffle — history participates as bucketed scans. Returns one row
+    * per batch vector: (idCol, status dup|new, matched_prior, sim). */
+  def dedupAgainstVectorLedger(batch: DataFrame, planes: DataFrame,
+      idCol: String, embCol: String, sigTab: String, vecTab: String,
+      tau: Double, bandBits: Int): DataFrame = {
+    val s = batch.sparkSession
+    val bSig = signBandSignatures(batch, planes, idCol, embCol, bandBits)
+    val cand = bSig
+      .join(s.table(sigTab)
+        .select(col("band"), col("bucket"), col(idCol).as("__pid")),
+        Seq("band", "bucket"))
+      .select(col(idCol), col("__pid")).distinct()
+    val ver = cand
+      .join(batch.select(col(idCol), col(embCol).as("__bemb")), idCol)
+      .join(s.table(vecTab)
+        .select(col(idCol).as("__pid"), col(embCol).as("__pemb")), "__pid")
+      .withColumn("__sim", round(dotProduct(col("__bemb"), col("__pemb")), 6))
+      .filter(col("__sim") >= tau)
+    val hit = ver.groupBy(idCol)
+      .agg(min(struct(col("__pid"), col("__sim"))).as("m"))
+      .select(col(idCol), col("m.__pid").as("matched_prior"),
+        col("m.__sim").as("sim"))
+    batch.select(col(idCol))
+      .join(hit, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("matched_prior").isNotNull, "dup").otherwise("new")
+          .as("status"),
+        coalesce(col("matched_prior"), lit(-1L)).cast("long")
+          .as("matched_prior"),
+        coalesce(col("sim"), lit(-1.0)).as("sim"))
+  }
+
   /** Per-group centroids (mean vector by dimension): the k-means /
     * IVF codebook-training step. Shuffles scalar partials only. */
   def centroids(emb: DataFrame, groupCol: String, embCol: String): DataFrame =

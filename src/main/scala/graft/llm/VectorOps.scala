@@ -180,6 +180,90 @@ object VectorOps {
              WHERE sim >= 0.35
              ORDER BY a_id, b_id"""))
 
+  /** Cross-batch INCREMENTAL embedding dedup against a persisted
+    * VECTOR ledger — the embedding analog of `llm_dedup_incremental`:
+    * the prior corpus persists sign-LSH band signatures (candidate
+    * index, bucketed by (band, bucket)) and the vectors (verify side,
+    * bucketed by id) once per snapshot; a new batch probes the index
+    * and exact-verifies candidates — history is never rescanned and
+    * only batch-derived rows shuffle. Two-snapshot fixture: the batch
+    * plants exact copies (vectors 100..149 under new ids → dup at
+    * sim ≈ 1.0 of their originals) and NEGATED vectors (200..249 →
+    * cosine −1 to their originals, ≤ incidental 0.48 to everything
+    * else ⇒ new). All bucket arithmetic and scoring use the bit-exact
+    * dot fold, so the whole two-phase dedup is hash-exact in DuckDB —
+    * no tolerance games. Ledger build memoized per (session, sfDir)
+    * like the text ledger. */
+  private val embedIncrementalLedgerBuilt =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, String)]()
+
+  private val embedIncremental = QueryDef(
+    "llm_embed_incremental",
+    (s, d) => {
+      import graft.Scratch.{runTag, tmpPathRaw}
+      val emb = Tables.embeddings(s, d)
+      val planes = emb.filter(col("vec_id").between(10, 25))
+        .select((col("vec_id") - 10).as("p_id"), col("embedding").as("p_emb"))
+      val batch = emb.filter(col("vec_id").between(100, 149))
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id").between(200, 249))
+          .select((col("vec_id") + 20000).as("vec_id"),
+            expr("transform(embedding, x -> -x)").as("embedding")))
+      val tag = "graft_vledger_" + runTag(d)
+      val (sigTab, vecTab) = embedIncrementalLedgerBuilt.computeIfAbsent(
+        (s, d), _ => SimilarityApi.writeVectorLedger(
+          emb, planes, "vec_id", "embedding", bandBits = 4, tag, tmpPathRaw))
+      SimilarityApi.dedupAgainstVectorLedger(batch, planes,
+          "vec_id", "embedding", sigTab, vecTab, tau = 0.9, bandBits = 4)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH planes AS (
+               SELECT vec_id - 10 AS p_id, embedding AS p_emb FROM embeddings
+               WHERE vec_id BETWEEN 10 AND 25),
+             batch AS (
+               SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+               WHERE vec_id BETWEEN 100 AND 149
+               UNION ALL
+               SELECT vec_id + 20000, list_transform(embedding, x -> -x)
+               FROM embeddings WHERE vec_id BETWEEN 200 AND 249),
+             led_sig AS (
+               SELECT e.vec_id, CAST(p.p_id // 4 AS BIGINT) AS band,
+                 CAST(sum(CASE WHEN ${sqlDot("e.embedding", "p.p_emb")} >= 0
+                          THEN CAST(1 AS BIGINT) << (p.p_id % 4)
+                          ELSE 0 END) AS BIGINT) AS bucket
+               FROM embeddings e CROSS JOIN planes p
+               GROUP BY e.vec_id, band),
+             bat_sig AS (
+               SELECT b.vec_id, CAST(p.p_id // 4 AS BIGINT) AS band,
+                 CAST(sum(CASE WHEN ${sqlDot("b.embedding", "p.p_emb")} >= 0
+                          THEN CAST(1 AS BIGINT) << (p.p_id % 4)
+                          ELSE 0 END) AS BIGINT) AS bucket
+               FROM batch b CROSS JOIN planes p
+               GROUP BY b.vec_id, band),
+             cand AS (
+               SELECT DISTINCT b.vec_id, l.vec_id AS pid
+               FROM bat_sig b JOIN led_sig l
+                 ON b.band = l.band AND b.bucket = l.bucket),
+             ver AS (
+               SELECT c.vec_id, c.pid,
+                 round(${sqlDot("bv.embedding", "lv.embedding")}, 6) AS sim
+               FROM cand c
+               JOIN batch bv ON c.vec_id = bv.vec_id
+               JOIN embeddings lv ON c.pid = lv.vec_id),
+             hit AS (
+               SELECT vec_id, pid, sim FROM (
+                 SELECT vec_id, pid, sim,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY pid) AS rn
+                 FROM ver WHERE sim >= 0.9)
+               WHERE rn = 1)
+             SELECT b.vec_id,
+               CASE WHEN h.pid IS NOT NULL THEN 'dup' ELSE 'new' END AS status,
+               CAST(coalesce(h.pid, -1) AS BIGINT) AS matched_prior,
+               coalesce(h.sim, CAST(-1.0 AS DOUBLE)) AS sim
+             FROM batch b LEFT JOIN hit h ON b.vec_id = h.vec_id
+             ORDER BY b.vec_id"""))
+
   /** Multimodal projection: relational (label filter) + text predicate
     * + vector similarity composed in one plan — documents ⋈ embeddings
     * on id, scored against the query vector. */
@@ -327,5 +411,5 @@ object VectorOps {
 
   val defs: Seq[QueryDef] = Seq(
     cosineTopk, annIvf, annLsh, embedNearDup, embedNearDupBanded,
-    multimodalProject, embedCentroid, knnJoin)
+    embedIncremental, multimodalProject, embedCentroid, knnJoin)
 }

@@ -202,6 +202,31 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
       (12L, "dup_exact", 12L)))
   }
 
+  test("vector ledger: batch dedup against persisted signatures") {
+    import spark.implicits._
+    import graft.Scratch.tmpPathRaw
+    val e1 = Array(1f, 0f, 0f, 0f); val e2 = Array(0f, 1f, 0f, 0f)
+    val e3 = Array(0f, 0f, 1f, 0f)
+    val prior = Seq((1L, e1), (2L, e2), (3L, e3)).toDF("id", "emb")
+    val planes = Seq(
+      (0L, Array(1f, 1f, 0f, 0f)), (1L, Array(1f, -1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 1f, 0f)), (3L, Array(0f, 1f, -1f, 0f)),
+      (4L, Array(1f, 0f, 1f, 0f)), (5L, Array(1f, 0f, -1f, 0f)),
+      (6L, Array(1f, 1f, 1f, 0f)), (7L, Array(-1f, 1f, 1f, 0f)))
+      .toDF("p_id", "p_emb")
+    val tag = "graft_vledger_api_test"
+    Seq(tag + "_sig", tag + "_vec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val (sigTab, vecTab) = SimilarityApi.writeVectorLedger(
+      prior, planes, "id", "emb", bandBits = 4, tag, tmpPathRaw)
+    val batch = Seq((10L, e1), (11L, e2.map(-_))).toDF("id", "emb")
+    val got = SimilarityApi.dedupAgainstVectorLedger(batch, planes,
+        "id", "emb", sigTab, vecTab, tau = 0.9, bandBits = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((10L, "dup", 1L), (11L, "new", -1L)))
+  }
+
   test("SimilarityApi.centroids: centroid of identical vectors is the vector") {
     import spark.implicits._
     val v = Array(0.5f, -0.25f, 0.75f)

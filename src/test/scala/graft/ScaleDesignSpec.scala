@@ -123,6 +123,35 @@ class ScaleDesignSpec extends AnyFunSuite with SparkFixture {
     assert(df.collect().toSeq == expect)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // The 100 TB join-to-partitioned-fact pattern: a filtered dim join
+    // must prune fact partitions via a runtime (DPP) subquery filter,
+    // not scan all days. Static pruning is covered by sink_partitioned;
+    // this asserts the RUNTIME variant survives our configs.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val dimTmp = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    // the dim must be FILE-backed: DPP's benefit estimate declines to
+    // plan a pruning subquery against an in-memory LocalRelation
+    fact.select("day").distinct()
+      .withColumn("tag",
+        when(col("day") <= date_add(min(col("day")).over(), 1), "keep")
+          .otherwise("drop"))
+      .write.mode("overwrite").parquet(dimTmp)
+    val dim = spark.read.parquet(dimTmp).filter(col("tag") === "keep")
+    val joined = fact.join(dim, "day")
+    // collect() so the AQE-finalized plan (with SubqueryBroadcast) is
+    // the one inspected
+    val expected = fact.join(dim.select("day"), "day").count()
+    assert(joined.collect().length == expected.toInt)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a DPP filter on the fact scan:\n${plan.take(3000)}")
+  }
+
   test("incremental dedup: digest join against the ledger is exchange-free") {
     import graft.Scratch.tmpPathRaw
     import graft.llm.DedupApi

@@ -191,7 +191,15 @@ object DedupApi {
     * bucket-written first so the phase-1 join is exchange-free on BOTH
     * sides (asserted in ScaleDesignSpec); the phase-2 candidate join
     * shuffles only the batch's exploded fingerprints — the ledger side
-    * is pre-bucketed and never moves. */
+    * is pre-bucketed and never moves.
+    *
+    * Plan-audit note: the composed plan counts ~17 exchanges (the
+    * batch sub-plan recurs in digests/survivors/candidates/verify/
+    * final-status), but every one of them carries BATCH-derived rows —
+    * digests, exploded fingerprints, candidate id pairs, statuses.
+    * History-sized data never enters an exchange, which is why
+    * measured ingest cost stays flat as the ledger grows
+    * (LedgerScaleProbe, BASELINE.md). */
   def dedupAgainstLedger(batch: DataFrame, idCol: String, textCol: String,
       digTab: String, fpTab: String, setTab: String,
       tag: String, pathFor: String => String,

@@ -567,6 +567,84 @@ object TextOps {
              WHERE n_shared >= 1
              ORDER BY doc_id"""))
 
+  /** Contamination check with a BLOOM-FILTER runtime pre-filter — the
+    * big-holdout regime of `llm_contamination`: when the eval-suite
+    * gram set outgrows broadcast range, the verify join must shuffle,
+    * and the fix is Spark's own runtime-filter machinery
+    * (BloomFilterAggregate / might_contain, the expressions behind
+    * `spark.sql.optimizer.runtime.bloomFilter`): fold the holdout
+    * grams into a ~100 KB bloom (always broadcastable, whatever the
+    * set size), pre-filter corpus grams to probable hits, and only
+    * ship those into the exact join. False positives cost a little
+    * extra join input and are removed by the exact verify; false
+    * negatives are impossible — so the RESULT is provably identical to
+    * the exact query, and the oracle is the same SQL (hash-exact,
+    * tolerance-free grading of an approximate structure). Expressions
+    * reached through the public-source graftbridge seam. */
+  private val contaminationBloom = QueryDef(
+    "llm_contamination_bloom",
+    (s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val grams = withNearDups(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(toks) - 4),
+            |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1],
+            |                 toks[i+2], toks[i+3])))""".stripMargin)).as("gram"))
+      val holdout = grams.filter(col("doc_id") >= 100000)
+        .select("gram").distinct()
+      // might_contain requires its bloom side to be a constant (or
+      // scalar subquery), so materialize the ~100 KB filter on the
+      // driver and embed it as a literal — a codebook-class readout
+      // (same as kmeans): constant-size whatever the holdout set is,
+      // and exactly what Spark's own runtime-filter rewrite injects.
+      val bfBytes = holdout.agg(ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(s, xxhash64(col("gram"))),
+          Literal(65536L), Literal(1L << 20))
+          .toAggregateExpression()).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val candidates = grams.filter(col("doc_id") < 100000)
+        .filter(ColumnBridge.column(BloomFilterMightContain(
+          Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(s, xxhash64(col("gram"))))))
+        .select("doc_id", "gram")
+      // exact verify on bloom survivors only — NO broadcast hint: this
+      // join is the one that must shuffle in the big-holdout regime,
+      // and the bloom has already cut its left side to probable hits
+      val hits = candidates
+        .join(holdout.withColumn("hit", lit(1)), Seq("gram"))
+        .groupBy("doc_id").agg(count(col("hit")).as("n_shared"))
+      grams.filter(col("doc_id") < 100000)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"))
+        .filter(col("n_shared") >= 1)
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_grams"), 4).as("ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $augNearSql,
+             tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+             g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+                   FROM tok WHERE len(toks) >= 5),
+             hold AS (SELECT DISTINCT gram FROM g WHERE doc_id >= 100000),
+             tr AS (SELECT doc_id, gram FROM g WHERE doc_id < 100000)
+             SELECT doc_id, n_grams, n_shared,
+               round(CAST(n_shared AS DOUBLE) / n_grams, 4) AS ratio
+             FROM (SELECT tr.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(count(hold.gram) AS BIGINT) AS n_shared
+                   FROM tr LEFT JOIN hold ON tr.gram = hold.gram
+                   GROUP BY tr.doc_id)
+             WHERE n_shared >= 1
+             ORDER BY doc_id"""))
+
   /** Gopher-style repetition filters: per-doc duplicate-2-gram
     * fraction and most-frequent-token fraction, plus the keep/drop
     * decision. Both signals are per-row (the token histogram is a
@@ -624,5 +702,6 @@ object TextOps {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupNgram, dupClustersQ, dedupMinhash, dedupSimhash,
     dedupIncremental, fingerprint, tokenCount, textStats, qualityScore,
-    langId, langFilter, contamination, repetitionFilter)
+    langId, langFilter, contamination, contaminationBloom,
+    repetitionFilter)
 }

@@ -161,6 +161,40 @@ object PipelineOps {
                      FROM documents))
              WHERE rk <= 20 ORDER BY lang, rk"""))
 
+  /** Quality-weighted deterministic subsample — reproducible DATA
+    * MIXING: each quality band gets a target keep-rate (high 100%,
+    * mid 50%, low 10%) and a doc is kept iff its 60-bit md5 bucket
+    * falls under the band's rate. Unlike `sample()`/rand() this is
+    * stable across runs, engines, partitionings and corpus growth —
+    * a doc's fate never changes when unrelated data arrives, which is
+    * what makes ablation reruns and incremental re-mixes comparable.
+    * One stateless scan; band here is a token-count proxy (the
+    * llm_quality_score signals slot in unchanged). */
+  private val sampleWeighted = QueryDef(
+    "llm_sample_weighted",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("band", expr(
+          """CASE WHEN n_toks >= 40 THEN 'high'
+            |     WHEN n_toks >= 15 THEN 'mid' ELSE 'low' END""".stripMargin))
+        .withColumn("rate", expr(
+          "CASE band WHEN 'high' THEN 100 WHEN 'mid' THEN 50 ELSE 10 END"))
+        .withColumn("hb", expr(hashBucketExpr("mix:", "doc_id", 100)))
+        .filter(col("hb") < col("rate"))
+        .select("doc_id", "band", "hb")
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, band, hb FROM (
+               SELECT doc_id,
+                 CASE WHEN n_toks >= 40 THEN 'high'
+                      WHEN n_toks >= 15 THEN 'mid' ELSE 'low' END AS band,
+                 CASE WHEN n_toks >= 40 THEN 100
+                      WHEN n_toks >= 15 THEN 50 ELSE 10 END AS rate,
+                 ${hashBucketSql("mix:", "doc_id", 100)} AS hb
+               FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks
+                     FROM documents))
+             WHERE hb < rate ORDER BY doc_id"""))
+
   /** 4-bit scalar quantization of embeddings (16 levels over [-1, 1)) —
     * the storage-compression step of a 100 TB vector corpus (64 floats
     * → 32 bytes). Emits the exact integer code sum and the max
@@ -323,5 +357,5 @@ object PipelineOps {
 
   val defs: Seq[QueryDef] = Seq(
     trainSplit, shardAssign, packSequences, docChunk,
-    sampleStratified, quantize, tfidf, piiScrub, domainMix)
+    sampleStratified, sampleWeighted, quantize, tfidf, piiScrub, domainMix)
 }

@@ -324,7 +324,42 @@ object Extensions {
               SELECT l_returnflag, 'disc_cents', disc_cents FROM agg)
             ORDER BY l_returnflag, metric"""))
 
+  /** Small-file COMPACTION — the table-maintenance op every long-lived
+    * 100 TB lake needs: streaming ingest and fine-grained partitioning
+    * leave thousands of KB-sized files whose per-file open/footer cost
+    * dominates scans. Fragment the table (16-way write), compact it
+    * (repartition(2) → exactly 2 output files, verified from
+    * `input_file_name`), and prove the round trip lossless with exact
+    * aggregates. `repartition(N)` is the deliberate choice over
+    * `coalesce(N)`: coalesce would chain the upstream scan into N
+    * tasks, while repartition isolates the compaction shuffle — at
+    * scale this runs per-partition with N sized to the target file
+    * size. NOTE for BENCH readers: timing includes both writes by
+    * design. */
+  private val sinkCompacted = QueryDef(
+    "sink_compacted",
+    (s, d) => {
+      val frag = tmpPath("graft_frag", d)
+      val comp = tmpPath("graft_comp", d)
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ev.repartition(16).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).repartition(2)
+        .write.mode("overwrite").parquet(comp)
+      s.read.parquet(comp)
+        .withColumn("__f", input_file_name())
+        .agg(
+          countDistinct(col("__f")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          sum("vc").as("sum_cents"))
+    },
+    Some("""SELECT CAST(2 AS BIGINT) AS n_files,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
-    fnFuzzy, aggArrayCollect, unpivotStack)
+    fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted)
 }

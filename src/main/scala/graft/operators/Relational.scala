@@ -505,6 +505,31 @@ object Relational {
                   FROM events GROUP BY event_type, user_id)
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** Conditional aggregation via the SQL-standard FILTER clause (and
+    * count_if) — several conditional aggregates in ONE pass instead of
+    * self-joins or pivot gymnastics; each FILTER aggregate is still a
+    * partial-aggregatable two-phase HashAggregate. */
+  private val aggFiltered = QueryDef(
+    "agg_filtered",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          count(lit(1)).as("n_all"),
+          expr("CAST(count_if(l_returnflag = 'R') AS BIGINT)").as("n_returned"),
+          expr("""CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                  FILTER (WHERE l_discount > 0.05) AS BIGINT)""")
+            .as("qty_discounted"),
+          expr("""CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)""")
+            .as("n_bulk"))
+        .orderBy("l_linestatus"),
+    Some("""SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_all,
+              CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned,
+              CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                   FILTER (WHERE l_discount > 0.05) AS BIGINT) AS qty_discounted,
+              CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
   private val aggRollup = QueryDef(
     "agg_rollup",
     (s, d) =>
@@ -609,14 +634,34 @@ object Relational {
             EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
             ORDER BY k"""))
 
+  /** EXCEPT ALL — BAG semantics: each value survives with multiplicity
+    * max(count_left − count_right, 0), which `except` (set semantics)
+    * cannot express. Catalyst plans it as a count-aggregate + replicate
+    * (Expand), one shuffle per side — no row-identity join. Output is
+    * grouped (the multiplicity per key) so the comparator sees a
+    * deterministic total order. */
+  private val setExceptAll = QueryDef(
+    "set_except_all",
+    (s, d) =>
+      Tables.lineitem(s, d).select((col("l_orderkey") % 1000).as("k"))
+        .exceptAll(
+          Tables.orders(s, d).select((col("o_orderkey") % 1000).as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+    Some("""SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT l_orderkey % 1000 AS k FROM lineitem
+              EXCEPT ALL
+              SELECT o_orderkey % 1000 AS k FROM orders)
+            GROUP BY k ORDER BY k"""))
+
   val defs: Seq[QueryDef] = Seq(
     scanParquet, scanProjected, jsonIngest, sinkParquet,
     projectExpr, filterPred, filterString,
     joinInnerHash, joinBroadcast, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinRangeTheta, joinCross,
     aggGlobal, aggGroupBy, aggHaving, aggCountDistinct, aggApproxDistinct,
-    aggHllMergeable, aggApproxTopk,
+    aggHllMergeable, aggApproxTopk, aggFiltered,
     aggRollup, aggCubeSets,
     sortMulti, topkGlobal,
-    setUnionAll, setUnionDistinct, setIntersect, setExcept)
+    setUnionAll, setUnionDistinct, setIntersect, setExcept, setExceptAll)
 }

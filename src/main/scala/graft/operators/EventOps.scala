@@ -319,17 +319,43 @@ object EventOps {
     * the aggregation buffer, so a handful of huge groups (event_type
     * at 100 TB) OOMs an executor. The scale path is
     * [[aggPercentileApprox]] below; keep this variant for small/medium
-    * groups and as the oracle anchor. */
+    * groups and as the oracle anchor. A fail-loud group-size guard
+    * (memoized per (session, sfDir), same pattern as TextOps'
+    * block-size guard) refuses to launch when any group exceeds
+    * [[maxExactPercentileGroup]] values, so no caller can buffer an
+    * unbounded multiset by accident. */
+  val maxExactPercentileGroup = 2000000L
+
+  private val pctlGuardOk =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), java.lang.Boolean]()
+
+  private[graft] def exactPercentileGuard(s: SparkSession, d: String,
+      cap: Long = maxExactPercentileGroup): Unit =
+    pctlGuardOk.computeIfAbsent((s, d, cap), _ => {
+      val maxGroup = Tables.events(s, d)
+        .groupBy("event_type").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      require(maxGroup <= cap,
+        s"agg_percentile is the exact bounded-scale baseline: largest " +
+          s"event_type group has $maxGroup values > $cap " +
+          "— exact percentile buffers the full per-group multiset in the " +
+          "aggregation buffer (executor OOM at corpus scale); use " +
+          "agg_percentile_approx's constant-size GK sketch instead")
+      java.lang.Boolean.TRUE
+    })
+
   private val aggPercentile = QueryDef(
     "agg_percentile",
-    (s, d) =>
+    (s, d) => {
+      exactPercentileGuard(s, d)
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(
           expr("round(percentile(value, 0.5), 4)").as("p50"),
           expr("round(percentile(value, 0.95), 4)").as("p95"),
           expr("round(percentile(value, 0.99), 4)").as("p99"))
-        .orderBy("event_type"),
+        .orderBy("event_type")
+    },
     Some("""SELECT event_type,
               round(quantile_cont(value, 0.5), 4) AS p50,
               round(quantile_cont(value, 0.95), 4) AS p95,

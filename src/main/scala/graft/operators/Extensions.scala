@@ -354,7 +354,10 @@ object Extensions {
           count(lit(1)).as("n_rows"),
           sum("vc").as("sum_cents"))
     },
-    Some("""SELECT CAST(2 AS BIGINT) AS n_files,
+    // repartition(2) emits one file per NON-EMPTY partition, so an
+    // events table with < 2 rows compacts to fewer files; least() keeps
+    // the oracle about compaction, not input size.
+    Some("""SELECT CAST(least(2, count(*)) AS BIGINT) AS n_files,
               CAST(count(*) AS BIGINT) AS n_rows,
               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events"""))

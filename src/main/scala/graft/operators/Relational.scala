@@ -498,7 +498,13 @@ object Relational {
             .as("estimates_exact"))
         .orderBy("event_type")
     },
-    Some("""SELECT event_type, CAST(3 AS BIGINT) AS k_returned,
+    // Oracle bounds: k_returned = least(3, distinct users) so groups
+    // with < 3 users (possible at tiny SFs) still match; estimates are
+    // exact only while per-group cardinality stays within the 8192
+    // sketch capacity — RelationalSpec asserts that precondition so an
+    // SF bump fails loudly at the assertion, not as a hash mismatch.
+    Some("""SELECT event_type,
+              CAST(least(3, count(*)) AS BIGINT) AS k_returned,
               CAST(max(n) AS BIGINT) AS top_count,
               TRUE AS estimates_exact
             FROM (SELECT event_type, user_id, count(*) AS n

@@ -243,4 +243,33 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getBoolean(4)),
       "every group's approx percentile must sit inside the exact φ±0.03 rank bracket")
   }
+
+  test("agg_percentile group-size guard fails loudly past the cap") {
+    // The exact-percentile plan buffers each group's full value
+    // multiset; the guard must refuse to launch (not OOM later) when
+    // any group exceeds the cap. cap=1 makes the real table oversized.
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.EventOps.exactPercentileGuard(spark, sfDir, cap = 1L)
+    }
+    assert(e.getMessage.contains("agg_percentile_approx"),
+      s"guard message must point at the scale path: ${e.getMessage}")
+    // and the default cap admits the test corpus (query still runs)
+    assert(run("agg_percentile").count() > 0)
+  }
+
+  test("agg_approx_topk oracle precondition: per-group cardinality within sketch capacity") {
+    // approx_top_k's estimates are exact only while each group's
+    // distinct-user cardinality stays within the 8192 sketch capacity
+    // (the query's oracle asserts estimates_exact = TRUE). Assert the
+    // precondition directly so an SF bump fails HERE, with a message
+    // naming the bound, instead of as an opaque oracle hash mismatch.
+    val maxCard = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("c"))
+      .agg(max("c")).collect()(0).getLong(0)
+    assert(maxCard <= 8192L,
+      s"largest event_type has $maxCard distinct users > 8192 sketch " +
+        "capacity: agg_approx_topk's estimates_exact oracle no longer holds " +
+        "at this scale factor — widen the sketch or relax the oracle")
+  }
 }

@@ -1,34 +1,51 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal columns (builder brief): image/audio/video payloads are
-  * opaque `binary` columns with typed metadata travelling beside them.
+/** Multimodal columns: image/audio/video payloads are opaque `binary`
+  * columns with typed metadata travelling beside them.
   *
-  * The decode step itself (JPEG/audio codecs) is STUBBED — the
-  * container ships no media libraries — behind [[decodeStub]], a
-  * deterministic fake that derives plausible metadata from the byte
-  * stream. Everything AROUND the stub is real and tested: the asset
-  * schema, the binary column plumbing, the partition-parallel batch
-  * decode via `mapPartitions` (the Scala analog of `mapInPandas` — one
-  * decoder instantiation per partition, streamed row batches, no
-  * driver collect), and the frame-sampling slice.
+  * The image path is REAL: PNG bytes are encoded and decoded with JDK
+  * `javax.imageio` (no external dependency) inside the
+  * `mapPartitions` batch seam — one codec context per partition, rows
+  * streamed through it, nothing collected to the driver. Decode
+  * produces true raster dimensions, channel count, and a
+  * deterministic 8×8 average-hash over BT.601 luminance computed from
+  * the decoded pixels (integer math only, so an independent engine
+  * can recompute it — the DuckDB oracle does exactly that).
+  *
+  * Audio/video codecs are not in the JDK; those payloads keep the
+  * documented deterministic [[decodeStub]] fallback so the
+  * partition-parallel plumbing stays exercised for every mime type.
   */
 object MultimodalOps {
+
+  ImageIO.setUseCache(false) // in-memory streams; no temp-file cache on executors
 
   /** An opaque media asset: bytes + typed metadata. */
   final case class Asset(doc_id: Long, bytes: Array[Byte], mime: String)
 
-  /** Decoded metadata a real codec would produce. */
+  /** Decoded metadata a codec produces. */
   final case class DecodedMeta(
       doc_id: Long, byte_size: Long, width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder — deterministic fake standing in for a real codec
-    * (e.g. javax.imageio / ffmpeg): metadata is derived from byte
-    * length so tests are reproducible. Swap this body for the real
-    * decode when media libraries are available. */
+  /** Real decode output: raster dims, bands, and the average-hash as a
+    * 64-char bitstring (row-major 8×8 grid) — a string rather than a
+    * packed long so the top bit never forces signed-overflow games in
+    * either engine. */
+  final case class DecodedImage(
+      doc_id: Long, fmt: String, width: Int, height: Int, channels: Int,
+      ahash_bits: String)
+
+  /** STUB decoder — deterministic fake for mime types the JDK has no
+    * codec for (audio/video): metadata is derived from byte length so
+    * tests are reproducible. Image mimes never take this path. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     ((n % 64) * 16 + 16, (n % 48) * 16 + 16, n % 30 + 1)
@@ -36,8 +53,7 @@ object MultimodalOps {
 
   /** Resize stub: deterministic byte-level downsample standing in for
     * an image resize — keeps every stride-th byte so output size
-    * scales like a real (w/s × h/s) resize. Swap for a real scaler
-    * when image libs are available. */
+    * scales like a real (w/s × h/s) resize. */
   def resizeStub(bytes: Array[Byte], stride: Int): Array[Byte] = {
     require(stride >= 1)
     bytes.zipWithIndex.collect { case (b, i) if i % stride == 0 => b }
@@ -49,19 +65,136 @@ object MultimodalOps {
     bytes.grouped(blockSize).zipWithIndex
       .collect { case (b, i) if i % every == 0 => b }.toArray
 
-  /** Partition-parallel decode: one decoder per partition, rows
-    * streamed through it — the mapInPandas-shaped seam. Never collects
-    * to the driver; scales with executor count. */
+  // ---------------------------------------------------------------------
+  // Real image codec path (javax.imageio)
+  // ---------------------------------------------------------------------
+
+  /** Synthetic raster parameters for a document: width 8..56, height
+    * 8..32, both ≥ 8 so the 8×8 hash grid always has ≥1 px per cell.
+    * Mirrored verbatim in the DuckDB oracles. */
+  def imageParams(docId: Long): (Int, Int) =
+    (((docId % 13) * 4 + 8).toInt, ((docId % 7) * 4 + 8).toInt)
+
+  /** Gray value of pixel (x,y) for a document — pure integer
+    * arithmetic, mirrored in the oracle. R=G=B=gray, so BT.601
+    * luminance (299r+587g+114b)/1000 collapses back to gray exactly. */
+  def pixelGray(docId: Long, x: Int, y: Int): Int =
+    ((x * 7 + y * 13 + docId) % 256).toInt
+
+  /** Encode a real PNG for a document via ImageIO — lossless, so the
+    * decode side sees bit-identical pixels. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val (w, h) = imageParams(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = pixelGray(docId, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 8×8 average-hash over BT.601 luminance of the DECODED raster.
+    * Cell (gy,gx) averages the pixel block [gx·w/8,(gx+1)·w/8) ×
+    * [gy·h/8,(gy+1)·h/8) (integer division); a bit is 1 iff its cell
+    * mean exceeds the grand mean. All-integer math — no float drift,
+    * so DuckDB reproduces it exactly from the pixel formula. */
+  def averageHashBits(img: BufferedImage): String = {
+    val w = img.getWidth; val h = img.getHeight
+    require(w >= 8 && h >= 8, s"ahash needs ≥8×8 raster, got ${w}x$h")
+    val cells = new Array[Long](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = (gx + 1) * w / 8
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var sum = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sum += (299L * r + 587L * g + 114L * b) / 1000L
+            cnt += 1; x += 1
+          }
+          y += 1
+        }
+        cells(gy * 8 + gx) = sum / cnt
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = cells.sum / 64
+    val sb = new StringBuilder(64)
+    cells.foreach(c => sb.append(if (c > mean) '1' else '0'))
+    sb.toString
+  }
+
+  /** Pack a 64-char bitstring hash into a Long (MSB = cell 0) — for
+    * Hamming-distance arithmetic in near-dup pipelines. */
+  def packAhash(bits: String): Long = {
+    require(bits.length == 64)
+    bits.foldLeft(0L)((acc, c) => (acc << 1) | (if (c == '1') 1L else 0L))
+  }
+
+  /** Real decode: ImageIO reads the bytes, metadata comes from the
+    * decoded raster, not from the byte stream. Fails loudly on
+    * undecodable bytes (the pipeline's fail-fast contract); use
+    * [[tryDecodeImage]] for quarantine flows. */
+  def decodeImage(docId: Long, bytes: Array[Byte]): DecodedImage =
+    tryDecodeImage(docId, bytes).getOrElse(
+      throw new IllegalArgumentException(s"doc $docId: undecodable image bytes"))
+
+  def tryDecodeImage(docId: Long, bytes: Array[Byte]): Option[DecodedImage] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      DecodedImage(docId, "png", img.getWidth, img.getHeight,
+        img.getRaster.getNumBands, averageHashBits(img))
+    }
+
+  /** Documents rendered as REAL PNG assets — one encoder context per
+    * partition, payloads built executor-side, never collected. */
+  def imageAssets(s: SparkSession, d: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // codec context initialized once per partition
+        ids.map(id => Asset(id, encodePng(id), "image/png"))
+      }
+  }
+
+  /** Partition-parallel decode over mixed-mime assets: image payloads
+    * go through the real ImageIO codec; other mimes fall back to the
+    * documented stub. The mapInPandas-shaped seam — one decoder per
+    * partition, rows streamed through it. */
   def decodeAssets(assets: Dataset[Asset]): Dataset[DecodedMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { rows =>
-      // A real implementation would initialize the codec ONCE here
-      // (per partition), then stream rows through it.
       rows.map { a =>
-        val (w, h, f) = decodeStub(a.bytes)
-        DecodedMeta(a.doc_id, a.bytes.length.toLong, w, h, f)
+        if (a.mime.startsWith("image/")) {
+          val dec = decodeImage(a.doc_id, a.bytes)
+          DecodedMeta(a.doc_id, a.bytes.length.toLong, dec.width, dec.height, 1)
+        } else {
+          val (w, h, f) = decodeStub(a.bytes)
+          DecodedMeta(a.doc_id, a.bytes.length.toLong, w, h, f)
+        }
       }
     }
+  }
+
+  /** Full real decode pipeline: encode PNGs → decode via ImageIO →
+    * raster metadata + average-hash. */
+  def decodedImages(s: SparkSession, d: String): Dataset[DecodedImage] = {
+    import s.implicits._
+    imageAssets(s, d).mapPartitions(_.map(a => decodeImage(a.doc_id, a.bytes)))
   }
 
   /** Documents rendered as binary assets (text bytes stand in for
@@ -82,8 +215,8 @@ object MultimodalOps {
     * The stub dimension math is pure byte-length arithmetic, so the
     * declared query uses built-in `octet_length` expressions (fully
     * codegen'd, no UDF in the plan — same formulas as [[decodeStub]],
-    * which remains the body of the `mapPartitions` batch-decode seam
-    * where a real codec genuinely needs opaque-bytes access). */
+    * which remains the fallback body of the `mapPartitions`
+    * batch-decode seam for non-image mimes). */
   private val multimodalMeta = QueryDef(
     "llm_multimodal_meta",
     (s, d) => {
@@ -110,5 +243,64 @@ object MultimodalOps {
               CAST(strlen(text) % 30 + 1 AS INTEGER) AS n_frames
             FROM documents ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(multimodalMeta)
+  /** REAL decode, oracle-checked: PNG bytes are produced and then
+    * decoded by javax.imageio on executors; the emitted width/height/
+    * channels come from the decoded raster. DuckDB independently
+    * derives the expected dims from the generation arithmetic — a
+    * mismatch means the codec path (not just the formula) broke. */
+  private val multimodalDecode = QueryDef(
+    "llm_multimodal_decode",
+    (s, d) =>
+      decodedImages(s, d).toDF()
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+          col("channels"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, 'png' AS fmt,
+              CAST((doc_id % 13) * 4 + 8 AS INTEGER) AS width,
+              CAST((doc_id % 7) * 4 + 8 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels
+            FROM documents ORDER BY doc_id"""))
+
+  /** Average-hash of the DECODED raster, oracle-checked bit-for-bit:
+    * DuckDB recomputes every pixel from the generation formula,
+    * block-averages the 8×8 grid with the same integer division, and
+    * must land on the identical 64-bit pattern. This proves the PNG
+    * roundtrip is lossless AND the hash math is engine-independent —
+    * strictly stronger than the rows-only check sketches get. */
+  private val multimodalAhash = QueryDef(
+    "llm_multimodal_ahash",
+    (s, d) =>
+      decodedImages(s, d).toDF()
+        .select(col("doc_id"), col("ahash_bits"))
+        .orderBy("doc_id"),
+    Some("""WITH docs AS (
+              SELECT doc_id,
+                     CAST((doc_id % 13) * 4 + 8 AS INTEGER) AS w,
+                     CAST((doc_id % 7) * 4 + 8 AS INTEGER) AS h
+              FROM documents),
+            pixels AS (
+              -- (8x+7)//w is the exact inverse of the floor block
+              -- boundaries x0(g)=g*w//8 (brute-force verified for all
+              -- widths 8..56)
+              SELECT d.doc_id,
+                     (8 * xs.x + 7) // d.w AS gx,
+                     (8 * ys.y + 7) // d.h AS gy,
+                     (xs.x * 7 + ys.y * 13 + d.doc_id) % 256 AS lum
+              FROM docs d
+              CROSS JOIN generate_series(0, 55) xs(x)
+              CROSS JOIN generate_series(0, 31) ys(y)
+              WHERE xs.x < d.w AND ys.y < d.h),
+            cells AS (
+              SELECT doc_id, gy, gx, SUM(lum) // COUNT(*) AS cell
+              FROM pixels GROUP BY 1, 2, 3),
+            means AS (
+              SELECT doc_id, SUM(cell) // 64 AS mean FROM cells GROUP BY 1)
+            SELECT c.doc_id,
+                   string_agg(CASE WHEN c.cell > m.mean THEN '1' ELSE '0' END,
+                              '' ORDER BY c.gy, c.gx) AS ahash_bits
+            FROM cells c JOIN means m USING (doc_id)
+            GROUP BY c.doc_id
+            ORDER BY c.doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode, multimodalAhash)
 }

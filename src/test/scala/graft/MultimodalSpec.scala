@@ -1,10 +1,16 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
 import graft.llm.MultimodalOps
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal binary-column plumbing: schema, partition-parallel
-  * decode, frame sampling (the codec itself is a documented stub). */
+/** Multimodal binary-column plumbing AND the real javax.imageio codec
+  * path: PNG encode→decode roundtrip, raster metadata, average-hash
+  * properties. The stub decoder remains only as the non-image-mime
+  * fallback and keeps its determinism test. */
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
 
   test("assetsFromDocuments produces binary payloads with typed metadata") {
@@ -16,7 +22,80 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(new String(first.bytes, "UTF-8").nonEmpty)
   }
 
-  test("decodeAssets runs partition-parallel and matches the stub per row") {
+  test("real PNG decode: dimensions and pixels survive the roundtrip bit-exact") {
+    val docId = 42L
+    val bytes = MultimodalOps.encodePng(docId)
+    // PNG magic — these really are image bytes, not a fake
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = MultimodalOps.imageParams(docId)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val g = MultimodalOps.pixelGray(docId, x, y)
+      assert(((rgb >> 16) & 0xff) == g && ((rgb >> 8) & 0xff) == g && (rgb & 0xff) == g,
+        s"pixel ($x,$y) of doc $docId lost in PNG roundtrip")
+    }
+  }
+
+  test("decodeImage reports raster metadata from the decoded image") {
+    val dec = MultimodalOps.decodeImage(7L, MultimodalOps.encodePng(7L))
+    val (w, h) = MultimodalOps.imageParams(7L)
+    assert(dec.width == w && dec.height == h && dec.channels == 3)
+    assert(dec.ahash_bits.length == 64 && dec.ahash_bits.forall(c => c == '0' || c == '1'))
+  }
+
+  test("tryDecodeImage returns None on garbage bytes; decodeImage fails loudly") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(MultimodalOps.tryDecodeImage(1L, junk).isEmpty)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeImage(1L, junk))
+  }
+
+  test("ahash: solid image hashes to all-zero bits (no cell exceeds the mean)") {
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    assert(MultimodalOps.averageHashBits(img) == "0" * 64)
+  }
+
+  test("ahash: half-bright image sets exactly the bright half's bits") {
+    // left half black, right half white → right 4 columns of each grid row
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+    val bits = MultimodalOps.averageHashBits(img)
+    assert(bits == ("0000" + "1111") * 8)
+  }
+
+  test("ahash is deterministic and survives PNG re-encode") {
+    val bytes = MultimodalOps.encodePng(123L)
+    val d1 = MultimodalOps.decodeImage(123L, bytes)
+    // re-encode the decoded raster and hash again
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val d2 = MultimodalOps.decodeImage(123L, out.toByteArray)
+    assert(d1.ahash_bits == d2.ahash_bits)
+    assert(d1 == MultimodalOps.decodeImage(123L, bytes.clone()))
+  }
+
+  test("packAhash packs MSB-first") {
+    assert(MultimodalOps.packAhash("0" * 64) == 0L)
+    assert(MultimodalOps.packAhash("0" * 63 + "1") == 1L)
+    assert(MultimodalOps.packAhash("1" + "0" * 63) == Long.MinValue)
+  }
+
+  test("decodeAssets routes image mimes through the real codec in parallel") {
+    val assets = MultimodalOps.imageAssets(spark, sfDir).limit(50)
+    val metas = MultimodalOps.decodeAssets(assets).collect()
+    assert(metas.length == 50)
+    metas.foreach { m =>
+      val (w, h) = MultimodalOps.imageParams(m.doc_id)
+      assert((m.width, m.height) == (w, h), s"doc ${m.doc_id} decoded wrong dims")
+      assert(m.byte_size > 8) // real PNG payload, not empty
+    }
+  }
+
+  test("decodeAssets falls back to the stub for non-image mimes, matching per row") {
     val assets = MultimodalOps.assetsFromDocuments(spark, sfDir).limit(50)
     val metas = MultimodalOps.decodeAssets(assets).collect()
     assert(metas.length == 50)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, NGramHashes, SimHash64, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, NGramHashes, SentenceSplit, SimHash64, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - |A∩B| of sorted long arrays"),
       (es: Seq[Expression]) => SortedIntersectCount(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("split_sentences"),
+      info("split_sentences",
+        "split_sentences(text) - generator: one row per sentence as (pos, sentence)"),
+      (es: Seq[Expression]) => SentenceSplit(es.head)))
   }
 }

@@ -171,6 +171,39 @@ object Scalars {
               FROM documents WHERE doc_id < 100)
             GROUP BY doc_id, token ORDER BY doc_id, token"""))
 
+  /** CUSTOM generator surface (§2g's UDTF seam): the native
+    * [[graft.functions.SentenceSplit]] Catalyst `Generator` — one row
+    * per sentence with its ordinal, expanded by `GenerateExec` inside
+    * whole-stage codegen (plan-asserted in FunctionsSpec), no UDF and
+    * no flatMap. The oracle reproduces the boundary semantics with
+    * `regexp_split_to_array` + empty-fragment filter. */
+  private val fnExplodeCustom = QueryDef(
+    "fn_explode_custom",
+    (s, d) =>
+      Tables.documents(s, d)
+        // the corpus has no punctuation, so synthesize sentence
+        // boundaries the same way in both engines (plain left-to-right
+        // non-overlapping replace) — real multi-row expansion, not a
+        // 1-row-per-doc degenerate case
+        .select(col("doc_id"),
+          graft.functions.SentenceSplit.splitSentences(
+            expr("replace(text, ' a ', '. ')")))
+        .orderBy("doc_id", "pos"),
+    Some("""WITH punct AS (
+              SELECT doc_id, replace(text, ' a ', '. ') AS ptext
+              FROM documents),
+            parts AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(ptext, '[.!?]+[ \t\n\r]+')) AS sentence,
+                     generate_subscripts(regexp_split_to_array(ptext, '[.!?]+[ \t\n\r]+'), 1) AS ord
+              FROM punct)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+                        AS INTEGER) AS pos,
+                   sentence
+            FROM parts WHERE sentence <> ''
+            ORDER BY doc_id, pos"""))
+
   /** Schema-full JSON parse (vs json_ingest's path extraction). */
   private val fnJson = QueryDef(
     "fn_json",
@@ -367,5 +400,6 @@ object Scalars {
 
   val defs: Seq[QueryDef] = Seq(
     fnString, fnDate, fnInterval, fnMath, fnArray, fnHigherOrder, fnExplode,
-    fnJson, fnUdf, aggUdaf, fnRegex, fnHash, fnNull, fnStructMap, fnBitwise)
+    fnExplodeCustom, fnJson, fnUdf, aggUdaf, fnRegex, fnHash, fnNull,
+    fnStructMap, fnBitwise)
 }

@@ -21,6 +21,10 @@ object ColumnBridge {
   def expression(spark: SparkSession, c: Column): Expression =
     ExpressionUtils.expression(c)
 
+  /** Unwrap without a session (classic-mode Columns carry their
+    * expression; the session parameter above is vestigial). */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
   /** Register an expression builder as a SQL-callable function for this
     * session, so `expr("name(...)")` resolves to a native (codegen'd)
     * Catalyst expression rather than a black-box UDF. */

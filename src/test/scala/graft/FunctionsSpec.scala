@@ -144,6 +144,75 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  // ------------------------------------------------------------------
+  // SentenceSplit — the custom Catalyst Generator (UDTF seam, §2g)
+  // ------------------------------------------------------------------
+
+  /** Reference semantics: regex split + drop empty fragments (what the
+    * DuckDB oracle computes with regexp_split_to_array). */
+  private def refSplit(s: String): Seq[String] =
+    s.split("[.!?]+[ \t\n\r]+", -1).toSeq.filter(_.nonEmpty)
+
+  test("SentenceSplit.split matches the regex reference on adversarial random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val alphabet = ".!? \t\n\rabX".toCharArray
+    val rnd = new Random(1234)
+    (1 to 2000).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = SentenceSplit.split(UTF8String.fromString(s)).map(_.toString).toSeq
+      assert(got == refSplit(s), s"input=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("SentenceSplit known cases: delimiter dropped, trailing punct kept, empties filtered") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sp(s: String) = SentenceSplit.split(UTF8String.fromString(s)).map(_.toString).toSeq
+    assert(sp("One. Two! Three?") == Seq("One", "Two", "Three?"))
+    assert(sp("a..b. c") == Seq("a..b", "c"))
+    assert(sp("x. . y") == Seq("x", "y"))
+    assert(sp("3.14 is pi. ok") == Seq("3.14 is pi", "ok"))
+    assert(sp("") == Seq.empty)
+    assert(sp(". ") == Seq.empty)
+    assert(sp("no boundary") == Seq("no boundary"))
+  }
+
+  test("SentenceSplit generator: expansion, ordinals, and null → zero rows") {
+    import spark.implicits._
+    val df = Seq((1L, "A b. C d! E"), (2L, null.asInstanceOf[String]), (3L, "solo"))
+      .toDF("id", "t")
+      .select(col("id"), SentenceSplit.splitSentences(col("t")))
+    val rows = df.orderBy("id", "pos").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1L, 0, "A b"), (1L, 1, "C d"), (1L, 2, "E"), (3L, 0, "solo")))
+  }
+
+  test("SentenceSplit runs inside whole-stage codegen (GenerateExec, no UDF)") {
+    import spark.implicits._
+    val df = Seq((1L, "A b. C d! E")).toDF("id", "t")
+      .select(col("id"), SentenceSplit.splitSentences(col("t")))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("Generate split_sentences"), phys)
+    assert(!phys.contains("BatchEvalPython") && !phys.contains("Invoke"), phys)
+    // the generated source must contain the static splitter call —
+    // direct evidence GenerateExec codegens around this generator
+    // rather than falling back to interpreted eval
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("splitToArrayData"), codegen.take(2000))
+  }
+
+  test("SentenceSplit is SQL-callable via extensions-style registration") {
+    graft.llm.TextOps // ensure object init side effects don't interfere
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "split_sentences", es => SentenceSplit(es.head))
+    import spark.implicits._
+    Seq((1L, "A. B")).toDF("id", "t").createOrReplaceTempView("ss_t")
+    val got = spark.sql(
+      "SELECT id, pos, sentence FROM ss_t LATERAL VIEW split_sentences(t) g AS pos, sentence")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 0, "A"), (1L, 1, "B")))
+  }
+
   test("fn_bitwise agrees with JVM bit arithmetic on a known row") {
     val r = SparkEntry.queries("fn_bitwise")(spark, sfDir)
       .filter("event_id = 42").collect()(0)

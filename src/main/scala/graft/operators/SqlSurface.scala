@@ -314,8 +314,103 @@ object SqlSurface {
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND l_quantity < 24"""))
 
+  /** TPC-H Q18 shape (large-volume customers): IN-subquery over a
+    * grouped HAVING on the fact table, re-joined to the same fact for
+    * the detail rows. Stresses the planner on aggregate-then-semijoin:
+    * Catalyst runs the HAVING aggregate once, semi-joins orders on the
+    * qualifying keys, and only then joins customer — no per-row
+    * re-execution of the subquery. Quantities are whole numbers in the
+    * data; summed as exact BIGINTs per the determinism rules. */
+  private val sqlTpchQ18 = QueryDef(
+    "sql_tpch_q18",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT c_name, c_custkey, o_orderkey,
+                 unix_timestamp(o_orderdate) AS order_epoch,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+               FROM v_customer
+               JOIN v_orders   ON c_custkey = o_custkey
+               JOIN v_lineitem ON o_orderkey = l_orderkey
+               WHERE o_orderkey IN (
+                 SELECT l_orderkey FROM v_lineitem
+                 GROUP BY l_orderkey
+                 HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+               GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+               ORDER BY totalprice_c DESC, o_orderkey ASC
+               LIMIT 100""")
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey,
+              CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY totalprice_c DESC, o_orderkey ASC
+            LIMIT 100"""))
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): chained
+    * correlated EXISTS (another supplier touched the order) + NOT
+    * EXISTS (no OTHER supplier was late) over the same fact table,
+    * i.e. a semi join and an anti join both correlated on l_orderkey
+    * — with the twist that "late" here is relative to the OUTER
+    * query's order date (the data has no receipt/commit dates), so the
+    * anti join's condition references an outer column beyond the
+    * equi-key and Catalyst's DecorrelateInnerQuery must carry it into
+    * the join condition. Both engines decorrelate rather than
+    * re-executing per row. */
+  private val sqlTpchQ21 = QueryDef(
+    "sql_tpch_q21",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+               FROM v_supplier
+               JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+               JOIN v_orders o    ON o.o_orderkey = l1.l_orderkey
+               JOIN v_nation      ON s_nationkey = n_nationkey
+               WHERE o.o_orderstatus = 'F'
+                 AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+                 AND EXISTS (
+                   SELECT 1 FROM v_lineitem l2
+                   WHERE l2.l_orderkey = l1.l_orderkey
+                     AND l2.l_suppkey <> l1.l_suppkey)
+                 AND NOT EXISTS (
+                   SELECT 1 FROM v_lineitem l3
+                   WHERE l3.l_orderkey = l1.l_orderkey
+                     AND l3.l_suppkey <> l1.l_suppkey
+                     AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+               GROUP BY s_name, n_name
+               ORDER BY numwait DESC, s_name ASC
+               LIMIT 100""")
+    },
+    Some("""SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+            JOIN nation      ON s_nationkey = n_nationkey
+            WHERE o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY s_name, n_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 100"""))
+
   val defs: Seq[QueryDef] = Seq(
     subqueryScalar, subqueryIn, subqueryExists, subqueryNotIn,
     sqlLateralTopn, sqlTpchQ3, sqlTpchQ5, sqlTpchQ6, sqlTpchQ10,
-    groupingSets)
+    sqlTpchQ18, sqlTpchQ21, groupingSets)
 }

@@ -23,6 +23,59 @@ class NullHandlingSpec extends AnyFunSuite with SparkFixture {
       schema)
   }
 
+  // ------------------------------------------------------------------
+  // ANSI-mode sweep (r6): Spark 4 runs ANSI by default, where invalid
+  // array indexes THROW instead of returning null. Every array-index
+  // site in the engine was audited; these tests pin why each is safe.
+  // Sites: DedupApi.withShingles (element_at(toks, i+k)),
+  // agg_percentile_approx (ex[0..2] on percentile arrays), fn_array /
+  // fn_struct_map (already try_element_at since r4). DuckDB-oracle-side
+  // bracket indexing (Scalars.scala oracle SQL) is DuckDB semantics
+  // (NULL on OOB), not a Spark concern.
+  // ------------------------------------------------------------------
+
+  test("ANSI is on in this engine's sessions (the sweep's premise)") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+  }
+
+  test("ANSI sweep: withShingles never produces an out-of-bounds element_at") {
+    import spark.implicits._
+    // texts shorter than n, exactly n, and n+1 tokens — the boundary
+    // cases where sequence(1, size-n+1) + element_at(i+k) would throw
+    // under ANSI if the size>=n filter or the arithmetic were off
+    val df = Seq((1L, ""), (2L, "a"), (3L, "a b"), (4L, "a b c"),
+      (5L, "a b c d")).toDF("id", "text")
+    val sh = graft.llm.DedupApi.withShingles(df, "text", n = 3)
+      .select("id", "sh").collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(!sh.contains(1L) && !sh.contains(2L) && !sh.contains(3L)) // filtered, not thrown
+    assert(sh(4L) == Seq("a b c"))
+    assert(sh(5L) == Seq("a b c", "b c d"))
+  }
+
+  test("ANSI sweep: percentile-array indexes are structurally in-bounds") {
+    // percentile(value, array(p1,p2,p3)) always returns a 3-element
+    // array for a non-empty group, and groups only exist for rows —
+    // ex[0..2] can never be OOB. Empty input → zero groups, no eval.
+    val out = SparkEntry.queries("agg_percentile_approx")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(!_.isNullAt(1)))
+    import spark.implicits._
+    val empty = spark.emptyDataset[(String, Double)].toDF("event_type", "value")
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("ex"))
+      .select(expr("ex[2]"))
+    assert(empty.collect().isEmpty) // no groups → the index never evaluates
+  }
+
+  test("ANSI sweep: a genuinely invalid element_at DOES throw (the mode is live)") {
+    import spark.implicits._
+    val bad = Seq(Seq(1, 2)).toDF("a").select(expr("element_at(a, 5)"))
+    assertThrows[Exception](bad.collect())
+    // and the engine's sanctioned escape hatch returns null instead
+    val ok = Seq(Seq(1, 2)).toDF("a").select(expr("try_element_at(a, 5)")).collect()
+    assert(ok(0).isNullAt(0))
+  }
+
   test("aggregates skip nulls; count(*) does not") {
     val r = dfWithNulls.agg(
       count(lit(1)).as("n_rows"), count(col("v")).as("n_v"),

@@ -502,6 +502,114 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("end-to-end kinesis envelope pipeline: encode → file stream → decode → " +
+      "watermarked window agg → idempotent sink, surviving a mid-commit kill") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_e2e").toString
+    val stage = s"$base/envelope"; Files.createDirectories(Paths.get(stage))
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    // -- producer side: batch-encode the events table into the Kinesis
+    // put_record envelope (partition_key, sequence_number, base64 data),
+    // event time riding inside the payload as exact epoch micros
+    val envelope = Tables.events(spark, sfDir).select(
+      col("user_id").as("partition_key"),
+      col("event_id").as("sequence_number"),
+      base64(to_json(struct(
+        unix_micros(col("ts")).as("ts_us"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")))
+        .cast("binary")).as("data"),
+      col("ts"))
+    // a far-future flush record: pushes the watermark past every real
+    // window so append mode finalizes them all (the consumer-loop
+    // equivalent of a heartbeat record)
+    val flush = spark.sql(
+      """SELECT -1L AS partition_key, 999999L AS sequence_number,
+           base64(CAST(to_json(struct(
+             unix_micros(TIMESTAMP '2024-03-01 00:00:00') AS ts_us,
+             0 AS k)) AS BINARY)) AS data""")
+
+    // three "shards" arriving over time, as single parquet files
+    def shard(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$stage/$name.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val cut1 = "2024-01-11"; val cut2 = "2024-01-21"
+    shard(envelope.filter(col("ts") < lit(cut1)).drop("ts"), "f1")
+    shard(envelope.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2))
+      .drop("ts"), "f2")
+
+    // -- consumer side: file-source stream (the Kinesis source seam; the
+    // checkpoint is the sequence-number store) → decode → windowed agg
+    def startPipeline(beforeCommit: Long => Unit = _ => ()) = {
+      val stream = spark.readStream
+        .schema("partition_key LONG, sequence_number LONG, data STRING")
+        .option("maxFilesPerTrigger", "1") // one shard per micro-batch
+        .parquet(stage)
+      val payload = unbase64(col("data")).cast("string")
+      val decoded = stream.select(
+        timestamp_micros(get_json_object(payload, "$.ts_us").cast("long"))
+          .as("ts"),
+        get_json_object(payload, "$.k").cast("int").as("k"))
+      val agg = decoded.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .select(unix_timestamp(col("w.start")).as("win_epoch"),
+          col("n"), col("sum_k"))
+      StreamOps.startIdempotentParquet(agg, out, ckpt, beforeCommit)
+    }
+
+    // run 1: KILLED after batch-0 files are written but before the
+    // checkpoint commit — the classic partial-failure window
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = startPipeline(beforeCommit = _ =>
+      if (!crashed.getAndSet(true))
+        throw new RuntimeException("injected kill between write and commit"))
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+
+    // run 2: restart from the checkpoint — batch 0 replays into the same
+    // deterministic path (overwrite, no duplicates), then f2 processes
+    val q2 = startPipeline()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the third shard (+ flush record) arrives while the consumer is down
+    shard(envelope.filter(col("ts") >= lit(cut2)).drop("ts").unionAll(flush), "f3")
+
+    // run 3: restart again — only f3 is new (sequence-number recovery);
+    // the flush record finalizes every real window
+    val q3 = startPipeline()
+    try q3.processAllAvailable() finally q3.stop()
+
+    // -- verdict: the union of all idempotent batch outputs must equal
+    // the BATCH answer over the same envelope files, exactly once
+    val got = spark.read.parquet(out)
+      .filter(col("win_epoch") < lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime / 1000))
+      .select("win_epoch", "n", "sum_k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).distinct.length == got.length,
+      s"a window was emitted twice across the kill/restart: ${got.toSeq.sortBy(_._1)}")
+
+    val payloadB = unbase64(col("data")).cast("string")
+    val expected = spark.read.parquet(stage)
+      .filter(col("partition_key") =!= -1L)
+      .select(
+        timestamp_micros(get_json_object(payloadB, "$.ts_us").cast("long")).as("ts"),
+        get_json_object(payloadB, "$.k").cast("int").as("k"))
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .select(unix_timestamp(col("w.start")).as("win_epoch"), col("n"), col("sum_k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == expected.toSet,
+      s"streamed result != batch result over the same envelope: " +
+        s"missing=${expected.toSet -- got.toSet} extra=${got.toSet -- expected.toSet}")
+    assert(got.length >= 25, s"expected ~30 daily windows, got ${got.length}")
+  }
+
   test("stream-static join enriches events with the dimension table") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

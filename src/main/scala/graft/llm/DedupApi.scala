@@ -92,7 +92,14 @@ object DedupApi {
     * is a pathological-chain bound, not the expected cost. Returns
     * (node, cluster) where cluster = min doc id in the component. */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    dupClustersWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** As [[dupClusters]], also returning the number of label-propagation
+    * rounds executed — the O(component diameter) quantity the scale
+    * design depends on (ClusterScaleProbe measures it directly). */
+  def dupClustersWithRounds(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs
@@ -125,7 +132,7 @@ object DedupApi {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("node"), col("label").as("cluster"))
+    (labels.select(col("node"), col("label").as("cluster")), iter)
   }
 
   // ---- cross-batch incremental dedup (fingerprint ledger) ----------------

@@ -51,6 +51,17 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Compute vs write-IO split: these queries deliberately time table
+    // WRITES (bucketed-table builds, sink round-trips) — their cost is
+    // disk bandwidth, not plan quality. Reporting the two subtotals
+    // separately makes round-over-round COMPUTE movement visible
+    // without manual exclusion. (The incremental-ledger queries are
+    // NOT here: their one-time ledger builds are memoized out of the
+    // timed region; the timed part is the recurring read-side probe.)
+    val writeIoQueries = Set("sink_parquet", "sink_partitioned",
+      "sink_compacted", "csv_roundtrip", "join_bucketed")
+    val writeIo = results.filter { case (n, _) => writeIoQueries(n) }.values.sum
+    val compute = total - writeIo
     // Full per-query timings go to a file: with 100+ queries the map no
     // longer fits the driver's 2000-char output-tail buffer, and a
     // truncated line is unparseable.
@@ -63,7 +74,7 @@ object Bench {
       else failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullPath = new java.io.File("BENCH_FULL.json")
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
-    try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"failed":$errNames,"queries":$full,"sf":"$sfDir"}""")
+    try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"write_io_queries":${writeIoQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"errors":$errs,"failed":$errNames,"queries":$full,"sf":"$sfDir"}""")
     finally w.close()
     // The printed line keeps the slowest queries, greedily, up to a
     // budget that leaves the whole line intact inside the tail buffer.
@@ -79,6 +90,6 @@ object Bench {
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON in the driver's combined-output tail.
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"queries":$qs,"n_queries":${results.size},"queries_note":"slowest subset; all ${results.size} in BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"errors":$errs,"queries":$qs,"n_queries":${results.size},"queries_note":"slowest subset; all ${results.size} in BENCH_FULL.json","sf":"$sfDir"}""")
   }
 }

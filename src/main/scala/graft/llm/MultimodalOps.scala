@@ -139,6 +139,45 @@ object MultimodalOps {
     sb.toString
   }
 
+  /** REAL image resize: nearest-neighbor sampling over the decoded
+    * raster (src pixel = (x·w/w2, y·h/h2), integer division) — all
+    * integer math, so an independent engine can predict every output
+    * pixel. The deterministic sibling of a bilinear production scaler;
+    * swap the sampling kernel, keep the seam. */
+  def resizeNearest(img: BufferedImage, w2: Int, h2: Int): BufferedImage = {
+    require(w2 >= 1 && h2 >= 1)
+    val w = img.getWidth; val h = img.getHeight
+    val out = new BufferedImage(w2, h2, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        out.setRGB(x, y, img.getRGB(x * w / w2, y * h / h2))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Sum of BT.601 luminance over every pixel of the decoded raster —
+    * the integer checksum the resize oracle predicts analytically. */
+  def luminanceSum(img: BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sum += (299L * r + 587L * g + 114L * b) / 1000L
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
   /** Pack a 64-char bitstring hash into a Long (MSB = cell 0) — for
     * Hamming-distance arithmetic in near-dup pipelines. */
   def packAhash(bits: String): Long = {
@@ -302,5 +341,46 @@ object MultimodalOps {
             GROUP BY c.doc_id
             ORDER BY c.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode, multimodalAhash)
+  /** REAL resize pipeline, oracle-checked to the pixel: decode the PNG
+    * → nearest-neighbor downscale to (w/2, h/2) → RE-ENCODE as PNG →
+    * decode again → emit the resized dims and the luminance sum of the
+    * final raster. DuckDB predicts that sum analytically from the
+    * generation formula (resized pixel (x,y) samples source (2x, 2y)
+    * because w and h are even), so a single wrong pixel anywhere in
+    * decode → resize → encode → decode fails the hash compare. */
+  private val multimodalResize = QueryDef(
+    "llm_multimodal_resize",
+    (s, d) => {
+      import s.implicits._
+      imageAssets(s, d).mapPartitions(_.map { a =>
+        val img = Option(ImageIO.read(new ByteArrayInputStream(a.bytes)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"doc ${a.doc_id}: undecodable image bytes"))
+        val half = resizeNearest(img, img.getWidth / 2, img.getHeight / 2)
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(half, "png", out)
+        val back = ImageIO.read(new ByteArrayInputStream(out.toByteArray))
+        (a.doc_id, back.getWidth, back.getHeight, luminanceSum(back))
+      }).toDF("doc_id", "width", "height", "lum_sum")
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id,
+                     CAST((doc_id % 13) * 4 + 8 AS INTEGER) AS w,
+                     CAST((doc_id % 7) * 4 + 8 AS INTEGER) AS h
+              FROM documents)
+            SELECT d.doc_id,
+                   CAST(d.w // 2 AS INTEGER) AS width,
+                   CAST(d.h // 2 AS INTEGER) AS height,
+                   CAST(SUM((2 * xs.x * 7 + 2 * ys.y * 13 + d.doc_id) % 256)
+                        AS BIGINT) AS lum_sum
+            FROM docs d
+            CROSS JOIN generate_series(0, 27) xs(x)
+            CROSS JOIN generate_series(0, 15) ys(y)
+            WHERE xs.x < d.w // 2 AND ys.y < d.h // 2
+            GROUP BY d.doc_id, d.w, d.h
+            ORDER BY d.doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    multimodalMeta, multimodalDecode, multimodalAhash, multimodalResize)
 }

@@ -409,8 +409,86 @@ object SqlSurface {
             ORDER BY numwait DESC, s_name ASC
             LIMIT 100"""))
 
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join with an extra join-side predicate (so unmatched customers
+    * keep count 0), then a second aggregation OVER the first's output
+    * — the two-level groupBy the distribution query class needs. The
+    * outer count(o_orderkey) counts matches only (nulls skipped),
+    * which is the exact semantic both engines share. */
+  private val sqlTpchQ13 = QueryDef(
+    "sql_tpch_q13",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+               FROM (SELECT c_custkey,
+                       CAST(count(o_orderkey) AS BIGINT) AS c_count
+                     FROM v_customer
+                     LEFT OUTER JOIN v_orders ON c_custkey = o_custkey
+                       AND o_orderpriority <> '1-URGENT'
+                     GROUP BY c_custkey)
+               GROUP BY c_count
+               ORDER BY custdist DESC, c_count DESC""")
+    },
+    Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c_custkey,
+                    CAST(count(o_orderkey) AS BIGINT) AS c_count
+                  FROM customer
+                  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                    AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q22 shape (customers with balance but no orders): scalar
+    * AVG subquery as the filter threshold + correlated NOT EXISTS anti
+    * join + IN-list on a derived code, then aggregate. (Every
+    * customer in the synthetic data has orders, so the anti join is
+    * over the URGENT subset — customers with balance but no urgent
+    * orders — keeping the result non-degenerate.) The threshold
+    * is computed in exact integer cents with floor division — float
+    * `avg()` differs in the last ulp between engines' summation
+    * orders, which would flip boundary rows (determinism rules,
+    * IMPLEMENTATION.md). */
+  private val sqlTpchQ22 = QueryDef(
+    "sql_tpch_q22",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+                 CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+               FROM (SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+                       c_custkey
+                     FROM v_customer
+                     WHERE c_nationkey % 5 IN (0, 1, 2, 3))
+               WHERE bal_c > (
+                   SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                               DIV count(*) AS BIGINT)
+                   FROM v_customer WHERE c_acctbal > 0)
+                 AND NOT EXISTS (
+                   SELECT 1 FROM v_orders WHERE o_custkey = c_custkey
+                     AND o_orderpriority = '1-URGENT')
+               GROUP BY cntrycode
+               ORDER BY cntrycode""")
+    },
+    Some("""SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+              CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+            FROM (SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+                    c_custkey
+                  FROM customer
+                  WHERE c_nationkey % 5 IN (0, 1, 2, 3)) t
+            WHERE bal_c > (
+                SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                            // count(*) AS BIGINT)
+                FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = t.c_custkey
+                  AND o_orderpriority = '1-URGENT')
+            GROUP BY cntrycode
+            ORDER BY cntrycode"""))
+
   val defs: Seq[QueryDef] = Seq(
     subqueryScalar, subqueryIn, subqueryExists, subqueryNotIn,
     sqlLateralTopn, sqlTpchQ3, sqlTpchQ5, sqlTpchQ6, sqlTpchQ10,
-    sqlTpchQ18, sqlTpchQ21, groupingSets)
+    sqlTpchQ13, sqlTpchQ18, sqlTpchQ21, sqlTpchQ22, groupingSets)
 }

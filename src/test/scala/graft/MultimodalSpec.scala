@@ -78,6 +78,25 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(d1 == MultimodalOps.decodeImage(123L, bytes.clone()))
   }
 
+  test("resizeNearest samples exactly the predicted source pixels") {
+    val docId = 17L
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(
+      MultimodalOps.encodePng(docId)))
+    val (w, h) = MultimodalOps.imageParams(docId)
+    val half = MultimodalOps.resizeNearest(img, w / 2, h / 2)
+    assert(half.getWidth == w / 2 && half.getHeight == h / 2)
+    for (y <- 0 until h / 2; x <- 0 until w / 2) {
+      // w and h are even, so nearest-neighbor maps (x,y) -> (2x,2y)
+      val expected = MultimodalOps.pixelGray(docId, 2 * x, 2 * y)
+      assert((half.getRGB(x, y) & 0xff) == expected,
+        s"resized pixel ($x,$y) should sample source (${2 * x},${2 * y})")
+    }
+    // and the luminance checksum matches the analytic prediction
+    val predicted = (for (y <- 0 until h / 2; x <- 0 until w / 2)
+      yield ((2 * x * 7 + 2 * y * 13 + docId) % 256)).sum
+    assert(MultimodalOps.luminanceSum(half) == predicted)
+  }
+
   test("packAhash packs MSB-first") {
     assert(MultimodalOps.packAhash("0" * 64) == 0L)
     assert(MultimodalOps.packAhash("0" * 63 + "1") == 1L)

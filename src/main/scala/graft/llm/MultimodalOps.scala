@@ -381,6 +381,129 @@ object MultimodalOps {
             GROUP BY d.doc_id, d.w, d.h
             ORDER BY d.doc_id"""))
 
+  /** IMAGE near-dup via Hamming distance on the decoded average-hash
+    * — the image analog of simhash, closing the multimodal pipeline
+    * loop: a re-encoded or downscaled copy of an image hashes within a
+    * few bits of the original, and the same block multi-index that
+    * serves text simhash finds it without any O(n²) pass.
+    *
+    * Corpus = originals + REAL half-size variants (decode → resize →
+    * ahash, doc_id + 100000; only docs whose raster stays ≥ 16×16 so
+    * the half remains hashable). Candidates come from an 8-block ×
+    * 8-bit band join — pigeonhole-complete for Hamming ≤ 7, so the
+    * banded plan provably finds every pair the ≤ 6 threshold accepts;
+    * the verify is exact bit_count(xor) per block. Vectors of blocks
+    * never shuffle in the band pass — only (band, value, id) triples.
+    *
+    * The DuckDB oracle recomputes BOTH hash families analytically from
+    * the pixel formulas (scale 1 and scale 2) and runs the all-pairs
+    * compare — legitimate at oracle scale, and equal to the banded
+    * result by the pigeonhole argument (asserted in MultimodalSpec). */
+  private val multimodalNeardup = QueryDef(
+    "llm_multimodal_neardup",
+    (s, d) => {
+      import s.implicits._
+      // 1-in-5 original sample: the synthetic pixel formula is linear
+      // in doc_id, so same-shape docs differ by a constant gray offset
+      // that ANY brightness-invariant hash cancels — the full corpus
+      // is pathologically self-similar (97 k true pairs at sf0.1, a
+      // data artifact no real image corpus shows). The sample keeps
+      // the demonstration honest without drowning it
+      val origAssets = imageAssets(s, d).filter(col("doc_id") % 5 === 0)
+      val originals = origAssets
+        .mapPartitions(_.map { a =>
+          val dec = decodeImage(a.doc_id, a.bytes)
+          (dec.doc_id, dec.ahash_bits)
+        }).toDF("doc_id", "ahash_bits")
+      val variants = imageAssets(s, d)
+        .filter(col("doc_id") % 13 >= 2 && col("doc_id") % 7 >= 2 &&
+          col("doc_id") % 5 === 0)
+        .mapPartitions(_.map { a =>
+          val img = Option(ImageIO.read(new ByteArrayInputStream(a.bytes)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"doc ${a.doc_id}: undecodable image bytes"))
+          val half = resizeNearest(img, img.getWidth / 2, img.getHeight / 2)
+          (a.doc_id + 100000L, averageHashBits(half))
+        }).toDF("doc_id", "ahash_bits")
+      val hashed = originals.unionByName(variants)
+        .withColumn("blocks", expr(
+          """transform(sequence(0, 7),
+            |  b -> CAST(conv(substring(ahash_bits, b * 8 + 1, 8), 2, 10)
+            |            AS INT))""".stripMargin))
+      // signature pass ships ONLY (band, bval, id) triples — the
+      // hash arrays never enter the band shuffle (the 100 TB shape:
+      // at a billion images this join moves 12-byte rows, not
+      // payloads); pair dedup is a scalar distinct
+      val banded = hashed.select(col("doc_id"),
+        posexplode(col("blocks")).as(Seq("band", "bval")))
+      val candPairs = banded.select(col("doc_id").as("doc_a"),
+          col("band"), col("bval"))
+        .join(banded.select(col("doc_id").as("doc_b"), col("band"),
+          col("bval")), Seq("band", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      // exact verify: re-attach the 8-block arrays from the (tiny,
+      // broadcast) hash table and count differing bits per block
+      val blocksOf = broadcast(hashed.select(col("doc_id"), col("blocks")))
+      candPairs
+        .join(blocksOf.select(col("doc_id").as("doc_a"),
+          col("blocks").as("blocks_a")), Seq("doc_a"))
+        .join(blocksOf.select(col("doc_id").as("doc_b"),
+          col("blocks").as("blocks_b")), Seq("doc_b"))
+        .withColumn("hamming", expr(
+          """aggregate(zip_with(blocks_a, blocks_b,
+            |                   (x, y) -> bit_count(x ^ y)),
+            |          0, (acc, v) -> acc + v)""".stripMargin))
+        .filter(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id,
+                     CAST((doc_id % 13) * 4 + 8 AS INTEGER) AS w,
+                     CAST((doc_id % 7) * 4 + 8 AS INTEGER) AS h,
+                     1 AS scale
+              FROM documents
+              WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 100000,
+                     CAST((doc_id % 13) * 4 + 8 AS INTEGER) // 2,
+                     CAST((doc_id % 7) * 4 + 8 AS INTEGER) // 2,
+                     2
+              FROM documents
+              WHERE doc_id % 13 >= 2 AND doc_id % 7 >= 2 AND doc_id % 5 = 0),
+            pixels AS (
+              SELECT d.doc_id,
+                     (8 * xs.x + 7) // d.w AS gx,
+                     (8 * ys.y + 7) // d.h AS gy,
+                     (d.scale * xs.x * 7 + d.scale * ys.y * 13
+                      + (d.doc_id % 100000)) % 256 AS lum
+              FROM docs d
+              CROSS JOIN generate_series(0, 55) xs(x)
+              CROSS JOIN generate_series(0, 31) ys(y)
+              WHERE xs.x < d.w AND ys.y < d.h),
+            cells AS (
+              SELECT doc_id, gy, gx, SUM(lum) // COUNT(*) AS cell
+              FROM pixels GROUP BY 1, 2, 3),
+            means AS (
+              SELECT doc_id, SUM(cell) // 64 AS mean FROM cells GROUP BY 1),
+            hashes AS (
+              SELECT c.doc_id,
+                     string_agg(CASE WHEN c.cell > m.mean THEN '1' ELSE '0' END,
+                                '' ORDER BY c.gy, c.gx) AS bits
+              FROM cells c JOIN means m USING (doc_id) GROUP BY c.doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> CASE WHEN substr(a.bits, i, 1) = substr(b.bits, i, 1)
+                               THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+            FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+            WHERE list_sum(list_transform(generate_series(1, 64),
+                    i -> CASE WHEN substr(a.bits, i, 1) = substr(b.bits, i, 1)
+                              THEN 0 ELSE 1 END)) <= 6
+            ORDER BY doc_a, doc_b"""))
+
   val defs: Seq[QueryDef] = Seq(
-    multimodalMeta, multimodalDecode, multimodalAhash, multimodalResize)
+    multimodalMeta, multimodalDecode, multimodalAhash, multimodalResize,
+    multimodalNeardup)
 }

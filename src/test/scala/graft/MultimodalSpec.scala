@@ -97,6 +97,24 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(MultimodalOps.luminanceSum(half) == predicted)
   }
 
+  test("block banding is pigeonhole-complete for hamming <= 7 (neardup's candidate bound)") {
+    val rnd = new scala.util.Random(99)
+    (1 to 500).foreach { _ =>
+      val a = Array.fill(64)(rnd.nextBoolean())
+      val b = a.clone()
+      // flip up to 7 random positions — the worst case the <=6
+      // threshold plus one can produce
+      val flips = rnd.nextInt(8)
+      rnd.shuffle((0 until 64).toList).take(flips).foreach(i => b(i) = !b(i))
+      val hamming = (0 until 64).count(i => a(i) != b(i))
+      val sharedBlock = (0 until 8).exists(blk =>
+        (0 until 8).forall(j => a(blk * 8 + j) == b(blk * 8 + j)))
+      // 8 blocks, <=7 differing bits: the bits cannot touch all 8
+      assert(hamming > 7 || sharedBlock,
+        s"pair with hamming $hamming shared no block — banding would miss it")
+    }
+  }
+
   test("packAhash packs MSB-first") {
     assert(MultimodalOps.packAhash("0" * 64) == 0L)
     assert(MultimodalOps.packAhash("0" * 63 + "1") == 1L)

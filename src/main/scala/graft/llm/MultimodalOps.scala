@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * the decoded pixels (integer math only, so an independent engine
   * can recompute it — the DuckDB oracle does exactly that).
   *
-  * Audio/video codecs are not in the JDK; those payloads keep the
+  * The multi-frame ("video") path is real too: documents become
+  * genuine animated GIFs (the JDK's multi-frame container), frames
+  * are extracted by the GIF `ImageReader` and sampled — see
+  * [[encodeGif]]/[[readGifFrames]]. Only true audio/video codecs
+  * (H.264, MP3, …) are absent from the JDK; those mime types keep the
   * documented deterministic [[decodeStub]] fallback so the
-  * partition-parallel plumbing stays exercised for every mime type.
+  * partition-parallel plumbing stays exercised for every payload.
   */
 object MultimodalOps {
 
@@ -176,6 +180,80 @@ object MultimodalOps {
       y += 1
     }
     sum
+  }
+
+  // ---------------------------------------------------------------------
+  // Real multi-frame codec path (animated GIF via javax.imageio) — the
+  // video analog: frames are REALLY encoded into and extracted from a
+  // multi-frame container, not simulated by byte blocks.
+  // ---------------------------------------------------------------------
+
+  /** 256-level grayscale palette: with an explicit IndexColorModel the
+    * GIF writer stores indexes verbatim (no quantizer) and `getRGB` on
+    * the decoded frame returns (g,g,g) exactly — lossless roundtrip,
+    * unlike TYPE_BYTE_GRAY whose linear→sRGB conversion is not
+    * identity. */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Frame count per document (2..6) — mirrored in the oracle. */
+  def frameCount(docId: Long): Int = (docId % 5 + 2).toInt
+
+  /** Gray value of pixel (x,y) in frame f — frames differ by a
+    * per-frame offset pattern, mirrored in the oracle. */
+  def framePixelGray(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((x * 7 + y * 13 + docId + 31L * f) % 256).toInt
+
+  /** Encode a real animated GIF (one writer sequence, n frames). */
+  def encodeGif(docId: Long): Array[Byte] = {
+    val (w, h) = imageParams(docId)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      val n = frameCount(docId)
+      while (f < n) {
+        val img = new BufferedImage(w, h,
+          BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, framePixelGray(docId, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** REAL frame extraction: the GIF ImageReader walks the container
+    * and decodes each frame raster. */
+  def readGifFrames(bytes: Array[Byte]): IndexedSeq[BufferedImage] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map(reader.read)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** Pack a 64-char bitstring hash into a Long (MSB = cell 0) — for
@@ -503,7 +581,46 @@ object MultimodalOps {
                               THEN 0 ELSE 1 END)) <= 6
             ORDER BY doc_a, doc_b"""))
 
+  /** REAL video-frame sampling, oracle-checked: each document becomes
+    * a genuine multi-frame animated GIF (one writer sequence, 2-6
+    * frames, lossless 256-gray palette), the GIF ImageReader extracts
+    * every frame, every 2nd frame is sampled, and the sampled frames'
+    * luminance checksum is emitted. DuckDB predicts the checksum
+    * analytically from the per-frame pixel formula — a frame lost,
+    * duplicated, reordered, or decoded wrong anywhere in the
+    * container roundtrip fails the hash compare. */
+  private val multimodalFrames = QueryDef(
+    "llm_multimodal_frames",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = readGifFrames(encodeGif(id))
+          val sampledSum = frames.indices.filter(_ % 2 == 0)
+            .map(i => luminanceSum(frames(i))).sum
+          (id, frames.length, sampledSum)
+        }).toDF("doc_id", "n_frames", "sampled_lum_sum")
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id,
+                     CAST((doc_id % 13) * 4 + 8 AS INTEGER) AS w,
+                     CAST((doc_id % 7) * 4 + 8 AS INTEGER) AS h
+              FROM documents)
+            SELECT d.doc_id,
+                   CAST(d.doc_id % 5 + 2 AS INTEGER) AS n_frames,
+                   CAST(SUM((xs.x * 7 + ys.y * 13 + d.doc_id + 31 * fs.f)
+                            % 256) AS BIGINT) AS sampled_lum_sum
+            FROM docs d
+            CROSS JOIN generate_series(0, 5) fs(f)
+            CROSS JOIN generate_series(0, 55) xs(x)
+            CROSS JOIN generate_series(0, 31) ys(y)
+            WHERE fs.f < d.doc_id % 5 + 2 AND fs.f % 2 = 0
+              AND xs.x < d.w AND ys.y < d.h
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     multimodalMeta, multimodalDecode, multimodalAhash, multimodalResize,
-    multimodalNeardup)
+    multimodalNeardup, multimodalFrames)
 }

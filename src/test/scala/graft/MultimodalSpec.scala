@@ -144,6 +144,28 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("animated GIF roundtrip: every frame's pixels survive the container bit-exact") {
+    val docId = 23L
+    val bytes = MultimodalOps.encodeGif(docId)
+    assert(bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte)
+    val frames = MultimodalOps.readGifFrames(bytes)
+    assert(frames.length == MultimodalOps.frameCount(docId))
+    val (w, h) = MultimodalOps.imageParams(docId)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = MultimodalOps.framePixelGray(docId, f, x, y)
+        assert((img.getRGB(x, y) & 0xff) == expected,
+          s"frame $f pixel ($x,$y) lost in GIF roundtrip")
+      }
+    }
+  }
+
+  test("GIF frame counts span the designed 2..6 range") {
+    val counts = (0L to 9L).map(MultimodalOps.frameCount).toSet
+    assert(counts == Set(2, 3, 4, 5, 6))
+  }
+
   test("frameSample keeps every k-th block") {
     val bytes = Array.tabulate[Byte](100)(_.toByte)
     val frames = MultimodalOps.frameSample(bytes, every = 2, blockSize = 10)

@@ -256,6 +256,64 @@ object MultimodalOps {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Real audio codec path (WAV/PCM via javax.sound.sampled)
+  // ---------------------------------------------------------------------
+
+  /** PCM sample count per document — mirrored in the oracle. */
+  def sampleCount(docId: Long): Int = ((docId % 100 + 50) * 8).toInt
+
+  /** 16-bit signed PCM sample i for a document — integer formula,
+    * mirrored in the oracle. */
+  def sampleValue(docId: Long, i: Int): Short =
+    (((i * 7L + docId * 13L) % 65536L) - 32768L).toShort
+
+  /** Encode a real WAV file (RIFF container, 16-bit mono PCM,
+    * little-endian) via the JDK's audio system. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = sampleCount(docId)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleValue(docId, i).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decoded audio metadata + exact PCM checksum, all read back from
+    * the REAL container (frame count and format from the WAV header,
+    * samples from the decoded stream). */
+  final case class DecodedAudio(
+      doc_id: Long, n_samples: Long, sample_rate: Int, channels: Int,
+      bits: Int, pcm_sum: Long)
+
+  def decodeWav(docId: Long, bytes: Array[Byte]): DecodedAudio = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"doc $docId: unexpected WAV format $fmt")
+      val raw = ais.readAllBytes()
+      var sum = 0L
+      var i = 0
+      while (i < raw.length) {
+        sum += ((raw(i) & 0xff) | (raw(i + 1).toInt << 8)).toShort.toLong
+        i += 2
+      }
+      DecodedAudio(docId, raw.length / 2L, fmt.getSampleRate.toInt,
+        fmt.getChannels, fmt.getSampleSizeInBits, sum)
+    } finally ais.close()
+  }
+
   /** Pack a 64-char bitstring hash into a Long (MSB = cell 0) — for
     * Hamming-distance arithmetic in near-dup pipelines. */
   def packAhash(bits: String): Long = {
@@ -620,7 +678,39 @@ object MultimodalOps {
             GROUP BY d.doc_id
             ORDER BY d.doc_id"""))
 
+  /** REAL audio decode, oracle-checked: each document becomes a
+    * genuine WAV file (RIFF container, 16-bit mono PCM) via
+    * javax.sound; the consumer reads the container back — format
+    * metadata from the header, samples from the decoded stream — and
+    * emits an exact PCM checksum DuckDB predicts analytically. With
+    * the image, multi-frame, and audio paths all real, every modality
+    * the pipeline claims goes through a true codec roundtrip. */
+  private val multimodalAudio = QueryDef(
+    "llm_multimodal_audio",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => decodeWav(id, encodeWav(id))))
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id,
+                     CAST((doc_id % 100 + 50) * 8 AS BIGINT) AS n
+              FROM documents)
+            SELECT d.doc_id, d.n AS n_samples,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(16 AS INTEGER) AS bits,
+                   CAST(SUM((i.i * 7 + d.doc_id * 13) % 65536 - 32768)
+                        AS BIGINT) AS pcm_sum
+            FROM docs d
+            CROSS JOIN generate_series(0, 1191) i(i)
+            WHERE i.i < d.n
+            GROUP BY d.doc_id, d.n
+            ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     multimodalMeta, multimodalDecode, multimodalAhash, multimodalResize,
-    multimodalNeardup, multimodalFrames)
+    multimodalNeardup, multimodalFrames, multimodalAudio)
 }

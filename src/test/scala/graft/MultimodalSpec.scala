@@ -161,6 +161,22 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("WAV roundtrip: every PCM sample survives the RIFF container bit-exact") {
+    val docId = 31L
+    val bytes = MultimodalOps.encodeWav(docId)
+    assert(bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte)
+    val dec = MultimodalOps.decodeWav(docId, bytes)
+    val n = MultimodalOps.sampleCount(docId)
+    assert(dec.n_samples == n && dec.sample_rate == 8000 &&
+      dec.channels == 1 && dec.bits == 16)
+    val expectedSum = (0 until n).map(i =>
+      MultimodalOps.sampleValue(docId, i).toLong).sum
+    assert(dec.pcm_sum == expectedSum)
+    // negative samples really occur (signed PCM is exercised)
+    assert((0 until n).exists(i => MultimodalOps.sampleValue(docId, i) < 0))
+  }
+
   test("GIF frame counts span the designed 2..6 range") {
     val counts = (0L to 9L).map(MultimodalOps.frameCount).toSet
     assert(counts == Set(2, 3, 4, 5, 6))

@@ -699,9 +699,80 @@ object TextOps {
                    FROM base JOIN top ON base.doc_id = top.doc_id)
              ORDER BY doc_id"""))
 
+  /** The COMPOSED curation pipeline as one declarative plan, oracle-
+    * checked end-to-end: quality gate (integer-ratio thresholds) →
+    * exact dedup (digest group-by, min-id keep) → deterministic
+    * hash-bucket train/val/test split → per-(split, lang) corpus
+    * stats. What a reference user runs nightly, expressed as a single
+    * Catalyst plan — filters fuse into the scan, the digest group-by
+    * is the only wide stage over full rows, and the final stats
+    * aggregate ships per-group partials only. Every stage is
+    * deterministic integer math, so DuckDB replays the whole chain
+    * and the summary must match hash-exact (a regression in ANY stage
+    * shifts the final counts). Dedup keeps min(doc_id); the kept
+    * doc's lang/n_tokens equal min() over the group because exact
+    * copies share text verbatim. */
+  private val curationE2e = QueryDef(
+    "llm_curation_e2e",
+    (s, d) => {
+      val scored = withExactDups(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_unique",
+          expr("CAST(size(array_distinct(toks)) AS BIGINT)"))
+      val passed = scored.filter(
+        col("n_tokens") >= 20 && col("n_unique") * 2 >= col("n_tokens"))
+      val deduped = passed
+        .groupBy(md5(lower(trim(col("text")))).as("h"))
+        .agg(
+          min("doc_id").as("doc_id"),
+          min("lang").as("lang"),
+          min("n_tokens").as("n_tokens"),
+          count(lit(1)).as("n_copies"))
+      val assigned = deduped
+        .withColumn("bucket", expr(
+          "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+      assigned.groupBy("split", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("sum_tokens"),
+          (sum("n_copies") - count(lit(1))).cast("long").as("n_dups_removed"))
+        .orderBy("split", "lang")
+    },
+    Some(s"""WITH $augExactSql,
+             scored AS (
+               SELECT doc_id, lang, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
+               FROM aug),
+             passed AS (
+               SELECT * FROM scored
+               WHERE n_tokens >= 20 AND n_unique * 2 >= n_tokens),
+             deduped AS (
+               SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+                 min(n_tokens) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_copies
+               FROM passed GROUP BY md5(lower(trim(text)))),
+             assigned AS (
+               SELECT *,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM (SELECT *,
+                       ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+                     FROM deduped))
+             SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed
+             FROM assigned GROUP BY split, lang ORDER BY split, lang"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupNgram, dupClustersQ, dedupMinhash, dedupSimhash,
     dedupIncremental, fingerprint, tokenCount, textStats, qualityScore,
     langId, langFilter, contamination, contaminationBloom,
-    repetitionFilter)
+    repetitionFilter, curationE2e)
 }

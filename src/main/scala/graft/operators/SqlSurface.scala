@@ -32,6 +32,7 @@ object SqlSurface {
         Tables.orders(s, d).createOrReplaceTempView("v_orders")
         Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
         Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.part(s, d).createOrReplaceTempView("v_part")
         Tables.nation(s, d).createOrReplaceTempView("v_nation")
         Tables.region(s, d).createOrReplaceTempView("v_region")
         registeredFor.put(s, d)
@@ -487,8 +488,71 @@ object SqlSurface {
             GROUP BY cntrycode
             ORDER BY cntrycode"""))
 
+  /** TPC-H Q4 shape (order priority checking): correlated EXISTS whose
+    * predicate does date arithmetic against the OUTER row (shipped >
+    * 30 days after ITS order date) — decorrelated to a semi join with
+    * the interval condition in the join, aggregated by priority. */
+  private val sqlTpchQ4 = QueryDef(
+    "sql_tpch_q4",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+               FROM v_orders
+               WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+                 AND o_orderdate <  TIMESTAMP '2000-04-01'
+                 AND EXISTS (
+                   SELECT 1 FROM v_lineitem
+                   WHERE l_orderkey = o_orderkey
+                     AND l_shipdate > o_orderdate + INTERVAL 30 DAYS)
+               GROUP BY o_orderpriority
+               ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+              AND o_orderdate <  TIMESTAMP '2000-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    * AGGREGATE subqueries per part (the avg-quantity threshold),
+    * rewritten exactly — `q < 0.2·avg(q)` becomes the integer
+    * inequality `5·q·count < sum`, so no float average can diverge
+    * between engines. Catalyst decorrelates both scalar aggregates
+    * into one grouped join against lineitem, not a per-row re-scan. */
+  private val sqlTpchQ17 = QueryDef(
+    "sql_tpch_q17",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue_c
+               FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+               WHERE p_brand = 'Brand#1'
+                 AND 5 * CAST(round(l_quantity) AS BIGINT) *
+                     (SELECT count(*) FROM v_lineitem l2
+                      WHERE l2.l_partkey = p_partkey)
+                   < (SELECT sum(CAST(round(l2.l_quantity) AS BIGINT))
+                      FROM v_lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS revenue_c
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#1'
+              AND 5 * CAST(round(l_quantity) AS BIGINT) *
+                  (SELECT count(*) FROM lineitem l2
+                   WHERE l2.l_partkey = p_partkey)
+                < (SELECT sum(CAST(round(l2.l_quantity) AS BIGINT))
+                   FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""))
+
   val defs: Seq[QueryDef] = Seq(
     subqueryScalar, subqueryIn, subqueryExists, subqueryNotIn,
-    sqlLateralTopn, sqlTpchQ3, sqlTpchQ5, sqlTpchQ6, sqlTpchQ10,
-    sqlTpchQ13, sqlTpchQ18, sqlTpchQ21, sqlTpchQ22, groupingSets)
+    sqlLateralTopn, sqlTpchQ3, sqlTpchQ4, sqlTpchQ5, sqlTpchQ6,
+    sqlTpchQ10, sqlTpchQ13, sqlTpchQ17, sqlTpchQ18, sqlTpchQ21,
+    sqlTpchQ22, groupingSets)
 }

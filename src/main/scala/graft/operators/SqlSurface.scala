@@ -550,9 +550,472 @@ object SqlSurface {
                 < (SELECT sum(CAST(round(l2.l_quantity) AS BIGINT))
                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""))
 
+  /** TPC-H Q2 shape (minimum-cost supplier): a correlated scalar MIN
+    * subquery that itself contains a multi-table join (supplier ⋈
+    * lineitem ⋈ nation ⋈ region), correlated on the outer part key —
+    * the classic decorrelation stress. The data has no partsupp table,
+    * so lineitem's (l_partkey, l_suppkey) pairs stand in for supply
+    * relationships and s_acctbal for the supply cost; the comparison
+    * runs in exact integer cents on both engines so the MIN-equality
+    * never hits a float boundary. DISTINCT collapses the many
+    * lineitems per (part, supplier) pair back to Q2's relation grain. */
+  private val sqlTpchQ2 = QueryDef(
+    "sql_tpch_q2",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT DISTINCT
+                 CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+                 s_name, n_name, p_partkey, p_brand
+               FROM v_part
+               JOIN v_lineitem ON p_partkey = l_partkey
+               JOIN v_supplier ON s_suppkey = l_suppkey
+               JOIN v_nation   ON s_nationkey = n_nationkey
+               JOIN v_region   ON n_regionkey = r_regionkey
+               WHERE p_size <= 25 AND p_type = 'LARGE' AND r_name = 'ASIA'
+                 AND CAST(round(s_acctbal * 100) AS BIGINT) = (
+                   SELECT min(CAST(round(s2.s_acctbal * 100) AS BIGINT))
+                   FROM v_supplier s2
+                   JOIN v_lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                   JOIN v_nation n2   ON s2.s_nationkey = n2.n_nationkey
+                   JOIN v_region r2   ON n2.n_regionkey = r2.r_regionkey
+                   WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+               ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+               LIMIT 100""")
+    },
+    Some("""SELECT DISTINCT
+              CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+              s_name, n_name, p_partkey, p_brand
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE p_size <= 25 AND p_type = 'LARGE' AND r_name = 'ASIA'
+              AND CAST(round(s_acctbal * 100) AS BIGINT) = (
+                SELECT min(CAST(round(s2.s_acctbal * 100) AS BIGINT))
+                FROM supplier s2
+                JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+            ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+            LIMIT 100"""))
+
+  /** TPC-H Q7 shape (volume shipping between two trading blocs): an
+    * eight-table join with nation AND region each joined twice under
+    * different aliases, a disjunctive symmetric bloc-pair predicate
+    * (regions rather than Q7's literal nations — the synthetic data's
+    * 25 nations make a single nation pair empty at sf0.001), and a
+    * year-grouped revenue — revenue stays in exact 10⁻⁴-dollar integer
+    * units so no division or float sum exists anywhere. */
+  private val sqlTpchQ7 = QueryDef(
+    "sql_tpch_q7",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT supp_nation, cust_nation, l_year,
+                 CAST(sum(volume_u) AS BIGINT) AS revenue_u
+               FROM (SELECT n1.n_name AS supp_nation,
+                       n2.n_name AS cust_nation,
+                       year(l_shipdate) AS l_year,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         AS volume_u
+                     FROM v_supplier
+                     JOIN v_lineitem  ON s_suppkey = l_suppkey
+                     JOIN v_orders    ON o_orderkey = l_orderkey
+                     JOIN v_customer  ON c_custkey = o_custkey
+                     JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+                     JOIN v_region r1 ON n1.n_regionkey = r1.r_regionkey
+                     JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+                     JOIN v_region r2 ON n2.n_regionkey = r2.r_regionkey
+                     WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+                         OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+                       AND l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01') shipping
+               GROUP BY supp_nation, cust_nation, l_year
+               ORDER BY supp_nation, cust_nation, l_year""")
+    },
+    Some("""SELECT supp_nation, cust_nation, l_year,
+              CAST(sum(volume_u) AS BIGINT) AS revenue_u
+            FROM (SELECT n1.n_name AS supp_nation,
+                    n2.n_name AS cust_nation,
+                    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                    CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      AS volume_u
+                  FROM supplier
+                  JOIN lineitem  ON s_suppkey = l_suppkey
+                  JOIN orders    ON o_orderkey = l_orderkey
+                  JOIN customer  ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                  WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+                      OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+                    AND l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate <  TIMESTAMP '1998-01-01') shipping
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year"""))
+
+  /** TPC-H Q8 shape (national market share): an eight-table join
+    * (nation twice, region once) feeding a conditional-sum-over-sum
+    * ratio per year. The share is computed as exact integer basis
+    * points via BIGINT floor division (`DIV` ↔ `//`) — both engines
+    * divide the SAME exact integers, so no float ratio can diverge in
+    * the last ulp. */
+  private val sqlTpchQ8 = QueryDef(
+    "sql_tpch_q8",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT o_year,
+                 CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume_u
+                               ELSE 0 END) * 10000
+                      DIV sum(volume_u) AS BIGINT) AS mkt_share_bp,
+                 CAST(sum(volume_u) AS BIGINT) AS total_volume_u
+               FROM (SELECT year(o_orderdate) AS o_year,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         AS volume_u,
+                       n2.n_name AS nation
+                     FROM v_part
+                     JOIN v_lineitem  ON p_partkey = l_partkey
+                     JOIN v_supplier  ON s_suppkey = l_suppkey
+                     JOIN v_orders    ON l_orderkey = o_orderkey
+                     JOIN v_customer  ON o_custkey = c_custkey
+                     JOIN v_nation n1 ON c_nationkey = n1.n_nationkey
+                     JOIN v_region    ON n1.n_regionkey = r_regionkey
+                     JOIN v_nation n2 ON s_nationkey = n2.n_nationkey
+                     WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') all_nations
+               GROUP BY o_year
+               ORDER BY o_year""")
+    },
+    Some("""SELECT o_year,
+              CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume_u
+                            ELSE 0 END) * 10000
+                   // sum(volume_u) AS BIGINT) AS mkt_share_bp,
+              CAST(sum(volume_u) AS BIGINT) AS total_volume_u
+            FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                    CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      AS volume_u,
+                    n2.n_name AS nation
+                  FROM part
+                  JOIN lineitem  ON p_partkey = l_partkey
+                  JOIN supplier  ON s_suppkey = l_suppkey
+                  JOIN orders    ON l_orderkey = o_orderkey
+                  JOIN customer  ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region    ON n1.n_regionkey = r_regionkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY') all_nations
+            GROUP BY o_year
+            ORDER BY o_year"""))
+
+  /** TPC-H Q9 shape (product-type profit): LIKE-filtered part join,
+    * profit = discounted revenue minus a list-cost term (p_retailprice
+    * × quantity stands in for ps_supplycost), grouped by supplier
+    * nation and order year. Both terms are exact 10⁻⁴-dollar BIGINTs;
+    * the subtraction and sum never touch floats. */
+  private val sqlTpchQ9 = QueryDef(
+    "sql_tpch_q9",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT nation, o_year, CAST(sum(amount_u) AS BIGINT) AS sum_profit_u
+               FROM (SELECT n_name AS nation,
+                       year(o_orderdate) AS o_year,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       - CAST(round(p_retailprice * 100) AS BIGINT) * 100
+                         * CAST(round(l_quantity) AS BIGINT) AS amount_u
+                     FROM v_part
+                     JOIN v_lineitem ON p_partkey = l_partkey
+                     JOIN v_supplier ON s_suppkey = l_suppkey
+                     JOIN v_orders   ON o_orderkey = l_orderkey
+                     JOIN v_nation   ON s_nationkey = n_nationkey
+                     WHERE p_name LIKE '%widget%') profit
+               GROUP BY nation, o_year
+               ORDER BY nation, o_year DESC""")
+    },
+    Some("""SELECT nation, o_year, CAST(sum(amount_u) AS BIGINT) AS sum_profit_u
+            FROM (SELECT n_name AS nation,
+                    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                    CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    - CAST(round(p_retailprice * 100) AS BIGINT) * 100
+                      * CAST(round(l_quantity) AS BIGINT) AS amount_u
+                  FROM part
+                  JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  WHERE p_name LIKE '%widget%') profit
+            GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC"""))
+
+  /** TPC-H Q11 shape (important stock identification): group-by with a
+    * HAVING threshold that is an UNCORRELATED scalar aggregate over
+    * the same filtered join — Catalyst evaluates it once as a
+    * subquery stage and broadcasts the scalar into the filter. The
+    * 0.1 % fraction is expressed by multiplying the group sum by 1000
+    * instead of dividing the total, so the comparison is exact BIGINT
+    * against exact BIGINT. */
+  private val sqlTpchQ11 = QueryDef(
+    "sql_tpch_q11",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT l_partkey, CAST(sum(val_u) AS BIGINT) AS value_u
+               FROM (SELECT l_partkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_quantity) AS BIGINT) AS val_u
+                     FROM v_lineitem
+                     JOIN v_supplier ON s_suppkey = l_suppkey
+                     JOIN v_nation   ON s_nationkey = n_nationkey
+                     WHERE n_name = 'NATION_3') t
+               GROUP BY l_partkey
+               HAVING sum(val_u) * 1000 > (
+                 SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_quantity) AS BIGINT))
+                 FROM v_lineitem
+                 JOIN v_supplier ON s_suppkey = l_suppkey
+                 JOIN v_nation   ON s_nationkey = n_nationkey
+                 WHERE n_name = 'NATION_3')
+               ORDER BY value_u DESC, l_partkey""")
+    },
+    Some("""SELECT l_partkey, CAST(sum(val_u) AS BIGINT) AS value_u
+            FROM (SELECT l_partkey,
+                    CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT) AS val_u
+                  FROM lineitem
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  WHERE n_name = 'NATION_3') t
+            GROUP BY l_partkey
+            HAVING sum(val_u) * 1000 > (
+              SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_quantity) AS BIGINT))
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3')
+            ORDER BY value_u DESC, l_partkey"""))
+
+  /** TPC-H Q12 shape (shipping-mode priority counting): join with a
+    * row-vs-row date condition (shipped > 45 days after ITS order
+    * date — the data's late-shipment analog of commit/receipt dates),
+    * then conditional CASE counts per class. l_returnflag stands in
+    * for l_shipmode. */
+  private val sqlTpchQ12 = QueryDef(
+    "sql_tpch_q12",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT l_returnflag AS ship_class,
+                 CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                 CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+               FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+               WHERE l_shipdate > o_orderdate + INTERVAL 45 DAYS
+                 AND l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate <  TIMESTAMP '1999-01-01'
+               GROUP BY l_returnflag
+               ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag AS ship_class,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1999-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag"""))
+
+  /** TPC-H Q14 shape (promotion effect): single-row conditional-share
+    * aggregate — promo revenue over total revenue for one ship-date
+    * window, as exact integer basis points via BIGINT floor division
+    * (same `DIV` ↔ `//` pairing as Q8). */
+  private val sqlTpchQ14 = QueryDef(
+    "sql_tpch_q14",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume_u
+                               ELSE 0 END) * 10000
+                      DIV sum(volume_u) AS BIGINT) AS promo_share_bp,
+                 CAST(sum(volume_u) AS BIGINT) AS revenue_u
+               FROM (SELECT p_type,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         AS volume_u
+                     FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+                     WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                       AND l_shipdate <  TIMESTAMP '1998-07-01') t""")
+    },
+    Some("""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume_u
+                            ELSE 0 END) * 10000
+                   // sum(volume_u) AS BIGINT) AS promo_share_bp,
+              CAST(sum(volume_u) AS BIGINT) AS revenue_u
+            FROM (SELECT p_type,
+                    CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      AS volume_u
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                    AND l_shipdate <  TIMESTAMP '1998-07-01') t"""))
+
+  /** TPC-H Q15 shape (top supplier): a WITH-clause revenue view used
+    * twice — once joined, once under an uncorrelated scalar MAX — so
+    * the planner must either reuse or re-derive the CTE; revenue is
+    * exact integer units end-to-end, making the MAX-equality safe. */
+  private val sqlTpchQ15 = QueryDef(
+    "sql_tpch_q15",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""WITH revenue AS (
+                 SELECT l_suppkey AS supplier_no,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS total_revenue_u
+                 FROM v_lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+                   AND l_shipdate <  TIMESTAMP '1999-04-01'
+                 GROUP BY l_suppkey)
+               SELECT s_suppkey, s_name, total_revenue_u
+               FROM v_supplier JOIN revenue ON s_suppkey = supplier_no
+               WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM revenue)
+               ORDER BY s_suppkey""")
+    },
+    Some("""WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS total_revenue_u
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+                AND l_shipdate <  TIMESTAMP '1999-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue_u
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM revenue)
+            ORDER BY s_suppkey"""))
+
+  /** TPC-H Q16 shape (supplier relationship count): COUNT(DISTINCT)
+    * per attribute triple with an IN-list on p_size and a NOT IN
+    * anti-subquery excluding flagged suppliers (negative balance
+    * stands in for the complaints LIKE filter). */
+  private val sqlTpchQ16 = QueryDef(
+    "sql_tpch_q16",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT p_brand, p_type, p_size,
+                 CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+               FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+               WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+                 AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+                 AND l_suppkey NOT IN (
+                   SELECT s_suppkey FROM v_supplier WHERE s_acctbal < 0)
+               GROUP BY p_brand, p_type, p_size
+               ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    },
+    Some("""SELECT p_brand, p_type, p_size,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    * OR-of-conjunct-groups filter that stresses predicate
+    * normalization — Catalyst extracts the common `p_size >= 1` /
+    * join-key conjuncts from the disjunction so the join does not
+    * degrade to a filter-after-cross. Single-row exact-integer
+    * output. */
+  private val sqlTpchQ19 = QueryDef(
+    "sql_tpch_q19",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS BIGINT) AS revenue_u
+               FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+               WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                      AND l_quantity >= 1 AND l_quantity <= 20)
+                  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                      AND l_quantity >= 10 AND l_quantity <= 30)
+                  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                      AND l_quantity >= 20 AND l_quantity <= 40)""")
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS revenue_u
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity >= 1 AND l_quantity <= 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity >= 10 AND l_quantity <= 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity >= 20 AND l_quantity <= 40)"""))
+
+  /** TPC-H Q20 shape (potential part promotion): an IN-subquery whose
+    * body is a grouped join filtered by a CORRELATED scalar aggregate
+    * — "suppliers who shipped more than half of a small part's total
+    * quantity in 1999" (the availqty > 0.5·sum threshold re-expressed
+    * over lineitem-as-partsupp). The half threshold is `2·qty > sum`,
+    * exact BIGINT both sides. */
+  private val sqlTpchQ20 = QueryDef(
+    "sql_tpch_q20",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""SELECT s_name, n_name
+               FROM v_supplier JOIN v_nation ON s_nationkey = n_nationkey
+               WHERE s_suppkey IN (
+                 SELECT g.l_suppkey FROM (
+                   SELECT l_suppkey, l_partkey,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+                   FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+                   WHERE p_type = 'SMALL'
+                     AND l_shipdate >= TIMESTAMP '1999-01-01'
+                     AND l_shipdate <  TIMESTAMP '2000-01-01'
+                   GROUP BY l_suppkey, l_partkey) g
+                 WHERE 2 * g.qty > (
+                   SELECT CAST(sum(CAST(round(l2.l_quantity) AS BIGINT)) AS BIGINT)
+                   FROM v_lineitem l2
+                   WHERE l2.l_partkey = g.l_partkey
+                     AND l2.l_shipdate >= TIMESTAMP '1999-01-01'
+                     AND l2.l_shipdate <  TIMESTAMP '2000-01-01'))
+               ORDER BY s_name""")
+    },
+    Some("""SELECT s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT g.l_suppkey FROM (
+                SELECT l_suppkey, l_partkey,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_type = 'SMALL'
+                  AND l_shipdate >= TIMESTAMP '1999-01-01'
+                  AND l_shipdate <  TIMESTAMP '2000-01-01'
+                GROUP BY l_suppkey, l_partkey) g
+              WHERE 2 * g.qty > (
+                SELECT CAST(sum(CAST(round(l2.l_quantity) AS BIGINT)) AS BIGINT)
+                FROM lineitem l2
+                WHERE l2.l_partkey = g.l_partkey
+                  AND l2.l_shipdate >= TIMESTAMP '1999-01-01'
+                  AND l2.l_shipdate <  TIMESTAMP '2000-01-01'))
+            ORDER BY s_name"""))
+
   val defs: Seq[QueryDef] = Seq(
     subqueryScalar, subqueryIn, subqueryExists, subqueryNotIn,
-    sqlLateralTopn, sqlTpchQ3, sqlTpchQ4, sqlTpchQ5, sqlTpchQ6,
-    sqlTpchQ10, sqlTpchQ13, sqlTpchQ17, sqlTpchQ18, sqlTpchQ21,
-    sqlTpchQ22, groupingSets)
+    sqlLateralTopn, sqlTpchQ2, sqlTpchQ3, sqlTpchQ4, sqlTpchQ5,
+    sqlTpchQ6, sqlTpchQ7, sqlTpchQ8, sqlTpchQ9, sqlTpchQ10,
+    sqlTpchQ11, sqlTpchQ12, sqlTpchQ13, sqlTpchQ14, sqlTpchQ15,
+    sqlTpchQ16, sqlTpchQ17, sqlTpchQ18, sqlTpchQ19, sqlTpchQ20,
+    sqlTpchQ21, sqlTpchQ22, groupingSets)
 }

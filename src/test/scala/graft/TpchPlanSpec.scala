@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan gates for the TPC-H surface (SCALE.md "Full TPC-H
+  * surface"): each test pins the planner behavior a shape was added
+  * to stress, so a regression (a dim falling out of broadcast, a
+  * disjunction degrading to a nested loop, a correlated subquery
+  * re-executing per row) breaks the build rather than the 100 TB run.
+  * PlanAuditSpec already rejects cartesians globally; these assert
+  * the POSITIVE shape.
+  */
+class TpchPlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q19's OR-of-conjunct-groups keeps a hash join on part") {
+    // Catalyst must factor the common join key out of the disjunction;
+    // the failure mode is BroadcastNestedLoopJoin with the whole OR as
+    // a post-join filter.
+    val p = plan("sql_tpch_q19")
+    assert(p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("NestedLoop"), p.take(2000))
+  }
+
+  test("q8's star join broadcasts the dimensions") {
+    // part/supplier/customer/nation×2/region all sit under the
+    // broadcast threshold; only the fact-fact join may shuffle.
+    val p = plan("sql_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("NestedLoop"), p.take(3000))
+  }
+
+  test("q2's correlated MIN-with-join decorrelates to aggregate joins") {
+    // One grouped aggregate over the subquery's join, joined back —
+    // never a per-outer-row re-execution (which would appear as a
+    // nested-loop or cartesian over the fact).
+    val p = plan("sql_tpch_q2")
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q18 plans the grouped-HAVING filter as a semi join on the fact") {
+    val p = plan("sql_tpch_q18")
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
+  test("q21 plans EXISTS as semi and NOT EXISTS as anti, no re-scan loop") {
+    val p = plan("sql_tpch_q21")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
+
+  test("q20's correlated half-of-total threshold decorrelates") {
+    val p = plan("sql_tpch_q20")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(3000))
+  }
+
+  test("q15's scalar MAX over the CTE is a one-row subquery, not a join loop") {
+    val p = plan("sql_tpch_q15")
+    assert(p.contains("Subquery") || p.contains("ReusedSubquery"), p.take(3000))
+    assert(!p.contains("NestedLoop"), p.take(3000))
+  }
+}

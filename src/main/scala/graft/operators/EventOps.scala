@@ -593,10 +593,46 @@ object EventOps {
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
             ORDER BY click_id, buy_id"""))
 
+  /** LEFT OUTER variant of [[streamStreamJoin]]: clicks with no
+    * in-band purchase survive with NULL purchase columns. In the
+    * incremental version (StreamOps.streamStreamLeftOuter, tested in
+    * StreamingSpec) the null row is only emitted once the watermark
+    * proves the band empty; this batch twin is the end-state both
+    * must agree on. Nulls sort FIRST explicitly on both engines
+    * (determinism contract rule 5). */
+  private val streamStreamLeft = QueryDef(
+    "stream_stream_left",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts").as("bts"))
+      clicks.join(buys,
+          col("user_id") === col("b_user") &&
+          col("bts") >= col("cts") &&
+          col("bts") < col("cts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .select(col("click_id"), col("buy_id"),
+          (unix_timestamp(col("bts")) - unix_timestamp(col("cts")))
+            .as("delta_sec"))
+        .orderBy(col("click_id"), col("buy_id").asc_nulls_first)
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS buy_id,
+              CAST(floor(epoch(p.ts)) AS BIGINT)
+                - CAST(floor(epoch(c.ts)) AS BIGINT) AS delta_sec
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+              AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+            ORDER BY click_id, buy_id ASC NULLS FIRST"""))
+
   val defs: Seq[QueryDef] = Seq(
     streamTumbling, streamSliding, streamSession, streamWatermark,
     streamDedup, streamStateful, streamLate, aggSalted, sinkPartitioned,
     kinesisEncode, kinesisDecode, aggPivot, aggPercentile,
     aggPercentileApprox, aggArgMinmax, funnelConversion,
-    cohortRetention, tsGapfill, streamStreamJoin)
+    cohortRetention, tsGapfill, streamStreamJoin, streamStreamLeft)
 }

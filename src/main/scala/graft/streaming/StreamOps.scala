@@ -335,6 +335,29 @@ object StreamOps {
       col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like
+    * [[streamStreamEnrich]] but unmatched clicks are NOT dropped —
+    * they emit with NULL purchase columns once the watermark passes
+    * the end of their match window, i.e. once the engine can PROVE no
+    * purchase can still arrive. This is the semantics that makes
+    * outer joins hard in streams: the null result is a statement
+    * about the future, so it can only be emitted when event time has
+    * provably moved past the band. State stays bounded by the same
+    * watermark that licenses the null emission. */
+  def streamStreamLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
   /** Run any of the above to an in-memory sink for tests/demos. */
   def startToMemory(df: DataFrame, queryName: String,
       outputMode: OutputMode = OutputMode.Append): StreamingQuery =

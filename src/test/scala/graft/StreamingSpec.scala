@@ -345,6 +345,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: null row only after watermark proves the band empty") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.streamStreamLeftOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ss_left_test")
+      .outputMode("append").start()
+    try {
+      // user 1's click gets a purchase in-band; user 2's never does
+      val c1 = ev("2024-01-01 10:00:00", user = 1, typ = "click")
+      val c2 = ev("2024-01-01 10:00:00", user = 2, typ = "click")
+      clicks.addData(c1, c2)
+      purchases.addData(
+        ev("2024-01-01 10:30:00", user = 1, typ = "purchase", value = 5.0))
+      q.processAllAvailable()
+      val early = spark.table("ss_left_test").collect()
+      // the unmatched click must NOT have emitted a null row yet: the
+      // watermark has not passed 11:00 (click_ts + 1h band), so a
+      // purchase could still arrive
+      assert(!early.exists(_.isNullAt(3)),
+        s"null row emitted before watermark allowed it: ${early.mkString(";")}")
+      // advance BOTH watermarks far past the band (+10 min delay)
+      clicks.addData(ev("2024-01-01 13:00:00", user = 9, typ = "click"))
+      purchases.addData(ev("2024-01-01 13:00:00", user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_left_test")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // user 1 matched; user 2's click now emitted with NULL purchase
+      val u1Click = c1.event_id
+      val u2Click = c2.event_id
+      assert(rows.exists(r => r._1 == u2Click && r._2 == -1L),
+        s"unmatched click never emitted its null row: $rows")
+      assert(rows.exists(r => r._1 == u1Click && r._2 != -1L),
+        s"matched click lost: $rows")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: stateful query resumes from its state store") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

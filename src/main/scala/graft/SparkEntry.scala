@@ -24,7 +24,8 @@ object SparkEntry {
     llm.TextOps.defs ++
     llm.VectorOps.defs ++
     llm.MultimodalOps.defs ++
-    llm.PipelineOps.defs
+    llm.PipelineOps.defs ++
+    llm.BpeOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shape pricing summary (SURVEY.md §7 M0). */

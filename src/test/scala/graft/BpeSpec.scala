@@ -1,0 +1,94 @@
+package graft
+
+import graft.llm.BpeOps
+import graft.llm.BpeOps.Merge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer vs an in-spec single-node reference implementation —
+  * the distributed pair-count/argmax/merge loop must reproduce the
+  * classic algorithm exactly, tie-break included. */
+class BpeSpec extends AnyFunSuite with SparkFixture {
+
+  /** Straight-line reference BPE on a (word -> freq) map. */
+  private def referenceTrain(words: Map[String, Long], n: Int): Seq[Merge] = {
+    var dict: Map[Seq[String], Long] =
+      words.map { case (w, f) => (w.map(_.toString): Seq[String]) -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 0
+    var done = false
+    while (round < n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p.head, p(1))) = counts.getOrElse((p.head, p(1)), 0L) + f
+        }
+      }
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) done = true
+      else {
+        val ((l, r), _) = eligible.minBy { case ((l, r), c) => (-c, l, r) }
+        out += Merge(l, r, round)
+        dict = dict.groupMapReduce(
+          { case (syms, _) => BpeOps.mergeOnce(syms, l, r, l + r) })(_._2)(_ + _)
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private val corpusWords: Seq[(String, Int)] = Seq(
+    "hug" -> 10, "pug" -> 5, "pun" -> 12, "bun" -> 4, "hugs" -> 5)
+
+  private def corpusDf = {
+    import spark.implicits._
+    // one doc per word occurrence keeps the word-frequency reduction honest
+    corpusWords.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+  }
+
+  test("distributed trainer reproduces the reference merges exactly") {
+    val expected = referenceTrain(
+      corpusWords.map { case (w, n) => w -> n.toLong }.toMap, 8)
+    val got = BpeOps.train(corpusDf, "text", 8)
+    assert(got == expected,
+      s"merge sequences diverge:\n got=$got\n exp=$expected")
+    // the fixture is known to exhaust below 8 useful merges — make
+    // sure the early-stop path actually ran
+    assert(got.size < 8, s"expected early exhaustion, got ${got.size} merges")
+  }
+
+  test("trainer is deterministic across partition layouts") {
+    val a = BpeOps.train(corpusDf.repartition(1), "text", 6)
+    val b = BpeOps.train(corpusDf.repartition(7), "text", 6)
+    assert(a == b, s"partitioning changed the learned merges:\n $a\n $b")
+  }
+
+  test("encodeWord applies merges by rank and tokenCounts matches it") {
+    val merges = BpeOps.train(corpusDf, "text", 6)
+    // six merges fully compress this tiny fixture's frequent words
+    val hug = BpeOps.encodeWord("hug", merges)
+    val hugs = BpeOps.encodeWord("hugs", merges)
+    assert(hug.length < 3 && hugs.length < 4,
+      s"no compression learned: hug=$hug hugs=$hugs")
+    assert(hug.mkString == "hug" && hugs.mkString == "hugs",
+      s"symbols lost characters: hug=$hug hugs=$hugs")
+    val counts = BpeOps.tokenCounts(corpusDf, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    corpusWords.foreach { case (w, _) =>
+      val enc = BpeOps.encodeWord(w, merges).length.toLong
+      // every doc is exactly one word in this fixture
+      val docIds = corpusDf.filter(org.apache.spark.sql.functions.col("text") === w)
+        .select("doc_id").collect().map(_.getLong(0))
+      docIds.foreach(id => assert(counts(id) == enc,
+        s"doc $id ($w): tokenCounts=${counts(id)} encodeWord=$enc"))
+    }
+  }
+
+  test("unknown text still encodes (merges just do not fire)") {
+    val merges = Seq(Merge("a", "b", 0))
+    assert(BpeOps.encodeWord("xyz", merges) == Seq("x", "y", "z"))
+    assert(BpeOps.encodeWord("ab", merges) == Seq("ab"))
+    assert(BpeOps.encodeWord("aab", merges) == Seq("a", "ab"))
+  }
+}

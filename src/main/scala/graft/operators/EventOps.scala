@@ -629,10 +629,34 @@ object EventOps {
               AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
             ORDER BY click_id, buy_id ASC NULLS FIRST"""))
 
+  /** Stream-static enrichment, batch twin: events joined to the
+    * customer dimension on user key, revenue rolled up per market
+    * segment. The incremental version (StreamOps.streamStaticEnrich,
+    * StreamingSpec) broadcasts the dimension into each micro-batch —
+    * the stream side never shuffles, no state is kept; this batch
+    * plan is literally the same join the stream re-executes per
+    * batch. */
+  private val streamStaticJoin = QueryDef(
+    "stream_static_join",
+    (s, d) => {
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+             sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_c"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val defs: Seq[QueryDef] = Seq(
     streamTumbling, streamSliding, streamSession, streamWatermark,
     streamDedup, streamStateful, streamLate, aggSalted, sinkPartitioned,
     kinesisEncode, kinesisDecode, aggPivot, aggPercentile,
     aggPercentileApprox, aggArgMinmax, funnelConversion,
-    cohortRetention, tsGapfill, streamStreamJoin, streamStreamLeft)
+    cohortRetention, tsGapfill, streamStreamJoin, streamStreamLeft,
+    streamStaticJoin)
 }

@@ -277,6 +277,40 @@ object Relational {
               ON value >= lo AND value < hi
             GROUP BY band ORDER BY band"""))
 
+  /** Skew-aware SALTED join — the join-side twin of agg_salted. When
+    * one join key is hot (a viral document, a default user id), a
+    * plain shuffle join lands the whole hot key in ONE task; salting
+    * splits it: the fact side gets a deterministic salt in [0, 8)
+    * derived from non-key columns, the dimension side is replicated
+    * once per salt value (an 8× blowup of the SMALL side only), and
+    * the join key becomes (key, salt) — every hot key now spreads
+    * over 8 tasks. The shuffle-hash hint keeps the demo honest: the
+    * dimension would otherwise broadcast at this scale and hide the
+    * skew mechanics being demonstrated. Result is provably identical
+    * to the unsalted join — exactly what the oracle checks. */
+  private val joinSalted = QueryDef(
+    "join_salted",
+    (s, d) => {
+      val nSalt = 8
+      val facts = Tables.lineitem(s, d)
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalt)))
+      val dim = Tables.part(s, d)
+        .withColumn("salt", explode(expr(s"sequence(0, ${nSalt - 1})")))
+      facts
+        .join(dim.hint("shuffle_hash"),
+          facts("l_partkey") === dim("p_partkey") &&
+          facts("salt") === dim("salt"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+             sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand"""))
+
   private val joinCross = QueryDef(
     "join_cross",
     (s, d) =>
@@ -664,7 +698,7 @@ object Relational {
     scanParquet, scanProjected, jsonIngest, sinkParquet,
     projectExpr, filterPred, filterString,
     joinInnerHash, joinBroadcast, joinLeftOuter, joinFullOuter,
-    joinSemi, joinAnti, joinRangeTheta, joinCross,
+    joinSemi, joinAnti, joinRangeTheta, joinSalted, joinCross,
     aggGlobal, aggGroupBy, aggHaving, aggCountDistinct, aggApproxDistinct,
     aggHllMergeable, aggApproxTopk, aggFiltered,
     aggRollup, aggCubeSets,

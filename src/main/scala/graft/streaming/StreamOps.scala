@@ -358,6 +358,18 @@ object StreamOps {
       "left_outer")
   }
 
+  /** Stream-STATIC enrichment join: each micro-batch of events joins
+    * a static (bounded) dimension — no watermark needed, because the
+    * static side never grows and holds no state between batches; the
+    * dimension broadcasts to every task, so the stream side never
+    * shuffles. This is the Kinesis consumer's reference-data lookup
+    * (user profile, device registry) done the Spark way: re-planned
+    * per batch, so a refreshed dimension snapshot is picked up on
+    * restart without touching the checkpoint. */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim(dimKey))
+
   /** Run any of the above to an in-memory sink for tests/demos. */
   def startToMemory(df: DataFrame, queryName: String,
       outputMode: OutputMode = OutputMode.Append): StreamingQuery =

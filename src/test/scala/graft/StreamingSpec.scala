@@ -385,6 +385,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from a broadcast dimension") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("cust_id", "tier")
+    val input = MemoryStream[Event]
+    val q = StreamOps.streamStaticEnrich(input.toDF(), dim, "cust_id")
+      .writeStream.format("memory").queryName("ss_static_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev("2024-01-01 10:00:00", user = 1),
+        ev("2024-01-01 10:01:00", user = 2),
+        ev("2024-01-01 10:02:00", user = 3)) // no dim row -> dropped (inner)
+      q.processAllAvailable()
+      val rows = spark.table("ss_static_test")
+        .select("user_id", "tier").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(rows == Set(1L -> "GOLD", 2L -> "SILVER"), rows.toString)
+      // a second batch joins the SAME static snapshot — no state decay
+      input.addData(ev("2024-01-01 10:30:00", user = 2))
+      q.processAllAvailable()
+      assert(spark.table("ss_static_test").count() == 3)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: stateful query resumes from its state store") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -339,8 +339,36 @@ object Analytic {
                          ORDER BY o_totalprice ASC, o_orderkey ASC)
             ORDER BY o_orderkey"""))
 
+  /** Exact statistical MODE per group with a DETERMINISTIC tie-break
+    * — Spark's and DuckDB's built-in mode() both leave ties
+    * implementation-defined, so neither is oracle-safe; the portable
+    * form is the two-phase count + rank-1 window (count DESC, bucket
+    * ASC), which also happens to be the scalable form: the window
+    * runs over the tiny aggregated table, never the raw input. */
+  private val aggMode = QueryDef(
+    "agg_mode",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .withColumn("bucket", expr("CAST(floor(value / 50) AS BIGINT)"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("bucket").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("event_type", "bucket", "n")
+        .orderBy("event_type")
+    },
+    Some("""WITH c AS (
+              SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, bucket, n FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY n DESC, bucket ASC) AS rk FROM c) t
+            WHERE rk = 1 ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     winRank, winLagLead, winRunning, winMovingAvg, winNtilePct,
     topkPerGroup, joinAsof, winRangeFrame, winIgnoreNulls, winFirstLast,
-    winCumeNth)
+    winCumeNth, aggMode)
 }

@@ -570,6 +570,30 @@ object Relational {
               CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk
             FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
 
+  /** EXACT distinct counting the mergeable way: Spark's bitmap
+    * aggregate family (3.5+) buckets each id into a 32k-bit bitmap
+    * page, ORs pages per (group, bucket) map-side, then sums page
+    * popcounts — an exact count with HLL's merge topology. At 100 TB
+    * this is THE exact-distinct design: partials are fixed-size
+    * bitmap pages (not id lists), every stage is mergeable, and the
+    * shuffle carries one page per (group, bucket) instead of one row
+    * per distinct id. The oracle is a plain COUNT(DISTINCT). */
+  private val aggBitmapDistinct = QueryDef(
+    "agg_bitmap_distinct",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bucket"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+        .groupBy("event_type", "bucket")
+        .agg(expr("bitmap_construct_agg(pos)").as("page"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(page)")).as("n_users"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   private val aggRollup = QueryDef(
     "agg_rollup",
     (s, d) =>
@@ -700,7 +724,7 @@ object Relational {
     joinInnerHash, joinBroadcast, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinRangeTheta, joinSalted, joinCross,
     aggGlobal, aggGroupBy, aggHaving, aggCountDistinct, aggApproxDistinct,
-    aggHllMergeable, aggApproxTopk, aggFiltered,
+    aggHllMergeable, aggApproxTopk, aggFiltered, aggBitmapDistinct,
     aggRollup, aggCubeSets,
     sortMulti, topkGlobal,
     setUnionAll, setUnionDistinct, setIntersect, setExcept, setExceptAll)

@@ -770,9 +770,54 @@ object TextOps {
                CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed
              FROM assigned GROUP BY split, lang ORDER BY split, lang"""))
 
+  /** ROUGE-1-style token overlap of every document against its
+    * source's canonical (lowest-id) document — the eval-pipeline
+    * overlap metric done the linear way: one tiny per-source
+    * reference table (broadcast), one pass over the corpus, exact
+    * integer counts (|tokens ∩ ref_tokens|, |ref_tokens|) so the
+    * recall ratio is derivable without any float leaving the query.
+    * No all-pairs join exists anywhere: corpus rows meet exactly one
+    * reference row each. */
+  private val refOverlap = QueryDef(
+    "llm_ref_overlap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          array_sort(array_distinct(split(col("text"), "\\s+"))).as("toks"))
+      val refIds = docs.groupBy("source").agg(min("doc_id").as("ref_id"))
+      val refs = docs
+        .select(col("doc_id").as("r_doc"), col("source").as("r_source"),
+          col("toks").as("ref_toks"))
+        .join(refIds, col("r_doc") === refIds("ref_id"))
+        .select(col("r_source"), col("ref_id"), col("ref_toks"))
+      docs.join(broadcast(refs), col("source") === col("r_source"))
+        .filter(col("doc_id") =!= col("ref_id"))
+        .select(col("doc_id"), col("ref_id"),
+          size(array_intersect(col("toks"), col("ref_toks")))
+            .cast("long").as("n_common"),
+          size(col("ref_toks")).cast("long").as("n_ref"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, source,
+                list_sort(list_distinct(string_split_regex(text, '\s+'))) AS t
+              FROM documents),
+            refs AS (
+              SELECT source, min(doc_id) AS ref_id
+              FROM documents GROUP BY source),
+            rt AS (
+              SELECT r.source, r.ref_id, t.t AS ref_t
+              FROM refs r JOIN toks t ON t.doc_id = r.ref_id)
+            SELECT d.doc_id, rt.ref_id,
+              CAST(len(list_intersect(d.t, rt.ref_t)) AS BIGINT) AS n_common,
+              CAST(len(rt.ref_t) AS BIGINT) AS n_ref
+            FROM toks d JOIN rt ON d.source = rt.source
+            WHERE d.doc_id <> rt.ref_id
+            ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupNgram, dupClustersQ, dedupMinhash, dedupSimhash,
     dedupIncremental, fingerprint, tokenCount, textStats, qualityScore,
     langId, langFilter, contamination, contaminationBloom,
-    repetitionFilter, curationE2e)
+    repetitionFilter, curationE2e, refOverlap)
 }

@@ -661,9 +661,12 @@ object SqlSurface {
   /** TPC-H Q8 shape (national market share): an eight-table join
     * (nation twice, region once) feeding a conditional-sum-over-sum
     * ratio per year. The share is computed as exact integer basis
-    * points via BIGINT floor division (`DIV` ↔ `//`) — both engines
-    * divide the SAME exact integers, so no float ratio can diverge in
-    * the last ulp. */
+    * points via floor division (`DIV` ↔ `//`) — both engines divide
+    * the SAME exact integers, so no float ratio can diverge in the
+    * last ulp. Spark accumulates in DECIMAL(38,0) (mirroring DuckDB's
+    * automatic HUGEINT sum), so the ×10000 share multiplier keeps
+    * exactness headroom at any scale factor instead of meeting Long
+    * overflow around sf60. */
   private val sqlTpchQ8 = QueryDef(
     "sql_tpch_q8",
     (s, d) => {
@@ -674,9 +677,9 @@ object SqlSurface {
                       DIV sum(volume_u) AS BIGINT) AS mkt_share_bp,
                  CAST(sum(volume_u) AS BIGINT) AS total_volume_u
                FROM (SELECT year(o_orderdate) AS o_year,
-                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                         AS volume_u,
+                         AS DECIMAL(38, 0)) AS volume_u,
                        n2.n_name AS nation
                      FROM v_part
                      JOIN v_lineitem  ON p_partkey = l_partkey
@@ -758,24 +761,28 @@ object SqlSurface {
     * the same filtered join — Catalyst evaluates it once as a
     * subquery stage and broadcasts the scalar into the filter. The
     * 0.1 % fraction is expressed by multiplying the group sum by 1000
-    * instead of dividing the total, so the comparison is exact BIGINT
-    * against exact BIGINT. */
+    * instead of dividing the total, so the comparison is exact integer
+    * against exact integer — accumulated in DECIMAL(38,0) on the
+    * Spark side (DuckDB sums to HUGEINT automatically), so the ×1000
+    * never meets Long overflow at any scale factor. */
   private val sqlTpchQ11 = QueryDef(
     "sql_tpch_q11",
     (s, d) => {
       withViews(s, d)
       s.sql("""SELECT l_partkey, CAST(sum(val_u) AS BIGINT) AS value_u
                FROM (SELECT l_partkey,
-                       CAST(round(l_extendedprice * 100) AS BIGINT)
-                         * CAST(round(l_quantity) AS BIGINT) AS val_u
+                       CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_quantity) AS BIGINT)
+                         AS DECIMAL(38, 0)) AS val_u
                      FROM v_lineitem
                      JOIN v_supplier ON s_suppkey = l_suppkey
                      JOIN v_nation   ON s_nationkey = n_nationkey
                      WHERE n_name = 'NATION_3') t
                GROUP BY l_partkey
                HAVING sum(val_u) * 1000 > (
-                 SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                            * CAST(round(l_quantity) AS BIGINT))
+                 SELECT sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_quantity) AS BIGINT)
+                            AS DECIMAL(38, 0)))
                  FROM v_lineitem
                  JOIN v_supplier ON s_suppkey = l_suppkey
                  JOIN v_nation   ON s_nationkey = n_nationkey
@@ -846,9 +853,9 @@ object SqlSurface {
                       DIV sum(volume_u) AS BIGINT) AS promo_share_bp,
                  CAST(sum(volume_u) AS BIGINT) AS revenue_u
                FROM (SELECT p_type,
-                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                         AS volume_u
+                         AS DECIMAL(38, 0)) AS volume_u
                      FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
                      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
                        AND l_shipdate <  TIMESTAMP '1998-07-01') t""")

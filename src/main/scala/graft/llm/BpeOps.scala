@@ -111,9 +111,14 @@ object BpeOps {
     out.toSeq
   }
 
-  /** Encode one word with a learned merge list (priority = rank). */
+  /** Encode one word with a learned merge list (priority = rank).
+    * Splits by CODEPOINT, not UTF-16 char, to match the dictionary's
+    * `substring(w, i, 1)` semantics (Spark substring counts
+    * codepoints) — a surrogate-pair emoji is one base symbol on both
+    * paths. */
   def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString)
+    var syms: Seq[String] = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toSeq
     merges.sortBy(_.rank).foreach { m =>
       syms = mergeOnce(syms, m.left, m.right, m.left + m.right)
     }

@@ -577,7 +577,9 @@ object Relational {
     * this is THE exact-distinct design: partials are fixed-size
     * bitmap pages (not id lists), every stage is mergeable, and the
     * shuffle carries one page per (group, bucket) instead of one row
-    * per distinct id. The oracle is a plain COUNT(DISTINCT). */
+    * per distinct id. Requires a non-negative id domain (user_id ≥ 0
+    * here; id 0 is present in the data and verified). The oracle is a
+    * plain COUNT(DISTINCT). */
   private val aggBitmapDistinct = QueryDef(
     "agg_bitmap_distinct",
     (s, d) =>

@@ -85,6 +85,15 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("codepoint symbols: dictionary and encodeWord agree on non-BMP text") {
+    import spark.implicits._
+    val word = "a😀b" // a😀b — the emoji is ONE symbol
+    val df = Seq((1L, word)).toDF("doc_id", "text")
+    val dictSyms = BpeOps.dictionary(df, "text").collect()(0).syms
+    assert(dictSyms == BpeOps.encodeWord(word, Nil), dictSyms.toString)
+    assert(dictSyms.length == 3, s"surrogate pair split: $dictSyms")
+  }
+
   test("unknown text still encodes (merges just do not fire)") {
     val merges = Seq(Merge("a", "b", 0))
     assert(BpeOps.encodeWord("xyz", merges) == Seq("x", "y", "z"))

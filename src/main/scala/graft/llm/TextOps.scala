@@ -77,6 +77,76 @@ object TextOps {
              FROM aug GROUP BY md5(lower(trim(text)))
              ORDER BY keep_doc_id"""))
 
+  /** MinHash oracle: the full banded-LSH pipeline replayed in DuckDB
+    * with [[DuckHash]]'s bit-exact hash SQL. CTE mirror of the Spark
+    * plan: tokens → XXH64 per token (in doc order) → splitmix64
+    * trigram chain (NGramHashes' seed constant) → distinct shingle
+    * hashes → 64 slot minima over SIGNED longs → 8-slot band slices
+    * hashed with the XXH64.hashLong chain (seed 42, Spark's
+    * xxhash64-over-array semantics) → band equi-join candidates →
+    * exact-Jaccard ≥ 0.5 verify. */
+  private lazy val minhashOracleSql: String = {
+    import DuckHash.{hashLongSigned, mixAddSigned, xxh64Str}
+    // NGramHashes chain seed (TextHashes.scala): 0x517cc1b727220a95.
+    val tri = mixAddSigned(
+      mixAddSigned(mixAddSigned("5871781006564002453::BIGINT", "ths[i]"),
+        "ths[i+1]"),
+      "ths[i+2]")
+    s"""WITH $augNearSql,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug
+       |        WHERE len(string_split(text, ' ')) >= 3),
+       |tpos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM tok),
+       |th AS (SELECT doc_id, pos, ${xxh64Str("toks[pos]")} AS h FROM tpos),
+       |thl AS (SELECT doc_id, list(h ORDER BY pos) AS ths FROM th GROUP BY doc_id),
+       |tri AS (SELECT doc_id, unnest(generate_series(1, len(ths) - 2)) AS i, ths FROM thl),
+       |shd AS (SELECT DISTINCT doc_id, $tri AS sh FROM tri),
+       |slot AS (SELECT doc_id, sl.slot AS slot, min(${mixAddSigned("sh", "slot")}) AS m
+       |         FROM shd CROSS JOIN (SELECT unnest(generate_series(0::BIGINT, 63)) AS slot) sl
+       |         GROUP BY doc_id, sl.slot),
+       |sig AS (SELECT doc_id, list(m ORDER BY slot) AS sig FROM slot GROUP BY doc_id),
+       |bnd AS (SELECT doc_id, unnest(generate_series(0, 7)) AS band, sig FROM sig),
+       |bh AS (SELECT doc_id, band,
+       |         list_reduce(list_prepend(42::BIGINT, sig[band * 8 + 1 : band * 8 + 8]),
+       |           (s, x) -> ${hashLongSigned("x", "s")}) AS bh
+       |       FROM bnd),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh
+       |         WHERE a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list(sh) AS shs FROM shd GROUP BY doc_id),
+       |ver AS (SELECT doc_a, doc_b, len(list_intersect(sa.shs, sb.shs)) AS inter,
+       |          len(sa.shs) AS la, len(sb.shs) AS lb
+       |        FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+       |                  JOIN sets sb ON sb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS j
+       |FROM ver
+       |WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash oracle: XXH64 token hashes → per-bit majority vote over a
+    * 64-row bit table → signed 64-bit signature via bit_or → ALL-pairs
+    * hamming ≤ 6 (sound because the Spark multi-index is complete for
+    * hamming ≤ 6 — see the query doc). */
+  private lazy val simhashOracleSql: String = {
+    import DuckHash.{bitTableValues, xxh64StrUnsigned}
+    s"""WITH $augNearSql,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+       |tpos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM tok),
+       |th AS (SELECT doc_id, ${xxh64StrUnsigned("toks[pos]")} AS hu FROM tpos),
+       |bits AS (SELECT doc_id, bs.b AS b, max(bs.p) AS p,
+       |           sum(CASE WHEN (hu // bs.pu) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |         FROM th CROSS JOIN (VALUES $bitTableValues) bs(b, pu, p)
+       |         GROUP BY doc_id, bs.b),
+       |sig AS (SELECT doc_id, bit_or(CASE WHEN vote > 0 THEN p ELSE 0 END) AS sim
+       |        FROM bits GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |            CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** n-gram Jaccard pairs at J ≥ 0.6 within a (lang, source) block —
     * shared by `llm_dedup_ngram` (the pair report) and
     * `llm_dup_clusters` (the edge list). Shingles are compared as
@@ -196,9 +266,16 @@ object TextOps {
     * (1/8)^(1/8) ≈ 0.77 — planted near-dups (J ≈ 0.97) miss with
     * probability (1-J^8)^8 < 5e-6, while this corpus's incidental
     * J ≈ 0.3 pairs collide at ~5e-4 (16×4 banding measured ~2M false
-    * candidates at sf0.1; 8×8 keeps it in the thousands). The hash
-    * family (splitmix64) is not reproducible in DuckDB ⇒ no-oracle
-    * (recall property-tested against the exact variant in LlmSpec). */
+    * candidates at sf0.1; 8×8 keeps it in the thousands).
+    *
+    * The oracle replays the ENTIRE pipeline bit-for-bit in DuckDB —
+    * XXH64 token hashes, splitmix64 trigram chain, 64-slot signature,
+    * per-band XXH64.hashLong chain, band equi-join, exact-Jaccard
+    * verify — via [[DuckHash]]'s HUGEINT-domain SQL. Banding is lossy
+    * (a J = 0.55 pair may collide in no band), so unlike the SimHash
+    * multi-index there is no banding-free shortcut: hash-exactness
+    * REQUIRES reproducing the hash family, and any single wrong bit
+    * changes the candidate set and fails the compare. */
   private val dedupMinhash = QueryDef(
     "llm_dedup_minhash",
     (s, d) => {
@@ -216,7 +293,7 @@ object TextOps {
         .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"), col("j"))
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    Some(minhashOracleSql))
 
   /** SimHash near-dup: 64-bit signature (count-weighted majority vote
     * of token-hash bits), candidates via a multi-index over PAIRS of
@@ -225,7 +302,17 @@ object TextOps {
     * it shares at least one intact block-pair — complete, and the
     * 16-bit buckets keep candidate volume ~n²/2¹⁶ instead of the
     * single-block n²/2⁸ (measured 470 k → ~10 k pairs at sf0.1).
-    * xxhash64 ⇒ no-oracle. */
+    *
+    * Oracle: the block-pair multi-index is COMPLETE for hamming ≤ 6
+    * (≤ 6 flipped bits touch ≤ 6 of 8 blocks ⇒ ≥ 2 intact blocks ⇒
+    * some intact block-pair key collides — the pigeonhole argument the
+    * implementation relies on), so the query's output is EXACTLY the
+    * set of pairs within hamming 6 and the oracle needs no banding:
+    * it recomputes the XXH64 token hashes + bit-majority signatures
+    * via [[DuckHash]] and compares ALL pairs (fine at oracle scale;
+    * the Spark side keeps the banded plan for corpus scale). This also
+    * independently verifies the completeness claim every round: any
+    * pair the multi-index missed would surface as an oracle diff. */
   private val dedupSimhash = QueryDef(
     "llm_dedup_simhash",
     (s, d) => {
@@ -236,7 +323,7 @@ object TextOps {
           col("hamming"))
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    Some(simhashOracleSql))
 
   /** Cross-batch INCREMENTAL dedup against a persisted fingerprint
     * ledger — the shape a real training pipeline runs daily: prior

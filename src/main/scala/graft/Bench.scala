@@ -4,9 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE profile: Spark 4 enables adaptive execution + partition
+    // coalescing BY DEFAULT, so the benched (and verified) plans are
+    // the AQE plans a 100 TB deployment runs. SPARK_GRAFT_AQE=0 is the
+    // A/B switch that pins fully static plans — used to demonstrate
+    // results are byte-identical with and without runtime re-planning
+    // (BASELINE.md records both profiles' timings).
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -39,11 +48,22 @@ object Bench {
     // "success" — count it and surface `errors` in the JSON line so
     // the driver (and any regression diff) sees breakage immediately.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Three timed passes. Pass 1 is the round's headline (`queries` /
+    // `value`, comparable with every prior round); the per-query
+    // MEDIAN of the three lands in BENCH_FULL.json as `median_queries`
+    // — host contention adds ±20-30 % to any single pass (BASELINE.md)
+    // and the median is the number round-over-round diffs should read.
+    val passes = (1 to 3).map { pass =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => if (pass == 1) failed += name }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = passes.head
+    val medians = results.keys.map { n =>
+      n -> passes.map(_(n)).sorted.apply(1)
     }.toMap
     // Locale-pinned formatting: the f-interpolator uses the JVM default
     // locale, which on comma-decimal locales emits "0,123" — invalid
@@ -60,6 +80,13 @@ object Bench {
     // timed region; the timed part is the recurring read-side probe.)
     val writeIoQueries = Set("sink_parquet", "sink_partitioned",
       "sink_compacted", "csv_roundtrip", "join_bucketed")
+    // A renamed/removed sink query must not silently migrate its time
+    // into the compute subtotal — surface the misses in the JSON (and
+    // on stderr) instead of skewing round-over-round comparisons.
+    val writeIoMissing = (writeIoQueries -- results.keySet).toSeq.sorted
+    if (writeIoMissing.nonEmpty)
+      System.err.println(
+        s"[bench] write-IO queries missing from the run: ${writeIoMissing.mkString(", ")}")
     val writeIo = results.filter { case (n, _) => writeIoQueries(n) }.values.sum
     val compute = total - writeIo
     // Full per-query timings go to a file: with 100+ queries the map no
@@ -68,13 +95,19 @@ object Bench {
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val fullMed = medians.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val medianTotal = medians.values.sum
     val errs = failed.size
     val errNames =
       if (failed.isEmpty) "[]"
       else failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val missingJson =
+      writeIoMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullPath = new java.io.File("BENCH_FULL.json")
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
-    try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"write_io_queries":${writeIoQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"errors":$errs,"failed":$errNames,"queries":$full,"sf":"$sfDir"}""")
+    try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"write_io_queries":${writeIoQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"write_io_missing":$missingJson,"aqe":$aqe,"errors":$errs,"failed":$errNames,"median_total_sec":${fmt(medianTotal)},"median_queries":$fullMed,"queries":$full,"sf":"$sfDir"}""")
     finally w.close()
     // The printed line keeps the slowest queries, greedily, up to a
     // budget that leaves the whole line intact inside the tail buffer.
@@ -90,6 +123,6 @@ object Bench {
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON in the driver's combined-output tail.
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"errors":$errs,"queries":$qs,"n_queries":${results.size},"queries_note":"slowest subset; all ${results.size} in BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"median_total_sec":${fmt(medianTotal)},"aqe":$aqe,"errors":$errs,"queries":$qs,"n_queries":${results.size},"queries_note":"slowest subset; all ${results.size} in BENCH_FULL.json","sf":"$sfDir"}""")
   }
 }

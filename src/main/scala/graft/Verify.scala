@@ -10,9 +10,15 @@ object Verify {
     val sfDir = args(0); val outDir = args(1)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE on by default (Spark 4 default — the deployment profile);
+    // SPARK_GRAFT_AQE=0 pins static plans for the determinism A/B
+    // (results must be byte-identical either way; see Bench.scala).
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

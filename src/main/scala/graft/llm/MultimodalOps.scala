@@ -32,6 +32,14 @@ object MultimodalOps {
 
   ImageIO.setUseCache(false) // in-memory streams; no temp-file cache on executors
 
+  /** Id offset for derived variants (half-size copies) in the near-dup
+    * corpus: a high bit rather than a small additive constant, so
+    * variant ids cannot collide with original ids for any corpus below
+    * 2⁴⁰ (~10¹²) docs — the collision a +100000 offset would hit at
+    * the first 100 k-doc corpus. Mirrored literally (1099511627776) in
+    * the DuckDB oracle. */
+  val VariantIdOffset: Long = 1L << 40
+
   /** An opaque media asset: bytes + typed metadata. */
   final case class Asset(doc_id: Long, bytes: Array[Byte], mime: String)
 
@@ -524,8 +532,22 @@ object MultimodalOps {
     * serves text simhash finds it without any O(n²) pass.
     *
     * Corpus = originals + REAL half-size variants (decode → resize →
-    * ahash, doc_id + 100000; only docs whose raster stays ≥ 16×16 so
-    * the half remains hashable). Candidates come from an 8-block ×
+    * ahash; variant id = doc_id + 2⁴⁰, a high-bit offset that cannot
+    * collide with any original id below a trillion docs — a
+    * data-derived max(doc_id)+1 would cost an extra job for the same
+    * guarantee; only docs whose raster stays ≥ 16×16 so the half
+    * remains hashable).
+    *
+    * SAMPLING (documented cap, not a silent one): originals are
+    * restricted to doc_id % 5 = 0. The synthetic pixel formula is
+    * linear in doc_id, so same-shape docs differ by a constant gray
+    * offset that any brightness-invariant hash cancels — the full
+    * fixture corpus is pathologically self-similar (97 k "true" pairs
+    * at sf0.1, a data artifact no real image corpus shows). The
+    * fixtures are driver-generated (read-only), so the sample is the
+    * honest way to keep the demonstration meaningful; the oracle
+    * replays the identical sample, and IMPLEMENTATION.md's row states
+    * the corpus definition. Candidates come from an 8-block ×
     * 8-bit band join — pigeonhole-complete for Hamming ≤ 7, so the
     * banded plan provably finds every pair the ≤ 6 threshold accepts;
     * the verify is exact bit_count(xor) per block. Vectors of blocks
@@ -539,12 +561,8 @@ object MultimodalOps {
     "llm_multimodal_neardup",
     (s, d) => {
       import s.implicits._
-      // 1-in-5 original sample: the synthetic pixel formula is linear
-      // in doc_id, so same-shape docs differ by a constant gray offset
-      // that ANY brightness-invariant hash cancels — the full corpus
-      // is pathologically self-similar (97 k true pairs at sf0.1, a
-      // data artifact no real image corpus shows). The sample keeps
-      // the demonstration honest without drowning it
+      // 1-in-5 original sample — see the query doc above (documented
+      // fixture-artifact cap; the oracle replays the same sample)
       val origAssets = imageAssets(s, d).filter(col("doc_id") % 5 === 0)
       val originals = origAssets
         .mapPartitions(_.map { a =>
@@ -559,7 +577,7 @@ object MultimodalOps {
             .getOrElse(throw new IllegalArgumentException(
               s"doc ${a.doc_id}: undecodable image bytes"))
           val half = resizeNearest(img, img.getWidth / 2, img.getHeight / 2)
-          (a.doc_id + 100000L, averageHashBits(half))
+          (a.doc_id + VariantIdOffset, averageHashBits(half))
         }).toDF("doc_id", "ahash_bits")
       val hashed = originals.unionByName(variants)
         .withColumn("blocks", expr(
@@ -603,7 +621,7 @@ object MultimodalOps {
               FROM documents
               WHERE doc_id % 5 = 0
               UNION ALL
-              SELECT doc_id + 100000,
+              SELECT doc_id + 1099511627776,
                      CAST((doc_id % 13) * 4 + 8 AS INTEGER) // 2,
                      CAST((doc_id % 7) * 4 + 8 AS INTEGER) // 2,
                      2
@@ -614,7 +632,7 @@ object MultimodalOps {
                      (8 * xs.x + 7) // d.w AS gx,
                      (8 * ys.y + 7) // d.h AS gy,
                      (d.scale * xs.x * 7 + d.scale * ys.y * 13
-                      + (d.doc_id % 100000)) % 256 AS lum
+                      + (d.doc_id % 1099511627776)) % 256 AS lum
               FROM docs d
               CROSS JOIN generate_series(0, 55) xs(x)
               CROSS JOIN generate_series(0, 31) ys(y)

@@ -351,8 +351,12 @@ object Analytic {
       val counts = Tables.events(s, d)
         .withColumn("bucket", expr("CAST(floor(value / 50) AS BIGINT)"))
         .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      // asc_nulls_last: Spark default ASC sorts NULL first, DuckDB
+      // last — a NULL bucket tying at rank 1 would pick different
+      // modes per engine. Latent today (events.value has no nulls) but
+      // the tie-break must be total over the domain, not the fixture.
       val w = Window.partitionBy("event_type")
-        .orderBy(col("n").desc, col("bucket").asc)
+        .orderBy(col("n").desc, col("bucket").asc_nulls_last)
       counts.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select("event_type", "bucket", "n")
@@ -364,7 +368,7 @@ object Analytic {
               FROM events GROUP BY 1, 2)
             SELECT event_type, bucket, n FROM (
               SELECT *, row_number() OVER (PARTITION BY event_type
-                ORDER BY n DESC, bucket ASC) AS rk FROM c) t
+                ORDER BY n DESC, bucket ASC NULLS LAST) AS rk FROM c) t
             WHERE rk = 1 ORDER BY event_type"""))
 
   val defs: Seq[QueryDef] = Seq(

@@ -91,8 +91,9 @@ object JoinScaleProbe {
       val li = spark.read.parquet(s"$scratch/li_$f")
       val or = spark.read.parquet(s"$scratch/or_$f")
       // correctness invariant: the fact-fact join must scale exactly ×f
+      // (base measured from the input, so the probe works at any SF)
       val joined = li.join(or, li("l_orderkey") === or("o_orderkey")).count()
-      val base = 600_000L // sf0.1 lineitem rows; every row matches one order
+      val base = li0.count() // every lineitem row matches exactly one order
       require(joined == base * f,
         s"join cardinality $joined != ${base * f} at factor $f — re-keying broken")
       Seq(("q3", () => q3(li, or, cu)), ("q18", () => q18(li, or)),

@@ -116,13 +116,25 @@ object BpeOps {
     * `substring(w, i, 1)` semantics (Spark substring counts
     * codepoints) — a surrogate-pair emoji is one base symbol on both
     * paths. */
-  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms: Seq[String] = word.codePoints().toArray
-      .map(cp => new String(Character.toChars(cp))).toSeq
-    merges.sortBy(_.rank).foreach { m =>
-      syms = mergeOnce(syms, m.left, m.right, m.left + m.right)
+  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] =
+    encoder(merges)(word)
+
+  /** A reusable word encoder: sorts the merge list by rank ONCE, so a
+    * mapPartitions over millions of words pays the sort zero times per
+    * word. This is the shape the distributed encode path uses. */
+  def encoder(merges: Seq[Merge]): String => Seq[String] = {
+    val sorted = merges.sortBy(_.rank).toArray
+    (word: String) => {
+      var syms: Seq[String] = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toSeq
+      var i = 0
+      while (i < sorted.length) {
+        val m = sorted(i)
+        syms = mergeOnce(syms, m.left, m.right, m.left + m.right)
+        i += 1
+      }
+      syms
     }
-    syms
   }
 
   /** Tokenize a corpus column with a trained merge list: the merges
@@ -135,11 +147,63 @@ object BpeOps {
     val bc = spark.sparkContext.broadcast(merges)
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val n = text.split("\\s+").iterator.filter(_.nonEmpty)
-          .map(w => encodeWord(w, bc.value).length.toLong).sum
-        (id, n)
+      .mapPartitions { it =>
+        val enc = encoder(bc.value)
+        it.map { case (id, text) =>
+          val n = text.split("\\s+").iterator.filter(_.nonEmpty)
+            .map(w => enc(w).length.toLong).sum
+          (id, n)
+        }
       }.toDF("doc_id", "n_tokens")
+  }
+
+  /** Tokenize a corpus column to token STRINGS, one row per
+    * (doc, position): the operator a training pipeline runs after
+    * `train` — the merge table broadcasts, the corpus is touched once,
+    * no shuffle at all (narrow map + explode). */
+  def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val enc = encoder(bc.value)
+        it.map { case (id, text) =>
+          (id, text.split("\\s+").iterator.filter(_.nonEmpty)
+            .flatMap(enc).toSeq)
+        }
+      }.toDF("doc_id", "tokens")
+      .select(col("doc_id"),
+        posexplode(col("tokens")).as(Seq("pos", "token")))
+  }
+
+  /** Deterministic vocabulary for a merge list over an explicit base
+    * alphabet — the shape real tokenizers ship as vocab.json: base
+    * symbols first (sorted), then fused symbols in rank order. Fused
+    * symbols that collide with a base symbol keep the base id. */
+  def vocabulary(alphabet: Seq[String], merges: Seq[Merge]): Map[String, Long] = {
+    val base = alphabet.distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> i.toLong }
+    val b = base.toMap
+    val fused = merges.sortBy(_.rank).map(m => m.left + m.right)
+      .filterNot(b.contains).distinct
+      .zipWithIndex.map { case (s, i) => s -> (base.size + i).toLong }
+    (base ++ fused).toMap
+  }
+
+  /** Per-doc token ids under a fixed vocabulary: (doc_id, pos,
+    * token_id); tokens outside the vocabulary map to -1 (the caller's
+    * UNK id). Broadcast vocab, zero shuffle. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], vocab: Map[String, Long]): DataFrame = {
+    // literal map + element_at stays inside codegen — no UDF needed
+    // for a vocab-sized lookup table
+    val vocabCol = org.apache.spark.sql.functions.typedlit(vocab)
+    encodeTokens(docs, idCol, textCol, merges)
+      .select(col("doc_id"), col("pos"),
+        coalesce(element_at(vocabCol, col("token")), lit(-1L)).as("token_id"))
   }
 
   /** The oracle-checkable kernel of round one: frequency-weighted
@@ -178,5 +242,78 @@ object BpeOps {
             FROM pairs GROUP BY pair
             ORDER BY n DESC, pair LIMIT 50"""))
 
-  val defs: Seq[QueryDef] = Seq(bpePairCounts)
+  /** A fixed 12-merge table for the oracle-checked encode query —
+    * the merges `train` learns on the sf0.01 documents corpus,
+    * frozen so the query is a pure APPLY (train is covered by
+    * BpeSpec + llm_bpe_pair_counts). Deliberately includes
+    * rank-dependent merges (m+er, p+ar, jo+in fire only after their
+    * constituents), so a wrong application order changes the output. */
+  val fixedMerges: Seq[Merge] = Seq(
+    Merge("e", "r", 0), Merge("i", "n", 1), Merge("o", "w", 2),
+    Merge("o", "r", 3), Merge("s", "t", 4), Merge("m", "er", 5),
+    Merge("a", "t", 6), Merge("l", "u", 7), Merge("a", "r", 8),
+    Merge("p", "ar", 9), Merge("j", "o", 10), Merge("jo", "in", 11))
+
+  /** BPE APPLY: tokenize the corpus with the fixed merge table and
+    * emit per-doc token counts — the step a training pipeline runs
+    * over the full 100 TB once the vocabulary is induced. The merge
+    * table broadcasts (vocab-sized); the corpus is touched once with
+    * a narrow map — NO shuffle except the per-doc count aggregation.
+    *
+    * Oracle: DuckDB replays the greedy left-to-right fuse exactly via
+    * a chained-replace encoding. Each word becomes a delimiter string
+    * with every symbol wrapped in its own `|…|` pair
+    * (`regexp_replace(w,'(.)','|\1|','g')`), and one `replace` per
+    * merge rewrites `|l||r|` → `|lr|`. Because `replace` scans left
+    * to right without rescanning its own output, and the double
+    * delimiter keeps adjacent matches from sharing characters, one
+    * replace call IS one `mergeOnce` pass (validated against the
+    * in-spec reference over the whole corpus vocabulary + adversarial
+    * overlap cases — tools/duckhash_proto.py methodology). */
+  private val bpeEncode = QueryDef(
+    "llm_bpe_encode",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val bc = s.sparkContext.broadcast(fixedMerges)
+      docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val enc = encoder(bc.value)
+          it.map { case (id, w) =>
+            val toks = enc(w)
+            (id, toks.length.toLong, toks.count(_.length >= 2).toLong)
+          }
+        }
+        .toDF("doc_id", "tok", "fused")
+        .groupBy("doc_id")
+        .agg(sum("tok").as("n_tokens"), sum("fused").as("n_fused"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+              FROM documents),
+            enc AS (
+              SELECT doc_id,
+                replace(replace(replace(replace(replace(replace(
+                replace(replace(replace(replace(replace(replace(
+                  regexp_replace(w, '(.)', '|\1|', 'g'),
+                  '|e||r|','|er|'), '|i||n|','|in|'), '|o||w|','|ow|'),
+                  '|o||r|','|or|'), '|s||t|','|st|'), '|m||er|','|mer|'),
+                  '|a||t|','|at|'), '|l||u|','|lu|'), '|a||r|','|ar|'),
+                  '|p||ar|','|par|'), '|j||o|','|jo|'), '|jo||in|','|join|')
+                AS s
+              FROM words WHERE length(w) > 0),
+            toks AS (
+              SELECT doc_id, trim(t, '|') AS tok
+              FROM enc, LATERAL (
+                SELECT unnest(string_split(s, '||')) AS t) u)
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN length(tok) >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_fused
+            FROM toks GROUP BY doc_id ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(bpePairCounts, bpeEncode)
 }

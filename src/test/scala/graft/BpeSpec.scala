@@ -100,4 +100,62 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(BpeOps.encodeWord("ab", merges) == Seq("ab"))
     assert(BpeOps.encodeWord("aab", merges) == Seq("a", "ab"))
   }
+
+  test("encodeTokens matches per-word encodeWord, positions in doc order") {
+    import spark.implicits._
+    val merges = BpeOps.train(corpusDf, "text", 6)
+    val df = Seq((1L, "hug pun"), (2L, "bun hugs pug")).toDF("doc_id", "text")
+    val got = BpeOps.encodeTokens(df, "doc_id", "text", merges)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      }
+    val exp = Map(
+      1L -> Seq("hug", "pun").flatMap(BpeOps.encodeWord(_, merges)),
+      2L -> Seq("bun", "hugs", "pug").flatMap(BpeOps.encodeWord(_, merges)))
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
+  test("vocabulary ids: base sorted first, fused by rank; unknown is -1") {
+    import spark.implicits._
+    val merges = Seq(Merge("u", "g", 0), Merge("h", "ug", 1))
+    val vocab = BpeOps.vocabulary(Seq("u", "g", "h", "b"), merges)
+    assert(vocab == Map(
+      "b" -> 0L, "g" -> 1L, "h" -> 2L, "u" -> 3L, "ug" -> 4L, "hug" -> 5L))
+    val df = Seq((1L, "hug bx")).toDF("doc_id", "text")
+    val ids = BpeOps.encodeIds(df, "doc_id", "text", merges, vocab)
+      .orderBy("pos").collect().map(_.getLong(2)).toSeq
+    // hug -> 5; b -> 0; x -> unknown -> -1
+    assert(ids == Seq(5L, 0L, -1L), ids.toString)
+  }
+
+  test("round trip: encoding with trained merges leaves no learned pair") {
+    // after applying merges in rank order, no adjacent token pair may
+    // equal a learned merge — i.e. encode∘train drives the learned
+    // pairs' corpus counts to zero (the compression fixpoint property)
+    val merges = BpeOps.train(corpusDf, "text", 6)
+    assert(merges.nonEmpty)
+    val learned = merges.map(m => (m.left, m.right)).toSet
+    val tokens = BpeOps.encodeTokens(corpusDf, "doc_id", "text", merges)
+      .collect()
+      .groupBy(_.getLong(0))
+      .values.map(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq)
+    tokens.foreach { ts =>
+      ts.sliding(2).filter(_.size == 2).foreach { p =>
+        assert(!learned.contains((p.head, p(1))),
+          s"learned pair ${p.head}+${p(1)} survived encoding in $ts")
+      }
+    }
+  }
+
+  test("fixedMerges rank order matters: shuffled ranks change the output") {
+    // the fixed table deliberately contains rank-dependent merges —
+    // prove the dependency is real by reversing priorities
+    val fwd = BpeOps.encodeWord("join", BpeOps.fixedMerges)
+    assert(fwd == Seq("join"), fwd.toString)
+    val rev = BpeOps.fixedMerges.map(m => m.copy(rank = -m.rank))
+    assert(BpeOps.encodeWord("join", rev) != fwd,
+      "reversed merge priority should break the jo+in chain")
+  }
 }

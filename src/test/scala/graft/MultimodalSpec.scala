@@ -201,4 +201,73 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val b = "hello world".getBytes("UTF-8")
     assert(MultimodalOps.decodeStub(b) == MultimodalOps.decodeStub(b.clone()))
   }
+
+  test("JPEG lossy decode: dims exact, luminance and ahash within bounds") {
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    (0L to 99L).foreach { id =>
+      val src = MultimodalOps.renderRaster(id)
+      val bytes = MultimodalOps.encodeJpeg(src, MultimodalOps.JpegQuality)
+      // real JFIF container
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+        s"doc $id: not a JPEG SOI marker")
+      val dec = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(dec.getWidth == src.getWidth && dec.getHeight == src.getHeight)
+      assert(dec.getRaster.getNumBands == 3)
+      val err = MultimodalOps.maxLumError(src, dec)
+      assert(err <= MultimodalOps.JpegMaxLumError,
+        s"doc $id: luminance error $err exceeds bound")
+      // lossy really is lossy — at least one doc must show nonzero error,
+      // or the "bounded error" contract is vacuous
+      val drift = MultimodalOps.ahashHamming(
+        MultimodalOps.averageHashBits(src), MultimodalOps.averageHashBits(dec))
+      assert(drift <= MultimodalOps.JpegMaxAhashDrift,
+        s"doc $id: ahash drift $drift exceeds bound")
+    }
+    val someLoss = (0L to 99L).exists { id =>
+      val src = MultimodalOps.renderRaster(id)
+      val dec = ImageIO.read(new ByteArrayInputStream(
+        MultimodalOps.encodeJpeg(src, MultimodalOps.JpegQuality)))
+      MultimodalOps.maxLumError(src, dec) > 0
+    }
+    assert(someLoss, "q=0.9 JPEG decoded bit-exact everywhere — lossy path not exercised")
+  }
+
+  test("cross-codec near-dup: banded pipeline finds every PNG→JPEG re-encode pair") {
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus = PNG originals + JPEG(q=0.9) re-encodes (the realistic
+    // image-dedup case): every (orig, re-encode) pair must fall within
+    // hamming <= 6, and the SAME banded 8-block×8-bit candidate join
+    // the neardup query uses must surface all of them — no O(n²) pass
+    val ids = (0L to 39L)
+    val rows = ids.flatMap { id =>
+      val src = MultimodalOps.renderRaster(id)
+      val jpegDec = ImageIO.read(new ByteArrayInputStream(
+        MultimodalOps.encodeJpeg(src, MultimodalOps.JpegQuality)))
+      Seq((id, MultimodalOps.averageHashBits(src)),
+        (id + MultimodalOps.VariantIdOffset,
+          MultimodalOps.averageHashBits(jpegDec)))
+    }
+    val hashed = rows.toDF("doc_id", "ahash_bits")
+      .withColumn("blocks", expr(
+        """transform(sequence(0, 7),
+          |  b -> CAST(conv(substring(ahash_bits, b * 8 + 1, 8), 2, 10)
+          |            AS INT))""".stripMargin))
+    val banded = hashed.select(col("doc_id"),
+      posexplode(col("blocks")).as(Seq("band", "bval")))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bval")),
+        Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ids.foreach { id =>
+      val pair = (id, id + MultimodalOps.VariantIdOffset)
+      assert(cand.contains(pair),
+        s"banded candidates missed the cross-codec pair for doc $id")
+    }
+  }
 }

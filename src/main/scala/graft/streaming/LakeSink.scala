@@ -1,0 +1,168 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** A continuously-ingesting parquet lake with PERIODIC COMPACTION —
+  * the long-lived-sink maintenance op a streaming pipeline needs once
+  * it has run for months: micro-batches land as small segments, and
+  * every K batches the accumulated small segments are rewritten into
+  * one compacted segment (the `sink_compacted` rewrite), WITHOUT ever
+  * exposing readers to duplicates or loss, even if the process dies
+  * between the compaction write and its commit.
+  *
+  * The atomicity mechanism is a MANIFEST POINTER, the core idea every
+  * table format (Iceberg/Delta/Hudi) builds on: data files are
+  * invisible until a manifest version lists them, and publishing a new
+  * manifest version is a single atomic rename. So:
+  *
+  *  - ingest: write `seg_b<batchId>` (mode=overwrite → replay-safe),
+  *    then commit manifest v+1 = v ∪ {seg_b<batchId>}. A batch
+  *    replayed after a crash overwrites its own segment and skips the
+  *    manifest add (already present) — idempotent.
+  *  - compaction: rewrite all live b-segments into `seg_c<batchId>`
+  *    (again overwrite), then commit manifest v+1 that swaps the
+  *    b-segments for the one c-segment, then best-effort delete the
+  *    orphaned b-segment dirs. A crash BETWEEN the compacted write
+  *    and the manifest commit leaves the manifest unchanged — readers
+  *    still see the b-segments exactly once; on restart the batch
+  *    replays, the compacted segment is overwritten, and the commit
+  *    completes. A crash after commit but before cleanup leaves
+  *    orphaned dirs no manifest references — invisible to readers.
+  *
+  * The manifest also carries `maxb`, the highest batchId ever
+  * ingested. It closes the OTHER crash window: die after the
+  * compaction commit (which removed seg_b<id> from the manifest) but
+  * before the streaming checkpoint commit, and the batch replays in
+  * full — without `maxb` the replayed ingest would re-add its
+  * b-segment next to the c-segment that already holds those rows
+  * (duplication). With it, a replayed batch whose id ≤ maxb skips the
+  * manifest add and deletes its freshly-rewritten orphan dir.
+  *
+  * On a real object store the atomic rename becomes a conditional put
+  * / log append (the same contract); everything else is unchanged.
+  * Readers are always consistent: they resolve the highest committed
+  * manifest version and read exactly the segments it lists.
+  */
+object LakeSink {
+
+  /** Committed lake state: manifest version, highest ingested
+    * batchId, live segment dirs. */
+  final case class Manifest(version: Long, maxB: Long, segs: Seq[String])
+
+  private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
+
+  /** Highest committed manifest. Version 0 = empty lake. */
+  def readManifest(outDir: String): Manifest = {
+    val md = manifestDir(outDir)
+    if (!Files.isDirectory(md)) return Manifest(0L, -1L, Nil)
+    val versions = Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{10}\\.txt") =>
+        s.substring(1, 11).toLong }
+      .toSeq
+    if (versions.isEmpty) Manifest(0L, -1L, Nil)
+    else {
+      val v = versions.max
+      val lines = Files.readAllLines(md.resolve(f"v$v%010d.txt")).asScala
+        .filter(_.nonEmpty).toSeq
+      val maxB = lines.headOption.filter(_.startsWith("maxb="))
+        .map(_.stripPrefix("maxb=").toLong)
+        .getOrElse(sys.error(s"manifest v$v at $outDir missing maxb header"))
+      Manifest(v, maxB, lines.tail)
+    }
+  }
+
+  /** Publish manifest version `v` atomically (write temp + rename).
+    * Returns false if `v` is already committed — the replay/lost-race
+    * case; the caller re-reads and decides. */
+  def commitManifest(outDir: String, v: Long, maxB: Long,
+      segs: Seq[String]): Boolean = {
+    val md = manifestDir(outDir)
+    Files.createDirectories(md)
+    val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
+    Files.write(tmp, (s"maxb=$maxB" +: segs).mkString("\n").getBytes("UTF-8"))
+    try {
+      Files.move(tmp, md.resolve(f"v$v%010d.txt"),
+        StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  /** Read the lake AS OF its current committed manifest — exactly the
+    * listed segments, never a partially-published one. */
+  def readTable(spark: SparkSession, outDir: String): DataFrame = {
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    spark.read.parquet(m.segs.map(s => s"$outDir/$s"): _*)
+  }
+
+  /** Number of parquet data files a segment holds (compaction's
+    * observable effect). */
+  def segmentFileCount(outDir: String, seg: String): Int =
+    Files.list(Paths.get(outDir, seg)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+
+  /** Start the ingest-with-maintenance stream. Every `compactEvery`
+    * batches, live b-segments are compacted into `targetFiles` files.
+    * `beforeMaintenanceCommit` is the crash-injection seam: it runs
+    * AFTER the compacted segment is fully written and BEFORE the
+    * manifest commit that makes it live — the exact window the
+    * manifest protocol must survive. */
+  def startCompactingIngest(
+      df: DataFrame, outDir: String, checkpointDir: String,
+      compactEvery: Int = 4, targetFiles: Int = 2,
+      beforeMaintenanceCommit: Long => Unit = _ => ()): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val seg = s"seg_b$batchId"
+        batch.write.mode("overwrite").parquet(s"$outDir/$seg")
+        // ingest commit loop: retry on version race (replay in practice)
+        var done = false
+        while (!done) {
+          val m = readManifest(outDir)
+          done =
+            if (m.segs.contains(seg)) true // replayed, already live
+            else if (batchId <= m.maxB) {
+              // replayed AND already compacted away: re-adding would
+              // duplicate rows the c-segment holds — drop the orphan
+              org.apache.commons.io.FileUtils.deleteQuietly(
+                new java.io.File(s"$outDir/$seg"))
+              true
+            } else commitManifest(outDir, m.version + 1, batchId,
+              m.segs :+ seg)
+        }
+        if (batchId % compactEvery == (compactEvery - 1)) {
+          val m = readManifest(outDir)
+          val bsegs = m.segs.filter(_.startsWith("seg_b"))
+          if (bsegs.size > 1) {
+            val cseg = s"seg_c$batchId"
+            spark.read.parquet(bsegs.map(s => s"$outDir/$s"): _*)
+              .repartition(targetFiles)
+              .write.mode("overwrite").parquet(s"$outDir/$cseg")
+            beforeMaintenanceCommit(batchId)
+            if (commitManifest(outDir, m.version + 1, m.maxB,
+                m.segs.filterNot(bsegs.contains) :+ cseg)) {
+              // now-orphaned inputs: invisible to every reader; removal
+              // is best-effort hygiene, crash-safe to skip
+              bsegs.foreach { s =>
+                org.apache.commons.io.FileUtils.deleteQuietly(
+                  new java.io.File(s"$outDir/$s"))
+              }
+            }
+            // commit=false ⇒ someone already advanced v (replay race):
+            // the segment stays orphaned and harmless
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+}

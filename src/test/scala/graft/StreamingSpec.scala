@@ -306,6 +306,91 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q2.stop()
   }
 
+  test("compacting lake sink: maintenance crash between compact-write " +
+      "and manifest commit loses and duplicates nothing") {
+    import graft.streaming.LakeSink
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_lake_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lake_ckpt").toString
+    val input = MemoryStream[Event]
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // run 1: three ingest batches land; batch 3 triggers compaction and
+    // dies AFTER seg_c3 is fully written, BEFORE the manifest commit
+    val q1 = LakeSink.startCompactingIngest(input.toDF(), out, ckpt,
+      compactEvery = 4, targetFiles = 2,
+      beforeMaintenanceCommit = _ =>
+        if (!crashed.getAndSet(true))
+          throw new RuntimeException("injected crash before manifest commit"))
+    val batches = (0 until 4).map(i =>
+      Seq(ev(f"2024-01-01 10:0$i:00", user = i.toLong),
+        ev(f"2024-01-01 10:0$i:30", user = i.toLong)))
+    try {
+      batches.take(3).foreach { b => input.addData(b: _*); q1.processAllAvailable() }
+      input.addData(batches(3): _*)
+      intercept[Exception] { q1.processAllAvailable() }
+    } finally q1.stop()
+    // crash window: readers must still see EXACTLY the committed rows —
+    // the fully-written seg_c3 is invisible (no manifest references it)
+    val mid = LakeSink.readManifest(out)
+    assert(mid.segs.forall(_.startsWith("seg_b")),
+      s"uncommitted compaction leaked into the manifest: ${mid.segs}")
+    val midIds = LakeSink.readTable(spark, out)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(midIds == midIds.distinct, s"duplicates in crash window: $midIds")
+    // batch 3's INGEST committed to the manifest before the maintenance
+    // crash (segments become reader-visible at ingest-commit, not at
+    // the streaming checkpoint) — all 8 rows visible, each exactly once
+    assert(midIds.size == 8,
+      s"expected all 8 ingested rows exactly once in the crash window, got $midIds")
+    // run 2: restart from the checkpoint — batch 3 replays in full
+    // (ingest + compaction), and the manifest swap completes
+    val q2 = LakeSink.startCompactingIngest(input.toDF(), out, ckpt,
+      compactEvery = 4, targetFiles = 2)
+    try {
+      q2.processAllAvailable()
+      val m = LakeSink.readManifest(out)
+      assert(m.segs.exists(_.startsWith("seg_c")),
+        s"compaction did not complete after replay: ${m.segs}")
+      assert(m.segs.count(_.startsWith("seg_b")) == 0,
+        s"compacted b-segments still live: ${m.segs}")
+      val ids = LakeSink.readTable(spark, out)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == ids.distinct, s"replayed maintenance duplicated rows: $ids")
+      assert(ids.size == 8, s"expected all 8 ingested rows, got $ids")
+      // the observable point of maintenance: many small segments → one
+      // segment with targetFiles files
+      val cseg = m.segs.find(_.startsWith("seg_c")).get
+      assert(LakeSink.segmentFileCount(out, cseg) == 2,
+        "compacted segment not at target file count")
+      // a later batch after compaction keeps ingesting normally
+      input.addData(ev("2024-01-01 10:09:00", user = 9))
+      q2.processAllAvailable()
+      assert(LakeSink.readTable(spark, out).count() == 9)
+    } finally q2.stop()
+  }
+
+  test("compacting lake sink: replay after maintenance commit does not " +
+      "resurrect compacted rows") {
+    import graft.streaming.LakeSink
+    import spark.implicits._
+    // simulate the OTHER crash window directly against the manifest
+    // protocol: batch 3 replays after its compaction already committed
+    // (checkpoint died before committing) — maxb must reject the re-add
+    val out = java.nio.file.Files.createTempDirectory("graft_lake2").toString
+    assert(LakeSink.commitManifest(out, 1, 3, Seq("seg_c3")))
+    Seq((1L, "a")).toDF("event_id", "x")
+      .write.mode("overwrite").parquet(s"$out/seg_c3")
+    // replayed ingest of batch 2: segment rewritten on disk, then the
+    // commit loop must skip the manifest add (2 <= maxb=3) and drop it
+    Seq((2L, "b")).toDF("event_id", "x")
+      .write.mode("overwrite").parquet(s"$out/seg_b2")
+    val m = LakeSink.readManifest(out)
+    val shouldAdd = !m.segs.contains("seg_b2") && 2L > m.maxB
+    assert(!shouldAdd, "replayed pre-compaction batch must not re-enter the manifest")
+    assert(LakeSink.readTable(spark, out).count() == 1)
+  }
+
   test("file streaming source: new files are picked up incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_filesrc").toString

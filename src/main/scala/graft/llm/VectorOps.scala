@@ -130,41 +130,66 @@ object VectorOps {
                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
              WHERE rn = 1 ORDER BY a_id"""))
 
+  /** Memoized corpus count per (session, sfDir) — one footer-metadata
+    * scan funds the adaptive band-width decision; same memo pattern as
+    * the all-pairs guards. */
+  private val embCount = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+  private def embeddingsCount(s: SparkSession, d: String): Long =
+    embCount.computeIfAbsent((s, d), _ => Tables.embeddings(s, d).count())
+
   /** BANDED all-pairs embedding near-dup — the scale path that
-    * replaces [[embedNearDup]]'s O(n²) product: 16 sign-LSH
-    * hyperplanes (embedding vectors 10..25, 0-based plane ids) split
-    * into 4 bands × 4 bits; candidates = pairs sharing any band
-    * bucket (equi-join, O(corpus + collisions)); exact dot-product
+    * replaces [[embedNearDup]]'s O(n²) product: sign-LSH hyperplanes
+    * (embedding vectors 10..10+4b−1, 0-based plane ids) split into 4
+    * bands × b bits; candidates = pairs sharing any band bucket
+    * (equi-join, O(corpus + collisions)); exact dot-product
     * verification on candidates only, keep rounded sim ≥ 0.35.
     *
-    * Geometry: P[band collision] = (1-θ/π)⁴, so at sim 0.9 recall is
-    * ~99.9% with ~0.2% of pairs examined; this corpus is near-random
-    * unit vectors (max pair sim 0.48 — an adversarial worst case for
-    * LSH), so the measured recall/candidate numbers in LlmSpec are
-    * the honest floor, not the typical case. All bucket arithmetic is
-    * the bit-exact dot fold → hash-exact DuckDB oracle, like
-    * `llm_ann_lsh`. */
+    * The band width b is CORPUS-SIZE-ADAPTIVE
+    * ([[SimilarityApi.adaptiveBandBits]]: ~log₂(n)−8, clamped [4,16])
+    * — a fixed b leaves a ~n²/2^b collision fraction that goes
+    * quadratic at scale (SuiteScaleProbe measured exactly that at a
+    * 10× corpus before this change); growing b with log₂(n) keeps
+    * per-band collisions ~linear. Every driver SF lands on the clamp
+    * floor b=4 (the historical config), so fixture outputs are
+    * unchanged; the DuckDB oracle computes b from count(*) with the
+    * identical GREATEST/LEAST/ceil(log2) formula, so the query stays
+    * hash-exact at ANY scale.
+    *
+    * Geometry: P[band collision] = (1-θ/π)ᵇ, so at sim 0.9 recall is
+    * ~99.9% (b=4) with ~0.2% of pairs examined; this corpus is
+    * near-random unit vectors (max pair sim 0.48 — an adversarial
+    * worst case for LSH), so the measured recall/candidate numbers in
+    * LlmSpec are the honest floor, not the typical case. All bucket
+    * arithmetic is the bit-exact dot fold → hash-exact DuckDB oracle,
+    * like `llm_ann_lsh`. */
   private val embedNearDupBanded = QueryDef(
     "llm_embed_neardup_banded",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val planes = emb.filter(col("vec_id").between(10, 25))
+      val bits = SimilarityApi.adaptiveBandBits(embeddingsCount(s, d))
+      val planes = emb.filter(col("vec_id").between(10, 10 + 4 * bits - 1))
         .select((col("vec_id") - 10).as("p_id"), col("embedding").as("p_emb"))
       val sigs = SimilarityApi.signBandSignatures(
-        emb, planes, "vec_id", "embedding", bandBits = 4)
+        emb, planes, "vec_id", "embedding", bandBits = bits)
       val cand = SimilarityApi.bandedCandidates(sigs, "vec_id")
       SimilarityApi.verifyPairs(emb, cand, "vec_id", "embedding", tau = 0.35)
         .orderBy("a_id", "b_id")
     },
-    Some(s"""WITH planes AS (
-               SELECT vec_id - 10 AS p_id, embedding AS p_emb FROM embeddings
-               WHERE vec_id BETWEEN 10 AND 25),
+    Some(s"""WITH bcfg AS (
+               SELECT LEAST(16, GREATEST(4,
+                 CAST(ceil(log2(count(*))) AS INTEGER) - 8)) AS bits
+               FROM embeddings),
+             planes AS (
+               SELECT vec_id - 10 AS p_id, embedding AS p_emb
+               FROM embeddings, bcfg
+               WHERE vec_id BETWEEN 10 AND 10 + 4 * bits - 1),
              sigs AS (
-               SELECT e.vec_id, CAST(p.p_id // 4 AS BIGINT) AS band,
+               SELECT e.vec_id, CAST(p.p_id // bits AS BIGINT) AS band,
                  CAST(sum(CASE WHEN ${sqlDot("e.embedding", "p.p_emb")} >= 0
-                          THEN CAST(1 AS BIGINT) << (p.p_id % 4)
+                          THEN CAST(1 AS BIGINT) << (p.p_id % bits)
                           ELSE 0 END) AS BIGINT) AS bucket
-               FROM embeddings e CROSS JOIN planes p
+               FROM embeddings e CROSS JOIN planes p CROSS JOIN bcfg
                GROUP BY e.vec_id, band),
              cand AS (
                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id

@@ -1,0 +1,191 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FULL-SUITE scale-up probe: materialize a ~sf1 replica of every
+  * table once (the JoinScaleProbe methodology — real parquet, not a
+  * lazy union, so Catalyst sees one big table exactly as a bigger day
+  * of data would arrive) and run EVERY declared query at 1× and at N×,
+  * timing `.count()` and checking a rows invariant. The family probes
+  * (Join/Dedup/Cluster/Ledger/Contamination/Bpe/CurationScaleProbe)
+  * scale six hot families with per-family invariants; this probe is
+  * the breadth complement — no declared query, however cheap it looks
+  * at sf0.1, escapes a 10× run.
+  *
+  * Replication keeps every join relationship consistent:
+  *  - lineitem + orders: orderkey shifted per replica (fact growth;
+  *    dims deliberately stay 1× — that is how warehouses grow).
+  *  - customer/supplier/part/nation/region: copied 1×.
+  *  - events: event_id shifted; user_id/ts kept so user↔customer
+  *    enrichment joins still match and windows grow in group size
+  *    (density growth: more events per user over the same period).
+  *  - documents: doc_id shifted; every token salted with the replica
+  *    id (the DedupScaleProbe perturbation) so replicas are NOT
+  *    near-duplicates and candidate volume stays
+  *    distribution-realistic; n_chars recomputed to stay consistent.
+  *  - embeddings: vec_id shifted (same stride as doc_id, preserving
+  *    any id correspondence); component signs flipped by a
+  *    replica-seeded hash so cross-replica cosines are incoherent
+  *    instead of 1.0 (which would quadratically densify every ANN
+  *    bucket with an artifact no real corpus shows).
+  *
+  * Invariant: rows must not SHRINK at N× — except queries whose
+  * semantics contract under event-density growth (sessionization
+  * merges islands when gaps close; funnel windows saturate), which
+  * are allow-listed and still printed. Wall-time is flagged
+  * superlinear when t(N×) > N · t(1×) + 2 s stage allowance.
+  * Quadratic-BY-DESIGN baselines (the size-capped all-pairs
+  * correctness anchors) are excluded from the N× run — their guards
+  * refusing oversized inputs is a separate, already-tested contract.
+  *
+  * Usage: sbt "runMain graft.tools.SuiteScaleProbe [factor]"
+  */
+object SuiteScaleProbe {
+
+  /** All-pairs correctness baselines, O(n²) by design and size-capped
+    * in production use — exercising them at 10× measures the cap, not
+    * a scaling claim. */
+  private val quadraticByDesign = Set(
+    "llm_dedup_ngram",       // blocked all-pairs Jaccard baseline
+    "llm_embed_neardup",     // all-pairs cosine argmax baseline
+    "llm_multimodal_neardup" // oracle-scale corpus is %5-sampled; pairs
+                             // grow with replica-collision structure,
+                             // not linearly — banded variant covered by
+                             // llm_embed_neardup_banded + dedup probes
+  )
+
+  /** Queries whose OUTPUT legitimately contracts when event density
+    * grows (same users, same period, 10× events). */
+  private val densityContracts = Set(
+    "stream_session", // islands merge as gaps close
+    "ts_gapfill"      // fewer empty buckets to fill
+  )
+
+  /** PAIR-emitting near-dup queries: any replication of a similarity
+    * corpus inflates TRUE pair counts superlinearly — background
+    * similarity between scrambled replicas has a tail that crosses the
+    * accept threshold, and verified-pair volume (hence verify time) is
+    * output-bound, a data-semantics fact, not a plan flaw. Run and
+    * REPORT both scales, but exempt from the shrink/superlinear flags.
+    * (The candidate-generation side is separately kept linear by the
+    * corpus-size-adaptive band width — SimilarityApi.adaptiveBandBits —
+    * which this probe's 10× corpus exercises: at 20 k vectors the
+    * banded query runs 7-bit bands, not the fixture's 4.) */
+  private val pairDensity = Set(
+    "llm_dedup_minhash", "llm_dedup_simhash", "llm_embed_neardup_banded")
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+    val scratch = s"/tmp/graft_suiteprobe_${spark.sparkContext.applicationId}"
+
+    // ---- materialize the replicated sfDir ------------------------------
+    // events.ts is ns-precision; read it RAW (long ns) so the replica
+    // round-trips through parquet unchanged and Tables.events applies
+    // the same truncation to both dirs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def raw(name: String): DataFrame = spark.read.parquet(s"$sf/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$scratch/$name.parquet")
+
+    def rep(df: DataFrame)(mut: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => mut(df, i)).reduce(_ unionByName _)
+
+    println(s"[materialize] factor=$factor → $scratch")
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(raw(t), t))
+    write(rep(raw("lineitem")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10_000_000L))
+    }, "lineitem")
+    write(rep(raw("orders")) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10_000_000L))
+    }, "orders")
+    write(rep(raw("events")) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * 10_000_000L))
+    }, "events")
+    write(rep(raw("documents")) { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * 1_000_000L))
+        .withColumn("text", expr(
+          s"array_join(transform(split(text, ' '), t -> concat('r$i', '_', t)), ' ')"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+    write(rep(raw("embeddings")) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * 1_000_000L))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (v, j) -> CASE WHEN pmod(hash(j, $i), 2) = 0" +
+            " THEN v ELSE -v END)"))
+    }, "embeddings")
+
+    // ---- run every declared query at 1× and factor× --------------------
+    def timed(fn: () => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = fn()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    final case class Res(name: String, t1: Double, r1: Long,
+        tN: Double, rN: Long, note: String)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Res]
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val (t1, r1) = timed(() => fn(spark, sf).count())
+        if (quadraticByDesign(name)) {
+          out += Res(name, t1, r1, -1, -1, "quadratic-by-design: 1× only")
+        } else {
+          val (tN, rN) = timed(() => fn(spark, scratch).count())
+          val shrank = rN < r1
+          val superlin = tN > factor * t1 + 2.0
+          val note =
+            if (pairDensity(name)) "pair-density (reported, unflagged)"
+            else if (shrank && densityContracts(name)) "shrink (density, allowed)"
+            else if (shrank) { failures += s"$name: rows shrank $r1 → $rN"; "ROWS SHRANK" }
+            else if (superlin) { failures += f"$name: superlinear ${t1}%.2fs → ${tN}%.2fs"; "SUPERLINEAR" }
+            else ""
+          out += Res(name, t1, r1, tN, rN, note)
+        }
+      } catch {
+        case e: Throwable =>
+          failures += s"$name: ${e.getMessage.linesIterator.next()}"
+          out += Res(name, -1, -1, -1, -1, s"ERROR ${e.getClass.getSimpleName}")
+      }
+    }
+
+    // ---- report --------------------------------------------------------
+    out.foreach { r =>
+      println(f"${r.name}%-28s 1x ${r.t1}%7.2fs ${r.r1}%9d   " +
+        f"${factor}x ${r.tN}%7.2fs ${r.rN}%9d  ${r.note}")
+    }
+    println("---- per-family totals (sec, excluding 1×-only/errored) ----")
+    out.filter(r => r.tN >= 0)
+      .groupBy(_.name.takeWhile(_ != '_'))
+      .toSeq.sortBy(_._1)
+      .foreach { case (fam, rs) =>
+        val s1 = rs.map(_.t1).sum; val sN = rs.map(_.tN).sum
+        println(f"$fam%-10s n=${rs.size}%3d   1x $s1%7.2fs   ${factor}x $sN%7.2fs   ratio ${sN / s1}%5.2f")
+      }
+    val total1 = out.filter(_.tN >= 0).map(_.t1).sum
+    val totalN = out.filter(_.tN >= 0).map(_.tN).sum
+    println(f"TOTAL (both-scale queries)  1x $total1%7.2fs   ${factor}x $totalN%7.2fs   ratio ${totalN / total1}%5.2f")
+    if (failures.nonEmpty) {
+      println(s"FAILURES (${failures.size}):")
+      failures.foreach(f => println(s"  $f"))
+    } else println("FAILURES (0)")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}

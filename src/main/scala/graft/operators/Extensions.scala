@@ -362,7 +362,63 @@ object Extensions {
               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events"""))
 
+  /** The compacting-LAKE maintenance protocol as a driver-visible
+    * batch query — the batch twin of
+    * [[graft.streaming.LakeSink.startCompactingIngest]] (whose crash
+    * windows StreamingSpec kills directly): four "micro-batch"
+    * segments land with one atomic manifest add each, maintenance
+    * rewrites them into a single 2-file segment behind one manifest
+    * swap, and the result is read back THROUGH the manifest. The
+    * oracle pins the post-maintenance invariants — exactly one live
+    * segment, exactly the compaction target file count, and a lossless
+    * exact-cents sum — so a protocol regression (lost segment,
+    * double-published rows, partial swap) fails the hash compare.
+    * Scratch dir reset per invocation: the protocol replays fresh on
+    * every bench pass. */
+  private val sinkLakeMaintenance = QueryDef(
+    "sink_lake_maintenance",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      (0 to 3).foreach { i =>
+        ev.filter(col("event_id") % 4 === i)
+          .write.mode("overwrite").parquet(s"$dir/seg_b$i")
+        val m = LakeSink.readManifest(dir)
+        require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+          m.segs :+ s"seg_b$i"), s"ingest commit $i lost a race")
+      }
+      val m = LakeSink.readManifest(dir)
+      val bsegs = m.segs.filter(_.startsWith("seg_b"))
+      s.read.parquet(bsegs.map(x => s"$dir/$x"): _*)
+        .repartition(2).write.mode("overwrite").parquet(s"$dir/seg_c")
+      require(LakeSink.commitManifest(dir, m.version + 1, m.maxB,
+        m.segs.filterNot(bsegs.contains) :+ "seg_c"),
+        "maintenance commit lost a race")
+      bsegs.foreach(x => org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$dir/$x")))
+      val mf = LakeSink.readManifest(dir)
+      LakeSink.readTable(s, dir)
+        .withColumn("__f", input_file_name())
+        .agg(
+          lit(mf.segs.size.toLong).as("n_segments"),
+          countDistinct(col("__f")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          sum("vc").as("sum_cents"))
+    },
+    // least(2, …) mirrors sink_compacted: repartition(2) emits one file
+    // per NON-EMPTY partition, so a <2-row events table compacts smaller
+    Some("""SELECT CAST(1 AS BIGINT) AS n_segments,
+              CAST(least(2, count(*)) AS BIGINT) AS n_files,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
-    fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted)
+    fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
+    sinkLakeMaintenance)
 }

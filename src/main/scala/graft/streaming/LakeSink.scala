@@ -109,6 +109,57 @@ object LakeSink {
     Files.list(Paths.get(outDir, seg)).iterator().asScala
       .count(_.getFileName.toString.endsWith(".parquet"))
 
+  /** TIME TRAVEL: read the lake as of a specific committed manifest
+    * version. Valid as long as the version's segments have not been
+    * vacuumed — [[vacuum]] states the retention contract. */
+  def readTableAsOf(spark: SparkSession, outDir: String,
+      version: Long): DataFrame = {
+    val p = manifestDir(outDir).resolve(f"v$version%010d.txt")
+    require(Files.exists(p), s"lake at $outDir has no manifest v$version")
+    val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
+    val segs = lines.tail // drop the maxb header
+    require(segs.nonEmpty, s"manifest v$version lists no segments")
+    spark.read.parquet(segs.map(s => s"$outDir/$s"): _*)
+  }
+
+  /** VACUUM: delete segment dirs no retained manifest references, and
+    * manifest versions older than the newest `retainVersions`. Orphans
+    * arise from compaction inputs whose best-effort cleanup was
+    * skipped by a crash, and from crash-replayed batches — both
+    * invisible to readers but paying storage forever. Retention is the
+    * time-travel horizon: after `vacuum(retainVersions = k)`, every
+    * one of the newest k versions still reads correctly (asserted in
+    * StreamingSpec); older versions are gone by contract — exactly
+    * Delta/Iceberg VACUUM semantics. Never run with a concurrent
+    * writer racing the manifest (same rule as any lake vacuum).
+    * Returns (segments deleted, manifest versions deleted). */
+  def vacuum(outDir: String, retainVersions: Int = 2): (Int, Int) = {
+    require(retainVersions >= 1, "must retain at least the live version")
+    val md = manifestDir(outDir)
+    if (!Files.isDirectory(md)) return (0, 0)
+    val versions = Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{10}\\.txt") =>
+        s.substring(1, 11).toLong }
+      .toSeq.sorted
+    if (versions.isEmpty) return (0, 0)
+    val retained = versions.takeRight(retainVersions)
+    val live: Set[String] = retained.flatMap { v =>
+      Files.readAllLines(md.resolve(f"v$v%010d.txt")).asScala
+        .filter(_.nonEmpty).drop(1) // maxb header
+    }.toSet
+    val segDirs = Files.list(Paths.get(outDir)).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("seg_"))
+      .toSeq
+    val orphans = segDirs.filterNot(p => live(p.getFileName.toString))
+    orphans.foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+    val stale = versions.dropRight(retainVersions)
+    stale.foreach(v => Files.deleteIfExists(md.resolve(f"v$v%010d.txt")))
+    (orphans.size, stale.size)
+  }
+
   /** Start the ingest-with-maintenance stream. Every `compactEvery`
     * batches, live b-segments are compacted into `targetFiles` files.
     * `beforeMaintenanceCommit` is the crash-injection seam: it runs

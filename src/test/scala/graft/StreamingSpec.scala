@@ -370,6 +370,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q2.stop()
   }
 
+  test("lake time travel + vacuum: retained versions read exactly, " +
+      "orphans and stale history go away") {
+    import graft.streaming.LakeSink
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_lake3").toString
+    def seg(name: String, ids: Long*): Unit =
+      ids.map(i => (i, s"x$i")).toDF("event_id", "x")
+        .write.mode("overwrite").parquet(s"$out/$name")
+    // v1: two small segments; v2: +1 segment; v3: compaction swap
+    seg("seg_b0", 1, 2); seg("seg_b1", 3)
+    assert(LakeSink.commitManifest(out, 1, 0, Seq("seg_b0")))
+    assert(LakeSink.commitManifest(out, 2, 1, Seq("seg_b0", "seg_b1")))
+    seg("seg_c1", 1, 2, 3)
+    assert(LakeSink.commitManifest(out, 3, 1, Seq("seg_c1")))
+    // an orphan from a crashed replay: on disk, in no manifest
+    seg("seg_b9", 99)
+    // time travel before vacuum: every version reads its own world
+    assert(LakeSink.readTableAsOf(spark, out, 1).count() == 2)
+    assert(LakeSink.readTableAsOf(spark, out, 2).count() == 3)
+    assert(LakeSink.readTableAsOf(spark, out, 3).count() == 3)
+    // vacuum retaining v2+v3: seg_b9 (orphan) dies, seg_b0/b1 survive
+    // (v2 still references them), v1 manifest is dropped
+    val (segsGone, versGone) = LakeSink.vacuum(out, retainVersions = 2)
+    assert(segsGone == 1 && versGone == 1, s"($segsGone, $versGone)")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "seg_b9")))
+    // the retention contract: both retained versions still read exactly
+    assert(LakeSink.readTableAsOf(spark, out, 2)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(LakeSink.readTableAsOf(spark, out, 3).count() == 3)
+    intercept[IllegalArgumentException] {
+      LakeSink.readTableAsOf(spark, out, 1)
+    }
+    // vacuum to the live version only: b-segments die with v2
+    val (g2, v2) = LakeSink.vacuum(out, retainVersions = 1)
+    assert(g2 == 2 && v2 == 1, s"($g2, $v2)")
+    assert(LakeSink.readTable(spark, out).count() == 3)
+  }
+
   test("compacting lake sink: replay after maintenance commit does not " +
       "resurrect compacted rows") {
     import graft.streaming.LakeSink

@@ -52,6 +52,35 @@ object SimilarityApi {
       .limit(k)
   }
 
+  /** Multi-query IVF probe — [[ivfTopK]] for a BATCH of queries
+    * (q_id, q_emb): each query ranks the codebook (broadcast, it is
+    * k×dim), keeps its own nProbe nearest clusters, scores only the
+    * vectors assigned to those clusters, and keeps its own top-k by
+    * (sim desc, id asc). The corpus side ships once through one hash
+    * join on `cluster`; per-query ranking is a window partitioned by
+    * q_id over the probed fraction only — never the full corpus. This
+    * is the serving shape: the batch of queries is request-sized, the
+    * assignment table is the persisted index. */
+  def ivfTopKBatch(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, idCol: String, embCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("__qd", dotProduct(col("q_emb"), col("c_emb")))
+      .withColumn("__r", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("__qd").desc, col("c_id").asc)))
+      .filter(col("__r") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("c_id"))
+    assigned
+      .join(broadcast(probed), assigned("cluster") === probed("c_id"))
+      .withColumn("sim", round(dotProduct(col(embCol), col("q_emb")), 6))
+      .withColumn("__rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col(idCol).asc)))
+      .filter(col("__rk") <= k)
+      .select(col("q_id"), col(idCol).as("nbr_id"), col("sim"),
+        col("__rk").cast("long").as("rank"))
+  }
+
   /** Persist an IVF index: the codebook plus cluster-bucketed
     * assignments, as tables. The corpus-wide assignment scan and its
     * shuffle are paid ONCE here; every later probe reads the

@@ -370,6 +370,35 @@ object StreamOps {
       dimKey: String): DataFrame =
     events.join(broadcast(dim), events("user_id") === dim(dimKey))
 
+  /** Streaming ANN SERVING against the persisted IVF index — the
+    * §2h × §2i composition an embedding-retrieval deployment runs: a
+    * stream of query vectors (q_id, q_emb) is answered per micro-batch
+    * by [[graft.llm.SimilarityApi.ivfTopKBatch]] over the
+    * cluster-bucketed assignment table written once by
+    * `writeIvfIndex`. foreachBatch is the right seam for the same
+    * reason the ledger ingest uses it: the probe is a batch join
+    * against bucketed index tables (re-planned per batch, so an index
+    * rebuild is picked up on restart without touching the checkpoint),
+    * and results land idempotently at `batch=<id>`. The corpus never
+    * rescans — each batch touches only the nProbe clusters each query
+    * ranks, exactly the persisted-index amortization the batch query
+    * demonstrates, now paid per request batch. */
+  def startIvfServe(
+      queries: DataFrame, codebookTab: String, assignTab: String,
+      idCol: String, embCol: String, k: Int, nProbe: Int,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.llm.SimilarityApi.ivfTopKBatch(
+            spark.table(assignTab), spark.table(codebookTab),
+            batch.toDF(), idCol, embCol, k, nProbe)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** Run any of the above to an in-memory sink for tests/demos. */
   def startToMemory(df: DataFrame, queryName: String,
       outputMode: OutputMode = OutputMode.Append): StreamingQuery =

@@ -429,6 +429,61 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(LakeSink.readTable(spark, out).count() == 1)
   }
 
+  test("streaming ANN serve: each query batch probes the persisted IVF " +
+      "index and matches brute force exactly") {
+    import graft.llm.SimilarityApi
+    import graft.streaming.StreamOps
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 4 well-separated clusters on an 8-dim sphere: member j of cluster
+    // c = normalize(e_c + 0.05·j·e_{(c+4)}) — every query's true top-k
+    // lives inside its own cluster, so nProbe=2 of 4 loses nothing
+    def unit(c: Int, j: Int): Seq[Float] = {
+      val v = Array.fill(8)(0.0)
+      v(c) = 1.0; v(c + 4) = 0.05 * j
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val corpus = (for (c <- 0 until 4; j <- 0 until 10)
+      yield ((c * 10 + j).toLong, unit(c, j))).toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(c => (c.toLong, unit(c, 0)))
+      .toDF("c_id", "c_emb")
+    val tag = "graft_ivfserve_" + graft.Scratch.runTag("spec")
+    val (cbTab, asgTab) = SimilarityApi.writeIvfIndex(
+      corpus, cents, "vec_id", "embedding", tag, graft.Scratch.tmpPathRaw)
+    val out = java.nio.file.Files.createTempDirectory("graft_serve_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_serve_ck").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.startIvfServe(
+      input.toDF().toDF("q_id", "q_emb"), cbTab, asgTab,
+      "vec_id", "embedding", k = 3, nProbe = 2, out, ckpt)
+    try {
+      input.addData((100L, unit(0, 3)), (101L, unit(2, 7)))
+      q.processAllAvailable()
+      input.addData((102L, unit(3, 1)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rows) =>
+          qid -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
+      // independent brute force in plain Scala over the full corpus
+      val corp = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      def brute(qv: Seq[Float]): Seq[Long] =
+        corp.map { case (id, v) =>
+          (id, v.zip(qv).map { case (a, b) => a.toDouble * b.toDouble }.sum) }
+          .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSeq
+      val queries = Map(100L -> unit(0, 3), 101L -> unit(2, 7), 102L -> unit(3, 1))
+      queries.foreach { case (qid, qv) =>
+        assert(got(qid) == brute(qv),
+          s"query $qid: ivf serve ${got(qid)} != brute ${brute(qv)}")
+      }
+      // both batches landed idempotent, partitioned by batch id
+      assert(new java.io.File(s"$out/batch=0").exists)
+      assert(new java.io.File(s"$out/batch=1").exists)
+    } finally q.stop()
+  }
+
   test("file streaming source: new files are picked up incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_filesrc").toString

@@ -902,9 +902,127 @@ object TextOps {
             WHERE d.doc_id <> rt.ref_id
             ORDER BY d.doc_id"""))
 
+  /** BOILERPLATE n-gram flagging — the CCNet/RefinedWeb-style
+    * frequency filter a web-scale curation pipeline runs before
+    * training: an 8-gram that recurs across documents (headers,
+    * footers, navigation, license blurbs) is boilerplate, and a doc
+    * dominated by such grams is template noise. Two aggregations over
+    * ONE exploded gram stream: per-gram document frequency (distinct
+    * doc grams → count), then a per-doc rollup counting how many of
+    * its gram occurrences are boilerplate (doc frequency ≥ 2).
+    *
+    * Scale shape: NO broadcast hint on the gram join on purpose — the
+    * boilerplate set is corpus-derived and grows with the corpus, so
+    * the honest 100 TB plan shuffles the occurrence stream once on the
+    * gram key (AQE is free to pick a broadcast if the set turns out
+    * tiny). The ratio is exact integer basis points (floor division,
+    * identical both engines). */
+  private val boilerplateNgrams = QueryDef(
+    "llm_boilerplate_ngrams",
+    (s, d) => {
+      val occ = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 7),
+            |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2],
+            |                 toks[i+3], toks[i+4], toks[i+5], toks[i+6]))"""
+            .stripMargin)).as("gram"))
+      val boiler = occ.select("doc_id", "gram").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("dfreq"))
+        .filter(col("dfreq") >= 2)
+        .select(col("gram")).withColumn("b", lit(1))
+      occ.join(boiler, Seq("gram"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("b")).as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          expr("n_boiler * 10000 div n_grams").as("boiler_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            occ AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(toks) - 7),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                     toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                     toks[i+6] || ' ' || toks[i+7])) AS gram
+              FROM tok WHERE len(toks) >= 8),
+            b AS (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS dfreq
+                FROM occ GROUP BY gram)
+              WHERE dfreq >= 2)
+            SELECT o.doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(count(b.gram) AS BIGINT) AS n_boiler,
+              CAST(count(b.gram) * 10000 // count(*) AS BIGINT) AS boiler_bp
+            FROM occ o LEFT JOIN b ON o.gram = b.gram
+            GROUP BY o.doc_id ORDER BY o.doc_id"""))
+
+  /** SPAN-level decontamination — the TRANSFORM half of
+    * `llm_contamination` (which only flags): tokens covered by any
+    * eval-overlapping 5-gram are scrubbed, and the op reports exactly
+    * how many tokens survive per contaminated doc. Coverage is a
+    * position-set union (overlapping hits must not double-count a
+    * token), computed distributively: gram occurrences keep their
+    * start position, hits explode to covered positions, and a
+    * DISTINCT (doc, pos) aggregation counts the union — no per-doc
+    * interval logic on the driver, and only hit-derived rows reach
+    * the distinct (contamination is sparse, so this is tiny next to
+    * the corpus scan). Counts are position-convention-independent, so
+    * Spark's 0-based and DuckDB's 1-based gram starts agree exactly. */
+  private val decontaminateSpan = QueryDef(
+    "llm_decontaminate_span",
+    (s, d) => {
+      val toks = withNearDups(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+      val occ = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          """transform(sequence(1, size(toks) - 4),
+            |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1],
+            |                 toks[i+2], toks[i+3]))""".stripMargin))
+          .as(Seq("p", "gram")))
+      val holdout = occ.filter(col("doc_id") >= 100000)
+        .select("gram").distinct()
+      occ.filter(col("doc_id") < 100000)
+        .join(broadcast(holdout), Seq("gram"))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(expr("sequence(p, p + 4)")).as("cpos"))
+        .distinct()
+        .groupBy("doc_id", "n_tokens")
+        .agg(count(lit(1)).as("n_covered"))
+        .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+          (col("n_tokens") - col("n_covered")).as("n_clean"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $augNearSql,
+             tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+             occ AS (
+               SELECT doc_id, len(toks) AS n_tokens, u.i AS p,
+                 toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] || ' ' ||
+                 toks[u.i+3] || ' ' || toks[u.i+4] AS gram
+               FROM tok, LATERAL (
+                 SELECT unnest(generate_series(1, len(toks) - 4)) AS i) u
+               WHERE len(toks) >= 5),
+             hold AS (SELECT DISTINCT gram FROM occ WHERE doc_id >= 100000),
+             cov AS (
+               SELECT DISTINCT o.doc_id, o.n_tokens, c.cpos
+               FROM occ o JOIN hold h ON o.gram = h.gram, LATERAL (
+                 SELECT unnest(generate_series(o.p, o.p + 4)) AS cpos) c
+               WHERE o.doc_id < 100000)
+             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_covered,
+               CAST(n_tokens - count(*) AS BIGINT) AS n_clean
+             FROM cov GROUP BY doc_id, n_tokens
+             ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupNgram, dupClustersQ, dedupMinhash, dedupSimhash,
     dedupIncremental, fingerprint, tokenCount, textStats, qualityScore,
     langId, langFilter, contamination, contaminationBloom,
-    repetitionFilter, curationE2e, refOverlap)
+    boilerplateNgrams, decontaminateSpan, repetitionFilter, curationE2e,
+    refOverlap)
 }

@@ -224,4 +224,22 @@ class LlmSpec extends AnyFunSuite with SparkFixture {
     val nDocs = rows.map(_.getLong(2)).sum
     assert(nDocs == Tables.documents(spark, sfDir).count())
   }
+
+  test("adaptiveBandBits: clamp floor/ceiling and power-of-two boundaries " +
+      "match the oracle's GREATEST/LEAST/ceil(log2) formula exactly") {
+    import graft.llm.SimilarityApi.adaptiveBandBits
+    // every driver SF lands on the clamp floor — fixture outputs frozen
+    assert(adaptiveBandBits(200) == 4)   // sf0.01 embeddings
+    assert(adaptiveBandBits(2000) == 4)  // sf0.1 embeddings
+    // the formula leaves the floor exactly past 2^12: ceil(log2(n))-8 > 4
+    assert(adaptiveBandBits(1L << 12) == 4)
+    assert(adaptiveBandBits((1L << 12) + 1) == 5)
+    // ceil at a power of two must NOT round up (IEEE-exact log2)
+    assert(adaptiveBandBits(1L << 15) == 7)  // the 10x-probe regime
+    assert(adaptiveBandBits((1L << 15) + 1) == 8)
+    // ceiling clamp: a trillion-vector corpus stays at 16 bits
+    assert(adaptiveBandBits(1L << 24) == 16)
+    assert(adaptiveBandBits(1L << 40) == 16)
+    intercept[IllegalArgumentException] { adaptiveBandBits(0) }
+  }
 }

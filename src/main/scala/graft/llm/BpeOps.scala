@@ -282,8 +282,17 @@ object BpeOps {
         .mapPartitions { it =>
           val enc = encoder(bc.value)
           it.map { case (id, w) =>
+            // The oracle's '|'-delimiter chained-replace encoding is
+            // only sound on pipe-free text; fail loud, don't corrupt.
+            require(w.indexOf('|') < 0, s"llm_bpe_encode oracle " +
+              s"precondition violated: doc $id contains a literal '|'")
             val toks = enc(w)
-            (id, toks.length.toLong, toks.count(_.length >= 2).toLong)
+            // Fused = multi-SYMBOL tokens. Count by codepoint, not
+            // UTF-16 length: a single non-BMP symbol has String.length
+            // 2 but DuckDB length 1 — codePointCount agrees with the
+            // oracle on both BMP and astral text.
+            (id, toks.length.toLong,
+              toks.count(t => t.codePointCount(0, t.length) >= 2).toLong)
           }
         }
         .toDF("doc_id", "tok", "fused")

@@ -213,20 +213,29 @@ object SimilarityApi {
     * (more bands), exactly the MinHash S-curve. The signature pass
     * shuffles only (id, band, partial-bucket) longs — vectors never
     * cross the wire here. */
-  /** Corpus-size-adaptive band width: bits ≈ log₂(n) − 8, clamped to
-    * [4, 16]. The collision fraction of a b-bit band over n vectors is
-    * ~n²/2^b pairs — with FIXED b that is quadratic in n, the classic
-    * LSH mistake at scale; growing b with log₂(n) keeps expected
-    * per-band collisions ~linear in n (measured: SuiteScaleProbe's 10×
-    * corpus). Clamp floor 4 keeps small fixtures at the historical
-    * config (every driver SF lands on 4 → outputs unchanged); ceiling
-    * 16 bounds the plane count. Mirror the formula EXACTLY in any
-    * DuckDB oracle (GREATEST/LEAST + ceil(log2(n))) — log₂ is IEEE-
-    * exact at powers of two and safely non-integral elsewhere, so both
-    * engines always agree on the integer result. */
+  /** Corpus-size-adaptive band width: bits = ⌈log₂(n)⌉ − 8, clamped
+    * to [4, 16]. The collision fraction of a b-bit band over n vectors
+    * is ~n²/2^b pairs — with FIXED b that is quadratic in n, the
+    * classic LSH mistake at scale; growing b with log₂(n) keeps
+    * expected per-band collisions ~linear in n (measured:
+    * SuiteScaleProbe's 10× corpus). Clamp floor 4 keeps small fixtures
+    * at the historical config (every driver SF lands on 4 → outputs
+    * unchanged); ceiling 16 bounds the plane count.
+    *
+    * ⌈log₂(n)⌉ is computed as an EXACT INTEGER via
+    * numberOfLeadingZeros — no floating point at all. (The previous
+    * `ceil(log(n)/log(2))` was only 1-ulp-accurate: at a power-of-two
+    * corpus another libm could return 15.000000000000002 and disagree
+    * with the oracle by one bit-width at exactly the boundary.) The
+    * DuckDB oracle's GREATEST/LEAST + ceil(log2(n)) agrees on every
+    * integer result: libm log2 is exact at powers of two and safely
+    * non-integral elsewhere. */
   def adaptiveBandBits(n: Long): Int = {
     require(n > 0, "adaptiveBandBits needs a positive corpus size")
-    math.min(16, math.max(4, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt - 8))
+    // ceil(log2(n)) for n > 1; 0 for n == 1 (clamped to the floor anyway)
+    val ceilLog2 =
+      if (n == 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(16, math.max(4, ceilLog2 - 8))
   }
 
   def signBandSignatures(emb: DataFrame, planes: DataFrame, idCol: String,

@@ -130,13 +130,31 @@ object VectorOps {
                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
              WHERE rn = 1 ORDER BY a_id"""))
 
-  /** Memoized corpus count per (session, sfDir) — one footer-metadata
-    * scan funds the adaptive band-width decision; same memo pattern as
-    * the all-pairs guards. */
-  private val embCount = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), java.lang.Long]()
-  private def embeddingsCount(s: SparkSession, d: String): Long =
-    embCount.computeIfAbsent((s, d), _ => Tables.embeddings(s, d).count())
+  /** Corpus count for the adaptive band-width decision, read FRESH on
+    * every call from the parquet footers (a footer holds the exact row
+    * count; no data pages are touched, so this is milliseconds even at
+    * 100 TB file counts that matter here — one footer per file).
+    *
+    * Deliberately NOT memoized: a (session, dir) cache pins
+    * SparkSession references for the process lifetime, and if data
+    * under a previously-counted dir is regenerated in-session (the
+    * scale-probe/scratch pattern) a stale count silently picks the
+    * wrong band width while the DuckDB oracle computes count(*) fresh
+    * — a hash mismatch with no error. */
+  private def embeddingsCount(s: SparkSession, d: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(root))
+    files.map { st =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try rdr.getRecordCount finally rdr.close()
+    }.sum
+  }
 
   /** BANDED all-pairs embedding near-dup — the scale path that
     * replaces [[embedNearDup]]'s O(n²) product: sign-LSH hyperplanes

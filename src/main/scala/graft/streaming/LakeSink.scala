@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
@@ -76,9 +76,18 @@ object LakeSink {
     }
   }
 
-  /** Publish manifest version `v` atomically (write temp + rename).
-    * Returns false if `v` is already committed — the replay/lost-race
-    * case; the caller re-reads and decides. */
+  /** Publish manifest version `v` atomically with FAIL-IF-EXISTS
+    * semantics (write temp + hard-link to the final name). Returns
+    * false if `v` is already committed — the replay/lost-race case;
+    * the caller re-reads and decides.
+    *
+    * NOT a rename: `Files.move(…, ATOMIC_MOVE)` maps to rename(2),
+    * which silently REPLACES an existing target on POSIX — the method
+    * would never return false and a racing commit would clobber a
+    * committed manifest. `Files.createLink(target, tmp)` maps to
+    * link(2), which fails with EEXIST, giving a true compare-and-set.
+    * On an object store this becomes the conditional put / if-none-
+    * match primitive. */
   def commitManifest(outDir: String, v: Long, maxB: Long,
       segs: Seq[String]): Boolean = {
     val md = manifestDir(outDir)
@@ -86,12 +95,12 @@ object LakeSink {
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
     Files.write(tmp, (s"maxb=$maxB" +: segs).mkString("\n").getBytes("UTF-8"))
     try {
-      Files.move(tmp, md.resolve(f"v$v%010d.txt"),
-        StandardCopyOption.ATOMIC_MOVE)
+      Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
     }
   }
 

@@ -158,7 +158,13 @@ object SuiteScaleProbe {
         }
       } catch {
         case e: Throwable =>
-          failures += s"$name: ${e.getMessage.linesIterator.next()}"
+          // getMessage can be null (NPE) or empty (NoSuchElementException
+          // from .next()) — a crash HERE would kill the whole probe
+          // inside its own failure handler.
+          val msg = Option(e.getMessage)
+            .flatMap(_.linesIterator.find(_.nonEmpty))
+            .getOrElse(e.getClass.getName)
+          failures += s"$name: $msg"
           out += Res(name, -1, -1, -1, -1, s"ERROR ${e.getClass.getSimpleName}")
       }
     }

@@ -408,6 +408,28 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(LakeSink.readTable(spark, out).count() == 3)
   }
 
+  test("commitManifest is a true compare-and-set: a commit at an " +
+      "already-committed version returns false and does not clobber") {
+    import graft.streaming.LakeSink
+    val out = java.nio.file.Files.createTempDirectory("graft_lake4").toString
+    assert(LakeSink.commitManifest(out, 1, 0, Seq("seg_b0")))
+    // the replay/lost-race case: same version, DIFFERENT content —
+    // must be rejected, not silently replace the winner (rename(2)
+    // would replace; link(2) fails with EEXIST)
+    assert(!LakeSink.commitManifest(out, 1, 7, Seq("seg_evil")))
+    val m = LakeSink.readManifest(out)
+    assert(m.version == 1 && m.maxB == 0 && m.segs == Seq("seg_b0"),
+      s"losing commit clobbered the manifest: $m")
+    // no .inprogress temp litter left behind by the failed commit
+    val litter = java.nio.file.Files.list(
+        java.nio.file.Paths.get(out, "_manifest")).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (litter.hasNext) names += litter.next().getFileName.toString
+    assert(names.forall(!_.endsWith(".inprogress")), names.mkString(","))
+    assert(LakeSink.commitManifest(out, 2, 1, Seq("seg_b0", "seg_b1")))
+    assert(LakeSink.readManifest(out).version == 2)
+  }
+
   test("compacting lake sink: replay after maintenance commit does not " +
       "resurrect compacted rows") {
     import graft.streaming.LakeSink

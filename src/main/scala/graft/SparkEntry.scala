@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Scalars.defs ++
     operators.Analytic.defs ++
     operators.EventOps.defs ++
+    sources.KinesisFixture.defs ++
     llm.TextOps.defs ++
     llm.VectorOps.defs ++
     llm.MultimodalOps.defs ++

@@ -897,4 +897,116 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(got.toSeq == Seq((1L, "gold"), (3L, "silver")))
     } finally q.stop()
   }
+
+  test("DSv2 kinesis-file source: rate-limited micro-batches, per-shard " +
+      "order, exactly-once restart from checkpoint") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.sources.KinesisFixture
+    import org.apache.spark.sql.{Dataset, Row}
+    val base = Files.createTempDirectory("graft_dsv2").toString
+    val dir = s"$base/stream"; val ckpt = s"$base/ckpt"
+    KinesisFixture.writeEnvelopeFixture(spark, sfDir, dir, nShards = 2)
+    val total = graft.Tables.events(spark, sfDir).count()
+
+    // (batchId, shard, seq) in encounter order — collect() preserves
+    // partition order and the source plans one partition per shard slice
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def start() = spark.readStream.format("graft-kinesis-file")
+      .option("maxRecordsPerShardPerBatch", 100)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        b.select("shard", "sequence_number").collect()
+          .foreach(r => seen.add((id, r.getString(0), r.getLong(1))))
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val rows1 = seen.asScala.toSeq
+    assert(rows1.size == total, s"${rows1.size} != $total")
+    // admission control: no batch exceeds the per-shard cap, and the
+    // backlog drained as SEVERAL micro-batches, not one
+    val perBatchShard = rows1.groupBy(t => (t._1, t._2)).view.mapValues(_.size)
+    assert(perBatchShard.values.max <= 100, s"cap broken: $perBatchShard")
+    assert(rows1.map(_._1).distinct.size >= 3,
+      s"expected >=3 micro-batches, got ${rows1.map(_._1).distinct.size}")
+    // Kinesis ordering contract: within a shard within a batch,
+    // sequence numbers arrive ascending
+    rows1.groupBy(t => (t._1, t._2)).foreach { case (k, rs) =>
+      val seqs = rs.map(_._3)
+      assert(seqs == seqs.sorted, s"out-of-order shard slice at $k")
+    }
+    // exactly-once within the run
+    assert(rows1.map(t => (t._2, t._3)).distinct.size == rows1.size)
+
+    // the producer keeps writing: a NEW file with higher sequence
+    // numbers; restart from the checkpoint must emit ONLY these
+    Files.write(Paths.get(dir, "late-arrivals.txt"), Seq(
+      "shard-0\t9000000\t7\tZGF0YQ==",
+      "shard-1\t9000001\t8\tZGF0YQ==",
+      "shard-0\t9000002\t7\tZGF0YQ==").mkString("\n").getBytes("UTF-8"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows2 = seen.asScala.toSeq
+    assert(rows2.size == total + 3,
+      s"restart replayed or lost records: ${rows2.size} != ${total + 3}")
+    assert(rows2.map(t => (t._2, t._3)).distinct.size == rows2.size,
+      "duplicate (shard, seq) after restart")
+  }
+
+  test("DSv2 kinesis-file resharding: a shard file split and a true " +
+      "shard split both preserve exactly-once aggregates across restarts") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_reshard").toString
+    val dir = s"$base/stream"; Files.createDirectories(Paths.get(dir))
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def line(shard: String, seq: Long): String = s"$shard\t$seq\t1\tZGF0YQ=="
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"))
+    def run(): Unit = {
+      val q = StreamOps.startIdempotentParquet(
+        spark.readStream.format("graft-kinesis-file")
+          .option("maxRecordsPerShardPerBatch", 16).load(dir),
+        out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: one parent shard, one file, seqs 0..59
+    write("shard-A.txt", (0L until 60L).map(line("shard-A", _)))
+    run()
+
+    // phase 2: the FILE layout changes under the checkpoint — the
+    // parent's records are re-split across two files (plus 20 new
+    // seqs). Offsets track (shard → seq), not file positions, so the
+    // already-consumed 0..59 must NOT replay.
+    Files.delete(Paths.get(dir, "shard-A.txt"))
+    write("shard-A-part1.txt", (0L until 30L).map(line("shard-A", _)))
+    write("shard-A-part2.txt", (30L until 80L).map(line("shard-A", _)))
+    run()
+
+    // phase 3: a TRUE Kinesis-style split — the parent goes quiet and
+    // two NEW child shards receive the new traffic. Children are
+    // unknown to the checkpoint → consumed from their beginning.
+    write("shard-A1.txt", (0L until 10L).map(line("shard-A1", _)))
+    write("shard-A2.txt", (0L until 15L).map(line("shard-A2", _)))
+    run()
+
+    // the streamed accumulation must equal a from-scratch batch read of
+    // the final resharded layout — no loss, no replay, per shard
+    val streamed = spark.read.parquet(out)
+      .groupBy("shard").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val control = spark.read.format("graft-kinesis-file").load(dir)
+      .groupBy("shard").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == control, s"$streamed != $control")
+    assert(streamed == Seq(("shard-A", 80L), ("shard-A1", 10L), ("shard-A2", 15L)))
+    // exactly-once at record granularity, not just counts
+    val distinct = spark.read.parquet(out)
+      .select("shard", "sequence_number").distinct().count()
+    assert(distinct == 105L, s"dup or lost records: $distinct != 105")
+  }
 }

@@ -137,14 +137,15 @@ object DedupApi {
         .select(col("node"),
           least(col("__l1"), coalesce(col("__gl"), col("__l1"))).as("label"),
           col("__old"))
-        // Lazy localCheckpoint: the changed-count below materializes the
+        // Lazy truncation: the changed-count below materializes the
         // round exactly once AND truncates lineage, so the final plan is
         // one round deep, not O(iterations) of stacked joins (which
         // would replay quadratically on any recompute). Lazy (not eager)
-        // avoids a second materialization job per round. On a real
-        // cluster use `setCheckpointDir` + `checkpoint()` for
-        // executor-loss-tolerant truncation; same algorithm.
-        .localCheckpoint(false)
+        // avoids a second materialization job per round. Under a cluster
+        // checkpoint dir this is a RELIABLE checkpoint (executor-loss
+        // tolerant); local mode keeps localCheckpoint — same algorithm,
+        // byte-identical clusters (ScaleDesignSpec).
+        .transform(d => graft.Lineage.truncateLazy(d))
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.select("node", "label")
       iter += 1
@@ -274,13 +275,14 @@ object DedupApi {
     // first append below mutates digTab, so re-planning `statuses` for
     // the fp/set appends would reclassify the just-appended docs as
     // dup_exact and silently append nothing to those tables (losing
-    // their near-dup index entries). localCheckpoint(eager=true)
-    // snapshots the rows and truncates lineage so all three appends read
-    // the same frozen verdicts; on block loss it fails loudly rather
-    // than recomputing against a half-appended ledger.
-    val accepted = batch.join(
-      statuses.filter(col("status") === "new").select(col(idCol)), Seq(idCol))
-      .localCheckpoint(true)
+    // their near-dup index entries). An EAGER truncation snapshots the
+    // rows and cuts lineage so all three appends read the same frozen
+    // verdicts; under a cluster checkpoint dir the snapshot is a
+    // reliable checkpoint (recompute-after-executor-loss would read a
+    // half-appended ledger — worse than failing), local mode keeps
+    // localCheckpoint which fails loudly on block loss.
+    val accepted = graft.Lineage.truncate(batch.join(
+      statuses.filter(col("status") === "new").select(col(idCol)), Seq(idCol)))
     accepted.select(md5(lower(trim(col(textCol)))).as("h"), col(idCol))
       .write.mode("append").bucketBy(buckets, "h").saveAsTable(digTab)
     portableFingerprints(accepted, idCol, textCol)

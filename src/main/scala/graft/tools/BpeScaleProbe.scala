@@ -78,6 +78,28 @@ object BpeScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"factor=$f%2d  train($nMerges merges)=$sec%6.2f s  (dict x$f)")
     }
+    // -- shape 3 (r8): batched vs sequential rounds on a REAL vocab --
+    // The driver-round-trip economics: a sequential trainer pays one
+    // Spark job + one driver argmax per merge; the batched trainer
+    // learns provably-independent merges together. Identity of the
+    // merge tables is asserted (the batching contract), the reported
+    // numbers are rounds + wall.
+    println("-- shape 3: batched-merge rounds vs sequential (salted vocab) --")
+    val vocabDf = materialize(
+      docs.withColumn("text", regexp_replace(col("text"),
+        lit("(\\S+)"), concat(lit("$1xd"), col("doc_id")))), "vocab_batch")
+    Seq(64, 128).foreach { nm =>
+      val t1 = System.nanoTime()
+      val (seqM, seqR) = BpeOps.trainWithStats(vocabDf, "text", nm, batchK = 1)
+      val seqSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val (batM, batR) = BpeOps.trainWithStats(vocabDf, "text", nm, batchK = 64)
+      val batSec = (System.nanoTime() - t2) / 1e9
+      require(batM == seqM,
+        s"batched merges diverged from sequential at $nm merges")
+      println(f"merges=$nm%4d  sequential: $seqR%4d rounds $seqSec%6.2f s   " +
+        f"batched: $batR%3d rounds $batSec%6.2f s  (identical tables: true)")
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     spark.stop()
   }

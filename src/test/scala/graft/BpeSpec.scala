@@ -64,6 +64,37 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(a == b, s"partitioning changed the learned merges:\n $a\n $b")
   }
 
+  test("batched trainer (batchK > 1) equals the sequential trainer " +
+      "byte-for-byte, including across merge interactions") {
+    import spark.implicits._
+    // Adversarial interaction: (a,b)=10, (x,a)=8 SHARES a symbol with
+    // it and SURVIVES the merge untouched (no b next to the x-a
+    // adjacency), (c,d)=6 is disjoint. A naive top-k-disjoint batch
+    // would learn [(a,b),(c,d)] in round 1 and misorder (x,a);
+    // sequential order is [(a,b),(x,a),(c,d)]. The cut filter must
+    // keep round 1 to (a,b) alone, then batch [(x,a),(c,d)] together.
+    val words = Seq("ab" -> 10, "xa" -> 8, "cd" -> 6)
+    val df = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val expected = referenceTrain(
+      words.map { case (w, n) => w -> n.toLong }.toMap, 5)
+    assert(expected.map(m => (m.left, m.right)) ==
+      Seq(("a", "b"), ("x", "a"), ("c", "d")), s"fixture drifted: $expected")
+    val seq1 = BpeOps.train(df, "text", 5, batchK = 1)
+    val (batched, rounds) = BpeOps.trainWithStats(df, "text", 5, batchK = 64)
+    assert(seq1 == expected, s"sequential path drifted: $seq1")
+    assert(batched == expected,
+      s"batched merges diverge:\n got=$batched\n exp=$expected")
+    assert(rounds == 2, s"expected 2 Spark rounds for 3 merges, got $rounds")
+
+    // and on the richer fixture corpus: identical tables, fewer rounds
+    val s = BpeOps.train(corpusDf, "text", 8, batchK = 1)
+    val (b8, r8) = BpeOps.trainWithStats(corpusDf, "text", 8, batchK = 64)
+    assert(b8 == s, s"batched diverges on fixture corpus:\n $b8\n $s")
+    assert(r8 <= s.size, s"batching never reduced rounds: $r8 vs ${s.size} merges")
+  }
+
   test("encodeWord applies merges by rank and tokenCounts matches it") {
     val merges = BpeOps.train(corpusDf, "text", 6)
     // six merges fully compress this tiny fixture's frequent words

@@ -198,4 +198,35 @@ class ScaleDesignSpec extends AnyFunSuite with SparkFixture {
     // join resolved to a hash-based strategy, not nested loop
     assert(plan.contains("HashJoin"), plan.take(1500))
   }
+
+  test("reliable checkpoint mode: iterative loops under a cluster " +
+      "checkpoint dir write real checkpoints and stay byte-identical") {
+    import spark.implicits._
+    import graft.llm.{BpeOps, DedupApi}
+    // a 5-deep path plus a separate component — several CC rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L)).toDF("a", "b")
+    val docs = Seq.tabulate(40)(i => (i.toLong, "the quick brown fox " * 3))
+      .toDF("doc_id", "text")
+    def clusters() = DedupApi.dupClusters(pairs, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val localClusters = clusters()
+    val localMerges = BpeOps.train(docs, "text", 6)
+
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck")
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    try {
+      assert(clusters() == localClusters,
+        "CC clusters changed under reliable checkpointing")
+      assert(BpeOps.train(docs, "text", 6) == localMerges,
+        "BPE merges changed under reliable checkpointing")
+      // the reliable path really ran: RDD checkpoint data landed on
+      // the fault-tolerant FS (here: the temp dir standing in for it)
+      import scala.jdk.CollectionConverters._
+      val wrote = java.nio.file.Files.walk(ckDir).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"no rdd-* checkpoint dirs under $ckDir — " +
+        "Lineage.truncate never took the reliable branch")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
 }

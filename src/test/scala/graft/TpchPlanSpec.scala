@@ -59,6 +59,52 @@ class TpchPlanSpec extends AnyFunSuite with SparkFixture {
       p.take(3000))
   }
 
+  test("CBO: ANALYZE'd column statistics drive a cost-based reorder of " +
+      "the q9-shape star join") {
+    // External catalog tables over the same parquet, with table +
+    // column stats — the deployment prerequisite for CBO. (The
+    // declared queries run on temp views, where ANALYZE cannot apply;
+    // this pins the catalog-table path a 100 TB warehouse uses.)
+    val tabs = Seq("lineitem", "supplier", "part", "nation")
+    tabs.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS cbo_$t")
+      spark.sql(s"CREATE TABLE cbo_$t USING parquet LOCATION '$sfDir/$t.parquet'")
+      spark.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    // stats landed: row counts propagate into plan stats (rowCount is
+    // surfaced by the CBO stats visitor, so flip it on for the check)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try tabs.foreach { t =>
+      val rc = spark.table(s"cbo_$t").queryExecution.optimizedPlan
+        .stats.rowCount
+      assert(rc.exists(_ > 0), s"cbo_$t has no row-count statistic")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // the q9 star written in a DELIBERATELY bad join order: dims
+    // first, the selective filtered dimension (part) dead last
+    val q = """SELECT n.n_name, count(*) AS n
+               FROM cbo_nation n
+               JOIN cbo_supplier s ON n.n_nationkey = s.s_nationkey
+               JOIN cbo_lineitem l ON s.s_suppkey = l.l_suppkey
+               JOIN cbo_part p ON p.p_partkey = l.l_partkey
+               WHERE p.p_name LIKE '%green%'
+               GROUP BY n.n_name"""
+    def optimized(cbo: Boolean): String = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+      try spark.sql(q).queryExecution.optimizedPlan.toString
+      finally {
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      }
+    }
+    val off = optimized(cbo = false)
+    val on = optimized(cbo = true)
+    assert(on != off,
+      "CBO + stats left the deliberately bad star order untouched:\n" +
+        on.take(2500))
+    tabs.foreach(t => spark.sql(s"DROP TABLE IF EXISTS cbo_$t"))
+  }
+
   test("q15's scalar MAX over the CTE is a one-row subquery, not a join loop") {
     val p = plan("sql_tpch_q15")
     assert(p.contains("Subquery") || p.contains("ReusedSubquery"), p.take(3000))

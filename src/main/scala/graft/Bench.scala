@@ -106,9 +106,13 @@ object Bench {
       else failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val missingJson =
       writeIoMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Failed queries exit in ~0.06s, so any errors>0 run has an
+    // artificially low total/median — flag it so round-over-round
+    // tooling never compares headline fields from a broken run.
+    val invalidFlag = if (errs > 0) """"totals_invalid":true,""" else ""
     val fullPath = new java.io.File("BENCH_FULL.json")
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
-    try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"write_io_queries":${writeIoQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"write_io_missing":$missingJson,"aqe":$aqe,"errors":$errs,"failed":$errNames,"median_total_sec":${fmt(medianTotal)},"median_queries":$fullMed,"queries":$full,"sf":"$sfDir"}""")
+    try w.println(s"""{"metric":"total",$invalidFlag"value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"write_io_queries":${writeIoQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"write_io_missing":$missingJson,"aqe":$aqe,"errors":$errs,"failed":$errNames,"median_total_sec":${fmt(medianTotal)},"median_queries":$fullMed,"queries":$full,"sf":"$sfDir"}""")
     finally w.close()
     // The printed line keeps the slowest queries, greedily, up to a
     // budget that leaves the whole line intact inside the tail buffer.
@@ -124,6 +128,6 @@ object Bench {
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON in the driver's combined-output tail.
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"median_total_sec":${fmt(medianTotal)},"aqe":$aqe,"errors":$errs,"queries":$qs,"n_queries":${results.size},"queries_note":"slowest subset; all ${results.size} in BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total",$invalidFlag"value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"median_total_sec":${fmt(medianTotal)},"aqe":$aqe,"errors":$errs,"queries":$qs,"n_queries":${results.size},"queries_note":"slowest subset; all ${results.size} in BENCH_FULL.json","sf":"$sfDir"}""")
   }
 }

@@ -26,16 +26,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
-    * to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read the raw ns
-    * longs via the legacy escape hatch and truncate to microseconds —
-    * exactly what DuckDB does on read, so both engines see identical
-    * values (SURVEY.md §5 determinism rules). */
+  /** `events.ts` is nanosecond-precision parquet. Spark versions differ
+    * in how they surface it: older builds refuse the type unless
+    * `spark.sql.legacy.parquet.nanosAsLong` maps it to raw ns longs;
+    * Spark 4.1.2 ignores that flag and reads it natively as a
+    * micros-truncated `TIMESTAMP_NTZ`. Branch on the schema we actually
+    * got back so both paths yield the identical session-TZ (UTC)
+    * timestamp truncated to microseconds — exactly what DuckDB does on
+    * read (SURVEY.md §5 determinism rules). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -91,9 +91,11 @@ object SuiteScaleProbe {
     val scratch = s"/tmp/graft_suiteprobe_${spark.sparkContext.applicationId}"
 
     // ---- materialize the replicated sfDir ------------------------------
-    // events.ts is ns-precision; read it RAW (long ns) so the replica
-    // round-trips through parquet unchanged and Tables.events applies
-    // the same truncation to both dirs
+    // events.ts is ns-precision; read it raw so the replica round-trips
+    // through parquet unchanged and Tables.events (schema-adaptive)
+    // yields identical values on both dirs. On Spark 4.1.2 the legacy
+    // flag is ignored and raw() returns a micros TIMESTAMP_NTZ — which
+    // Tables.events handles via its non-Long branch.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def raw(name: String): DataFrame = spark.read.parquet(s"$sf/$name.parquet")
     def write(df: DataFrame, name: String): Unit =

@@ -185,6 +185,62 @@ object StreamBench {
     ssJoin("stream_ss_inner", StreamOps.streamStreamEnrich)
     ssJoin("stream_ss_louter", StreamOps.streamStreamLeftOuter)
 
+    // ---- deployment-shaped stream-stream join (r9, VERDICT r8 #5) ----
+    // The 16-chunk × 32-partition shape above charges each micro-batch
+    // a fixed floor of 4 state stores × 32 partitions of store
+    // commit/snapshot work — ~3.7 s p50 at ~2.5 k rows/batch, i.e. the
+    // floor dominates and throughput reads as ~325 ev/s. A deployment
+    // sizes batches in the tens of thousands of rows (maxOffsetsPerTrigger)
+    // and keeps state partitions near core count, so the same join is
+    // re-profiled with 4 chunks/side and shuffle=8: 16× fewer
+    // store-commits per fed row. CORRECTNESS IS ASSERTED, not assumed:
+    // the deploy run lands in a memory sink and must match the batch
+    // twin of the interval join row-for-row (both feeds are event-time
+    // ordered, so no match is ever watermark-evicted before its partner
+    // arrives and the stream inner output equals the batch join; the
+    // 10-min-coarser watermark of big batches widens state temporarily
+    // but cannot change the emitted inner matches).
+    locally {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "8")
+      try {
+        val cIn = MemoryStream[Event]
+        val pIn = MemoryStream[Event]
+        val cc = chunksOf(clicks, 4)
+        val pc = chunksOf(purchases, 4)
+        results += measure("stream_ss_inner_deploy",
+            (clicks.size + purchases.size).toLong) {
+          () => StreamOps.streamStreamEnrich(cIn.toDF(), pIn.toDF())
+            .writeStream.format("memory").queryName("graft_ss_deploy")
+            .outputMode("append").start()
+        } { q =>
+          cc.zipAll(pc, Seq.empty[Event], Seq.empty[Event]).foreach {
+            case (c, p) =>
+              if (c.nonEmpty) cIn.addData(c)
+              if (p.nonEmpty) pIn.addData(p)
+              q.processAllAvailable()
+          }
+        }
+        def canon(df: DataFrame): Array[String] = df
+          .select(col("click_id"), col("purchase_id"),
+            unix_micros(col("click_ts")).as("ct"),
+            unix_micros(col("purchase_ts")).as("pt"), col("value"))
+          .orderBy("click_id", "purchase_id")
+          .collect().map(_.mkString("|"))
+        val got = canon(spark.table("graft_ss_deploy"))
+        val exp = canon(StreamOps.streamStreamEnrich(
+          spark.createDataset(clicks).toDF(),
+          spark.createDataset(purchases).toDF()))
+        require(got.length == exp.length && got.sameElements(exp),
+          s"deploy-shape join diverged from batch twin: " +
+            s"${got.length} vs ${exp.length} rows")
+        println(s"[streambench] stream_ss_inner_deploy identity: " +
+          s"${got.length} rows, row-for-row match vs batch twin")
+        spark.catalog.dropTempView("graft_ss_deploy")
+      } finally spark.conf.set(key, prev)
+    }
+
     // ---- LLM document pipelines --------------------------------------
     locally {
       val in = MemoryStream[BenchDoc]

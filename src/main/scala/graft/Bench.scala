@@ -79,8 +79,8 @@ object Bench {
     // NOT here: their one-time ledger builds are memoized out of the
     // timed region; the timed part is the recurring read-side probe.)
     val writeIoQueries = Set("sink_parquet", "sink_partitioned",
-      "sink_compacted", "sink_lake_maintenance", "csv_roundtrip",
-      "join_bucketed")
+      "sink_compacted", "sink_lake_maintenance", "sink_clustered",
+      "csv_roundtrip", "join_bucketed")
     // A renamed/removed sink query must not silently migrate its time
     // into the compute subtotal — surface the misses in the JSON (and
     // on stderr) instead of skewing round-over-round comparisons.

@@ -417,8 +417,45 @@ object Extensions {
               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events"""))
 
+  /** Sort-CLUSTERED table layout (r9): `repartitionByRange(user_id)` +
+    * `sortWithinPartitions(user_id, event_id)` before the write, so
+    * every output file covers a disjoint user range and every parquet
+    * row-group carries tight user_id min/max stats. A selective
+    * predicate on the clustering key then skips whole row groups at
+    * scan time — the data-layout lever that, at 100 TB, turns a
+    * point/range query on a non-partition column from a full scan into
+    * a handful of row groups (partition pruning's finer-grained
+    * sibling; Delta/Iceberg call the same idea Z-ordering, one
+    * dimension of it). ClusteredLayoutSpec MEASURES the skip: the
+    * clustered scan's output-row metric under `user_id = k` is a small
+    * fraction of the scattered layout's on identical data. The oracle
+    * pins read-back correctness (exact-cents per-user rollup through
+    * the clustered files); the timed query includes the write by
+    * design, like the rest of the sink family. */
+  private val sinkClustered = QueryDef(
+    "sink_clustered",
+    (s, d) => {
+      val dir = tmpPath("graft_clustered", d)
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ev.repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions("user_id", "event_id")
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("user_id") <= 50)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events WHERE user_id <= 50
+            GROUP BY user_id ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
-    sinkLakeMaintenance)
+    sinkLakeMaintenance, sinkClustered)
 }

@@ -454,8 +454,60 @@ object Extensions {
             FROM events WHERE user_id <= 50
             GROUP BY user_id ORDER BY user_id"""))
 
+  /** Z-ORDERED layout (r9): the two-dimensional escalation of
+    * [[sinkClustered]]. Events are written in Morton-key order over
+    * (user_id, minutes-since-epoch-start), both equal-width normalized
+    * to 8 bits ([[graft.functions.ZOrder]]), so every output file is a
+    * z-tile with tight footer min/max on BOTH columns — a selective
+    * predicate on user OR time skips most row groups, where
+    * single-column clustering serves only its one key and full scans
+    * serve neither. ZorderLayoutSpec measures all three layouts on
+    * both predicates from scan metrics. The declared query reads back
+    * through the z-ordered files with a TIME filter — the dimension
+    * plain user-clustering cannot skip — and the oracle pins the
+    * exact-cents rollup. Timed write included, like the sink family. */
+  private val sinkZorder = QueryDef(
+    "sink_zorder",
+    (s, d) => {
+      val dir = tmpPath("graft_zorder", d)
+      // Event time stored as epoch-µs BIGINT, not TIMESTAMP: Spark's
+      // default parquet timestamp encoding (INT96) carries no usable
+      // row-group stats, so a timestamp column would defeat the very
+      // skipping this layout exists for — and epoch longs are this
+      // repo's determinism rule anyway.
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsu"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      val mins = expr("(tsu - 1704067200000000) div 60000000")
+      // Real data bounds, not nominal domains (ZOrder scaladoc: a
+      // dimension scaled against a too-wide bound collapses into a
+      // corner and stops skipping). Two scalars off an
+      // aggregate — at 100 TB these come from table stats (ANALYZE)
+      // instead of a scan.
+      val b = ev.agg(
+        max(col("user_id")).cast("long"), max(mins).cast("long")).head
+      val z = graft.functions.ZOrder.zvalue(
+        col("user_id"), mins, xMax = b.getLong(0), yMax = b.getLong(1))
+      ev.withColumn("zv", z)
+        .repartitionByRange(32, col("zv"))
+        .sortWithinPartitions("zv", "event_id")
+        .drop("zv")
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("tsu") < 1704672000000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events WHERE epoch_us(ts) < 1704672000000000
+            GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
-    sinkLakeMaintenance, sinkClustered)
+    sinkLakeMaintenance, sinkClustered, sinkZorder)
 }

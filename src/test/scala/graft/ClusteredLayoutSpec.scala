@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -37,31 +35,12 @@ class ClusteredLayoutSpec extends AnyFunSuite with SparkFixture {
     (clustered, scattered)
   }
 
-  /** Rows emitted by the parquet scan node(s) after executing `df`.
-    * AQE wraps materialized stages in QueryStageExec nodes whose
-    * `children` is Nil, so a plain `collect` never reaches the scan —
-    * recurse through stage/adaptive wrappers explicitly. */
-  private def scanOutputRows(df: DataFrame): Long = {
-    df.collect()
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.QueryStageExec
-    def scans(p: SparkPlan): Seq[Long] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec => scans(q.plan)
-      case s: FileSourceScanExec => Seq(s.metrics("numOutputRows").value)
-      case other => other.children.flatMap(scans)
-    }
-    val found = scans(df.queryExecution.executedPlan)
-    assert(found.nonEmpty, "no FileSourceScanExec in executed plan")
-    found.sum
-  }
-
   test("clustered layout skips row groups a scattered layout must read") {
     val (clustered, scattered) = writeLayouts()
     val total = spark.read.parquet(scattered).count()
 
     def probe(dir: String): Long =
-      scanOutputRows(spark.read.parquet(dir)
+      ScanMetrics.scanOutputRows(spark.read.parquet(dir)
         .filter(col("user_id") === 7)
         .agg(count(lit(1)), sum("vc")))
 

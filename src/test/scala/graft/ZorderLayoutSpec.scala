@@ -1,9 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -18,19 +15,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class ZorderLayoutSpec extends AnyFunSuite with SparkFixture {
 
   private val JAN4_US = 1704326400000000L // 3 of 30 days → ~10% of rows
-
-  private def scanOutputRows(df: DataFrame): Long = {
-    df.collect()
-    def scans(p: SparkPlan): Seq[Long] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec => scans(q.plan)
-      case s: FileSourceScanExec => Seq(s.metrics("numOutputRows").value)
-      case other => other.children.flatMap(scans)
-    }
-    val found = scans(df.queryExecution.executedPlan)
-    assert(found.nonEmpty, "no FileSourceScanExec in executed plan")
-    found.sum
-  }
 
   private def writeLayouts(): (String, String, String) = {
     val base = java.nio.file.Files
@@ -72,12 +56,12 @@ class ZorderLayoutSpec extends AnyFunSuite with SparkFixture {
       .filter(col("tsu") < JAN4_US)
       .agg(sum("vc"), count(lit(1)))
 
-    val su = scanOutputRows(byUser(scattered))
-    val st = scanOutputRows(byTime(scattered))
-    val uu = scanOutputRows(byUser(userClustered))
-    val ut = scanOutputRows(byTime(userClustered))
-    val zu = scanOutputRows(byUser(zordered))
-    val zt = scanOutputRows(byTime(zordered))
+    val su = ScanMetrics.scanOutputRows(byUser(scattered))
+    val st = ScanMetrics.scanOutputRows(byTime(scattered))
+    val uu = ScanMetrics.scanOutputRows(byUser(userClustered))
+    val ut = ScanMetrics.scanOutputRows(byTime(userClustered))
+    val zu = ScanMetrics.scanOutputRows(byUser(zordered))
+    val zt = ScanMetrics.scanOutputRows(byTime(zordered))
 
     // Scattered: every file spans both full domains — nothing skips.
     assert(su > (total * 0.85).toLong, s"scattered/user read $su of $total")

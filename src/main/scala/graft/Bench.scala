@@ -80,7 +80,8 @@ object Bench {
     // timed region; the timed part is the recurring read-side probe.)
     val writeIoQueries = Set("sink_parquet", "sink_partitioned",
       "sink_compacted", "sink_lake_maintenance", "sink_clustered",
-      "sink_zorder", "sink_bloom", "csv_roundtrip", "join_bucketed")
+      "sink_zorder", "sink_bloom", "csv_roundtrip", "orc_roundtrip",
+      "join_bucketed")
     // A renamed/removed sink query must not silently migrate its time
     // into the compute subtotal — surface the misses in the JSON (and
     // on stderr) instead of skewing round-over-round comparisons.

@@ -545,8 +545,46 @@ object Extensions {
             FROM events WHERE event_id IN (7, 242, 555, 808)
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** ORC source/sink round trip (r9): the other first-class columnar
+    * warehouse format Spark ships natively (`format("orc")`, no extra
+    * module). Same exact-cents lossless-round-trip contract as
+    * [[csvRoundtrip]]: write lineitem's money/date columns to ORC with
+    * zlib compression, read back, aggregate — the oracle computes the
+    * identical rollup from the ORIGINAL parquet, so any value lost or
+    * mangled in the ORC encode/decode fails the hash. Epoch BIGINTs
+    * for dates per the determinism rules (and because ORC↔DuckDB
+    * timestamp semantics would otherwise differ). Write-IO class. */
+  private val orcRoundtrip = QueryDef(
+    "orc_roundtrip",
+    (s, d) => {
+      val out = tmpPath("graft_orc_rt", d)
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("epc"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          unix_timestamp(col("l_shipdate")).as("ship_epoch"))
+        .write.mode("overwrite").option("compression", "zlib").orc(out)
+      s.read.orc(out)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("epc").as("sum_cents"),
+          sum("qty").as("sum_qty"),
+          min("ship_epoch").as("first_epoch"),
+          max("ship_epoch").as("last_epoch"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(min(floor(epoch(l_shipdate))) AS BIGINT) AS first_epoch,
+              CAST(max(floor(epoch(l_shipdate))) AS BIGINT) AS last_epoch
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
-    sinkLakeMaintenance, sinkClustered, sinkZorder, sinkBloom)
+    sinkLakeMaintenance, sinkClustered, sinkZorder, sinkBloom,
+    orcRoundtrip)
 }

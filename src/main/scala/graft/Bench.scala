@@ -79,7 +79,8 @@ object Bench {
     // NOT here: their one-time ledger builds are memoized out of the
     // timed region; the timed part is the recurring read-side probe.)
     val writeIoQueries = Set("sink_parquet", "sink_partitioned",
-      "sink_compacted", "sink_lake_maintenance", "sink_clustered",
+      "sink_compacted", "sink_lake_maintenance", "sink_lake_delete",
+      "sink_clustered",
       "sink_zorder", "sink_bloom", "csv_roundtrip", "orc_roundtrip",
       "join_bucketed")
     // A renamed/removed sink query must not silently migrate its time

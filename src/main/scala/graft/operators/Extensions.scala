@@ -417,6 +417,62 @@ object Extensions {
               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events"""))
 
+  /** Row-level lake DELETE (r9): the verb that completes the manifest
+    * protocol (ingest / compact / time-travel / vacuum / DELETE).
+    * Builds the same 4-segment lake as [[sinkLakeMaintenance]], then
+    * [[graft.streaming.LakeSink.deleteWhere]] removes one event_type
+    * copy-on-write: untouched segments survive by reference (the
+    * write-amplification bound — a delete touching one partition of a
+    * 100 TB lake rewrites one partition), touched ones are rewritten
+    * without the matching rows, and ONE manifest CAS publishes the new
+    * version; the pre-delete version stays time-travel-readable until
+    * vacuum (LakeDeleteSpec kill-tests the crash window and the GC).
+    * The oracle derives every output — surviving-segment count
+    * included — from the events table alone, so a lost segment, a
+    * half-applied delete, or a row resurrected from a replaced segment
+    * fails the hash. */
+  private val sinkLakeDelete = QueryDef(
+    "sink_lake_delete",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_del", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      (0 to 3).foreach { i =>
+        ev.filter(col("event_id") % 4 === i)
+          .write.mode("overwrite").parquet(s"$dir/seg_b$i")
+        val m = LakeSink.readManifest(dir)
+        require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+          m.segs :+ s"seg_b$i"), s"ingest commit $i lost a race")
+      }
+      val (_, _, _, nDel) =
+        LakeSink.deleteWhere(s, dir, col("event_type") === "click")
+      val mf = LakeSink.readManifest(dir)
+      LakeSink.readTable(s, dir)
+        .agg(
+          lit(mf.segs.size.toLong).as("n_segments"),
+          lit(nDel).as("n_deleted"),
+          count(lit(1)).as("n_rows"),
+          sum("vc").as("sum_cents"))
+    },
+    // n_segments: a segment survives the delete iff it holds at least
+    // one non-click row (fully-matching segments are dropped, not
+    // rewritten) — expressible from the table alone via the ingest's
+    // own bucketing rule.
+    Some("""SELECT
+              CAST(count(DISTINCT CASE WHEN event_type <> 'click'
+                THEN event_id % 4 END) AS BIGINT) AS n_segments,
+              CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS n_deleted,
+              CAST(count(CASE WHEN event_type <> 'click' THEN 1 END)
+                AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN event_type <> 'click'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+                AS sum_cents
+            FROM events"""))
+
   /** Sort-CLUSTERED table layout (r9): `repartitionByRange(user_id)` +
     * `sortWithinPartitions(user_id, event_id)` before the write, so
     * every output file covers a disjoint user range and every parquet
@@ -585,6 +641,6 @@ object Extensions {
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
-    sinkLakeMaintenance, sinkClustered, sinkZorder, sinkBloom,
-    orcRoundtrip)
+    sinkLakeMaintenance, sinkLakeDelete, sinkClustered, sinkZorder,
+    sinkBloom, orcRoundtrip)
 }

@@ -169,6 +169,56 @@ object LakeSink {
     (orphans.size, stale.size)
   }
 
+  /** Row-level DELETE, copy-on-write — the verb that completes the
+    * lake protocol (ingest / compact / time-travel / vacuum / delete;
+    * Delta's DELETE works the same way). Per live segment: rows
+    * matching `cond` present? If none, the segment survives untouched
+    * — deletes touching one day of a year-partitioned lake rewrite
+    * one day, the write amplification bound that matters at 100 TB
+    * (at warehouse scale the touched-set is planned from footer
+    * min/max stats instead of a residual count scan). A fully-matching
+    * segment is dropped from the manifest without any write. A
+    * partially-matching one is rewritten WITHOUT the matching rows
+    * into a fresh `seg_d<version>_<n>` dir. Nothing is visible until
+    * the single manifest CAS at the end — a crash mid-delete leaves
+    * readers on the old version with some invisible orphan dirs for
+    * [[vacuum]]; the old version keeps time-traveling to the
+    * pre-delete rows until vacuumed (retention contract unchanged).
+    *
+    * Returns (committed version, segments rewritten, segments dropped,
+    * rows deleted); a no-match delete commits nothing and returns the
+    * current version. */
+  def deleteWhere(spark: SparkSession, outDir: String,
+      cond: org.apache.spark.sql.Column): (Long, Int, Int, Long) = {
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    var rewritten = 0
+    var dropped = 0
+    var deleted = 0L
+    val newSegs = m.segs.zipWithIndex.flatMap { case (seg, i) =>
+      val df = spark.read.parquet(s"$outDir/$seg")
+      val matches = df.filter(cond).count()
+      if (matches == 0L) Some(seg)
+      else {
+        deleted += matches
+        val keep = df.filter(!cond)
+        if (keep.isEmpty) { dropped += 1; None }
+        else {
+          val newSeg = f"seg_d${m.version + 1}%010d_$i"
+          keep.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+          rewritten += 1
+          Some(newSeg)
+        }
+      }
+    }
+    if (rewritten == 0 && dropped == 0) (m.version, 0, 0, 0L)
+    else {
+      require(commitManifest(outDir, m.version + 1, m.maxB, newSegs),
+        s"delete at $outDir lost a manifest race at v${m.version + 1}")
+      (m.version + 1, rewritten, dropped, deleted)
+    }
+  }
+
   /** Start the ingest-with-maintenance stream. Every `compactEvery`
     * batches, live b-segments are compacted into `targetFiles` files.
     * `beforeMaintenanceCommit` is the crash-injection seam: it runs

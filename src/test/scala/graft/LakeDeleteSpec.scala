@@ -1,0 +1,108 @@
+package graft
+
+import graft.streaming.LakeSink
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol tests for [[LakeSink.deleteWhere]] — the copy-on-write
+  * row-level DELETE. What must hold:
+  *
+  *  - untouched segments survive BY REFERENCE (no rewrite — the
+  *    write-amplification bound);
+  *  - fully-matching segments are dropped without a write;
+  *  - partially-matching segments are rewritten without their
+  *    matching rows;
+  *  - the pre-delete version stays time-travel-readable until vacuum,
+  *    and vacuum GCs replaced segment dirs while retained versions
+  *    still read;
+  *  - a no-match delete commits nothing;
+  *  - a crash BEFORE the manifest CAS leaves readers on the old
+  *    version (new segment dirs are invisible orphans).
+  */
+class LakeDeleteSpec extends AnyFunSuite with SparkFixture {
+
+  /** 3-segment lake: seg 0 = all user 1 (fully matching a user_id===1
+    * delete), seg 1 = users 1 and 2 mixed, seg 2 = user 3 only. */
+  private def buildLake(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lake_delete_spec").toString
+    import spark.implicits._
+    val segs = Seq(
+      (0, Seq((1L, 10L), (1L, 11L))),
+      (1, Seq((1L, 20L), (2L, 21L), (2L, 22L))),
+      (2, Seq((3L, 30L), (3L, 31L))))
+    segs.foreach { case (i, rows) =>
+      rows.toDF("user_id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/seg_b$i")
+      val m = LakeSink.readManifest(dir)
+      require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+        m.segs :+ s"seg_b$i"))
+    }
+    dir
+  }
+
+  test("copy-on-write delete: drop, rewrite, and survive-by-reference") {
+    val dir = buildLake()
+    val preVersion = LakeSink.readManifest(dir).version
+
+    val (v, rewritten, dropped, deleted) =
+      LakeSink.deleteWhere(spark, dir, col("user_id") === 1L)
+    assert(v === preVersion + 1)
+    assert(dropped === 1)    // seg_b0: all rows matched
+    assert(rewritten === 1)  // seg_b1: mixed
+    assert(deleted === 3L)   // two rows in seg 0, one in seg 1
+
+    val after = LakeSink.readTable(spark, dir)
+    assert(after.filter(col("user_id") === 1L).count() === 0L)
+    assert(after.count() === 4L)
+    // seg_b2 survived by reference — same dir, untouched:
+    val m = LakeSink.readManifest(dir)
+    assert(m.segs.contains("seg_b2"))
+    assert(!m.segs.exists(_.startsWith("seg_b0")))
+    // time travel to the pre-delete version still sees user 1
+    val before = LakeSink.readTableAsOf(spark, dir, preVersion)
+    assert(before.filter(col("user_id") === 1L).count() === 3L)
+    assert(before.count() === 7L)
+
+    // vacuum(1): replaced seg_b0/seg_b1 dirs GC'd, live version reads
+    val (segsGone, versionsGone) = LakeSink.vacuum(dir, retainVersions = 1)
+    assert(segsGone === 2 && versionsGone >= 1)
+    assert(LakeSink.readTable(spark, dir).count() === 4L)
+  }
+
+  test("no-match delete commits nothing") {
+    val dir = buildLake()
+    val preVersion = LakeSink.readManifest(dir).version
+    val (v, rewritten, dropped, deleted) =
+      LakeSink.deleteWhere(spark, dir, col("user_id") === 99L)
+    assert(v === preVersion && rewritten === 0 && dropped === 0 &&
+      deleted === 0L)
+    assert(LakeSink.readManifest(dir).version === preVersion)
+    assert(LakeSink.readTable(spark, dir).count() === 7L)
+  }
+
+  test("crash before the manifest CAS leaves readers on the old version") {
+    val dir = buildLake()
+    val preVersion = LakeSink.readManifest(dir).version
+    // Simulate the crash window: the rewritten segment is fully on
+    // disk but the manifest commit never happens — exactly what
+    // deleteWhere dying between its write and its CAS leaves behind.
+    val keep = spark.read.parquet(s"$dir/seg_b1")
+      .filter(col("user_id") =!= 1L)
+    keep.write.mode("overwrite").parquet(s"$dir/seg_d_orphan")
+    // Readers: untouched.
+    assert(LakeSink.readManifest(dir).version === preVersion)
+    assert(LakeSink.readTable(spark, dir).count() === 7L)
+    // The orphan dir is invisible garbage for vacuum.
+    val (segsGone, _) = LakeSink.vacuum(dir, retainVersions = 1)
+    assert(segsGone === 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "seg_d_orphan")))
+    // And a RETRY of the whole delete still works and converges.
+    val (v, _, _, deleted) =
+      LakeSink.deleteWhere(spark, dir, col("user_id") === 1L)
+    assert(v === preVersion + 1 && deleted === 3L)
+    assert(LakeSink.readTable(spark, dir)
+      .filter(col("user_id") === 1L).count() === 0L)
+  }
+}

@@ -80,6 +80,7 @@ object Bench {
     // timed region; the timed part is the recurring read-side probe.)
     val writeIoQueries = Set("sink_parquet", "sink_partitioned",
       "sink_compacted", "sink_lake_maintenance", "sink_lake_delete",
+      "sink_lake_update",
       "sink_clustered",
       "sink_zorder", "sink_bloom", "csv_roundtrip", "orc_roundtrip",
       "join_bucketed")

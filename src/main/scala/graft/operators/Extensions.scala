@@ -473,6 +473,46 @@ object Extensions {
                 AS sum_cents
             FROM events"""))
 
+  /** Row-level lake UPDATE (r9): [[sinkLakeDelete]]'s companion —
+    * same copy-on-write manifest protocol via
+    * [[graft.streaming.LakeSink.updateWhere]] (segments without
+    * matching rows survive by reference; predicate and right-hand
+    * sides evaluate against the OLD row in one projection —
+    * LakeDeleteSpec pins that SQL-UPDATE semantics). The query
+    * reprices one event_type (+1.00) and reads the whole table back
+    * through the new manifest; the oracle recomputes the repriced
+    * rollup from the events table alone, so a lost update, a
+    * double-applied one, or a row mutated outside the predicate all
+    * fail the hash. */
+  private val sinkLakeUpdate = QueryDef(
+    "sink_lake_update",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_upd", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      (0 to 3).foreach { i =>
+        ev.filter(col("event_id") % 4 === i)
+          .write.mode("overwrite").parquet(s"$dir/seg_b$i")
+        val m = LakeSink.readManifest(dir)
+        require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+          m.segs :+ s"seg_b$i"), s"ingest commit $i lost a race")
+      }
+      LakeSink.updateWhere(s, dir, col("event_type") === "error",
+        Map("vc" -> (col("vc") + 100L)))
+      LakeSink.readTable(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)
+                + CASE WHEN event_type = 'error' THEN 100 ELSE 0 END)
+                AS BIGINT) AS sum_cents
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** Sort-CLUSTERED table layout (r9): `repartitionByRange(user_id)` +
     * `sortWithinPartitions(user_id, event_id)` before the write, so
     * every output file covers a disjoint user range and every parquet
@@ -641,6 +681,6 @@ object Extensions {
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
-    sinkLakeMaintenance, sinkLakeDelete, sinkClustered, sinkZorder,
-    sinkBloom, orcRoundtrip)
+    sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkClustered,
+    sinkZorder, sinkBloom, orcRoundtrip)
 }

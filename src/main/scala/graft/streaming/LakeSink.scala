@@ -219,6 +219,52 @@ object LakeSink {
     }
   }
 
+  /** Row-level UPDATE, copy-on-write — [[deleteWhere]]'s companion,
+    * same protocol: segments with no matching rows survive by
+    * reference; a matching segment is rewritten with `assignments`
+    * applied to its matching rows (non-matching rows pass through
+    * bit-identical); one manifest CAS publishes, the crash window and
+    * time-travel/vacuum semantics are exactly deleteWhere's. Returns
+    * (committed version, segments rewritten, rows updated). */
+  def updateWhere(spark: SparkSession, outDir: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column])
+      : (Long, Int, Long) = {
+    import org.apache.spark.sql.functions.{col, when}
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    require(assignments.nonEmpty, "UPDATE with no assignments")
+    var rewritten = 0
+    var updated = 0L
+    val newSegs = m.segs.zipWithIndex.map { case (seg, i) =>
+      val df = spark.read.parquet(s"$outDir/$seg")
+      val matches = df.filter(cond).count()
+      if (matches == 0L) seg
+      else {
+        updated += matches
+        // One projection: SQL UPDATE evaluates the predicate AND every
+        // right-hand side against the OLD row — chained withColumn
+        // would feed already-updated columns into later assignments.
+        val out = df.select(df.columns.map { c =>
+          assignments.get(c) match {
+            case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        val newSeg = f"seg_u${m.version + 1}%010d_$i"
+        out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+        rewritten += 1
+        newSeg
+      }
+    }
+    if (rewritten == 0) (m.version, 0, 0L)
+    else {
+      require(commitManifest(outDir, m.version + 1, m.maxB, newSegs),
+        s"update at $outDir lost a manifest race at v${m.version + 1}")
+      (m.version + 1, rewritten, updated)
+    }
+  }
+
   /** Start the ingest-with-maintenance stream. Every `compactEvery`
     * batches, live b-segments are compacted into `targetFiles` files.
     * `beforeMaintenanceCommit` is the crash-injection seam: it runs

@@ -81,6 +81,36 @@ class LakeDeleteSpec extends AnyFunSuite with SparkFixture {
     assert(LakeSink.readTable(spark, dir).count() === 7L)
   }
 
+  test("copy-on-write update: rewrite touched, by-reference untouched, old-row RHS") {
+    val dir = buildLake()
+    val preVersion = LakeSink.readManifest(dir).version
+    // cond and RHS both read `v` — the single-projection rule means
+    // every RHS sees the OLD v, so rows at the boundary can't be
+    // double-bumped by their own update.
+    val (ver, rewritten, updated) = LakeSink.updateWhere(
+      spark, dir, col("v") >= 21L, Map("v" -> (col("v") + 100L)))
+    assert(ver === preVersion + 1)
+    assert(rewritten === 2)  // seg_b1 (21, 22) and seg_b2 (30, 31)
+    assert(updated === 4L)
+    val after = LakeSink.readTable(spark, dir)
+    assert(after.agg(sum("v")).head.getLong(0) ===
+      (10 + 11 + 20) + (121 + 122 + 130 + 131))
+    assert(after.count() === 7L)      // UPDATE never changes cardinality
+    assert(LakeSink.readManifest(dir).segs.contains("seg_b0")) // by ref
+    // pre-update version still time-travels to the old values
+    assert(LakeSink.readTableAsOf(spark, dir, preVersion)
+      .agg(sum("v")).head.getLong(0) === 10 + 11 + 20 + 21 + 22 + 30 + 31)
+  }
+
+  test("no-match update commits nothing") {
+    val dir = buildLake()
+    val preVersion = LakeSink.readManifest(dir).version
+    val (ver, rewritten, updated) = LakeSink.updateWhere(
+      spark, dir, col("v") > 1000L, Map("v" -> lit(0L)))
+    assert(ver === preVersion && rewritten === 0 && updated === 0L)
+    assert(LakeSink.readTable(spark, dir).count() === 7L)
+  }
+
   test("crash before the manifest CAS leaves readers on the old version") {
     val dir = buildLake()
     val preVersion = LakeSink.readManifest(dir).version

@@ -452,7 +452,80 @@ object VectorOps {
                FROM scored)
              WHERE rk <= 3 ORDER BY q_id, rk"""))
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into clusters,
+    * then prune documents whose embedding is cosine-close to an
+    * earlier document IN THE SAME CLUSTER — the quadratic pair search
+    * runs per cluster, never across the corpus, which is the whole
+    * trick: with k ∝ √n clusters the expected pair work is O(n²/k) =
+    * O(n^1.5), and at 100 TB each cluster's members co-locate in one
+    * bucket (the IVF assignment table this engine already persists),
+    * so the pair stage is a per-bucket local join with no corpus-wide
+    * shuffle. Within-cluster blocks above a fail-loud cap refuse to
+    * launch (same contract as the other quadratic baselines; the
+    * banded LSH variant is the in-cluster escape hatch at scale).
+    *
+    * Determinism: clusters come from the fixed codebook (vectors 1..8,
+    * argmax bit-exact dot, ties → lowest centroid id); removal rule is
+    * "b is pruned iff some a < b in its cluster has round(sim,6) ≥
+    * 0.35", exemplar = smallest such a — every choice id-tiebroken, so
+    * the DuckDB oracle replays the full pipeline hash-exactly. */
+  private val semDedup = QueryDef(
+    "llm_semdedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("dot", dotProduct(col("embedding"), col("c_emb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("dot").desc, col("c_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("c_id").as("cluster"), col("vec_id"), col("embedding"))
+      val maxCluster = assigned.groupBy("cluster").count()
+        .agg(max("count")).head.getLong(0)
+      require(maxCluster <= 20000L,
+        s"llm_semdedup: largest cluster holds $maxCluster vectors — the " +
+          "exact within-cluster pair stage is quadratic by design and " +
+          "refuses blocks past 20k; raise k (more clusters) or switch " +
+          "the in-cluster stage to the banded LSH variant")
+      val a = assigned.select(col("cluster"),
+        col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = assigned.select(col("cluster"),
+        col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, Seq("cluster"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("sim",
+          round(dotProduct(col("a_emb"), col("b_emb")), 6))
+        .filter(col("sim") >= 0.35)
+        .groupBy(col("cluster"), col("b_id").as("removed_id"))
+        .agg(min("a_id").as("exemplar_id"), max("sim").as("max_sim"))
+        .orderBy("cluster", "removed_id")
+    },
+    Some(s"""WITH cents AS (
+               SELECT vec_id AS c_id, embedding AS c_emb
+               FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+             asg AS (
+               SELECT vec_id, c_id AS cluster, embedding FROM (
+                 SELECT e.vec_id, c.c_id, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqlDot("e.embedding", "c.c_emb")} DESC,
+                              c.c_id ASC) AS rn
+                 FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+             pairs AS (
+               SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+                 round(${sqlDot("a.embedding", "b.embedding")}, 6) AS sim
+               FROM asg a JOIN asg b
+                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+             SELECT cluster, b_id AS removed_id,
+               CAST(min(a_id) AS BIGINT) AS exemplar_id,
+               max(sim) AS max_sim
+             FROM pairs WHERE sim >= 0.35
+             GROUP BY cluster, b_id ORDER BY cluster, removed_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     cosineTopk, annIvf, annLsh, embedNearDup, embedNearDupBanded,
-    embedIncremental, multimodalProject, embedCentroid, knnJoin)
+    embedIncremental, multimodalProject, embedCentroid, knnJoin,
+    semDedup)
 }

@@ -74,7 +74,12 @@ object SuiteScaleProbe {
     * which this probe's 10× corpus exercises: at 20 k vectors the
     * banded query runs 7-bit bands, not the fixture's 4.) */
   private val pairDensity = Set(
-    "llm_dedup_minhash", "llm_dedup_simhash", "llm_embed_neardup_banded")
+    "llm_dedup_minhash", "llm_dedup_simhash", "llm_embed_neardup_banded",
+    // r9: within-cluster pair emitter — replicating the embedding
+    // corpus densifies every cluster, so TRUE qualifying pairs (and
+    // the removed-set) grow superlinearly; 10× run measured rows
+    // 750 → 18 156 at wall 0.98 → 7.02 s, output-bound as designed.
+    "llm_semdedup")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

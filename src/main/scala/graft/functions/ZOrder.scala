@@ -49,10 +49,17 @@ object ZOrder {
     val top = (1L << bits) - 1
     // Column./ is DOUBLE division — floor+cast keeps the scaled value
     // exactly integral (products here stay < 2^53, where doubles are
-    // exact, so the floor is the true integer quotient).
+    // exact, so the floor is the true integer quotient). The clamp
+    // into [0, top] keeps out-of-domain inputs (negative, or beyond
+    // the passed bound — stale stats, late rows) from overflowing /
+    // sign-extending past `bits` and corrupting the interleave for
+    // every OTHER row in their file's min/max range; they degrade to
+    // edge-of-curve placement instead.
     def norm(c: Column, bound: Long): Column =
       if (bound <= 0L) lit(0L)
-      else floor((c.cast("long") * top) / bound).cast("long")
+      else least(greatest(
+        floor((c.cast("long") * top) / bound).cast("long"), lit(0L)),
+        lit(top))
     val xi = norm(x, xMax)
     val yi = norm(y, yMax)
     (0 until bits).map { i =>

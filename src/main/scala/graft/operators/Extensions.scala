@@ -25,6 +25,29 @@ object Extensions {
     * includes the write. */
   import graft.Scratch.{runTag, tmpPath}
 
+  /** Ingest `ev` as up to 4 hash-bucket segments through the manifest
+    * protocol, SKIPPING empty buckets: a committed empty segment would
+    * survive every copy-on-write verb by reference (its match count is
+    * always 0) while being invisible to any oracle derived from the
+    * table's rows — so the committed segment set must be exactly
+    * derivable from the data (ADVICE r9). */
+  private def ingestLakeBuckets(dir: String, ev: DataFrame): Unit = {
+    import graft.streaming.LakeSink
+    // One job decides which buckets exist (vs 4 per-bucket isEmpty
+    // probes); the 4-value aggregate collects trivially.
+    val nonEmpty = ev.groupBy((col("event_id") % 4).as("b")).count()
+      .collect().map(_.getLong(0)).toSet
+    (0 to 3).foreach { i =>
+      if (nonEmpty(i.toLong)) {
+        ev.filter(col("event_id") % 4 === i)
+          .write.mode("overwrite").parquet(s"$dir/seg_b$i")
+        val m = LakeSink.readManifest(dir)
+        require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+          m.segs :+ s"seg_b$i"), s"ingest commit $i lost a race")
+      }
+    }
+  }
+
   /** orders as (key, status, exact price cents). */
   private def ordersCents(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(
@@ -384,13 +407,7 @@ object Extensions {
       val ev = Tables.events(s, d).select(
         col("event_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
-      (0 to 3).foreach { i =>
-        ev.filter(col("event_id") % 4 === i)
-          .write.mode("overwrite").parquet(s"$dir/seg_b$i")
-        val m = LakeSink.readManifest(dir)
-        require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
-          m.segs :+ s"seg_b$i"), s"ingest commit $i lost a race")
-      }
+      ingestLakeBuckets(dir, ev)
       val m = LakeSink.readManifest(dir)
       val bsegs = m.segs.filter(_.startsWith("seg_b"))
       s.read.parquet(bsegs.map(x => s"$dir/$x"): _*)
@@ -440,13 +457,7 @@ object Extensions {
       val ev = Tables.events(s, d).select(
         col("event_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
-      (0 to 3).foreach { i =>
-        ev.filter(col("event_id") % 4 === i)
-          .write.mode("overwrite").parquet(s"$dir/seg_b$i")
-        val m = LakeSink.readManifest(dir)
-        require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
-          m.segs :+ s"seg_b$i"), s"ingest commit $i lost a race")
-      }
+      ingestLakeBuckets(dir, ev)
       val (_, _, _, nDel) =
         LakeSink.deleteWhere(s, dir, col("event_type") === "click")
       val mf = LakeSink.readManifest(dir)
@@ -493,13 +504,7 @@ object Extensions {
       val ev = Tables.events(s, d).select(
         col("event_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
-      (0 to 3).foreach { i =>
-        ev.filter(col("event_id") % 4 === i)
-          .write.mode("overwrite").parquet(s"$dir/seg_b$i")
-        val m = LakeSink.readManifest(dir)
-        require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
-          m.segs :+ s"seg_b$i"), s"ingest commit $i lost a race")
-      }
+      ingestLakeBuckets(dir, ev)
       LakeSink.updateWhere(s, dir, col("event_type") === "error",
         Map("vc" -> (col("vc") + 100L)))
       LakeSink.readTable(s, dir)
@@ -512,6 +517,74 @@ object Extensions {
                 + CASE WHEN event_type = 'error' THEN 100 ELSE 0 END)
                 AS BIGINT) AS sum_cents
             FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Lake MERGE INTO (r10): the third copy-on-write DML verb, via
+    * [[graft.streaming.LakeSink.mergeInto]] — standard `WHEN MATCHED
+    * THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *` upsert
+    * through the same manifest protocol (untouched segments survive by
+    * reference, matched segments rewritten with source rows winning,
+    * unmatched source rows appended as ONE new segment, one manifest
+    * CAS publishes; LakeMergeSpec kill-tests the crash window, the
+    * no-op case, and the duplicate-source-key guard). The delta is
+    * derived deterministically from the events table — every 10th
+    * event repriced (+10.00) plus a synthetic new event per repriced
+    * one — so the oracle recomputes the ENTIRE merged state, the
+    * update/insert counts, and the post-merge segment count from the
+    * events table alone: a lost update, a duplicated insert, a row
+    * resurrected from a replaced segment, or a phantom segment all
+    * fail the hash. */
+  private val sinkLakeMerge = QueryDef(
+    "sink_lake_merge",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_mrg", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val changed = ev.filter(col("event_id") % 10 === 0)
+      val delta = changed
+        .select(col("event_id"), col("event_type"),
+          (col("vc") + 1000L).as("vc"))
+        .unionByName(changed.select(
+          (col("event_id") + 10000000L).as("event_id"),
+          lit("synthetic").as("event_type"), col("vc")))
+      val (_, _, nUpd, nIns) =
+        LakeSink.mergeInto(s, dir, delta, Seq("event_id"))
+      val mf = LakeSink.readManifest(dir)
+      LakeSink.readTable(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
+        .withColumn("n_updated", lit(nUpd))
+        .withColumn("n_inserted", lit(nIns))
+        .withColumn("n_segments", lit(mf.segs.size.toLong))
+        .orderBy("event_type")
+    },
+    // n_segments: every non-empty ingest bucket survives (rewritten or
+    // by reference — MERGE never drops a segment) plus one insert
+    // segment iff the delta has insert rows.
+    Some("""WITH ev AS (
+              SELECT event_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS vc
+              FROM events),
+            merged AS (
+              SELECT event_id, event_type,
+                vc + CASE WHEN event_id % 10 = 0 THEN 1000 ELSE 0 END AS vc
+              FROM ev
+              UNION ALL
+              SELECT event_id + 10000000, 'synthetic', vc
+              FROM ev WHERE event_id % 10 = 0)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(vc) AS BIGINT) AS sum_cents,
+              (SELECT CAST(count(*) AS BIGINT) FROM ev
+                 WHERE event_id % 10 = 0) AS n_updated,
+              (SELECT CAST(count(*) AS BIGINT) FROM ev
+                 WHERE event_id % 10 = 0) AS n_inserted,
+              (SELECT CAST(count(DISTINCT event_id % 4)
+                 + CASE WHEN count(CASE WHEN event_id % 10 = 0 THEN 1 END) > 0
+                   THEN 1 ELSE 0 END AS BIGINT) FROM ev) AS n_segments
+            FROM merged GROUP BY event_type ORDER BY event_type"""))
 
   /** Sort-CLUSTERED table layout (r9): `repartitionByRange(user_id)` +
     * `sortWithinPartitions(user_id, event_id)` before the write, so
@@ -681,6 +754,7 @@ object Extensions {
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
-    sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkClustered,
+    sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkLakeMerge,
+    sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip)
 }

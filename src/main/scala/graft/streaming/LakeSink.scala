@@ -185,31 +185,51 @@ object LakeSink {
     * [[vacuum]]; the old version keeps time-traveling to the
     * pre-delete rows until vacuumed (retention contract unchanged).
     *
+    * NULL predicates follow SQL DELETE: only rows where `cond`
+    * evaluates TRUE are removed; FALSE and NULL rows are both
+    * retained (mirroring updateWhere's `when(cond, …).otherwise`).
+    * `cond` must be deterministic — each touched segment is cached for
+    * the duration of its count + rewrite so the predicate is evaluated
+    * against one materialization, but a non-deterministic predicate
+    * would still make replays/retries diverge from the returned
+    * counts (the same contract every lake DML engine states).
+    *
     * Returns (committed version, segments rewritten, segments dropped,
     * rows deleted); a no-match delete commits nothing and returns the
     * current version. */
   def deleteWhere(spark: SparkSession, outDir: String,
       cond: org.apache.spark.sql.Column): (Long, Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, when}
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     var rewritten = 0
     var dropped = 0
     var deleted = 0L
     val newSegs = m.segs.zipWithIndex.flatMap { case (seg, i) =>
-      val df = spark.read.parquet(s"$outDir/$seg")
-      val matches = df.filter(cond).count()
-      if (matches == 0L) Some(seg)
-      else {
-        deleted += matches
-        val keep = df.filter(!cond)
-        if (keep.isEmpty) { dropped += 1; None }
+      // Segment-sized cache (a segment is one ingest micro-batch /
+      // compaction target, bounded by construction): count + rewrite
+      // read one materialization instead of re-scanning parquet 2-3x.
+      val df = spark.read.parquet(s"$outDir/$seg").cache()
+      try {
+        // One job for both counts — total and predicate-TRUE rows.
+        val Array(total, matches) = df.agg(
+          count(lit(1)), count(when(cond, lit(1)))).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        if (matches == 0L) Some(seg)
         else {
-          val newSeg = f"seg_d${m.version + 1}%010d_$i"
-          keep.write.mode("overwrite").parquet(s"$outDir/$newSeg")
-          rewritten += 1
-          Some(newSeg)
+          deleted += matches
+          if (matches == total) { dropped += 1; None }
+          else {
+            // keep = NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
+            // NULL-predicate rows.
+            val keep = df.filter(!coalesce(cond, lit(false)))
+            val newSeg = f"seg_d${m.version + 1}%010d_$i"
+            keep.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+            rewritten += 1
+            Some(newSeg)
+          }
         }
-      }
+      } finally df.unpersist()
     }
     if (rewritten == 0 && dropped == 0) (m.version, 0, 0, 0L)
     else {
@@ -238,6 +258,12 @@ object LakeSink {
     var updated = 0L
     val newSegs = m.segs.zipWithIndex.map { case (seg, i) =>
       val df = spark.read.parquet(s"$outDir/$seg")
+      // A misspelled assignment column must error, not silently
+      // no-op-rewrite every touched segment.
+      val unknown = assignments.keySet -- df.columns
+      require(unknown.isEmpty,
+        s"UPDATE assigns column(s) not in segment $seg schema: " +
+          unknown.toSeq.sorted.mkString(", "))
       val matches = df.filter(cond).count()
       if (matches == 0L) seg
       else {
@@ -263,6 +289,97 @@ object LakeSink {
         s"update at $outDir lost a manifest race at v${m.version + 1}")
       (m.version + 1, rewritten, updated)
     }
+  }
+
+  /** MERGE INTO (upsert), copy-on-write — the third DML verb, same
+    * protocol as [[deleteWhere]]/[[updateWhere]]. Semantics are the
+    * standard `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    * INSERT *` merge every lake format ships: a target row whose
+    * `keys` match a source row is REPLACED by that source row; source
+    * rows matching no target row are APPENDED as one new segment.
+    *
+    * Plan shape per segment: a broadcast-able semi-join counts the
+    * matches (segments with none survive BY REFERENCE — a merge
+    * touching one day of a year-partitioned lake rewrites one day);
+    * a matching segment is rewritten via LEFT OUTER join to the
+    * source, matched rows taking every source column (marker column,
+    * not coalesce — a legitimately-NULL source value must still win).
+    * Inserts are the source ANTI-joined against the WHOLE live table.
+    * At 100 TB the source is the small side throughout, so every join
+    * here broadcasts and the only large IO is rewriting touched
+    * segments. Nothing is visible until the single manifest CAS; the
+    * crash window and time-travel/vacuum semantics are exactly
+    * deleteWhere's.
+    *
+    * The source must be key-unique (checked — one extra small-side
+    * job): SQL MERGE raises on multiple source matches per target
+    * row, and silently picking one would be nondeterministic. Source
+    * columns must cover the target schema.
+    *
+    * Returns (committed version, segments rewritten, rows updated,
+    * rows inserted); a no-op merge (no matches, empty insert set)
+    * commits nothing. */
+  def mergeInto(spark: SparkSession, outDir: String, source: DataFrame,
+      keys: Seq[String]): (Long, Int, Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, when}
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    require(keys.nonEmpty, "MERGE with no key columns")
+    val targetCols = spark.read.parquet(s"$outDir/${m.segs.head}").columns
+    val missing = targetCols.toSet -- source.columns
+    require(missing.isEmpty,
+      s"MERGE source lacks target column(s): ${missing.toSeq.sorted.mkString(", ")}")
+    val src = source.select(targetCols.map(col).toSeq: _*).cache()
+    try {
+      val dupKeys = src.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+      require(dupKeys.isEmpty,
+        "MERGE source has multiple rows per key — ambiguous match")
+      val marked = src.withColumn("__matched", lit(1))
+      var rewritten = 0
+      var updated = 0L
+      val newSegs = m.segs.zipWithIndex.map { case (seg, i) =>
+        val df = spark.read.parquet(s"$outDir/$seg")
+        val matches = df.join(broadcast(src), keys, "left_semi").count()
+        if (matches == 0L) seg
+        else {
+          updated += matches
+          val joined = df.as("t").join(
+            broadcast(marked).as("s"), keys, "left_outer")
+          // Projection preserves the target schema's column ORDER so
+          // every segment in the lake stays byte-layout-compatible.
+          val out = joined.select(targetCols.map { c =>
+            // using-join merges the key columns (left value survives);
+            // non-keys exist on both sides and need qualification.
+            if (keys.contains(c)) col(c)
+            else when(col("s.__matched").isNotNull, col(s"s.$c"))
+              .otherwise(col(s"t.$c")).as(c)
+          }.toSeq: _*)
+          val newSeg = f"seg_m${m.version + 1}%010d_$i"
+          out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+          rewritten += 1
+          newSeg
+        }
+      }
+      val inserts = src.join(
+        spark.read.parquet(m.segs.map(s => s"$outDir/$s"): _*)
+          .select(keys.map(col).toSeq: _*),
+        keys, "left_anti")
+      val inserted = inserts.count()
+      val finalSegs =
+        if (inserted == 0L) newSegs
+        else {
+          val insSeg = f"seg_m${m.version + 1}%010d_ins"
+          inserts.write.mode("overwrite").parquet(s"$outDir/$insSeg")
+          newSegs :+ insSeg
+        }
+      if (rewritten == 0 && inserted == 0L) (m.version, 0, 0L, 0L)
+      else {
+        require(commitManifest(outDir, m.version + 1, m.maxB, finalSegs),
+          s"merge at $outDir lost a manifest race at v${m.version + 1}")
+        (m.version + 1, rewritten, updated, inserted)
+      }
+    } finally src.unpersist()
   }
 
   /** Start the ingest-with-maintenance stream. Every `compactEvery`

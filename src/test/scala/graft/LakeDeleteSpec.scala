@@ -102,6 +102,37 @@ class LakeDeleteSpec extends AnyFunSuite with SparkFixture {
       .agg(sum("v")).head.getLong(0) === 10 + 11 + 20 + 21 + 22 + 30 + 31)
   }
 
+  test("delete retains NULL-predicate rows (SQL DELETE semantics)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lake_null_del_spec").toString
+    import spark.implicits._
+    // v is nullable: the NULL row's predicate evaluates to NULL, and
+    // SQL DELETE removes only predicate-TRUE rows.
+    Seq((1L, Option(10L)), (2L, Option.empty[Long]), (3L, Option(30L)))
+      .toDF("user_id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/seg_b0")
+    require(LakeSink.commitManifest(dir, 1L, 0L, Seq("seg_b0")))
+    val (_, rewritten, dropped, deleted) =
+      LakeSink.deleteWhere(spark, dir, col("v") > 15L)
+    assert(rewritten === 1 && dropped === 0 && deleted === 1L)
+    val after = LakeSink.readTable(spark, dir)
+    assert(after.count() === 2L) // FALSE row and NULL row both retained
+    assert(after.filter(col("v").isNull).count() === 1L)
+  }
+
+  test("update rejects assignment to a column the schema lacks") {
+    val dir = buildLake()
+    val preVersion = LakeSink.readManifest(dir).version
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.updateWhere(spark, dir, col("v") > 0L,
+        Map("not_a_column" -> lit(0L)))
+    }
+    assert(e.getMessage.contains("not_a_column"))
+    // nothing committed, nothing rewritten
+    assert(LakeSink.readManifest(dir).version === preVersion)
+    assert(LakeSink.readTable(spark, dir).count() === 7L)
+  }
+
   test("no-match update commits nothing") {
     val dir = buildLake()
     val preVersion = LakeSink.readManifest(dir).version

@@ -18,6 +18,10 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // deployment profile: engine functions + the lake DML text
+      // surface are session extensions, exactly as a cluster would
+      // set spark.sql.extensions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session once (executor threads, codegen compiler, shuffle

@@ -54,5 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("split_sentences",
         "split_sentences(text) - generator: one row per sentence as (pos, sentence)"),
       (es: Seq[Expression]) => SentenceSplit(es.head)))
+
+    // SQL DML text surface: DELETE FROM / UPDATE / MERGE INTO against
+    // a LakeCatalog-registered table dispatches to the copy-on-write
+    // manifest protocol (graft.plans.LakeDml).
+    ext.injectResolutionRule(graft.plans.LakeDmlRule)
   }
 }

@@ -586,6 +586,89 @@ object Extensions {
                    THEN 1 ELSE 0 END AS BIGINT) FROM ev) AS n_segments
             FROM merged GROUP BY event_type ORDER BY event_type"""))
 
+  /** SQL DML TEXT surface (r10): the same three protocol verbs, but
+    * submitted as `spark.sql` TEXT — `DELETE FROM` / `UPDATE` /
+    * `MERGE INTO` against a [[graft.streaming.LakeCatalog]]-registered
+    * lake table, dispatched by [[graft.plans.LakeDmlRule]] (injected
+    * via `spark.sql.extensions=graft.GraftExtensions`, the deployment
+    * profile every session here runs) to deleteWhere / updateWhere /
+    * mergeInto. This mirrors how SqlSurface proves the QUERY surface:
+    * the statements are genuinely parsed by Spark's SQL parser and
+    * claimed at analysis time, so the oracle is checking the full
+    * text → parse → protocol → manifest path. Receipts (the DML
+    * commands' returned counts) are folded into the output so a
+    * wrong-count dispatch fails the hash even when the final state is
+    * right. */
+  private val sqlLakeDml = QueryDef(
+    "sql_lake_dml",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_dml", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val tbl = "graft_sql_lake_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      val changed = ev.filter(
+        col("event_type") =!= "click" && col("event_id") % 10 === 0)
+      changed
+        .select(col("event_id"), col("event_type"),
+          (col("vc") + 1000L).as("vc"))
+        .unionByName(changed.select(
+          (col("event_id") + 10000000L).as("event_id"),
+          lit("synthetic").as("event_type"), col("vc")))
+        .createOrReplaceTempView(s"${tbl}_delta")
+      val del = s.sql(
+        s"DELETE FROM $tbl WHERE event_type = 'click'").collect().head
+      val upd = s.sql(
+        s"UPDATE $tbl SET vc = vc + 100 WHERE event_type = 'error'")
+        .collect().head
+      val mrg = s.sql(
+        s"""MERGE INTO $tbl t USING ${tbl}_delta s
+            ON t.event_id = s.event_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""").collect().head
+      LakeSink.readTable(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
+        .withColumn("n_deleted", lit(del.getLong(3)))
+        .withColumn("n_updated", lit(upd.getLong(2)))
+        .withColumn("n_merge_upd", lit(mrg.getLong(2)))
+        .withColumn("n_merge_ins", lit(mrg.getLong(3)))
+        .orderBy("event_type")
+    },
+    // Final state: clicks deleted; errors +1.00; every surviving row
+    // with event_id % 10 = 0 then REPLACED by its delta row (original
+    // cents + 10.00 — merge overrides the update for those rows); one
+    // synthetic insert per replaced row.
+    Some("""WITH ev AS (
+              SELECT event_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS vc
+              FROM events),
+            kept AS (SELECT * FROM ev WHERE event_type <> 'click'),
+            final AS (
+              SELECT event_id, event_type,
+                CASE WHEN event_id % 10 = 0 THEN vc + 1000
+                     WHEN event_type = 'error' THEN vc + 100
+                     ELSE vc END AS vc
+              FROM kept
+              UNION ALL
+              SELECT event_id + 10000000, 'synthetic', vc
+              FROM kept WHERE event_id % 10 = 0)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(vc) AS BIGINT) AS sum_cents,
+              (SELECT CAST(count(*) AS BIGINT) FROM ev
+                 WHERE event_type = 'click') AS n_deleted,
+              (SELECT CAST(count(*) AS BIGINT) FROM ev
+                 WHERE event_type = 'error') AS n_updated,
+              (SELECT CAST(count(*) AS BIGINT) FROM kept
+                 WHERE event_id % 10 = 0) AS n_merge_upd,
+              (SELECT CAST(count(*) AS BIGINT) FROM kept
+                 WHERE event_id % 10 = 0) AS n_merge_ins
+            FROM final GROUP BY event_type ORDER BY event_type"""))
+
   /** Sort-CLUSTERED table layout (r9): `repartitionByRange(user_id)` +
     * `sortWithinPartitions(user_id, event_id)` before the write, so
     * every output file covers a disjoint user range and every parquet
@@ -755,6 +838,6 @@ object Extensions {
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkLakeMerge,
-    sinkClustered,
+    sqlLakeDml, sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip)
 }

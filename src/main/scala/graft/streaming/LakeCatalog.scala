@@ -1,0 +1,33 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+/** Session-wide registry of lake tables (name → manifest-protocol
+  * directory) — the seam that lets SQL DML TEXT reach the
+  * [[LakeSink]] protocol ops. A name registered here is NOT a catalog
+  * table: Spark's analyzer leaves `DELETE FROM name` / `UPDATE name` /
+  * `MERGE INTO name` unresolved (no catalog entry), which is exactly
+  * the window [[graft.plans.LakeDmlRule]] uses to claim the statement
+  * and rewrite it to a runnable protocol command — the same
+  * interception pattern every lake format's Spark connector uses.
+  *
+  * Names are case-insensitive (SQL identifier semantics); multipart
+  * identifiers match on their last part so `lake.t` and `t` both hit
+  * a registration of `t`.
+  */
+object LakeCatalog {
+
+  private val tables = TrieMap.empty[String, String]
+
+  def register(name: String, dir: String): Unit =
+    tables.put(name.toLowerCase(java.util.Locale.ROOT), dir)
+
+  def unregister(name: String): Unit =
+    tables.remove(name.toLowerCase(java.util.Locale.ROOT))
+
+  /** Lake dir for a (possibly multipart) table identifier, if
+    * registered. */
+  def lookup(ident: Seq[String]): Option[String] =
+    ident.lastOption.flatMap(n =>
+      tables.get(n.toLowerCase(java.util.Locale.ROOT)))
+}

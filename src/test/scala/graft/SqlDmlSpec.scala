@@ -1,0 +1,93 @@
+package graft
+
+import graft.streaming.{LakeCatalog, LakeSink}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parse→dispatch tests for the SQL DML text surface
+  * ([[graft.plans.LakeDmlRule]], injected through GraftExtensions —
+  * TestSpark sets `spark.sql.extensions` exactly like a deployment):
+  * DELETE / UPDATE / MERGE submitted as `spark.sql` TEXT must reach
+  * the copy-on-write protocol ops with identical semantics to the
+  * direct API, and tables NOT registered in [[LakeCatalog]] must pass
+  * through to normal analysis (no interception).
+  */
+class SqlDmlSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  /** 2-segment lake registered as `name`: seg0 = users {1,2},
+    * seg1 = users {3,4}. */
+  private def buildLake(name: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_sqldml_$name").toString
+    Seq((0, Seq((1L, 10L), (2L, 20L))), (1, Seq((3L, 30L), (4L, 40L))))
+      .foreach { case (i, rows) =>
+        rows.toDF("user_id", "v")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/seg_b$i")
+        val m = LakeSink.readManifest(dir)
+        require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+          m.segs :+ s"seg_b$i"))
+      }
+    LakeCatalog.register(name, dir)
+    dir
+  }
+
+  test("DELETE FROM text dispatches to deleteWhere") {
+    val dir = buildLake("sqldel_t")
+    val rcpt = spark.sql("DELETE FROM sqldel_t WHERE user_id = 1").collect().head
+    assert(rcpt.getLong(3) === 1L)                      // rows_deleted
+    assert(LakeSink.readManifest(dir).segs.contains("seg_b1")) // by ref
+    val t = LakeSink.readTable(spark, dir)
+    assert(t.count() === 3L)
+    assert(t.filter(col("user_id") === 1L).count() === 0L)
+  }
+
+  test("UPDATE text with expression RHS dispatches to updateWhere") {
+    val dir = buildLake("squpd_t")
+    val rcpt = spark.sql(
+      "UPDATE squpd_t SET v = v * 2 + 1 WHERE user_id >= 3").collect().head
+    assert(rcpt.getLong(2) === 2L)                      // rows_updated
+    assert(LakeSink.readManifest(dir).segs.contains("seg_b0")) // by ref
+    assert(LakeSink.readTable(spark, dir).agg(sum("v")).head.getLong(0)
+      === 10L + 20L + 61L + 81L)
+  }
+
+  test("MERGE INTO text with aliases and a view source dispatches to mergeInto") {
+    val dir = buildLake("sqmrg_t")
+    Seq((2L, 200L), (9L, 90L)).toDF("user_id", "v")
+      .createOrReplaceTempView("sqmrg_delta")
+    val rcpt = spark.sql(
+      """MERGE INTO sqmrg_t t USING sqmrg_delta s
+         ON t.user_id = s.user_id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").collect().head
+    assert(rcpt.getLong(2) === 1L && rcpt.getLong(3) === 1L)
+    assert(LakeSink.readManifest(dir).segs.contains("seg_b1")) // by ref
+    val byId = LakeSink.readTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId === Map(1L -> 10L, 2L -> 200L, 3L -> 30L, 4L -> 40L,
+      9L -> 90L))
+  }
+
+  test("unregistered tables are not intercepted") {
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft_not_a_lake WHERE x = 1").collect()
+    }
+    assert(e.getMessage.contains("graft_not_a_lake") ||
+      e.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("unsupported MERGE shape is rejected with a clear message") {
+    buildLake("sqmrg_bad")
+    Seq((2L, 200L)).toDF("user_id", "v")
+      .createOrReplaceTempView("sqmrg_bad_delta")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO sqmrg_bad t USING sqmrg_bad_delta s
+           ON t.user_id = s.user_id
+           WHEN MATCHED THEN DELETE""").collect()
+    }
+    assert(e.getMessage.contains("lake MERGE"))
+  }
+}

@@ -586,6 +586,57 @@ object Extensions {
                    THEN 1 ELSE 0 END AS BIGINT) FROM ev) AS n_segments
             FROM merged GROUP BY event_type ORDER BY event_type"""))
 
+  /** Lake SCHEMA EVOLUTION (r10): add-column as a METADATA-ONLY commit
+    * ([[graft.streaming.LakeSink.evolveAddColumn]]) — no segment
+    * rewritten, one manifest CAS records the widened schema and bumps
+    * the schema generation. The lake starts narrow (event_id, vc),
+    * evolves to add event_type, then appends a post-evolution segment
+    * carrying the wider schema; the read back through the manifest
+    * reconciles: pre-evolution rows surface NULL event_type (labelled
+    * '(legacy)' for the rollup), post-evolution rows their real value,
+    * with the schema applied AT SCAN — no parquet footer merging, the
+    * property that matters when the lake has a million files
+    * (LakeEvolutionSpec pins the metadata-only commit, time travel
+    * across the boundary, and DML materialization of the new column).
+    * The oracle derives the whole mixed-schema rollup from the events
+    * table via the ingest's own bucketing rule. */
+  private val sinkLakeEvolution = QueryDef(
+    "sink_lake_evolution",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_evo", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("vc"))
+        .write.mode("overwrite").parquet(s"$dir/seg_b0")
+      require(LakeSink.commitManifest(dir, 1L, 0L, Seq("seg_b0")),
+        "evolution ingest commit lost a race")
+      val sv = LakeSink.evolveAddColumn(s, dir, "event_type",
+        org.apache.spark.sql.types.StringType)
+      LakeSink.appendSegment(s, dir,
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("vc"), col("event_type")),
+        "seg_b1")
+      LakeSink.readTable(s, dir)
+        .groupBy(coalesce(col("event_type"), lit("(legacy)"))
+          .as("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
+        .withColumn("schema_version", lit(sv))
+        .orderBy("event_type")
+    },
+    Some("""SELECT
+              CASE WHEN event_id % 2 = 0 THEN '(legacy)' ELSE event_type END
+                AS event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              CAST(1 AS BIGINT) AS schema_version
+            FROM events
+            GROUP BY 1 ORDER BY event_type"""))
+
   /** SQL DML TEXT surface (r10): the same three protocol verbs, but
     * submitted as `spark.sql` TEXT — `DELETE FROM` / `UPDATE` /
     * `MERGE INTO` against a [[graft.streaming.LakeCatalog]]-registered
@@ -838,6 +889,6 @@ object Extensions {
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkLakeMerge,
-    sqlLakeDml, sinkClustered,
+    sqlLakeDml, sinkLakeEvolution, sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip)
 }

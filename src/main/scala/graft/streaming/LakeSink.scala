@@ -49,11 +49,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object LakeSink {
 
-  /** Committed lake state: manifest version, highest ingested
-    * batchId, live segment dirs. */
-  final case class Manifest(version: Long, maxB: Long, segs: Seq[String])
+  /** Committed lake state: manifest version, highest ingested batchId,
+    * live segment dirs, and — since the schema-evolution support — the
+    * table's current schema generation and (for generation > 0) its
+    * full schema as Spark JSON. Keeping the SCHEMA IN THE MANIFEST is
+    * the table-format move that matters at 100 TB: readers never merge
+    * a million parquet footers to discover columns (Spark's
+    * `mergeSchema` is a full metadata scan); the manifest is the one
+    * source of truth, exactly as in Iceberg/Delta. `schemaV == 0` ⇒
+    * pre-evolution lake, schema comes from the (homogeneous) segment
+    * footers as before. */
+  final case class Manifest(version: Long, maxB: Long, segs: Seq[String],
+      schemaV: Long = 0L, schemaJson: Option[String] = None)
 
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
+
+  /** Parse one committed manifest file. Header lines (`maxb=`,
+    * `schemav=`, `schema=`) precede the segment list; segment names
+    * never contain `=` so the split is unambiguous, and old manifests
+    * without the schema headers parse as schemaV 0. */
+  private def parseManifest(outDir: String, v: Long): Manifest = {
+    val lines = Files.readAllLines(
+      manifestDir(outDir).resolve(f"v$v%010d.txt")).asScala
+      .filter(_.nonEmpty).toSeq
+    val (headers, segs) = lines.partition(_.contains("="))
+    val h = headers.map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    val maxB = h.getOrElse("maxb",
+      sys.error(s"manifest v$v at $outDir missing maxb header")).toLong
+    Manifest(v, maxB, segs, h.get("schemav").map(_.toLong).getOrElse(0L),
+      h.get("schema"))
+  }
 
   /** Highest committed manifest. Version 0 = empty lake. */
   def readManifest(outDir: String): Manifest = {
@@ -65,15 +92,7 @@ object LakeSink {
         s.substring(1, 11).toLong }
       .toSeq
     if (versions.isEmpty) Manifest(0L, -1L, Nil)
-    else {
-      val v = versions.max
-      val lines = Files.readAllLines(md.resolve(f"v$v%010d.txt")).asScala
-        .filter(_.nonEmpty).toSeq
-      val maxB = lines.headOption.filter(_.startsWith("maxb="))
-        .map(_.stripPrefix("maxb=").toLong)
-        .getOrElse(sys.error(s"manifest v$v at $outDir missing maxb header"))
-      Manifest(v, maxB, lines.tail)
-    }
+    else parseManifest(outDir, versions.max)
   }
 
   /** Publish manifest version `v` atomically with FAIL-IF-EXISTS
@@ -89,11 +108,16 @@ object LakeSink {
     * On an object store this becomes the conditional put / if-none-
     * match primitive. */
   def commitManifest(outDir: String, v: Long, maxB: Long,
-      segs: Seq[String]): Boolean = {
+      segs: Seq[String], schemaV: Long = 0L,
+      schemaJson: Option[String] = None): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
-    Files.write(tmp, (s"maxb=$maxB" +: segs).mkString("\n").getBytes("UTF-8"))
+    val headers = s"maxb=$maxB" +:
+      (if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
+        schemaJson.map(j => s"schema=$j")
+       else Nil)
+    Files.write(tmp, (headers ++ segs).mkString("\n").getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
       true
@@ -104,12 +128,32 @@ object LakeSink {
     }
   }
 
+  /** Reader honoring the manifest's schema, when one is recorded: the
+    * unified schema is APPLIED to the scan, so pre-evolution segments
+    * surface the added columns as NULL without any footer merging —
+    * the parquet reader fills absent columns per file. */
+  private def reader(spark: SparkSession, m: Manifest) =
+    m.schemaJson.map { j =>
+      spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }.getOrElse(spark.read)
+
+  /** The table's current schema: the manifest's, or (pre-evolution
+    * lakes) the homogeneous segment footer. */
+  def tableSchema(spark: SparkSession, outDir: String,
+      m: Manifest): org.apache.spark.sql.types.StructType =
+    m.schemaJson match {
+      case Some(j) => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case None => spark.read.parquet(s"$outDir/${m.segs.head}").schema
+    }
+
   /** Read the lake AS OF its current committed manifest — exactly the
     * listed segments, never a partially-published one. */
   def readTable(spark: SparkSession, outDir: String): DataFrame = {
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
-    spark.read.parquet(m.segs.map(s => s"$outDir/$s"): _*)
+    reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
   }
 
   /** Number of parquet data files a segment holds (compaction's
@@ -125,10 +169,12 @@ object LakeSink {
       version: Long): DataFrame = {
     val p = manifestDir(outDir).resolve(f"v$version%010d.txt")
     require(Files.exists(p), s"lake at $outDir has no manifest v$version")
-    val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
-    val segs = lines.tail // drop the maxb header
-    require(segs.nonEmpty, s"manifest v$version lists no segments")
-    spark.read.parquet(segs.map(s => s"$outDir/$s"): _*)
+    val m = parseManifest(outDir, version)
+    require(m.segs.nonEmpty, s"manifest v$version lists no segments")
+    // Time travel is schema travel too: each version reads under the
+    // schema IT recorded, so pre-evolution versions surface the
+    // original narrow schema.
+    reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
   }
 
   /** VACUUM: delete segment dirs no retained manifest references, and
@@ -153,10 +199,8 @@ object LakeSink {
       .toSeq.sorted
     if (versions.isEmpty) return (0, 0)
     val retained = versions.takeRight(retainVersions)
-    val live: Set[String] = retained.flatMap { v =>
-      Files.readAllLines(md.resolve(f"v$v%010d.txt")).asScala
-        .filter(_.nonEmpty).drop(1) // maxb header
-    }.toSet
+    val live: Set[String] =
+      retained.flatMap(v => parseManifest(outDir, v).segs).toSet
     val segDirs = Files.list(Paths.get(outDir)).iterator().asScala
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("seg_"))
@@ -209,7 +253,7 @@ object LakeSink {
       // Segment-sized cache (a segment is one ingest micro-batch /
       // compaction target, bounded by construction): count + rewrite
       // read one materialization instead of re-scanning parquet 2-3x.
-      val df = spark.read.parquet(s"$outDir/$seg").cache()
+      val df = reader(spark, m).parquet(s"$outDir/$seg").cache()
       try {
         // One job for both counts — total and predicate-TRUE rows.
         val Array(total, matches) = df.agg(
@@ -233,7 +277,8 @@ object LakeSink {
     }
     if (rewritten == 0 && dropped == 0) (m.version, 0, 0, 0L)
     else {
-      require(commitManifest(outDir, m.version + 1, m.maxB, newSegs),
+      require(commitManifest(outDir, m.version + 1, m.maxB, newSegs,
+        m.schemaV, m.schemaJson),
         s"delete at $outDir lost a manifest race at v${m.version + 1}")
       (m.version + 1, rewritten, dropped, deleted)
     }
@@ -257,7 +302,7 @@ object LakeSink {
     var rewritten = 0
     var updated = 0L
     val newSegs = m.segs.zipWithIndex.map { case (seg, i) =>
-      val df = spark.read.parquet(s"$outDir/$seg")
+      val df = reader(spark, m).parquet(s"$outDir/$seg")
       // A misspelled assignment column must error, not silently
       // no-op-rewrite every touched segment.
       val unknown = assignments.keySet -- df.columns
@@ -285,10 +330,56 @@ object LakeSink {
     }
     if (rewritten == 0) (m.version, 0, 0L)
     else {
-      require(commitManifest(outDir, m.version + 1, m.maxB, newSegs),
+      require(commitManifest(outDir, m.version + 1, m.maxB, newSegs,
+        m.schemaV, m.schemaJson),
         s"update at $outDir lost a manifest race at v${m.version + 1}")
       (m.version + 1, rewritten, updated)
     }
+  }
+
+  /** SCHEMA EVOLUTION: add a nullable column — a METADATA-ONLY commit,
+    * the defining property of lake-format evolution (Iceberg/Delta
+    * ADD COLUMN): zero segments rewritten, one manifest CAS that bumps
+    * the schema generation and records the widened schema. Readers of
+    * the new version see the column as NULL on every pre-evolution
+    * segment (schema applied at scan, absent-column fill — no footer
+    * merging); time travel to older versions reads under THEIR
+    * recorded schema. Subsequent DML rewrites materialize the column
+    * in whatever segments they touch. Returns the new schema
+    * generation. */
+  def evolveAddColumn(spark: SparkSession, outDir: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    val cur = tableSchema(spark, outDir, m)
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists in lake at $outDir")
+    val wider = cur.add(name, dataType, nullable = true)
+    require(commitManifest(outDir, m.version + 1, m.maxB, m.segs,
+      m.schemaV + 1, Some(wider.json)),
+      s"schema evolution at $outDir lost a manifest race")
+    m.schemaV + 1
+  }
+
+  /** Append `df` as one new segment through the manifest protocol,
+    * preserving the table's schema generation. The segment must match
+    * the CURRENT schema's column names in order — post-evolution
+    * appends carry the wider schema; old readers via time travel never
+    * see them. Returns the committed version. */
+  def appendSegment(spark: SparkSession, outDir: String, df: DataFrame,
+      seg: String): Long = {
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    require(!m.segs.contains(seg), s"segment $seg already committed")
+    val expected = tableSchema(spark, outDir, m).fieldNames.toSeq
+    require(df.columns.toSeq == expected,
+      s"appendSegment schema mismatch: got ${df.columns.mkString(",")}, " +
+        s"table is ${expected.mkString(",")}")
+    df.write.mode("overwrite").parquet(s"$outDir/$seg")
+    require(commitManifest(outDir, m.version + 1, m.maxB, m.segs :+ seg,
+      m.schemaV, m.schemaJson),
+      s"append at $outDir lost a manifest race at v${m.version + 1}")
+    m.version + 1
   }
 
   /** MERGE INTO (upsert), copy-on-write — the third DML verb, same
@@ -325,7 +416,7 @@ object LakeSink {
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     require(keys.nonEmpty, "MERGE with no key columns")
-    val targetCols = spark.read.parquet(s"$outDir/${m.segs.head}").columns
+    val targetCols = tableSchema(spark, outDir, m).fieldNames
     val missing = targetCols.toSet -- source.columns
     require(missing.isEmpty,
       s"MERGE source lacks target column(s): ${missing.toSeq.sorted.mkString(", ")}")
@@ -339,7 +430,7 @@ object LakeSink {
       var rewritten = 0
       var updated = 0L
       val newSegs = m.segs.zipWithIndex.map { case (seg, i) =>
-        val df = spark.read.parquet(s"$outDir/$seg")
+        val df = reader(spark, m).parquet(s"$outDir/$seg")
         val matches = df.join(broadcast(src), keys, "left_semi").count()
         if (matches == 0L) seg
         else {
@@ -362,7 +453,7 @@ object LakeSink {
         }
       }
       val inserts = src.join(
-        spark.read.parquet(m.segs.map(s => s"$outDir/$s"): _*)
+        reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
           .select(keys.map(col).toSeq: _*),
         keys, "left_anti")
       val inserted = inserts.count()
@@ -375,7 +466,8 @@ object LakeSink {
         }
       if (rewritten == 0 && inserted == 0L) (m.version, 0, 0L, 0L)
       else {
-        require(commitManifest(outDir, m.version + 1, m.maxB, finalSegs),
+        require(commitManifest(outDir, m.version + 1, m.maxB, finalSegs,
+          m.schemaV, m.schemaJson),
           s"merge at $outDir lost a manifest race at v${m.version + 1}")
         (m.version + 1, rewritten, updated, inserted)
       }
@@ -410,7 +502,7 @@ object LakeSink {
                 new java.io.File(s"$outDir/$seg"))
               true
             } else commitManifest(outDir, m.version + 1, batchId,
-              m.segs :+ seg)
+              m.segs :+ seg, m.schemaV, m.schemaJson)
         }
         if (batchId % compactEvery == (compactEvery - 1)) {
           val m = readManifest(outDir)
@@ -422,7 +514,8 @@ object LakeSink {
               .write.mode("overwrite").parquet(s"$outDir/$cseg")
             beforeMaintenanceCommit(batchId)
             if (commitManifest(outDir, m.version + 1, m.maxB,
-                m.segs.filterNot(bsegs.contains) :+ cseg)) {
+                m.segs.filterNot(bsegs.contains) :+ cseg,
+                m.schemaV, m.schemaJson)) {
               // now-orphaned inputs: invisible to every reader; removal
               // is best-effort hygiene, crash-safe to skip
               bsegs.foreach { s =>

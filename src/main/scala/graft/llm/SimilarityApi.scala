@@ -154,11 +154,23 @@ object SimilarityApi {
     *
     * Embeddings are assumed L2-normalized (dot == cosine); centroid
     * means are re-normalized each round so the similarity stays
-    * spherical. */
+    * spherical.
+    *
+    * `roundDims >= 0` rounds each centroid dimension (as a double) to
+    * that many decimals BEFORE the float cast and re-normalization.
+    * The mean is the one non-reproducible step across engines and
+    * partitionings (FP summation order; ~1e-13 relative wobble on
+    * these corpora), so rounding at a grain eight orders of magnitude
+    * coarser makes the trained codebook — and everything assigned
+    * against it — bit-exact cross-engine, the same rounding contract
+    * `agg_stats` documents. Leave at -1 for full precision when no
+    * oracle needs to replay the training. */
   def kmeans(emb: DataFrame, idCol: String, embCol: String, k: Int,
-      iterations: Int): DataFrame = {
+      iterations: Int, roundDims: Int = -1): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val dimExpr = if (roundDims >= 0) s"round(d.dim_avg, $roundDims)"
+                  else "d.dim_avg"
     var codebook = emb.orderBy(col(idCol).asc).limit(k)
       .select(col(idCol), col(embCol))
       .collect().zipWithIndex
@@ -170,9 +182,9 @@ object SimilarityApi {
         .groupBy(col("cluster").as("c_id"))
         .agg(collect_list(struct(col("pos"), col("dim_avg"))).as("dims"))
         .withColumn("c_emb", expr(
-          """transform(array_sort(dims, (a, b) -> CASE WHEN a.pos < b.pos THEN -1
+          s"""transform(array_sort(dims, (a, b) -> CASE WHEN a.pos < b.pos THEN -1
             |  WHEN a.pos > b.pos THEN 1 ELSE 0 END),
-            |  d -> CAST(d.dim_avg AS FLOAT))""".stripMargin))
+            |  d -> CAST($dimExpr AS FLOAT))""".stripMargin))
         .select("c_id", "c_emb")
       // re-normalize to unit length (spherical k-means step), then
       // materialize: the codebook is k×dim (tiny), and collecting it

@@ -586,6 +586,43 @@ object Extensions {
                    THEN 1 ELSE 0 END AS BIGINT) FROM ev) AS n_segments
             FROM merged GROUP BY event_type ORDER BY event_type"""))
 
+  /** LAYOUT-PRESERVING lake compaction (r10): ties the manifest
+    * protocol to the `sink_clustered` skipping lever —
+    * [[graft.streaming.LakeSink.compact]] with `clusterBy` rewrites
+    * the lake's segments into ONE segment range-partitioned + sorted
+    * on user_id, so the rewrite compaction pays anyway also buys
+    * row-group min/max locality on the query key (LakeCompactionSpec
+    * MEASURES the skip on the compacted output and the no-op/time
+    * -travel contract). The oracle pins answer identity (exact-cents
+    * per-user rollup through the compacted manifest read) plus the
+    * post-compaction segment count. */
+  private val sinkLakeCompactClustered = QueryDef(
+    "sink_lake_compact_clustered",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_cc", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev) // event_id buckets: users scattered
+      LakeSink.compact(s, dir, targetFiles = 4, clusterBy = Seq("user_id"))
+      val mf = LakeSink.readManifest(dir)
+      LakeSink.readTable(s, dir)
+        .filter(col("user_id") <= 50)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
+        .withColumn("n_segments", lit(mf.segs.size.toLong))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              CAST(1 AS BIGINT) AS n_segments
+            FROM events WHERE user_id <= 50
+            GROUP BY user_id ORDER BY user_id"""))
+
   /** Lake SCHEMA EVOLUTION (r10): add-column as a METADATA-ONLY commit
     * ([[graft.streaming.LakeSink.evolveAddColumn]]) — no segment
     * rewritten, one manifest CAS records the widened schema and bumps
@@ -889,6 +926,6 @@ object Extensions {
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkLakeMerge,
-    sqlLakeDml, sinkLakeEvolution, sinkClustered,
+    sqlLakeDml, sinkLakeEvolution, sinkLakeCompactClustered, sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip)
 }

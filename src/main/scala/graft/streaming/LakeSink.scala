@@ -337,6 +337,42 @@ object LakeSink {
     }
   }
 
+  /** MAINTENANCE COMPACTION as a standalone protocol op, with an
+    * optional LAYOUT-PRESERVING mode: `clusterBy` non-empty rewrites
+    * the compacted segment range-partitioned + sorted on those
+    * columns, so compaction and the `sink_clustered` skipping lever
+    * compose — the rewrite every compaction pays anyway ALSO buys
+    * row-group/page min-max locality on the cluster keys, instead of
+    * concatenating segments into a layout-less blob that a later
+    * OPTIMIZE would have to rewrite again. Same crash contract as the
+    * streaming compaction: the segment is fully written before the one
+    * manifest CAS; a crash in between leaves readers on the old
+    * version and an orphan dir for [[vacuum]]. Schema generation is
+    * propagated. Returns (committed version, input segments compacted);
+    * a 0/1-segment lake is a no-op. */
+  def compact(spark: SparkSession, outDir: String, targetFiles: Int = 2,
+      clusterBy: Seq[String] = Nil): (Long, Int) = {
+    import org.apache.spark.sql.functions.col
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    if (m.segs.size <= 1) return (m.version, 0)
+    val df = reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
+    val out =
+      if (clusterBy.isEmpty) df.repartition(targetFiles)
+      else df.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val cseg = f"seg_c${m.version + 1}%010d"
+    out.write.mode("overwrite").parquet(s"$outDir/$cseg")
+    require(commitManifest(outDir, m.version + 1, m.maxB, Seq(cseg),
+      m.schemaV, m.schemaJson),
+      s"compaction at $outDir lost a manifest race at v${m.version + 1}")
+    // Input segments stay on disk (DML convention: the pre-compaction
+    // version keeps time-traveling until vacuum) — unlike the
+    // streaming path's eager cleanup, this op follows the
+    // delete/update/merge retention contract.
+    (m.version + 1, m.segs.size)
+  }
+
   /** SCHEMA EVOLUTION: add a nullable column — a METADATA-ONLY commit,
     * the defining property of lake-format evolution (Iceberg/Delta
     * ADD COLUMN): zero segments rewritten, one manifest CAS that bumps

@@ -200,19 +200,29 @@ object StreamBench {
     // arrives and the stream inner output equals the batch join; the
     // 10-min-coarser watermark of big batches widens state temporarily
     // but cannot change the emitted inner matches).
-    locally {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "8")
+    // Run once per STATE-STORE PROVIDER (r10, VERDICT r9 #8): the p50
+    // floor of the stateful pipelines is per-partition store commit
+    // work, so the HDFS-backed default and RocksDB are A/B'd on the
+    // SAME deploy shape, each run asserted row-for-row identical to
+    // the batch twin — the provider is an operational knob and must
+    // never change results.
+    def deployJoin(name: String, provider: Option[String]): Unit = {
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevShuffle = spark.conf.get(shuffleKey)
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(shuffleKey, "8")
+      provider.foreach(spark.conf.set(provKey, _))
+      val sink = s"graft_ss_deploy_$name".replace('-', '_')
       try {
         val cIn = MemoryStream[Event]
         val pIn = MemoryStream[Event]
         val cc = chunksOf(clicks, 4)
         val pc = chunksOf(purchases, 4)
-        results += measure("stream_ss_inner_deploy",
+        results += measure(name,
             (clicks.size + purchases.size).toLong) {
           () => StreamOps.streamStreamEnrich(cIn.toDF(), pIn.toDF())
-            .writeStream.format("memory").queryName("graft_ss_deploy")
+            .writeStream.format("memory").queryName(sink)
             .outputMode("append").start()
         } { q =>
           cc.zipAll(pc, Seq.empty[Event], Seq.empty[Event]).foreach {
@@ -228,18 +238,27 @@ object StreamBench {
             unix_micros(col("purchase_ts")).as("pt"), col("value"))
           .orderBy("click_id", "purchase_id")
           .collect().map(_.mkString("|"))
-        val got = canon(spark.table("graft_ss_deploy"))
+        val got = canon(spark.table(sink))
         val exp = canon(StreamOps.streamStreamEnrich(
           spark.createDataset(clicks).toDF(),
           spark.createDataset(purchases).toDF()))
         require(got.length == exp.length && got.sameElements(exp),
-          s"deploy-shape join diverged from batch twin: " +
+          s"deploy-shape join ($name) diverged from batch twin: " +
             s"${got.length} vs ${exp.length} rows")
-        println(s"[streambench] stream_ss_inner_deploy identity: " +
+        println(s"[streambench] $name identity: " +
           s"${got.length} rows, row-for-row match vs batch twin")
-        spark.catalog.dropTempView("graft_ss_deploy")
-      } finally spark.conf.set(key, prev)
+        spark.catalog.dropTempView(sink)
+      } finally {
+        spark.conf.set(shuffleKey, prevShuffle)
+        prevProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None => spark.conf.unset(provKey)
+        }
+      }
     }
+    deployJoin("stream_ss_inner_deploy", None) // HDFS-backed default
+    deployJoin("stream_ss_inner_deploy_rocksdb", Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
 
     // ---- LLM document pipelines --------------------------------------
     locally {

@@ -355,7 +355,86 @@ object PipelineOps {
                  AS tok_share
              FROM t ORDER BY lang, source"""))
 
+  /** BM25 top-10 retrieval for a fixed 3-term query — the lexical
+    * scorer behind every "retrieve then train/evaluate" loop (and the
+    * standard hybrid partner to [[graft.llm.VectorOps]]'s dense
+    * cosine top-k). Log-free idf variant `(N - df + ½)/(df + ½)` (the
+    * same monotone-transform discipline as [[tfidf]] — both engines'
+    * `ln` differ in the last ulp, rational arithmetic does not);
+    * k1 = 1.2, b = 0.75 as usual. Determinism: every division/multiply
+    * in the identical order on both engines, and the ≤3 per-term
+    * components are summed in FIXED term order via conditional
+    * aggregates (a plain SUM may reduce in any order — last-ulp
+    * nondeterminism), then rounded to 6dp before ranking.
+    *
+    * Plan shape at 100 TB: tf touches only rows containing the query
+    * terms (filter below the aggregate), df/N/avgdl are tiny
+    * broadcast sides, and the top-10 is TakeOrderedAndProject — no
+    * global sort, no global window. */
+  private val bm25TopK = QueryDef(
+    "llm_bm25_topk",
+    (s, d) => {
+      val terms = Seq("spark", "vector", "stream")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val dl = docs.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+      val g = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast("long")).as("total"))
+      val tf = docs.select(col("doc_id"), explode(col("t")).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val comp = tf.join(dl, "doc_id")
+        .join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(g))
+        .withColumn("c", expr(
+          """((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5D)
+            |   / (CAST(df AS DOUBLE) + 0.5D))
+            | * ((CAST(tf AS DOUBLE) * 2.2D)
+            |   / (CAST(tf AS DOUBLE) + 1.2D * (0.25D + 0.75D
+            |      * (CAST(dl AS DOUBLE)
+            |         / (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"""
+            .stripMargin))
+      comp.groupBy("doc_id")
+        .agg(round(
+          coalesce(sum(when(col("token") === "spark", col("c"))), lit(0.0d)) +
+          coalesce(sum(when(col("token") === "vector", col("c"))), lit(0.0d)) +
+          coalesce(sum(when(col("token") === "stream", col("c"))), lit(0.0d)),
+          6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+                 dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+                 g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(len(t)) AS BIGINT) AS total FROM toks),
+                 tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                        FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+                        WHERE token IN ('spark', 'vector', 'stream')
+                        GROUP BY doc_id, token),
+                 dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                           FROM tf GROUP BY token),
+                 comp AS (SELECT tf.doc_id, tf.token,
+                     ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+                     * ((CAST(tf AS DOUBLE) * 2.2)
+                        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                           * (CAST(dl.dl AS DOUBLE)
+                              / (CAST(g.total AS DOUBLE)
+                                 / CAST(g.n_docs AS DOUBLE)))))) AS c
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                   JOIN dfreq ON tf.token = dfreq.token CROSS JOIN g)
+            SELECT doc_id,
+              round(coalesce(sum(CASE WHEN token = 'spark' THEN c END), 0)
+                + coalesce(sum(CASE WHEN token = 'vector' THEN c END), 0)
+                + coalesce(sum(CASE WHEN token = 'stream' THEN c END), 0), 6)
+                AS score
+            FROM comp GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10"""))
+
   val defs: Seq[QueryDef] = Seq(
     trainSplit, shardAssign, packSequences, docChunk,
-    sampleStratified, sampleWeighted, quantize, tfidf, piiScrub, domainMix)
+    sampleStratified, sampleWeighted, quantize, tfidf, piiScrub, domainMix,
+    bm25TopK)
 }

@@ -922,10 +922,178 @@ object Extensions {
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Manifest SEGMENT STATS + file skipping (r10): the lake records
+    * per-segment min/max for the event-time key at commit, and a
+    * time-range read consults ONE manifest to skip every segment whose
+    * bounds are disjoint — Delta data skipping / Iceberg manifest
+    * filtering, the planning move that turns "open 3M segments" into
+    * "open the 3 that overlap" on a 100 TB time-ordered lake. The
+    * ingest is time-bucketed (4 range-disjoint segments over the ts
+    * span quartiles — the layout a time-ordered micro-batch stream
+    * produces naturally), the probe range is the second quartile's
+    * actual [min,max], so exactly ONE segment may overlap; the oracle
+    * replays the quartile arithmetic on the events table and derives
+    * the scanned-segment count as the distinct buckets holding
+    * in-range rows — a segment skipped that held matching rows (wrong
+    * answer) or scanned that could not (no skipping) both fail the
+    * hash. LakeStatsSpec covers the pruned-DML and stats-propagation
+    * paths. */
+  private val sinkLakeStatsPrune = QueryDef(
+    "sink_lake_stats_prune",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_stp", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("tse"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      val b0 = ev.agg(min("tse"), max("tse")).head()
+      val (t0, t1) = (b0.getLong(0), b0.getLong(1))
+      val span = t1 - t0 + 1
+      val withB = ev.withColumn("b", expr(s"((tse - $t0) * 4) div $span"))
+      val nonEmpty = withB.groupBy("b").count()
+        .collect().map(_.getLong(0)).toSet
+      (0 to 3).foreach { i =>
+        if (nonEmpty(i.toLong)) {
+          val seg = s"seg_b$i"
+          withB.filter(col("b") === i).drop("b")
+            .write.mode("overwrite").parquet(s"$dir/$seg")
+          val m = LakeSink.readManifest(dir)
+          require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+            m.segs :+ seg, m.schemaV, m.schemaJson,
+            m.stats + (seg -> LakeSink.segmentStats(
+              s.read.parquet(s"$dir/$seg"), Seq("tse")))),
+            s"stats ingest commit $i lost a race")
+        }
+      }
+      val pb = withB.filter(col("b") === 1).agg(min("tse"), max("tse")).head()
+      require(!pb.isNullAt(0),
+        "time-quartile bucket 1 is empty — probe range undefined")
+      val (lo, hi) = (pb.getLong(0), pb.getLong(1))
+      val (sel, scanned, total) = LakeSink.readTableWhere(s, dir, "tse", lo, hi)
+      sel.agg(
+        lit(total.toLong).as("n_segments"),
+        lit(scanned.size.toLong).as("n_scanned"),
+        count(lit(1)).as("n_rows"),
+        sum("vc").as("sum_cents"))
+    },
+    Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS tse,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+                 sp AS (SELECT min(tse) AS t0, max(tse) AS t1 FROM e),
+                 b AS (SELECT e.*, ((tse - t0) * 4) // (t1 - t0 + 1) AS bkt
+                       FROM e CROSS JOIN sp),
+                 pr AS (SELECT min(tse) AS lo, max(tse) AS hi
+                        FROM b WHERE bkt = 1)
+            SELECT
+              (SELECT CAST(count(DISTINCT bkt) AS BIGINT) FROM b)
+                AS n_segments,
+              CAST(count(DISTINCT bkt) AS BIGINT) AS n_scanned,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(vc) AS BIGINT) AS sum_cents
+            FROM b CROSS JOIN pr WHERE tse BETWEEN lo AND hi"""))
+
+  /** Lake CHANGE FEED (r10): incremental consumption by manifest diff
+    * — the rows added between two committed versions are exactly the
+    * segments the later manifest lists that the earlier one does not,
+    * planned with zero data IO ([[graft.streaming.LakeSink
+    * .changesBetween]]; the append-only-window contract and the
+    * DML-in-window refusal are spec'd in LakeStatsSpec). This is how a
+    * downstream consumer tails a 100 TB lake: read the delta segments,
+    * never rescan history. The query ingests 4 hash buckets as 4
+    * versions, then reads the feed from after-the-second-commit to
+    * head; the oracle recomputes the same delta membership from the
+    * events table's own bucket rule — a duplicated, lost, or
+    * history-re-emitted row fails the hash. */
+  private val sinkLakeChangefeed = QueryDef(
+    "sink_lake_changefeed",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_cf", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      val nonEmpty = ev.groupBy((col("event_id") % 4).as("b")).count()
+        .collect().map(_.getLong(0)).toSet
+      var fromV = 0L
+      (0 to 3).foreach { i =>
+        if (nonEmpty(i.toLong)) {
+          ev.filter(col("event_id") % 4 === i)
+            .write.mode("overwrite").parquet(s"$dir/seg_b$i")
+          val m = LakeSink.readManifest(dir)
+          require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+            m.segs :+ s"seg_b$i"), s"cf ingest commit $i lost a race")
+        }
+        // Cursor position a consumer checkpointed after the first two
+        // ingest rounds (whether or not their buckets had data).
+        if (i == 1) fromV = LakeSink.readManifest(dir).version
+      }
+      val toV = LakeSink.readManifest(dir).version
+      LakeSink.changesBetween(s, dir, fromV, toV)
+        .groupBy((col("event_id") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("vc").as("sum_cents"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT event_id % 4 AS bucket,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents
+            FROM events WHERE event_id % 4 >= 2
+            GROUP BY 1 ORDER BY bucket"""))
+
+  /** CDC APPLY (r10): a change-data stream materialized into the lake
+    * as latest-row-per-key, by applying time-ordered delta batches
+    * through [[graft.streaming.LakeSink.mergeInto]] — the standard
+    * "CDC upsert via MERGE in foreachBatch" pattern every lake
+    * pipeline runs (the incremental MemoryStream version is spec'd in
+    * LakeStatsSpec; this is its oracle-checkable batch twin, same
+    * protocol code). Events are split into 3 time tranches; each
+    * tranche is deduped to its latest row per user (ts, then event_id
+    * — SQL MERGE requires key-unique sources) and merged in order, so
+    * the final table must hold exactly the globally-latest row per
+    * user. The oracle computes that directly with one window over the
+    * events table — a lost update, a stale row resurrected from a
+    * replaced segment, or an out-of-order apply all fail the hash. */
+  private val sinkLakeCdc = QueryDef(
+    "sink_lake_cdc",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      import org.apache.spark.sql.expressions.Window
+      val dir = tmpPath("graft_lake_cdc", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("tse"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      val b0 = ev.agg(min("tse"), max("tse")).head()
+      val (t0, t1) = (b0.getLong(0), b0.getLong(1))
+      val span = t1 - t0 + 1
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tse").desc, col("event_id").desc)
+      def tranche(i: Int): DataFrame = ev
+        .filter(expr(s"((tse - $t0) * 3) div $span") === i)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+      tranche(0).write.mode("overwrite").parquet(s"$dir/seg_b0")
+      require(LakeSink.commitManifest(dir, 1L, 0L, Seq("seg_b0")),
+        "cdc bootstrap commit lost a race")
+      LakeSink.mergeInto(s, dir, tranche(1), Seq("user_id"))
+      LakeSink.mergeInto(s, dir, tranche(2), Seq("user_id"))
+      LakeSink.readTable(s, dir).orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id, tse, vc FROM (
+              SELECT user_id, event_id, epoch_us(ts) AS tse,
+                CAST(round(value * 100) AS BIGINT) AS vc,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+              FROM events)
+            WHERE rk = 1 ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkLakeMerge,
     sqlLakeDml, sinkLakeEvolution, sinkLakeCompactClustered, sinkClustered,
-    sinkZorder, sinkBloom, orcRoundtrip)
+    sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
+    sinkLakeChangefeed, sinkLakeCdc)
 }

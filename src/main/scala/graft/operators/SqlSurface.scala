@@ -1018,11 +1018,42 @@ object SqlSurface {
                   AND l2.l_shipdate <  TIMESTAMP '2000-01-01'))
             ORDER BY s_name"""))
 
+  /** RECURSIVE CTE (r10): `WITH RECURSIVE` lands in Spark 4.x as the
+    * `UnionLoop` operator — the anchor seeds the working set, the
+    * recursive leg re-executes against the previous iteration until
+    * empty. The walk here divides each part key by 2 until it reaches
+    * 1 (a pointer-chase to the root of an implicit binary hierarchy —
+    * the relational shape of BOM explosions and org-chart rollups),
+    * then histograms the chain depths. Iteration count is
+    * log2(max key) — bounded and partition-parallel per step; DuckDB
+    * runs the identical recursion as the oracle. */
+  private val sqlRecursiveCte = QueryDef(
+    "sql_recursive_cte",
+    (s, d) => {
+      withViews(s, d)
+      s.sql("""WITH RECURSIVE chain AS (
+                 SELECT p_partkey AS node, p_partkey AS cur,
+                   CAST(0 AS BIGINT) AS depth
+                 FROM v_part
+                 UNION ALL
+                 SELECT node, cur div 2, depth + 1 FROM chain WHERE cur > 1)
+               SELECT depth, count(*) AS n FROM chain WHERE cur = 1
+               GROUP BY depth ORDER BY depth""")
+    },
+    Some("""WITH RECURSIVE chain AS (
+              SELECT p_partkey AS node, p_partkey AS cur,
+                CAST(0 AS BIGINT) AS depth
+              FROM part
+              UNION ALL
+              SELECT node, cur // 2, depth + 1 FROM chain WHERE cur > 1)
+            SELECT depth, CAST(count(*) AS BIGINT) AS n FROM chain
+            WHERE cur = 1 GROUP BY depth ORDER BY depth"""))
+
   val defs: Seq[QueryDef] = Seq(
     subqueryScalar, subqueryIn, subqueryExists, subqueryNotIn,
     sqlLateralTopn, sqlTpchQ2, sqlTpchQ3, sqlTpchQ4, sqlTpchQ5,
     sqlTpchQ6, sqlTpchQ7, sqlTpchQ8, sqlTpchQ9, sqlTpchQ10,
     sqlTpchQ11, sqlTpchQ12, sqlTpchQ13, sqlTpchQ14, sqlTpchQ15,
     sqlTpchQ16, sqlTpchQ17, sqlTpchQ18, sqlTpchQ19, sqlTpchQ20,
-    sqlTpchQ21, sqlTpchQ22, groupingSets)
+    sqlTpchQ21, sqlTpchQ22, groupingSets, sqlRecursiveCte)
 }

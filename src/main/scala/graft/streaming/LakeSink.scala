@@ -58,28 +58,56 @@ object LakeSink {
     * `mergeSchema` is a full metadata scan); the manifest is the one
     * source of truth, exactly as in Iceberg/Delta. `schemaV == 0` ⇒
     * pre-evolution lake, schema comes from the (homogeneous) segment
-    * footers as before. */
+    * footers as before.
+    *
+    * `stats` carries per-segment min/max for BIGINT columns the writer
+    * chose to track (time keys, id keys — the deployment profile
+    * stores event time as epoch-µs BIGINT precisely so it has usable
+    * stats). Stats in the MANIFEST, not parquet footers, is the
+    * Delta/Iceberg file-skipping design: planning a selective read or
+    * DML over a million-segment lake consults one manifest instead of
+    * opening a million footers. Stats are advisory bounds — a segment
+    * with no recorded stats for a column is always scanned, so readers
+    * stay correct on mixed lakes. */
   final case class Manifest(version: Long, maxB: Long, segs: Seq[String],
-      schemaV: Long = 0L, schemaJson: Option[String] = None)
+      schemaV: Long = 0L, schemaJson: Option[String] = None,
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
+    /** Columns any live segment tracks stats for. */
+    def trackedCols: Seq[String] =
+      stats.values.flatMap(_.keys).toSeq.distinct.sorted
+  }
 
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
 
   /** Parse one committed manifest file. Header lines (`maxb=`,
-    * `schemav=`, `schema=`) precede the segment list; segment names
-    * never contain `=` so the split is unambiguous, and old manifests
-    * without the schema headers parse as schemaV 0. */
+    * `schemav=`, `schema=`, repeated `stats=seg|col|min|max`) precede
+    * the segment list; segment names never contain `=` so the split is
+    * unambiguous, and old manifests without the newer headers parse as
+    * schemaV 0 / no stats. */
   private def parseManifest(outDir: String, v: Long): Manifest = {
     val lines = Files.readAllLines(
       manifestDir(outDir).resolve(f"v$v%010d.txt")).asScala
       .filter(_.nonEmpty).toSeq
     val (headers, segs) = lines.partition(_.contains("="))
-    val h = headers.map { l =>
+    val (statLines, scalarHeaders) = headers.partition(_.startsWith("stats="))
+    val h = scalarHeaders.map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
     }.toMap
     val maxB = h.getOrElse("maxb",
       sys.error(s"manifest v$v at $outDir missing maxb header")).toLong
+    val stats = statLines
+      .map { l =>
+        l.stripPrefix("stats=").split('|') match {
+          case Array(seg, c, lo, hi) => (seg, c, lo.toLong, hi.toLong)
+          case _ => sys.error(s"manifest v$v at $outDir: bad stats line $l")
+        }
+      }
+      .groupBy(_._1)
+      .map { case (seg, rows) =>
+        seg -> rows.map { case (_, c, lo, hi) => c -> (lo, hi) }.toMap
+      }
     Manifest(v, maxB, segs, h.get("schemav").map(_.toLong).getOrElse(0L),
-      h.get("schema"))
+      h.get("schema"), stats)
   }
 
   /** Highest committed manifest. Version 0 = empty lake. */
@@ -109,14 +137,22 @@ object LakeSink {
     * match primitive. */
   def commitManifest(outDir: String, v: Long, maxB: Long,
       segs: Seq[String], schemaV: Long = 0L,
-      schemaJson: Option[String] = None): Boolean = {
+      schemaJson: Option[String] = None,
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
+    // Stats only for segments this version lists; sorted so the file
+    // bytes are deterministic for a given logical manifest.
+    val statLines = stats.toSeq
+      .filter { case (seg, _) => segs.contains(seg) }
+      .flatMap { case (seg, byCol) =>
+        byCol.toSeq.map { case (c, (lo, hi)) => s"stats=$seg|$c|$lo|$hi" }
+      }.sorted
     val headers = s"maxb=$maxB" +:
-      (if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
+      ((if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
         schemaJson.map(j => s"schema=$j")
-       else Nil)
+       else Nil) ++ statLines)
     Files.write(tmp, (headers ++ segs).mkString("\n").getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
@@ -156,6 +192,65 @@ object LakeSink {
     reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
   }
 
+  /** One-job min/max collection over `df` for the BIGINT columns in
+    * `cols` (absent or non-BIGINT columns are skipped — stats are
+    * advisory bounds, and no stats is always safe). Returns empty for
+    * an all-NULL / empty input. Writers call this once per segment
+    * they materialize; the cost is one scan of data that was just
+    * written (in a production writer the bounds come for free from
+    * the parquet writer's own footer accumulation). */
+  def segmentStats(df: DataFrame,
+      cols: Seq[String]): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val longCols = cols.filter(c => df.schema.fields.exists(f =>
+      f.name == c && f.dataType == org.apache.spark.sql.types.LongType))
+    if (longCols.isEmpty) return Map.empty
+    val aggs = longCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    longCols.zipWithIndex.flatMap { case (c, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+      else Some(c -> (row.getLong(2 * i), row.getLong(2 * i + 1)))
+    }.toMap
+  }
+
+  /** Does segment `seg` possibly hold rows with `column` ∈ [lo, hi]?
+    * TRUE when no stats are recorded (must scan — correctness over
+    * skipping); FALSE only when recorded bounds are disjoint from the
+    * probe range. */
+  private def mayOverlap(m: Manifest, seg: String, column: String,
+      lo: Long, hi: Long): Boolean =
+    m.stats.get(seg).flatMap(_.get(column)) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    }
+
+  /** STATS-PRUNED READ — the manifest-level FILE SKIPPING every lake
+    * format ships (Delta data skipping / Iceberg manifest filtering):
+    * resolve the current manifest, drop every segment whose recorded
+    * [min,max] for `column` is disjoint from [lo, hi], scan only the
+    * rest, with the residual `BETWEEN` filter still applied (stats are
+    * a superset bound, not an answer). At 100 TB this is the
+    * difference between a time-range query opening three segments and
+    * opening three million — and it is planned from ONE manifest read,
+    * zero data IO. Segments without stats for the column are always
+    * scanned, so mixed lakes stay correct. Returns (filtered frame,
+    * segments scanned, segments total). */
+  def readTableWhere(spark: SparkSession, outDir: String, column: String,
+      lo: Long, hi: Long): (DataFrame, Seq[String], Int) = {
+    import org.apache.spark.sql.functions.col
+    require(lo <= hi, s"empty probe range [$lo, $hi]")
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    val scanned = m.segs.filter(mayOverlap(m, _, column, lo, hi))
+    val base =
+      if (scanned.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          tableSchema(spark, outDir, m))
+      else reader(spark, m).parquet(scanned.map(s => s"$outDir/$s"): _*)
+    (base.filter(col(column) >= lo && col(column) <= hi),
+      scanned, m.segs.size)
+  }
+
   /** Number of parquet data files a segment holds (compaction's
     * observable effect). */
   def segmentFileCount(outDir: String, seg: String): Int =
@@ -175,6 +270,60 @@ object LakeSink {
     // schema IT recorded, so pre-evolution versions surface the
     // original narrow schema.
     reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
+  }
+
+  /** INCREMENTAL READ (change feed): the rows ADDED between committed
+    * versions `fromV` (exclusive; 0 = the beginning) and `toV`
+    * (inclusive), resolved as the segments `toV` lists that `fromV`
+    * did not — a pure manifest diff, zero data IO to plan, which is
+    * how a downstream consumer tails a 100 TB lake without ever
+    * re-reading it. Valid over APPEND-ONLY version windows: if any
+    * `fromV` segment was rewritten or dropped inside the window
+    * (copy-on-write DML, compaction), a segment diff can no longer
+    * represent the delta as pure appends, and the method refuses
+    * rather than emit rewritten copies of old rows as "changes" —
+    * the same contract under which Delta's change feed requires CDC
+    * files once DML enters the log. The caller then falls back to a
+    * snapshot diff of [[readTableAsOf]] at the two versions. Both
+    * manifests must still be within the [[vacuum]] retention horizon.
+    * Reads under `toV`'s schema. */
+  def changesBetween(spark: SparkSession, outDir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 0L && fromV <= toV,
+      s"bad change-feed window v$fromV..v$toV")
+    val md = manifestDir(outDir)
+    Seq(fromV, toV).filter(_ > 0L).foreach { v =>
+      require(Files.exists(md.resolve(f"v$v%010d.txt")),
+        s"lake at $outDir has no manifest v$v (vacuumed or never committed)")
+    }
+    val mf = if (fromV == 0L) Manifest(0L, -1L, Nil)
+             else parseManifest(outDir, fromV)
+    val mt = parseManifest(outDir, toV)
+    // Append-only means EVERY step in the window only adds segments —
+    // checking the endpoints alone would miss a segment added and then
+    // rewritten inside the window (its rewritten copy would be emitted
+    // as if it were new rows). The walk reads only manifest files
+    // (metadata, no data IO); vacuum retains a contiguous suffix of
+    // versions, so if any intermediate is within retention they all
+    // are, and the existence check above already gated the endpoints.
+    var prev = mf
+    (fromV + 1 to toV).foreach { v =>
+      require(Files.exists(md.resolve(f"v$v%010d.txt")),
+        s"manifest v$v inside window v$fromV..v$toV was vacuumed — " +
+          "the change feed horizon is the vacuum retention horizon")
+      val cur = parseManifest(outDir, v)
+      val removed = prev.segs.toSet -- cur.segs
+      require(removed.isEmpty,
+        s"version window v$fromV..v$toV is not append-only (v$v " +
+          s"rewrote or dropped ${removed.toSeq.sorted.mkString(", ")} " +
+          "via DML/compaction) — diff snapshots via readTableAsOf")
+      prev = cur
+    }
+    val added = mt.segs.filterNot(mf.segs.toSet)
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        tableSchema(spark, outDir, mt))
+    else reader(spark, mt).parquet(added.map(s => s"$outDir/$s"): _*)
   }
 
   /** VACUUM: delete segment dirs no retained manifest references, and
@@ -238,47 +387,71 @@ object LakeSink {
     * would still make replays/retries diverge from the returned
     * counts (the same contract every lake DML engine states).
     *
+    * `pruneHint = Some((column, lo, hi))` asserts that every
+    * predicate-TRUE row has `column` ∈ [lo, hi] (the partition-
+    * predicate / residual split every warehouse DML planner performs):
+    * segments whose manifest stats are disjoint from the hint range
+    * then survive by reference WITHOUT ANY SPARK JOB — the touched-set
+    * is planned from the manifest, which is what the scaladoc above
+    * means by "planned from footer min/max stats" and what bounds a
+    * one-day delete on a 100 TB lake to one day of IO. The hint is a
+    * caller contract, not checked; a hint wider than the predicate is
+    * always safe, a narrower one loses rows.
+    *
     * Returns (committed version, segments rewritten, segments dropped,
     * rows deleted); a no-match delete commits nothing and returns the
     * current version. */
   def deleteWhere(spark: SparkSession, outDir: String,
-      cond: org.apache.spark.sql.Column): (Long, Int, Int, Long) = {
+      cond: org.apache.spark.sql.Column,
+      pruneHint: Option[(String, Long, Long)] = None)
+      : (Long, Int, Int, Long) = {
     import org.apache.spark.sql.functions.{coalesce, count, lit, when}
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    val tracked = m.trackedCols
     var rewritten = 0
     var dropped = 0
     var deleted = 0L
+    val newStats = scala.collection.mutable.Map.empty[
+      String, Map[String, (Long, Long)]] ++= m.stats
     val newSegs = m.segs.zipWithIndex.flatMap { case (seg, i) =>
-      // Segment-sized cache (a segment is one ingest micro-batch /
-      // compaction target, bounded by construction): count + rewrite
-      // read one materialization instead of re-scanning parquet 2-3x.
-      val df = reader(spark, m).parquet(s"$outDir/$seg").cache()
-      try {
-        // One job for both counts — total and predicate-TRUE rows.
-        val Array(total, matches) = df.agg(
-          count(lit(1)), count(when(cond, lit(1)))).head
-          .toSeq.map(_.asInstanceOf[Long]).toArray
-        if (matches == 0L) Some(seg)
-        else {
-          deleted += matches
-          if (matches == total) { dropped += 1; None }
+      val pruned = pruneHint.exists { case (c, lo, hi) =>
+        !mayOverlap(m, seg, c, lo, hi) }
+      if (pruned) Some(seg)
+      else {
+        // Segment-sized cache (a segment is one ingest micro-batch /
+        // compaction target, bounded by construction): count + rewrite
+        // read one materialization instead of re-scanning parquet 2-3x.
+        val df = reader(spark, m).parquet(s"$outDir/$seg").cache()
+        try {
+          // One job for both counts — total and predicate-TRUE rows.
+          val Array(total, matches) = df.agg(
+            count(lit(1)), count(when(cond, lit(1)))).head
+            .toSeq.map(_.asInstanceOf[Long]).toArray
+          if (matches == 0L) Some(seg)
           else {
-            // keep = NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
-            // NULL-predicate rows.
-            val keep = df.filter(!coalesce(cond, lit(false)))
-            val newSeg = f"seg_d${m.version + 1}%010d_$i"
-            keep.write.mode("overwrite").parquet(s"$outDir/$newSeg")
-            rewritten += 1
-            Some(newSeg)
+            deleted += matches
+            if (matches == total) { dropped += 1; newStats -= seg; None }
+            else {
+              // keep = NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
+              // NULL-predicate rows.
+              val keep = df.filter(!coalesce(cond, lit(false)))
+              val newSeg = f"seg_d${m.version + 1}%010d_$i"
+              keep.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+              rewritten += 1
+              newStats -= seg
+              if (tracked.nonEmpty)
+                newStats(newSeg) = segmentStats(keep, tracked)
+              Some(newSeg)
+            }
           }
-        }
-      } finally df.unpersist()
+        } finally df.unpersist()
+      }
     }
     if (rewritten == 0 && dropped == 0) (m.version, 0, 0, 0L)
     else {
       require(commitManifest(outDir, m.version + 1, m.maxB, newSegs,
-        m.schemaV, m.schemaJson),
+        m.schemaV, m.schemaJson, newStats.toMap),
         s"delete at $outDir lost a manifest race at v${m.version + 1}")
       (m.version + 1, rewritten, dropped, deleted)
     }
@@ -290,48 +463,63 @@ object LakeSink {
     * applied to its matching rows (non-matching rows pass through
     * bit-identical); one manifest CAS publishes, the crash window and
     * time-travel/vacuum semantics are exactly deleteWhere's. Returns
-    * (committed version, segments rewritten, rows updated). */
+    * (committed version, segments rewritten, rows updated).
+    * `pruneHint` is [[deleteWhere]]'s: manifest-stats-disjoint
+    * segments survive by reference with zero Spark jobs. */
   def updateWhere(spark: SparkSession, outDir: String,
       cond: org.apache.spark.sql.Column,
-      assignments: Map[String, org.apache.spark.sql.Column])
+      assignments: Map[String, org.apache.spark.sql.Column],
+      pruneHint: Option[(String, Long, Long)] = None)
       : (Long, Int, Long) = {
     import org.apache.spark.sql.functions.{col, when}
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     require(assignments.nonEmpty, "UPDATE with no assignments")
+    val tracked = m.trackedCols
     var rewritten = 0
     var updated = 0L
+    val newStats = scala.collection.mutable.Map.empty[
+      String, Map[String, (Long, Long)]] ++= m.stats
     val newSegs = m.segs.zipWithIndex.map { case (seg, i) =>
-      val df = reader(spark, m).parquet(s"$outDir/$seg")
-      // A misspelled assignment column must error, not silently
-      // no-op-rewrite every touched segment.
-      val unknown = assignments.keySet -- df.columns
-      require(unknown.isEmpty,
-        s"UPDATE assigns column(s) not in segment $seg schema: " +
-          unknown.toSeq.sorted.mkString(", "))
-      val matches = df.filter(cond).count()
-      if (matches == 0L) seg
+      val pruned = pruneHint.exists { case (c, lo, hi) =>
+        !mayOverlap(m, seg, c, lo, hi) }
+      if (pruned) seg
       else {
-        updated += matches
-        // One projection: SQL UPDATE evaluates the predicate AND every
-        // right-hand side against the OLD row — chained withColumn
-        // would feed already-updated columns into later assignments.
-        val out = df.select(df.columns.map { c =>
-          assignments.get(c) match {
-            case Some(v) => when(cond, v).otherwise(col(c)).as(c)
-            case None => col(c)
-          }
-        }: _*)
-        val newSeg = f"seg_u${m.version + 1}%010d_$i"
-        out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
-        rewritten += 1
-        newSeg
+        val df = reader(spark, m).parquet(s"$outDir/$seg")
+        // A misspelled assignment column must error, not silently
+        // no-op-rewrite every touched segment.
+        val unknown = assignments.keySet -- df.columns
+        require(unknown.isEmpty,
+          s"UPDATE assigns column(s) not in segment $seg schema: " +
+            unknown.toSeq.sorted.mkString(", "))
+        val matches = df.filter(cond).count()
+        if (matches == 0L) seg
+        else {
+          updated += matches
+          // One projection: SQL UPDATE evaluates the predicate AND every
+          // right-hand side against the OLD row — chained withColumn
+          // would feed already-updated columns into later assignments.
+          val out = df.select(df.columns.map { c =>
+            assignments.get(c) match {
+              case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }: _*)
+          val newSeg = f"seg_u${m.version + 1}%010d_$i"
+          out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+          rewritten += 1
+          newStats -= seg
+          if (tracked.nonEmpty)
+            newStats(newSeg) = segmentStats(
+              spark.read.parquet(s"$outDir/$newSeg"), tracked)
+          newSeg
+        }
       }
     }
     if (rewritten == 0) (m.version, 0, 0L)
     else {
       require(commitManifest(outDir, m.version + 1, m.maxB, newSegs,
-        m.schemaV, m.schemaJson),
+        m.schemaV, m.schemaJson, newStats.toMap),
         s"update at $outDir lost a manifest race at v${m.version + 1}")
       (m.version + 1, rewritten, updated)
     }
@@ -363,8 +551,13 @@ object LakeSink {
         .sortWithinPartitions(clusterBy.map(col): _*)
     val cseg = f"seg_c${m.version + 1}%010d"
     out.write.mode("overwrite").parquet(s"$outDir/$cseg")
+    val tracked = m.trackedCols
+    val cstats =
+      if (tracked.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      else Map(cseg -> segmentStats(
+        spark.read.parquet(s"$outDir/$cseg"), tracked))
     require(commitManifest(outDir, m.version + 1, m.maxB, Seq(cseg),
-      m.schemaV, m.schemaJson),
+      m.schemaV, m.schemaJson, cstats),
       s"compaction at $outDir lost a manifest race at v${m.version + 1}")
     // Input segments stay on disk (DML convention: the pre-compaction
     // version keeps time-traveling until vacuum) — unlike the
@@ -392,7 +585,7 @@ object LakeSink {
       s"column $name already exists in lake at $outDir")
     val wider = cur.add(name, dataType, nullable = true)
     require(commitManifest(outDir, m.version + 1, m.maxB, m.segs,
-      m.schemaV + 1, Some(wider.json)),
+      m.schemaV + 1, Some(wider.json), m.stats),
       s"schema evolution at $outDir lost a manifest race")
     m.schemaV + 1
   }
@@ -412,8 +605,13 @@ object LakeSink {
       s"appendSegment schema mismatch: got ${df.columns.mkString(",")}, " +
         s"table is ${expected.mkString(",")}")
     df.write.mode("overwrite").parquet(s"$outDir/$seg")
+    val tracked = m.trackedCols
+    val newStats =
+      if (tracked.isEmpty) m.stats
+      else m.stats + (seg -> segmentStats(
+        spark.read.parquet(s"$outDir/$seg"), tracked))
     require(commitManifest(outDir, m.version + 1, m.maxB, m.segs :+ seg,
-      m.schemaV, m.schemaJson),
+      m.schemaV, m.schemaJson, newStats),
       s"append at $outDir lost a manifest race at v${m.version + 1}")
     m.version + 1
   }
@@ -463,29 +661,55 @@ object LakeSink {
       require(dupKeys.isEmpty,
         "MERGE source has multiple rows per key — ambiguous match")
       val marked = src.withColumn("__matched", lit(1))
+      // AUTOMATIC stats pruning (no caller hint needed — unlike
+      // delete/update, MERGE's match predicate IS the key equi-join,
+      // so the source's key range is a complete bound): with a single
+      // BIGINT key and manifest stats on it, a segment whose recorded
+      // [min,max] is disjoint from the source's key range cannot match
+      // and survives by reference with zero Spark jobs. One small-side
+      // agg (the source is cached) plans the touched-set from the
+      // manifest — a 3-row upsert against a million-segment lake probes
+      // only the segments whose key range it straddles.
+      val srcKeyRange: Option[(String, Long, Long)] =
+        if (keys.size == 1 && m.stats.values.exists(_.contains(keys.head)))
+          segmentStats(src, keys).get(keys.head)
+            .map { case (lo, hi) => (keys.head, lo, hi) }
+        else None
+      val tracked = m.trackedCols
+      val newStats = scala.collection.mutable.Map.empty[
+        String, Map[String, (Long, Long)]] ++= m.stats
       var rewritten = 0
       var updated = 0L
       val newSegs = m.segs.zipWithIndex.map { case (seg, i) =>
-        val df = reader(spark, m).parquet(s"$outDir/$seg")
-        val matches = df.join(broadcast(src), keys, "left_semi").count()
-        if (matches == 0L) seg
+        val pruned = srcKeyRange.exists { case (c, lo, hi) =>
+          !mayOverlap(m, seg, c, lo, hi) }
+        if (pruned) seg
         else {
-          updated += matches
-          val joined = df.as("t").join(
-            broadcast(marked).as("s"), keys, "left_outer")
-          // Projection preserves the target schema's column ORDER so
-          // every segment in the lake stays byte-layout-compatible.
-          val out = joined.select(targetCols.map { c =>
-            // using-join merges the key columns (left value survives);
-            // non-keys exist on both sides and need qualification.
-            if (keys.contains(c)) col(c)
-            else when(col("s.__matched").isNotNull, col(s"s.$c"))
-              .otherwise(col(s"t.$c")).as(c)
-          }.toSeq: _*)
-          val newSeg = f"seg_m${m.version + 1}%010d_$i"
-          out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
-          rewritten += 1
-          newSeg
+          val df = reader(spark, m).parquet(s"$outDir/$seg")
+          val matches = df.join(broadcast(src), keys, "left_semi").count()
+          if (matches == 0L) seg
+          else {
+            updated += matches
+            val joined = df.as("t").join(
+              broadcast(marked).as("s"), keys, "left_outer")
+            // Projection preserves the target schema's column ORDER so
+            // every segment in the lake stays byte-layout-compatible.
+            val out = joined.select(targetCols.map { c =>
+              // using-join merges the key columns (left value survives);
+              // non-keys exist on both sides and need qualification.
+              if (keys.contains(c)) col(c)
+              else when(col("s.__matched").isNotNull, col(s"s.$c"))
+                .otherwise(col(s"t.$c")).as(c)
+            }.toSeq: _*)
+            val newSeg = f"seg_m${m.version + 1}%010d_$i"
+            out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+            rewritten += 1
+            newStats -= seg
+            if (tracked.nonEmpty)
+              newStats(newSeg) = segmentStats(
+                spark.read.parquet(s"$outDir/$newSeg"), tracked)
+            newSeg
+          }
         }
       }
       val inserts = src.join(
@@ -498,12 +722,15 @@ object LakeSink {
         else {
           val insSeg = f"seg_m${m.version + 1}%010d_ins"
           inserts.write.mode("overwrite").parquet(s"$outDir/$insSeg")
+          if (tracked.nonEmpty)
+            newStats(insSeg) = segmentStats(
+              spark.read.parquet(s"$outDir/$insSeg"), tracked)
           newSegs :+ insSeg
         }
       if (rewritten == 0 && inserted == 0L) (m.version, 0, 0L, 0L)
       else {
         require(commitManifest(outDir, m.version + 1, m.maxB, finalSegs,
-          m.schemaV, m.schemaJson),
+          m.schemaV, m.schemaJson, newStats.toMap),
           s"merge at $outDir lost a manifest race at v${m.version + 1}")
         (m.version + 1, rewritten, updated, inserted)
       }
@@ -519,12 +746,20 @@ object LakeSink {
   def startCompactingIngest(
       df: DataFrame, outDir: String, checkpointDir: String,
       compactEvery: Int = 4, targetFiles: Int = 2,
-      beforeMaintenanceCommit: Long => Unit = _ => ()): StreamingQuery =
+      beforeMaintenanceCommit: Long => Unit = _ => (),
+      statsCols: Seq[String] = Nil): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val seg = s"seg_b$batchId"
         batch.write.mode("overwrite").parquet(s"$outDir/$seg")
+        // Per-batch stats from the just-written segment (statsCols
+        // names the BIGINT columns to track, e.g. the event-time
+        // epoch — time-ordered micro-batches each cover a narrow
+        // range, exactly the layout that makes pruning effective).
+        val bstats =
+          if (statsCols.isEmpty) Map.empty[String, (Long, Long)]
+          else segmentStats(spark.read.parquet(s"$outDir/$seg"), statsCols)
         // ingest commit loop: retry on version race (replay in practice)
         var done = false
         while (!done) {
@@ -538,7 +773,8 @@ object LakeSink {
                 new java.io.File(s"$outDir/$seg"))
               true
             } else commitManifest(outDir, m.version + 1, batchId,
-              m.segs :+ seg, m.schemaV, m.schemaJson)
+              m.segs :+ seg, m.schemaV, m.schemaJson,
+              if (bstats.isEmpty) m.stats else m.stats + (seg -> bstats))
         }
         if (batchId % compactEvery == (compactEvery - 1)) {
           val m = readManifest(outDir)
@@ -548,10 +784,16 @@ object LakeSink {
             spark.read.parquet(bsegs.map(s => s"$outDir/$s"): _*)
               .repartition(targetFiles)
               .write.mode("overwrite").parquet(s"$outDir/$cseg")
+            val cstats =
+              if (statsCols.isEmpty) Map.empty[String, (Long, Long)]
+              else segmentStats(
+                spark.read.parquet(s"$outDir/$cseg"), statsCols)
             beforeMaintenanceCommit(batchId)
             if (commitManifest(outDir, m.version + 1, m.maxB,
                 m.segs.filterNot(bsegs.contains) :+ cseg,
-                m.schemaV, m.schemaJson)) {
+                m.schemaV, m.schemaJson,
+                (if (cstats.isEmpty) m.stats
+                 else m.stats + (cseg -> cstats)) -- bsegs)) {
               // now-orphaned inputs: invisible to every reader; removal
               // is best-effort hygiene, crash-safe to skip
               bsegs.foreach { s =>

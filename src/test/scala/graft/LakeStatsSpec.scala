@@ -1,0 +1,258 @@
+package graft
+
+import graft.streaming.LakeSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol tests for the r10 lake additions: manifest SEGMENT STATS
+  * with file skipping, stats-pruned DML, the CHANGE FEED, and CDC
+  * apply through `mergeInto` in `foreachBatch`. What must hold:
+  *
+  *  - per-segment min/max recorded at commit prune a range read to
+  *    exactly the overlapping segments; segments without stats are
+  *    always scanned (advisory-bounds contract);
+  *  - `deleteWhere(pruneHint)` plans the touched-set from the manifest
+  *    — disjoint segments survive by reference with ZERO Spark jobs,
+  *    and the answer is identical to the unhinted delete;
+  *  - `mergeInto` auto-prunes by the source's key range when the key
+  *    has stats — no per-segment probe jobs outside the range;
+  *  - stats follow every rewrite (delete, merge, compaction) so
+  *    skipping keeps working after DML;
+  *  - `changesBetween` returns exactly the appended segments of an
+  *    append-only window and REFUSES a window containing a
+  *    copy-on-write rewrite;
+  *  - CDC apply (per-batch key-dedupe + MERGE) converges to
+  *    latest-row-per-key across micro-batches.
+  */
+class LakeStatsSpec extends AnyFunSuite with SparkFixture {
+
+  /** 3 time-ordered segments: tse ranges [0,9], [10,19], [20,29] —
+    * the layout a time-ordered micro-batch ingest produces. Stats on
+    * `tse` unless `statsFor` excludes the segment. */
+  private def buildTimeLake(statsFor: Int => Boolean = _ => true): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lake_stats_spec").toString
+    import spark.implicits._
+    (0 to 2).foreach { i =>
+      val rows = (0 to 9).map(j => (i * 10L + j, i * 100L + j))
+      val df = rows.toDF("tse", "v")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/seg_b$i")
+      val m = LakeSink.readManifest(dir)
+      val st =
+        if (statsFor(i))
+          m.stats + (s"seg_b$i" -> LakeSink.segmentStats(
+            spark.read.parquet(s"$dir/seg_b$i"), Seq("tse")))
+        else m.stats
+      require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+        m.segs :+ s"seg_b$i", m.schemaV, m.schemaJson, st))
+    }
+    dir
+  }
+
+  /** Spark jobs launched by `body` (run in a fresh job group; the
+    * status store is fed asynchronously, so poll until stable). */
+  private def jobsIn(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    val group = "graft-jobs-" + java.util.UUID.randomUUID().toString
+    sc.setJobGroup(group, group)
+    try body finally sc.clearJobGroup()
+    var last = -1
+    var cur = sc.statusTracker.getJobIdsForGroup(group).length
+    var polls = 0
+    while (cur != last && polls < 50) {
+      last = cur; Thread.sleep(100)
+      cur = sc.statusTracker.getJobIdsForGroup(group).length
+      polls += 1
+    }
+    cur
+  }
+
+  test("stats-pruned read scans exactly the overlapping segments") {
+    val dir = buildTimeLake()
+    val (sel, scanned, total) =
+      LakeSink.readTableWhere(spark, dir, "tse", 12L, 15L)
+    assert(total === 3)
+    assert(scanned === Seq("seg_b1"))
+    assert(sel.agg(count(lit(1)), sum("v")).head() ===
+      org.apache.spark.sql.Row(4L, (102L to 105L).sum))
+
+    // straddling probe: two segments
+    val (_, scanned2, _) = LakeSink.readTableWhere(spark, dir, "tse", 8L, 12L)
+    assert(scanned2 === Seq("seg_b0", "seg_b1"))
+
+    // fully outside: zero segments, empty frame with the table schema
+    val (empty, scanned3, _) =
+      LakeSink.readTableWhere(spark, dir, "tse", 100L, 200L)
+    assert(scanned3.isEmpty)
+    assert(empty.columns.toSeq === Seq("tse", "v"))
+    assert(empty.count() === 0L)
+  }
+
+  test("a segment without stats is always scanned (advisory bounds)") {
+    val dir = buildTimeLake(statsFor = i => i != 1)
+    val (_, scanned, _) = LakeSink.readTableWhere(spark, dir, "tse", 0L, 5L)
+    // seg_b0 overlaps; seg_b1 has no stats so it cannot be skipped;
+    // seg_b2's recorded range is disjoint.
+    assert(scanned === Seq("seg_b0", "seg_b1"))
+  }
+
+  test("deleteWhere pruneHint: zero jobs on disjoint segments, same answer") {
+    val hinted = buildTimeLake()
+    val unhinted = buildTimeLake()
+    val cond = col("tse") >= 12L && col("tse") <= 15L
+
+    val jHint = jobsIn {
+      val (_, rewritten, dropped, deleted) = LakeSink.deleteWhere(
+        spark, hinted, cond, pruneHint = Some(("tse", 12L, 15L)))
+      assert(rewritten === 1 && dropped === 0 && deleted === 4L)
+    }
+    val jFull = jobsIn {
+      val (_, rewritten, dropped, deleted) =
+        LakeSink.deleteWhere(spark, unhinted, cond)
+      assert(rewritten === 1 && dropped === 0 && deleted === 4L)
+    }
+    // The unhinted delete pays a count job on every segment; the
+    // hinted one touches only the overlapping segment.
+    assert(jHint < jFull,
+      s"expected fewer jobs with pruneHint ($jHint) than without ($jFull)")
+
+    val a = LakeSink.readTable(spark, hinted).orderBy("tse", "v").collect()
+    val b = LakeSink.readTable(spark, unhinted).orderBy("tse", "v").collect()
+    assert(a.toSeq === b.toSeq)
+
+    // Stats followed the rewrite: the new segment's recorded range is
+    // the kept rows' [10,19] minus the deleted middle — still [10,19]
+    // bounds-wise at the edges (10,11 and 16..19 survive).
+    val m = LakeSink.readManifest(hinted)
+    val rewrittenSeg = m.segs.find(_.startsWith("seg_d")).get
+    assert(m.stats(rewrittenSeg)("tse") === (10L, 19L))
+    // untouched segments kept their stats entries
+    assert(m.stats("seg_b0")("tse") === (0L, 9L))
+    assert(m.stats("seg_b2")("tse") === (20L, 29L))
+    // pruning still works post-DML
+    val (_, scannedAfter, _) =
+      LakeSink.readTableWhere(spark, hinted, "tse", 0L, 5L)
+    assert(scannedAfter === Seq("seg_b0"))
+  }
+
+  test("mergeInto auto-prunes by source key range via manifest stats") {
+    import spark.implicits._
+    val statsLake = buildTimeLake()
+    val plainLake = buildTimeLake(statsFor = _ => false)
+    // source keys 12..13 — entirely inside seg_b1's recorded range
+    def src: DataFrame =
+      Seq((12L, 9912L), (13L, 9913L)).toDF("tse", "v")
+
+    val jStats = jobsIn {
+      val (_, rewritten, updated, inserted) =
+        LakeSink.mergeInto(spark, statsLake, src, Seq("tse"))
+      assert(rewritten === 1 && updated === 2L && inserted === 0L)
+    }
+    val jPlain = jobsIn {
+      val (_, rewritten, updated, inserted) =
+        LakeSink.mergeInto(spark, plainLake, src, Seq("tse"))
+      assert(rewritten === 1 && updated === 2L && inserted === 0L)
+    }
+    assert(jStats < jPlain,
+      s"expected stats lake to probe fewer segments ($jStats vs $jPlain)")
+
+    val a = LakeSink.readTable(spark, statsLake).orderBy("tse").collect()
+    val b = LakeSink.readTable(spark, plainLake).orderBy("tse").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.count(_.getLong(1) >= 9900L) === 2)
+
+    // untouched segments survived by reference with stats intact
+    val m = LakeSink.readManifest(statsLake)
+    assert(m.segs.contains("seg_b0") && m.segs.contains("seg_b2"))
+    assert(m.stats("seg_b0")("tse") === (0L, 9L))
+    // the rewritten segment carries recomputed stats
+    val mseg = m.segs.find(_.startsWith("seg_m")).get
+    assert(m.stats(mseg)("tse") === (10L, 19L))
+  }
+
+  test("compaction recomputes stats for the compacted segment") {
+    val dir = buildTimeLake()
+    val (v, nIn) = LakeSink.compact(spark, dir, targetFiles = 1,
+      clusterBy = Seq("tse"))
+    assert(nIn === 3)
+    val m = LakeSink.readManifest(dir)
+    assert(m.version === v && m.segs.size === 1)
+    assert(m.stats(m.segs.head)("tse") === (0L, 29L))
+    val (_, scanned, total) =
+      LakeSink.readTableWhere(spark, dir, "tse", 5L, 6L)
+    assert(total === 1 && scanned.size === 1)
+  }
+
+  test("changesBetween: appended segments only; refuses DML windows") {
+    val dir = buildTimeLake()
+    // window v1 → v3 added seg_b1 and seg_b2
+    val delta = LakeSink.changesBetween(spark, dir, 1L, 3L)
+    assert(delta.agg(min("tse"), max("tse"), count(lit(1))).head() ===
+      org.apache.spark.sql.Row(10L, 29L, 20L))
+    // from the beginning: everything
+    assert(LakeSink.changesBetween(spark, dir, 0L, 3L).count() === 30L)
+    // empty window
+    assert(LakeSink.changesBetween(spark, dir, 3L, 3L).count() === 0L)
+
+    // DML rewrites seg_b1 → the v1..v4 window is no longer append-only
+    LakeSink.deleteWhere(spark, dir, col("tse") === 12L)
+    val ex = intercept[IllegalArgumentException] {
+      LakeSink.changesBetween(spark, dir, 1L, 4L)
+    }
+    assert(ex.getMessage.contains("not append-only"))
+    // the documented fallback still works: snapshot diff via time travel
+    val before = LakeSink.readTableAsOf(spark, dir, 3L)
+    val after = LakeSink.readTableAsOf(spark, dir, 4L)
+    assert(before.count() - after.count() === 1L)
+  }
+
+  test("CDC apply: per-batch dedupe + merge converges to latest per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lake_cdc_spec").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_lake_cdc_ckpt").toString
+
+    // change records: (key, seq, value) — seq is the CDC ordering
+    val in = MemoryStream[(Long, Long, Long)]
+    val w = Window.partitionBy("k").orderBy(col("seq").desc)
+    val q = in.toDF().toDF("k", "seq", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        // MERGE requires a key-unique source: keep each key's latest
+        // change within the batch.
+        val latest = batch.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).drop("rk")
+        if (!latest.isEmpty) {
+          if (LakeSink.readManifest(dir).segs.isEmpty) {
+            latest.write.mode("overwrite").parquet(s"$dir/seg_b0")
+            require(LakeSink.commitManifest(dir, 1L, 0L, Seq("seg_b0")))
+          } else {
+            LakeSink.mergeInto(latest.sparkSession, dir, latest, Seq("k"))
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, 1L, 100L), (2L, 1L, 200L), (1L, 2L, 101L))
+      q.processAllAvailable()
+      in.addData((2L, 3L, 201L), (3L, 4L, 300L))
+      q.processAllAvailable()
+      in.addData((1L, 5L, 102L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val fin = LakeSink.readTable(spark, dir)
+      .orderBy("k").select("k", "seq", "v").collect().toSeq
+    assert(fin === Seq(
+      org.apache.spark.sql.Row(1L, 5L, 102L),
+      org.apache.spark.sql.Row(2L, 3L, 201L),
+      org.apache.spark.sql.Row(3L, 4L, 300L)))
+  }
+}

@@ -922,6 +922,62 @@ object Extensions {
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  /** SQL READ surface for the lake (r10): a registered lake table is a
+    * first-class SQL relation — `SELECT` resolves through the
+    * committed manifest, `INSERT INTO` appends one segment through the
+    * protocol (here the insert's SOURCE is the lake table itself — the
+    * rule re-applies inside the insert query, proving composability),
+    * and `VERSION AS OF` time-travels to the pre-insert version, all
+    * as `spark.sql` TEXT ([[graft.plans.LakeDmlRule]]; SqlDmlSpec pins
+    * each dispatch). The one result row set joins the current and
+    * as-of rollups; the oracle reconstructs both from the events
+    * table alone — a phantom insert, a stale as-of read, or an
+    * uncommitted-segment read all fail the hash. */
+  private val sqlLakeRead = QueryDef(
+    "sql_lake_read",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_read", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val tbl = "graft_sql_lake_read_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      val preV = LakeSink.readManifest(dir).version
+      s.sql(
+        s"""INSERT INTO $tbl
+            SELECT event_id + 20000000, 'inserted', vc
+            FROM $tbl WHERE event_type = 'purchase'""").collect()
+      s.sql(
+        s"""SELECT cur.event_type, cur.n, cur.sum_cents, old.n AS n_asof
+            FROM (SELECT event_type, count(*) AS n,
+                    sum(vc) AS sum_cents
+                  FROM $tbl GROUP BY event_type) cur
+            LEFT JOIN (SELECT event_type, count(*) AS n
+                       FROM $tbl VERSION AS OF $preV
+                       GROUP BY event_type) old
+              ON cur.event_type = old.event_type
+            ORDER BY cur.event_type""")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events),
+                 cur AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(vc) AS BIGINT) AS sum_cents
+                         FROM (SELECT event_id, event_type, vc FROM ev
+                               UNION ALL
+                               SELECT event_id + 20000000, 'inserted', vc
+                               FROM ev WHERE event_type = 'purchase')
+                         GROUP BY event_type),
+                 old AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                         FROM ev GROUP BY event_type)
+            SELECT cur.event_type, cur.n, cur.sum_cents, old.n AS n_asof
+            FROM cur LEFT JOIN old ON cur.event_type = old.event_type
+            ORDER BY cur.event_type"""))
+
   /** Manifest SEGMENT STATS + file skipping (r10): the lake records
     * per-segment min/max for the event-time key at commit, and a
     * time-range read consults ONE manifest to skip every segment whose
@@ -1095,5 +1151,5 @@ object Extensions {
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkLakeMerge,
     sqlLakeDml, sinkLakeEvolution, sinkLakeCompactClustered, sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
-    sinkLakeChangefeed, sinkLakeCdc)
+    sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead)
 }

@@ -3,7 +3,7 @@ package graft.plans
 import graft.streaming.{LakeCatalog, LakeSink}
 
 import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -61,7 +61,14 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (keys.forall(_.isDefined)) Some(keys.flatten) else None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+  /** TOP-DOWN on purpose: DML nodes must be claimed BEFORE their
+    * target `UnresolvedRelation` is substituted by the SELECT case
+    * below (bottom-up would rewrite the target into a scan first and
+    * the DML patterns would no longer match). Commands produced here
+    * are leaves, so the traversal stops beneath them; a MERGE/INSERT
+    * source plan is re-analyzed at run time, where this rule applies
+    * again — lake tables compose as sources too. */
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
 
     case DeleteFromTable(target, cond) if lakeDir(target).isDefined =>
       LakeDeleteCommand(lakeDir(target).get, cond.sql)
@@ -97,6 +104,40 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               "WHEN NOT MATCHED THEN INSERT * on same-name equi-keys; got: " +
               m.simpleString(3))))
       LakeMergeCommand(dir, m.sourceTable, keys.get)
+
+    // INSERT INTO <lake> <query> → one appended segment through the
+    // manifest protocol. Positional column mapping + cast to the
+    // table schema (standard INSERT coercion); OVERWRITE / partition
+    // specs are out of scope for the append-only verb.
+    case ins: InsertIntoStatement if lakeDir(ins.table).isDefined =>
+      if (ins.overwrite || ins.partitionSpec.nonEmpty)
+        throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3100",
+          messageParameters = Map("message" ->
+            "lake INSERT supports plain INSERT INTO (no OVERWRITE, no partition spec)"))
+      LakeInsertCommand(lakeDir(ins.table).get, ins.query)
+
+    // SELECT over a registered lake table: substitute the manifest
+    // reader's analyzed plan — the lake becomes a first-class SQL
+    // relation (reads are always a committed manifest version, never
+    // a partial publish).
+    case u: UnresolvedRelation if LakeCatalog.lookup(u.multipartIdentifier).isDefined =>
+      val dir = LakeCatalog.lookup(u.multipartIdentifier).get
+      LakeSink.readTable(spark, dir).queryExecution.analyzed
+
+    // SELECT ... FROM <lake> VERSION AS OF <v>: time travel reads the
+    // exact segment set (and schema) that version committed.
+    case RelationTimeTravel(u: UnresolvedRelation, ts, version)
+        if LakeCatalog.lookup(u.multipartIdentifier).isDefined =>
+      val dir = LakeCatalog.lookup(u.multipartIdentifier).get
+      if (ts.isDefined || version.isEmpty)
+        throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3100",
+          messageParameters = Map("message" ->
+            ("lake time travel is by manifest version (VERSION AS OF <n>); " +
+              "TIMESTAMP AS OF is not supported")))
+      LakeSink.readTableAsOf(spark, dir, version.get.toLong)
+        .queryExecution.analyzed
   }
 }
 
@@ -145,5 +186,33 @@ case class LakeMergeCommand(dir: String, source: LogicalPlan,
     val src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, source)
     val (v, rw, upd, ins) = LakeSink.mergeInto(session, dir, src, keys)
     Seq(Row(v, rw, upd, ins))
+  }
+}
+
+/** `INSERT INTO <lake> <query>` → [[LakeSink.appendSegment]]: the
+  * query's rows land as ONE new segment behind one manifest CAS.
+  * Columns map positionally and are cast to the table schema (SQL
+  * INSERT coercion); the appended segment therefore always matches
+  * the table's current schema generation. */
+case class LakeInsertCommand(dir: String, source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("rows_inserted", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val m = LakeSink.readManifest(dir)
+    val schema = LakeSink.tableSchema(session, dir, m)
+    val src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, source)
+    require(src.columns.length == schema.length,
+      s"lake INSERT arity mismatch: query has ${src.columns.length} " +
+        s"columns, table has ${schema.length}")
+    val aligned = src.select(src.columns.zip(schema.fields).map {
+      case (c, f) => col(c).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val seg = f"seg_i${m.version + 1}%010d"
+    val v = LakeSink.appendSegment(session, dir, aligned, seg)
+    val n = session.read.parquet(s"$dir/$seg").count()
+    Seq(Row(v, n))
   }
 }

@@ -16,4 +16,17 @@ import org.apache.spark.sql.classic
 object PlanBridge {
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-issue `df` as a STREAMING DataFrame (isStreaming = true) —
+    * the contract a v1 `Source.getBatch` must satisfy
+    * (MicroBatchExecution asserts it). This is how a v1 source built
+    * on the engine's own readers (here: the lake change feed handing
+    * each micro-batch to the parquet scan) marks its per-batch frame,
+    * the same `internalCreateDataFrame` seam FileStreamSource uses
+    * internally. */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
 }

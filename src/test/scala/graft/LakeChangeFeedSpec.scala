@@ -1,0 +1,143 @@
+package graft
+
+import graft.streaming.LakeSink
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming tests for the `graft-lake-changefeed` source — the
+  * manifest-log streaming reader. What must hold:
+  *
+  *  - the first batch delivers the whole table as of the current
+  *    version; subsequent commits arrive as exactly-once deltas;
+  *  - a checkpointed restart resumes strictly after the committed
+  *    version (no replay, no loss);
+  *  - a copy-on-write DML inside an unconsumed window fails the
+  *    stream loudly (append-only contract) instead of re-emitting
+  *    rewritten rows.
+  */
+class LakeChangeFeedSpec extends AnyFunSuite with SparkFixture {
+
+  private def buildLake(nSegs: Int): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cf_src_spec").toString
+    import spark.implicits._
+    (0 until nSegs).foreach { i =>
+      val rows = (0 until 5).map(j => (i * 10L + j, i.toLong))
+      rows.toDF("id", "seg").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/seg_b$i")
+      val m = LakeSink.readManifest(dir)
+      require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+        m.segs :+ s"seg_b$i"))
+    }
+    dir
+  }
+
+  private def appendSeg(dir: String, i: Int): Unit = {
+    import spark.implicits._
+    val rows = (0 until 5).map(j => (i * 10L + j, i.toLong))
+    LakeSink.appendSegment(spark, dir,
+      rows.toDF("id", "seg"), s"seg_b$i")
+  }
+
+  test("initial batch + incremental appends, exactly once") {
+    val dir = buildLake(2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cf_src_ckpt").toString
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    val q = spark.readStream.format("graft-lake-changefeed")
+      .option("path", dir).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        batches.add((id,
+          b.select("id").collect().map(_.getLong(0)).sorted.toSeq))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // first batch: everything committed so far (versions 0 → 2)
+      import scala.jdk.CollectionConverters._
+      assert(batches.asScala.flatMap(_._2).toSeq.sorted ===
+        (0L to 4L) ++ (10L to 14L))
+
+      appendSeg(dir, 2)
+      q.processAllAvailable()
+      assert(batches.asScala.flatMap(_._2).toSeq.sorted ===
+        ((0L to 4L) ++ (10L to 14L) ++ (20L to 24L)))
+
+      // two commits between triggers arrive once each, no duplicates
+      appendSeg(dir, 3)
+      appendSeg(dir, 4)
+      q.processAllAvailable()
+      val all = batches.asScala.flatMap(_._2).toSeq
+      assert(all.size === all.distinct.size, "duplicate delivery")
+      assert(all.sorted === (0 to 4).flatMap(i => i * 10L to i * 10L + 4))
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes strictly after the committed version") {
+    val dir = buildLake(2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cf_src_ckpt2").toString
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def start() = spark.readStream.format("graft-lake-changefeed")
+      .option("path", dir).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batches.add(b.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = {
+      import scala.jdk.CollectionConverters._
+      batches.asScala.flatMap(identity).toSeq.sorted
+    }
+    assert(afterFirst === (0L to 4L) ++ (10L to 14L))
+
+    // commits land while the consumer is DOWN
+    appendSeg(dir, 2)
+    appendSeg(dir, 3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val all = batches.asScala.flatMap(identity).toSeq
+    assert(all.size === all.distinct.size, "restart replayed rows")
+    assert(all.sorted === (0 to 3).flatMap(i => i * 10L to i * 10L + 4))
+  }
+
+  test("copy-on-write DML inside an unconsumed window fails the stream") {
+    val dir = buildLake(3)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cf_src_ckpt3").toString
+    def start() = spark.readStream.format("graft-lake-changefeed")
+      .option("path", dir).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) => b.count(); () }
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // while down: an append AND a rewrite of an old segment
+    appendSeg(dir, 3)
+    LakeSink.deleteWhere(spark, dir, col("id") === 1L)
+    val q2 = start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(_ != null) &&
+      messages(ex).filter(_ != null).exists(_.contains("not append-only")))
+  }
+}

@@ -90,4 +90,55 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("lake MERGE"))
   }
+
+  test("SELECT over a registered lake table reads the committed manifest") {
+    buildLake("sqsel_t")
+    val rows = spark.sql(
+      "SELECT user_id, v FROM sqsel_t ORDER BY user_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // composes with the rest of SQL (joins, aggregates)
+    assert(spark.sql(
+      "SELECT CAST(sum(v) AS BIGINT) FROM sqsel_t WHERE user_id > 1")
+      .head.getLong(0) === 90L)
+  }
+
+  test("VERSION AS OF time-travels through SQL text") {
+    val dir = buildLake("sqtt_t")
+    spark.sql("DELETE FROM sqtt_t WHERE user_id = 1").collect()
+    // current version: 3 rows; v2 (pre-delete): all 4
+    assert(spark.sql("SELECT count(*) FROM sqtt_t").head.getLong(0) === 3L)
+    assert(spark.sql(
+      "SELECT count(*) FROM sqtt_t VERSION AS OF 2").head.getLong(0) === 4L)
+    // TIMESTAMP AS OF is rejected with the version-based contract
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM sqtt_t TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(e.getMessage.contains("VERSION AS OF"))
+    assert(LakeSink.readManifest(dir).version === 3L)
+  }
+
+  test("INSERT INTO appends one segment through the protocol") {
+    val dir = buildLake("sqins_t")
+    val rcpt = spark.sql(
+      "INSERT INTO sqins_t SELECT 7, 70 UNION ALL SELECT 8, 80")
+      .collect().head
+    assert(rcpt.getLong(1) === 2L) // rows_inserted
+    val m = LakeSink.readManifest(dir)
+    assert(m.segs.count(_.startsWith("seg_i")) === 1)
+    assert(m.segs.contains("seg_b0") && m.segs.contains("seg_b1"))
+    assert(spark.sql(
+      "SELECT CAST(sum(v) AS BIGINT), count(*) FROM sqins_t").head ===
+      org.apache.spark.sql.Row(250L, 6L))
+    // INSERT coerces positionally to the table schema (INT literals →
+    // the table's BIGINT columns)
+    assert(LakeSink.readTable(spark, dir).schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // OVERWRITE is out of scope for the append-only verb
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE TABLE sqins_t SELECT 1, 1").collect()
+    }
+    assert(e.getMessage.contains("lake INSERT"))
+  }
 }

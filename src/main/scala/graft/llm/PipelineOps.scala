@@ -374,18 +374,21 @@ object PipelineOps {
   private val bm25TopK = QueryDef(
     "llm_bm25_topk",
     (s, d) => {
-      val terms = Seq("spark", "vector", "stream")
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
       val dl = docs.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
       val g = docs.agg(count(lit(1)).as("n_docs"),
         sum(size(col("t")).cast("long")).as("total"))
       val tf = docs.select(col("doc_id"), explode(col("t")).as("token"))
-        .filter(col("token").isin(terms: _*))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val comp = tf.join(dl, "doc_id")
-        .join(broadcast(dfreq), "token")
+      // Query terms DERIVED from the corpus (top-3 by df, token
+      // tiebreak — exact-integer ranking, reproducible on any corpus;
+      // a hardcoded term list goes stale the moment the corpus
+      // changes, which the 10x replica-salted probe demonstrated).
+      val top3 = dfreq.orderBy(col("df").desc, col("token").asc).limit(3)
+      val comp = tf.join(broadcast(top3), Seq("token"))
+        .join(dl, "doc_id")
         .crossJoin(broadcast(g))
         .withColumn("c", expr(
           """((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5D)
@@ -395,12 +398,18 @@ object PipelineOps {
             |      * (CAST(dl AS DOUBLE)
             |         / (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"""
             .stripMargin))
+      // ≤3 components per doc, summed in FIXED token order via an
+      // explicit left-to-right fold over the token-sorted list (a
+      // plain SUM may reduce doubles in any order — last-ulp
+      // nondeterminism across engines/parallelism).
       comp.groupBy("doc_id")
-        .agg(round(
-          coalesce(sum(when(col("token") === "spark", col("c"))), lit(0.0d)) +
-          coalesce(sum(when(col("token") === "vector", col("c"))), lit(0.0d)) +
-          coalesce(sum(when(col("token") === "stream", col("c"))), lit(0.0d)),
-          6).as("score"))
+        .agg(sort_array(collect_list(struct(col("token"), col("c"))))
+          .as("l"))
+        .select(col("doc_id"), round(expr(
+          """coalesce(try_element_at(l, 1).c, 0D)
+            | + coalesce(try_element_at(l, 2).c, 0D)
+            | + coalesce(try_element_at(l, 3).c, 0D)""".stripMargin), 6)
+          .as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)
     },
@@ -411,10 +420,11 @@ object PipelineOps {
                          CAST(sum(len(t)) AS BIGINT) AS total FROM toks),
                  tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
                         FROM (SELECT doc_id, unnest(t) AS token FROM toks)
-                        WHERE token IN ('spark', 'vector', 'stream')
                         GROUP BY doc_id, token),
                  dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
                            FROM tf GROUP BY token),
+                 top3 AS (SELECT token, df FROM dfreq
+                          ORDER BY df DESC, token ASC LIMIT 3),
                  comp AS (SELECT tf.doc_id, tf.token,
                      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
                         / (CAST(df AS DOUBLE) + 0.5))
@@ -423,14 +433,14 @@ object PipelineOps {
                            * (CAST(dl.dl AS DOUBLE)
                               / (CAST(g.total AS DOUBLE)
                                  / CAST(g.n_docs AS DOUBLE)))))) AS c
-                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
-                   JOIN dfreq ON tf.token = dfreq.token CROSS JOIN g)
+                   FROM tf JOIN top3 ON tf.token = top3.token
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g),
+                 lists AS (SELECT doc_id, list(c ORDER BY token ASC) AS l
+                           FROM comp GROUP BY doc_id)
             SELECT doc_id,
-              round(coalesce(sum(CASE WHEN token = 'spark' THEN c END), 0)
-                + coalesce(sum(CASE WHEN token = 'vector' THEN c END), 0)
-                + coalesce(sum(CASE WHEN token = 'stream' THEN c END), 0), 6)
-                AS score
-            FROM comp GROUP BY doc_id
+              round(coalesce(l[1], 0) + coalesce(l[2], 0)
+                + coalesce(l[3], 0), 6) AS score
+            FROM lists
             ORDER BY score DESC, doc_id ASC LIMIT 10"""))
 
   val defs: Seq[QueryDef] = Seq(

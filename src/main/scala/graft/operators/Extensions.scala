@@ -544,11 +544,15 @@ object Extensions {
         expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
       ingestLakeBuckets(dir, ev)
       val changed = ev.filter(col("event_id") % 10 === 0)
+      // Synthetic insert keys offset past the table's max id (a fixed
+      // offset collides with re-keyed replicas at larger scales —
+      // caught by the 10x suite probe, which shifts ids per replica).
+      val insOffset = ev.agg(max("event_id")).head().getLong(0) + 1L
       val delta = changed
         .select(col("event_id"), col("event_type"),
           (col("vc") + 1000L).as("vc"))
         .unionByName(changed.select(
-          (col("event_id") + 10000000L).as("event_id"),
+          (col("event_id") + insOffset).as("event_id"),
           lit("synthetic").as("event_type"), col("vc")))
       val (_, _, nUpd, nIns) =
         LakeSink.mergeInto(s, dir, delta, Seq("event_id"))
@@ -573,7 +577,8 @@ object Extensions {
                 vc + CASE WHEN event_id % 10 = 0 THEN 1000 ELSE 0 END AS vc
               FROM ev
               UNION ALL
-              SELECT event_id + 10000000, 'synthetic', vc
+              SELECT event_id + (SELECT max(event_id) + 1 FROM ev),
+                'synthetic', vc
               FROM ev WHERE event_id % 10 = 0)
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
               CAST(sum(vc) AS BIGINT) AS sum_cents,
@@ -701,11 +706,14 @@ object Extensions {
       LakeCatalog.register(tbl, dir)
       val changed = ev.filter(
         col("event_type") =!= "click" && col("event_id") % 10 === 0)
+      // see sink_lake_merge: offset past max id, collision-free at
+      // any scale
+      val insOffset = ev.agg(max("event_id")).head().getLong(0) + 1L
       changed
         .select(col("event_id"), col("event_type"),
           (col("vc") + 1000L).as("vc"))
         .unionByName(changed.select(
-          (col("event_id") + 10000000L).as("event_id"),
+          (col("event_id") + insOffset).as("event_id"),
           lit("synthetic").as("event_type"), col("vc")))
         .createOrReplaceTempView(s"${tbl}_delta")
       val del = s.sql(
@@ -743,7 +751,8 @@ object Extensions {
                      ELSE vc END AS vc
               FROM kept
               UNION ALL
-              SELECT event_id + 10000000, 'synthetic', vc
+              SELECT event_id + (SELECT max(event_id) + 1 FROM ev),
+                'synthetic', vc
               FROM kept WHERE event_id % 10 = 0)
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
               CAST(sum(vc) AS BIGINT) AS sum_cents,

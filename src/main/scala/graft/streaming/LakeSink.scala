@@ -224,6 +224,104 @@ object LakeSink {
       case None => true
     }
 
+  /** Derive a safe prune range for `cond` over the stats-tracked
+    * columns, so DML plans its touched-set from the manifest with NO
+    * caller hint — the automatic partition-predicate extraction every
+    * warehouse DML planner performs. Sound by construction: only
+    * TOP-LEVEL CONJUNCTS are inspected (every predicate-TRUE row
+    * satisfies each conjunct), and only direct column-vs-literal
+    * comparisons contribute bounds; anything else (disjunctions,
+    * arithmetic over the column, non-literal sides) contributes
+    * nothing, which can only widen the range. Returns the first
+    * tracked column with at least one bound. */
+  def inferPruneHint(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      cond: org.apache.spark.sql.Column,
+      tracked: Seq[String]): Option[(String, Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // Columns are lazy ColumnNode graphs in Spark 4 (the Connect
+    // refactor) — `UnresolvedFunction(">=")`, `SqlExpression(text)` —
+    // not typed Catalyst comparisons. Resolving the predicate through
+    // the ANALYZER against the table schema yields the canonical tree
+    // (typed comparisons, coercion casts materialized), which is the
+    // only shape worth pattern-matching. An unanalyzable predicate
+    // infers nothing (the DML itself will surface the real error).
+    val condExpr =
+      try {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          .filter(cond).queryExecution.analyzed
+          .collectFirst { case f: Filter => f.condition }
+      } catch { case _: Exception => None }
+    if (condExpr.isEmpty) return None
+    def name(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // literal side: Literal or Cast(Literal) after type coercion —
+    // foldable, integral-typed, evaluated once (Between keeps its
+    // bounds uncoerced, so bare INT literals appear too)
+    def lit(e: Expression): Option[Long] = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      if (!e.foldable) None
+      else e.dataType match {
+        case LongType => Option(e.eval()).map(_.asInstanceOf[Long])
+        case IntegerType => Option(e.eval()).map(_.asInstanceOf[Int].toLong)
+        case ShortType => Option(e.eval()).map(_.asInstanceOf[Short].toLong)
+        case ByteType => Option(e.eval()).map(_.asInstanceOf[Byte].toLong)
+        case _ => None
+      }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // (attr-name, literal, attr-on-left?) for a column-vs-literal
+    // comparison in either spelling (`c >= 5` / `5 <= c`).
+    def sides(l: Expression, r: Expression): Option[(String, Long, Boolean)] =
+      (for (n <- name(l); v <- lit(r)) yield (n, v, true))
+        .orElse(for (n <- name(r); v <- lit(l)) yield (n, v, false))
+    // (col, lowerBound?, upperBound?) per conjunct; strict bounds on
+    // BIGINTs tighten by one — segments are pruned on closed ranges.
+    val bounds = conjuncts(condExpr.get).flatMap {
+      case GreaterThanOrEqual(l, r) => sides(l, r).map {
+        case (n, v, true) => (n, Some(v), None)        // c >= v
+        case (n, v, false) => (n, None, Some(v))       // v >= c
+      }
+      case GreaterThan(l, r) => sides(l, r).map {
+        case (n, v, true) => (n, Some(v + 1), None)    // c > v
+        case (n, v, false) => (n, None, Some(v - 1))   // v > c
+      }
+      case LessThanOrEqual(l, r) => sides(l, r).map {
+        case (n, v, true) => (n, None, Some(v))        // c <= v
+        case (n, v, false) => (n, Some(v), None)       // v <= c
+      }
+      case LessThan(l, r) => sides(l, r).map {
+        case (n, v, true) => (n, None, Some(v - 1))    // c < v
+        case (n, v, false) => (n, Some(v + 1), None)   // v < c
+      }
+      case EqualTo(l, r) => sides(l, r).map {
+        case (n, v, _) => (n, Some(v), Some(v))
+      }
+      // `x BETWEEN lo AND hi` survives analysis as the
+      // RuntimeReplaceable Between node (expanded only later, in the
+      // optimizer) — match it directly.
+      case Between(in, lo, hi, _) =>
+        for (n <- name(in); l <- lit(lo); h <- lit(hi))
+          yield (n, Some(l), Some(h))
+      case _ => None
+    }
+    tracked.iterator.flatMap { c =>
+      val mine = bounds.filter(_._1 == c)
+      if (mine.isEmpty) None
+      else {
+        val lo = mine.flatMap(_._2).maxOption.getOrElse(Long.MinValue)
+        val hi = mine.flatMap(_._3).minOption.getOrElse(Long.MaxValue)
+        Some((c, lo, hi))
+      }
+    }.nextOption()
+  }
+
   /** STATS-PRUNED READ — the manifest-level FILE SKIPPING every lake
     * format ships (Delta data skipping / Iceberg manifest filtering):
     * resolve the current manifest, drop every segment whose recorded
@@ -409,13 +507,18 @@ object LakeSink {
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     val tracked = m.trackedCols
+    // No explicit hint? Derive one from the predicate's own conjuncts
+    // over the tracked columns — SQL DML gets file skipping for free.
+    val hint = pruneHint.orElse(
+      if (tracked.isEmpty) None
+      else inferPruneHint(spark, tableSchema(spark, outDir, m), cond, tracked))
     var rewritten = 0
     var dropped = 0
     var deleted = 0L
     val newStats = scala.collection.mutable.Map.empty[
       String, Map[String, (Long, Long)]] ++= m.stats
     val newSegs = m.segs.zipWithIndex.flatMap { case (seg, i) =>
-      val pruned = pruneHint.exists { case (c, lo, hi) =>
+      val pruned = hint.exists { case (c, lo, hi) =>
         !mayOverlap(m, seg, c, lo, hi) }
       if (pruned) Some(seg)
       else {
@@ -476,12 +579,15 @@ object LakeSink {
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     require(assignments.nonEmpty, "UPDATE with no assignments")
     val tracked = m.trackedCols
+    val hint = pruneHint.orElse(
+      if (tracked.isEmpty) None
+      else inferPruneHint(spark, tableSchema(spark, outDir, m), cond, tracked))
     var rewritten = 0
     var updated = 0L
     val newStats = scala.collection.mutable.Map.empty[
       String, Map[String, (Long, Long)]] ++= m.stats
     val newSegs = m.segs.zipWithIndex.map { case (seg, i) =>
-      val pruned = pruneHint.exists { case (c, lo, hi) =>
+      val pruned = hint.exists { case (c, lo, hi) =>
         !mayOverlap(m, seg, c, lo, hi) }
       if (pruned) seg
       else {

@@ -114,6 +114,72 @@ class LakeChangeFeedSpec extends AnyFunSuite with SparkFixture {
     assert(all.sorted === (0 to 3).flatMap(i => i * 10L to i * 10L + 4))
   }
 
+  test("bronze → silver: changefeed source + merge sink compose end-to-end") {
+    // The lakehouse derived-table loop: a SILVER rollup table follows
+    // a BRONZE ingest table through the change feed, each micro-batch
+    // folded in via read-modify-MERGE. Checkpoint carries the bronze
+    // version, so a consumer restart resumes the fold exactly where it
+    // left off. (foreachBatch is at-least-once by contract — a crash
+    // between the merge and the checkpoint commit replays one batch;
+    // production folds guard on batchId. The stop/start here exercises
+    // the clean-resume path.)
+    val bronze = buildLake(2)
+    val silver = java.nio.file.Files
+      .createTempDirectory("graft_cf_silver").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cf_silver_ckpt").toString
+    def start() = spark.readStream.format("graft-lake-changefeed")
+      .option("path", bronze).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val s = b.sparkSession
+        val delta = b.groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum("id").as("sum_id"))
+        if (!delta.isEmpty) {
+          if (LakeSink.readManifest(silver).segs.isEmpty) {
+            delta.write.mode("overwrite").parquet(s"$silver/seg_b0")
+            require(LakeSink.commitManifest(silver, 1L, 0L, Seq("seg_b0")))
+          } else {
+            val cur = LakeSink.readTable(s, silver)
+              .withColumnRenamed("n", "cur_n")
+              .withColumnRenamed("sum_id", "cur_sum")
+            val folded = delta.join(cur, Seq("seg"), "left_outer")
+              .select(col("seg"),
+                (col("n") + coalesce(col("cur_n"), lit(0L))).as("n"),
+                (col("sum_id") + coalesce(col("cur_sum"), lit(0L)))
+                  .as("sum_id"))
+            LakeSink.mergeInto(s, silver, folded, Seq("seg"))
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      appendSeg(bronze, 2)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // commits land while the consumer is down; restart folds them in
+    appendSeg(bronze, 3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = LakeSink.readTable(spark, silver)
+      .orderBy("seg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = LakeSink.readTable(spark, bronze)
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("id").as("sum_id"))
+      .orderBy("seg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, "silver rollup diverged from bronze")
+    assert(got.size === 4)
+  }
+
   test("copy-on-write DML inside an unconsumed window fails the stream") {
     val dir = buildLake(3)
     val ckpt = java.nio.file.Files

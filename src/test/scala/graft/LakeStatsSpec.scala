@@ -99,7 +99,8 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
 
   test("deleteWhere pruneHint: zero jobs on disjoint segments, same answer") {
     val hinted = buildTimeLake()
-    val unhinted = buildTimeLake()
+    // stats-less twin: no manifest bounds, so nothing can be skipped
+    val unhinted = buildTimeLake(statsFor = _ => false)
     val cond = col("tse") >= 12L && col("tse") <= 15L
 
     val jHint = jobsIn {
@@ -112,7 +113,7 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
         LakeSink.deleteWhere(spark, unhinted, cond)
       assert(rewritten === 1 && dropped === 0 && deleted === 4L)
     }
-    // The unhinted delete pays a count job on every segment; the
+    // The stats-less delete pays a count job on every segment; the
     // hinted one touches only the overlapping segment.
     assert(jHint < jFull,
       s"expected fewer jobs with pruneHint ($jHint) than without ($jFull)")
@@ -134,6 +135,51 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     val (_, scannedAfter, _) =
       LakeSink.readTableWhere(spark, hinted, "tse", 0L, 5L)
     assert(scannedAfter === Seq("seg_b0"))
+  }
+
+  test("inferPruneHint extracts sound conjunct bounds only") {
+    val t = Seq("tse")
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("tse", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.LongType)
+    assert(LakeSink.inferPruneHint(spark, sch,
+      col("tse") >= 10L && col("tse") < 20L, t) === Some(("tse", 10L, 19L)))
+    assert(LakeSink.inferPruneHint(spark, sch,
+      expr("12 <= tse AND 15 >= tse"), t) === Some(("tse", 12L, 15L)))
+    assert(LakeSink.inferPruneHint(spark, sch,
+      expr("tse BETWEEN 12 AND 15 AND v <> 3"), t) === Some(("tse", 12L, 15L)))
+    assert(LakeSink.inferPruneHint(spark, sch,
+      col("tse") === 7L && col("v") > 1L, t) === Some(("tse", 7L, 7L)))
+    assert(LakeSink.inferPruneHint(spark, sch,
+      col("tse") > 5L, t) === Some(("tse", 6L, Long.MaxValue)))
+    // unsound shapes contribute nothing: disjunction, untracked
+    // column, arithmetic over the column
+    assert(LakeSink.inferPruneHint(spark, sch,
+      col("tse") === 7L || col("tse") === 9L, t) === None)
+    assert(LakeSink.inferPruneHint(spark, sch, col("v") > 3L, t) === None)
+    assert(LakeSink.inferPruneHint(spark, sch, (col("tse") + 1L) > 3L, t) === None)
+  }
+
+  test("predicate-derived pruning: SQL DELETE auto-plans from manifest stats") {
+    import graft.streaming.LakeCatalog
+    val statsLake = buildTimeLake()
+    val plainLake = buildTimeLake(statsFor = _ => false)
+    LakeCatalog.register("stats_auto_t", statsLake)
+    LakeCatalog.register("plain_auto_t", plainLake)
+    val jStats = jobsIn {
+      spark.sql(
+        "DELETE FROM stats_auto_t WHERE tse BETWEEN 12 AND 15").collect()
+    }
+    val jPlain = jobsIn {
+      spark.sql(
+        "DELETE FROM plain_auto_t WHERE tse BETWEEN 12 AND 15").collect()
+    }
+    assert(jStats < jPlain,
+      s"SQL DELETE should auto-prune from stats ($jStats vs $jPlain)")
+    val a = LakeSink.readTable(spark, statsLake).orderBy("tse").collect()
+    val b = LakeSink.readTable(spark, plainLake).orderBy("tse").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 26)
   }
 
   test("mergeInto auto-prunes by source key range via manifest stats") {

@@ -71,7 +71,8 @@ object LakeSink {
     * stay correct on mixed lakes. */
   final case class Manifest(version: Long, maxB: Long, segs: Seq[String],
       schemaV: Long = 0L, schemaJson: Option[String] = None,
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      txns: Map[String, Long] = Map.empty) {
     /** Columns any live segment tracks stats for. */
     def trackedCols: Seq[String] =
       stats.values.flatMap(_.keys).toSeq.distinct.sorted
@@ -80,16 +81,18 @@ object LakeSink {
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
 
   /** Parse one committed manifest file. Header lines (`maxb=`,
-    * `schemav=`, `schema=`, repeated `stats=seg|col|min|max`) precede
-    * the segment list; segment names never contain `=` so the split is
-    * unambiguous, and old manifests without the newer headers parse as
-    * schemaV 0 / no stats. */
+    * `schemav=`, `schema=`, repeated `stats=seg|col|min|max`,
+    * repeated `txn=app|lastBatchId`) precede the segment list; segment
+    * names never contain `=` so the split is unambiguous, and old
+    * manifests without the newer headers parse as schemaV 0 / no
+    * stats / no txns. */
   private def parseManifest(outDir: String, v: Long): Manifest = {
     val lines = Files.readAllLines(
       manifestDir(outDir).resolve(f"v$v%010d.txt")).asScala
       .filter(_.nonEmpty).toSeq
     val (headers, segs) = lines.partition(_.contains("="))
-    val (statLines, scalarHeaders) = headers.partition(_.startsWith("stats="))
+    val (statLines, rest) = headers.partition(_.startsWith("stats="))
+    val (txnLines, scalarHeaders) = rest.partition(_.startsWith("txn="))
     val h = scalarHeaders.map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
     }.toMap
@@ -106,8 +109,14 @@ object LakeSink {
       .map { case (seg, rows) =>
         seg -> rows.map { case (_, c, lo, hi) => c -> (lo, hi) }.toMap
       }
+    val txns = txnLines.map { l =>
+      l.stripPrefix("txn=").split('|') match {
+        case Array(app, id) => app -> id.toLong
+        case _ => sys.error(s"manifest v$v at $outDir: bad txn line $l")
+      }
+    }.toMap
     Manifest(v, maxB, segs, h.get("schemav").map(_.toLong).getOrElse(0L),
-      h.get("schema"), stats)
+      h.get("schema"), stats, txns)
   }
 
   /** Highest committed manifest. Version 0 = empty lake. */
@@ -138,7 +147,8 @@ object LakeSink {
   def commitManifest(outDir: String, v: Long, maxB: Long,
       segs: Seq[String], schemaV: Long = 0L,
       schemaJson: Option[String] = None,
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Boolean = {
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      txns: Map[String, Long] = Map.empty): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
@@ -149,10 +159,11 @@ object LakeSink {
       .flatMap { case (seg, byCol) =>
         byCol.toSeq.map { case (c, (lo, hi)) => s"stats=$seg|$c|$lo|$hi" }
       }.sorted
+    val txnLines = txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" }
     val headers = s"maxb=$maxB" +:
       ((if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
         schemaJson.map(j => s"schema=$j")
-       else Nil) ++ statLines)
+       else Nil) ++ statLines ++ txnLines)
     Files.write(tmp, (headers ++ segs).mkString("\n").getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
@@ -554,7 +565,7 @@ object LakeSink {
     if (rewritten == 0 && dropped == 0) (m.version, 0, 0, 0L)
     else {
       require(commitManifest(outDir, m.version + 1, m.maxB, newSegs,
-        m.schemaV, m.schemaJson, newStats.toMap),
+        m.schemaV, m.schemaJson, newStats.toMap, m.txns),
         s"delete at $outDir lost a manifest race at v${m.version + 1}")
       (m.version + 1, rewritten, dropped, deleted)
     }
@@ -625,7 +636,7 @@ object LakeSink {
     if (rewritten == 0) (m.version, 0, 0L)
     else {
       require(commitManifest(outDir, m.version + 1, m.maxB, newSegs,
-        m.schemaV, m.schemaJson, newStats.toMap),
+        m.schemaV, m.schemaJson, newStats.toMap, m.txns),
         s"update at $outDir lost a manifest race at v${m.version + 1}")
       (m.version + 1, rewritten, updated)
     }
@@ -663,7 +674,7 @@ object LakeSink {
       else Map(cseg -> segmentStats(
         spark.read.parquet(s"$outDir/$cseg"), tracked))
     require(commitManifest(outDir, m.version + 1, m.maxB, Seq(cseg),
-      m.schemaV, m.schemaJson, cstats),
+      m.schemaV, m.schemaJson, cstats, m.txns),
       s"compaction at $outDir lost a manifest race at v${m.version + 1}")
     // Input segments stay on disk (DML convention: the pre-compaction
     // version keeps time-traveling until vacuum) — unlike the
@@ -691,7 +702,7 @@ object LakeSink {
       s"column $name already exists in lake at $outDir")
     val wider = cur.add(name, dataType, nullable = true)
     require(commitManifest(outDir, m.version + 1, m.maxB, m.segs,
-      m.schemaV + 1, Some(wider.json), m.stats),
+      m.schemaV + 1, Some(wider.json), m.stats, m.txns),
       s"schema evolution at $outDir lost a manifest race")
     m.schemaV + 1
   }
@@ -702,9 +713,19 @@ object LakeSink {
     * appends carry the wider schema; old readers via time travel never
     * see them. Returns the committed version. */
   def appendSegment(spark: SparkSession, outDir: String, df: DataFrame,
-      seg: String): Long = {
+      seg: String, txn: Option[(String, Long)] = None): Long = {
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    // Transactional idempotence (Delta's `txn` action): a writer that
+    // identifies as (appId, batchId) is applied AT MOST ONCE — a
+    // replayed batch whose id is already recorded is a no-op. This is
+    // what upgrades a foreachBatch append/fold sink from
+    // at-least-once to exactly-once: the guard travels IN the same
+    // manifest CAS as the data, so there is no window where the data
+    // committed but the guard did not.
+    txn.foreach { case (app, id) =>
+      if (m.txns.getOrElse(app, Long.MinValue) >= id) return m.version
+    }
     require(!m.segs.contains(seg), s"segment $seg already committed")
     val expected = tableSchema(spark, outDir, m).fieldNames.toSeq
     require(df.columns.toSeq == expected,
@@ -717,7 +738,8 @@ object LakeSink {
       else m.stats + (seg -> segmentStats(
         spark.read.parquet(s"$outDir/$seg"), tracked))
     require(commitManifest(outDir, m.version + 1, m.maxB, m.segs :+ seg,
-      m.schemaV, m.schemaJson, newStats),
+      m.schemaV, m.schemaJson, newStats,
+      txn.fold(m.txns) { case (a, id) => m.txns + (a -> id) }),
       s"append at $outDir lost a manifest race at v${m.version + 1}")
     m.version + 1
   }
@@ -751,11 +773,20 @@ object LakeSink {
     * rows inserted); a no-op merge (no matches, empty insert set)
     * commits nothing. */
   def mergeInto(spark: SparkSession, outDir: String, source: DataFrame,
-      keys: Seq[String]): (Long, Int, Long, Long) = {
+      keys: Seq[String],
+      txn: Option[(String, Long)] = None): (Long, Int, Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, when}
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     require(keys.nonEmpty, "MERGE with no key columns")
+    // Transactional idempotence (see [[appendSegment]]): a replayed
+    // (appId, batchId) merge is a no-op — the guard rides the same
+    // manifest CAS as the data, making foreachBatch read-modify-MERGE
+    // folds EXACTLY-once under crash replay.
+    txn.foreach { case (app, id) =>
+      if (m.txns.getOrElse(app, Long.MinValue) >= id)
+        return (m.version, 0, 0L, 0L)
+    }
     val targetCols = tableSchema(spark, outDir, m).fieldNames
     val missing = targetCols.toSet -- source.columns
     require(missing.isEmpty,
@@ -836,7 +867,8 @@ object LakeSink {
       if (rewritten == 0 && inserted == 0L) (m.version, 0, 0L, 0L)
       else {
         require(commitManifest(outDir, m.version + 1, m.maxB, finalSegs,
-          m.schemaV, m.schemaJson, newStats.toMap),
+          m.schemaV, m.schemaJson, newStats.toMap,
+          txn.fold(m.txns) { case (a, id) => m.txns + (a -> id) }),
           s"merge at $outDir lost a manifest race at v${m.version + 1}")
         (m.version + 1, rewritten, updated, inserted)
       }
@@ -880,7 +912,8 @@ object LakeSink {
               true
             } else commitManifest(outDir, m.version + 1, batchId,
               m.segs :+ seg, m.schemaV, m.schemaJson,
-              if (bstats.isEmpty) m.stats else m.stats + (seg -> bstats))
+              if (bstats.isEmpty) m.stats else m.stats + (seg -> bstats),
+              m.txns)
         }
         if (batchId % compactEvery == (compactEvery - 1)) {
           val m = readManifest(outDir)
@@ -899,7 +932,7 @@ object LakeSink {
                 m.segs.filterNot(bsegs.contains) :+ cseg,
                 m.schemaV, m.schemaJson,
                 (if (cstats.isEmpty) m.stats
-                 else m.stats + (cseg -> cstats)) -- bsegs)) {
+                 else m.stats + (cseg -> cstats)) -- bsegs, m.txns)) {
               // now-orphaned inputs: invisible to every reader; removal
               // is best-effort hygiene, crash-safe to skip
               bsegs.foreach { s =>

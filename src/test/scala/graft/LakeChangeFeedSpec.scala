@@ -119,10 +119,9 @@ class LakeChangeFeedSpec extends AnyFunSuite with SparkFixture {
     // a BRONZE ingest table through the change feed, each micro-batch
     // folded in via read-modify-MERGE. Checkpoint carries the bronze
     // version, so a consumer restart resumes the fold exactly where it
-    // left off. (foreachBatch is at-least-once by contract — a crash
-    // between the merge and the checkpoint commit replays one batch;
-    // production folds guard on batchId. The stop/start here exercises
-    // the clean-resume path.)
+    // left off, and the merge's txn guard (appId, batchId) makes a
+    // crash-replayed fold a no-op — EXACTLY-once end to end. The
+    // replay is exercised directly at the bottom.
     val bronze = buildLake(2)
     val silver = java.nio.file.Files
       .createTempDirectory("graft_cf_silver").toString
@@ -132,30 +131,37 @@ class LakeChangeFeedSpec extends AnyFunSuite with SparkFixture {
       .option("path", bronze).load()
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        val s = b.sparkSession
-        val delta = b.groupBy("seg")
-          .agg(count(lit(1)).as("n"), sum("id").as("sum_id"))
-        if (!delta.isEmpty) {
-          if (LakeSink.readManifest(silver).segs.isEmpty) {
-            delta.write.mode("overwrite").parquet(s"$silver/seg_b0")
-            require(LakeSink.commitManifest(silver, 1L, 0L, Seq("seg_b0")))
-          } else {
-            val cur = LakeSink.readTable(s, silver)
-              .withColumnRenamed("n", "cur_n")
-              .withColumnRenamed("sum_id", "cur_sum")
-            val folded = delta.join(cur, Seq("seg"), "left_outer")
-              .select(col("seg"),
-                (col("n") + coalesce(col("cur_n"), lit(0L))).as("n"),
-                (col("sum_id") + coalesce(col("cur_sum"), lit(0L)))
-                  .as("sum_id"))
-            LakeSink.mergeInto(s, silver, folded, Seq("seg"))
-          }
-        }
+          org.apache.spark.sql.Row], batchId: Long) =>
+        foldBatch(b, batchId)
         ()
       }
       .option("checkpointLocation", ckpt)
       .start()
+
+    def foldBatch(b: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], batchId: Long): Unit = {
+      val s = b.sparkSession
+      val delta = b.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("id").as("sum_id"))
+      if (!delta.isEmpty) {
+        if (LakeSink.readManifest(silver).segs.isEmpty) {
+          delta.write.mode("overwrite").parquet(s"$silver/seg_b0")
+          require(LakeSink.commitManifest(silver, 1L, 0L, Seq("seg_b0"),
+            txns = Map("silver-fold" -> batchId)))
+        } else {
+          val cur = LakeSink.readTable(s, silver)
+            .withColumnRenamed("n", "cur_n")
+            .withColumnRenamed("sum_id", "cur_sum")
+          val folded = delta.join(cur, Seq("seg"), "left_outer")
+            .select(col("seg"),
+              (col("n") + coalesce(col("cur_n"), lit(0L))).as("n"),
+              (col("sum_id") + coalesce(col("cur_sum"), lit(0L)))
+                .as("sum_id"))
+          LakeSink.mergeInto(s, silver, folded, Seq("seg"),
+            txn = Some(("silver-fold", batchId)))
+        }
+      }
+    }
 
     val q1 = start()
     try {
@@ -168,6 +174,13 @@ class LakeChangeFeedSpec extends AnyFunSuite with SparkFixture {
     appendSeg(bronze, 3)
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
+
+    // crash-replay the LAST fold: the txn guard must no-op it — the
+    // at-least-once window foreachBatch leaves open is closed
+    val replay = LakeSink.changesBetween(spark, bronze, 3L, 4L)
+    val lastBatch = LakeSink.readManifest(silver)
+      .txns("silver-fold")
+    foldBatch(replay, lastBatch)
 
     val got = LakeSink.readTable(spark, silver)
       .orderBy("seg").collect()

@@ -217,6 +217,52 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     assert(m.stats(mseg)("tse") === (10L, 19L))
   }
 
+  test("txn guard: replayed merges and appends are exactly-once") {
+    import spark.implicits._
+    val dir = buildTimeLake(statsFor = _ => false)
+    def src(v: Long): DataFrame = Seq((12L, v)).toDF("tse", "v")
+
+    val (v1, rw1, u1, _) =
+      LakeSink.mergeInto(spark, dir, src(9001L), Seq("tse"),
+        txn = Some(("fold", 1L)))
+    assert(rw1 === 1 && u1 === 1L)
+    // crash replay of the same (app, batchId): MUST be a no-op
+    val (v2, rw2, u2, i2) =
+      LakeSink.mergeInto(spark, dir, src(8888L), Seq("tse"),
+        txn = Some(("fold", 1L)))
+    assert(v2 === v1 && rw2 === 0 && u2 === 0L && i2 === 0L)
+    assert(LakeSink.readTable(spark, dir)
+      .filter(col("tse") === 12L).head().getLong(1) === 9001L)
+    // the NEXT batch applies; an older batchId is also skipped
+    val (v3, rw3, _, _) = LakeSink.mergeInto(spark, dir, src(9002L),
+      Seq("tse"), txn = Some(("fold", 2L)))
+    assert(v3 === v1 + 1 && rw3 === 1)
+    val (v4, _, _, _) = LakeSink.mergeInto(spark, dir, src(7777L),
+      Seq("tse"), txn = Some(("fold", 1L)))
+    assert(v4 === v3)
+    // independent writer identities do not interfere
+    val (v5, rw5, u5, _) = LakeSink.mergeInto(spark, dir, src(9003L),
+      Seq("tse"), txn = Some(("other", 1L)))
+    assert(v5 === v3 + 1 && rw5 === 1 && u5 === 1L)
+
+    // append path: same guard
+    val a1 = LakeSink.appendSegment(spark, dir,
+      Seq((100L, 1L)).toDF("tse", "v"), "seg_t1",
+      txn = Some(("ing", 7L)))
+    val a2 = LakeSink.appendSegment(spark, dir,
+      Seq((101L, 2L)).toDF("tse", "v"), "seg_t2",
+      txn = Some(("ing", 7L)))
+    assert(a2 === a1, "replayed append committed a second segment")
+    assert(!LakeSink.readManifest(dir).segs.contains("seg_t2"))
+    // the guard survives unrelated DML commits in between
+    LakeSink.deleteWhere(spark, dir, col("tse") === 0L)
+    val a3 = LakeSink.appendSegment(spark, dir,
+      Seq((102L, 3L)).toDF("tse", "v"), "seg_t3",
+      txn = Some(("ing", 6L)))
+    assert(!LakeSink.readManifest(dir).segs.contains("seg_t3"))
+    assert(a3 === LakeSink.readManifest(dir).version)
+  }
+
   test("compaction recomputes stats for the compacted segment") {
     val dir = buildTimeLake()
     val (v, nIn) = LakeSink.compact(spark, dir, targetFiles = 1,

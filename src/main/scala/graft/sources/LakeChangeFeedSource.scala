@@ -60,7 +60,9 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
       metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
     new LakeChangeFeedSource(sqlContext.sparkSession,
-      LakeChangeFeedSource.path(parameters))
+      LakeChangeFeedSource.path(parameters),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong)
+        .getOrElse(Long.MaxValue))
 }
 
 object LakeChangeFeedSource {
@@ -69,16 +71,43 @@ object LakeChangeFeedSource {
       sys.error("graft-lake-changefeed requires a path option"))
 }
 
-class LakeChangeFeedSource(spark: SparkSession, dir: String) extends Source {
+class LakeChangeFeedSource(spark: SparkSession, dir: String,
+    maxVersionsPerTrigger: Long = Long.MaxValue) extends Source {
+  require(maxVersionsPerTrigger >= 1L,
+    s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
 
   override val schema: StructType =
     LakeSink.tableSchema(spark, dir, LakeSink.readManifest(dir))
 
-  /** Tip of the log = current committed manifest version. None until
+  /** Highest version this source has admitted or seen committed —
+    * the base the per-trigger cap advances from. Volatile session
+    * state only: after a restart the first report is UNCAPPED (we
+    * cannot know the checkpointed position from here — reporting
+    * below it would confuse the engine), and capping resumes from
+    * the restored batch via [[commit]]. The same first-trigger
+    * semantics as `maxFilesPerTrigger` on a fresh listing. */
+  @volatile private var admittedV: Long = 0L
+
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit =
+    end match {
+      case l: LongOffset => admittedV = math.max(admittedV, l.offset)
+      case other => admittedV =
+        math.max(admittedV, other.json().trim.toLong)
+    }
+
+  /** Tip of the log = current committed manifest version, ADMISSION-
+    * CAPPED at `admittedV + maxVersionsPerTrigger` — a backlog of
+    * lake commits drains as a sequence of bounded micro-batches (the
+    * `get_records` Limit / `maxFilesPerTrigger` semantic). None until
     * the first commit (no data yet). */
   override def getOffset: Option[Offset] = {
-    val v = LakeSink.readManifest(dir).version
-    if (v == 0L) None else Some(LongOffset(v))
+    val tip = LakeSink.readManifest(dir).version
+    if (tip == 0L) return None
+    val capped =
+      if (admittedV == 0L || maxVersionsPerTrigger == Long.MaxValue) tip
+      else math.min(tip, admittedV + maxVersionsPerTrigger)
+    admittedV = math.max(admittedV, capped)
+    Some(LongOffset(capped))
   }
 
   /** Restart hands back offsets as SerializedOffset; LongOffset's json

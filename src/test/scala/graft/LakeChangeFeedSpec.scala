@@ -193,6 +193,43 @@ class LakeChangeFeedSpec extends AnyFunSuite with SparkFixture {
     assert(got.size === 4)
   }
 
+  test("maxVersionsPerTrigger drains a backlog as bounded micro-batches") {
+    val dir = buildLake(1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cf_src_ckpt4").toString
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("graft-lake-changefeed")
+      .option("path", dir)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batches.add(b.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // backlog of 3 commits lands between triggers...
+      appendSeg(dir, 1)
+      appendSeg(dir, 2)
+      appendSeg(dir, 3)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batches.asScala.map(_.size).toSeq
+      // ...and drains one version (5 rows) per micro-batch, never a
+      // 15-row gulp; nothing lost, nothing duplicated
+      assert(sizes.count(_ == 5) >= 3,
+        s"expected the backlog in 5-row batches, got $sizes")
+      val all = batches.asScala.flatMap(identity).toSeq
+      assert(all.sorted === (0 to 3).flatMap(i => i * 10L to i * 10L + 4))
+      assert(all.size === all.distinct.size)
+    } finally q.stop()
+  }
+
   test("copy-on-write DML inside an unconsumed window fails the stream") {
     val dir = buildLake(3)
     val ckpt = java.nio.file.Files

@@ -1154,11 +1154,109 @@ object Extensions {
               FROM events)
             WHERE rk = 1 ORDER BY user_id"""))
 
+  /** Lake EXPECTATIONS (r10 late): table-level data contracts — a
+    * boolean predicate registered IN THE MANIFEST (metadata-only
+    * commit, the DLT-expectations / Delta-CHECK-constraint design:
+    * the contract lives with the table, every writer sees it). The
+    * query exercises the DROP/quarantine flow: after bootstrap, two
+    * expectations are registered (`vc <= 9000` — the events table
+    * naturally violates it — and `vc > 0`, never violated), then each
+    * remaining ingest bucket is split and only the passing side
+    * appended, quarantined rows counted. The oracle replays the
+    * bucket rule and both predicates from the events table alone — an
+    * unenforced contract (violating row slipping in), an over-eager
+    * one (passing row dropped), or a miscounted quarantine all fail
+    * the hash. The fail-loud CHECK path and DML-survival of the
+    * contract are spec'd in LakeExpectationsSpec. */
+  private val sinkLakeExpectations = QueryDef(
+    "sink_lake_expectations",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_exp", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ev.filter(col("event_id") % 4 === 0)
+        .write.mode("overwrite").parquet(s"$dir/seg_b0")
+      require(LakeSink.commitManifest(dir, 1L, 0L, Seq("seg_b0")),
+        "expectations bootstrap lost a race")
+      LakeSink.addExpectation(s, dir, "vc_cap", "vc <= 9000")
+      LakeSink.addExpectation(s, dir, "vc_positive", "vc > 0")
+      var nQuar = 0L
+      (1 to 3).foreach { i =>
+        val b = ev.filter(col("event_id") % 4 === i)
+        val (pass, quar) = LakeSink.splitByExpectations(s, dir, b)
+        nQuar += quar.count()
+        if (!pass.isEmpty)
+          LakeSink.appendSegment(s, dir, pass, s"seg_b$i")
+      }
+      LakeSink.readTable(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
+        .withColumn("n_quarantined", lit(nQuar))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events),
+                 final AS (
+                   SELECT * FROM ev WHERE event_id % 4 = 0
+                   UNION ALL
+                   SELECT * FROM ev WHERE event_id % 4 <> 0
+                     AND vc <= 9000 AND vc > 0)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(vc) AS BIGINT) AS sum_cents,
+              (SELECT CAST(count(*) AS BIGINT) FROM ev
+                 WHERE event_id % 4 <> 0
+                   AND NOT (vc <= 9000 AND vc > 0)) AS n_quarantined
+            FROM final GROUP BY event_type ORDER BY event_type"""))
+
+  /** Lake DESCRIBE HISTORY (r10 late): the retained manifest log as a
+    * relation — [[graft.streaming.LakeSink.history]] diffs adjacent
+    * retained manifests (metadata only, zero data IO) into one row
+    * per version with segment counts and per-commit added/removed
+    * deltas. The query ingests the 4 hash buckets (one version each)
+    * and compacts, so the ENTIRE history is derivable from the events
+    * table: versions 1..k each add one segment, the compaction
+    * version holds one segment and removed k — a missing version, a
+    * phantom commit, or a wrong diff fails the hash. */
+  private val sinkLakeHistory = QueryDef(
+    "sink_lake_history",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_hist", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      LakeSink.compact(s, dir, targetFiles = 2)
+      LakeSink.history(s, dir).orderBy("version")
+    },
+    Some("""WITH k AS (SELECT CAST(count(DISTINCT event_id % 4) AS BIGINT)
+                         AS k FROM events)
+            SELECT * FROM (
+              SELECT v AS version, v AS n_segments,
+                CAST(0 AS BIGINT) AS schema_v,
+                CAST(0 AS BIGINT) AS n_expectations,
+                CAST(1 AS BIGINT) AS segs_added,
+                CAST(0 AS BIGINT) AS segs_removed,
+                FALSE AS is_current
+              FROM (SELECT unnest(generate_series(1, (SELECT k FROM k)))
+                      AS v)
+              UNION ALL
+              SELECT k + 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(1 AS BIGINT), k, TRUE
+              FROM k)
+            ORDER BY version"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkLakeMerge,
     sqlLakeDml, sinkLakeEvolution, sinkLakeCompactClustered, sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
-    sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead)
+    sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead, sinkLakeExpectations,
+    sinkLakeHistory)
 }

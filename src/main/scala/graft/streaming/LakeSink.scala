@@ -72,7 +72,8 @@ object LakeSink {
   final case class Manifest(version: Long, maxB: Long, segs: Seq[String],
       schemaV: Long = 0L, schemaJson: Option[String] = None,
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      expects: Map[String, String] = Map.empty) {
     /** Columns any live segment tracks stats for. */
     def trackedCols: Seq[String] =
       stats.values.flatMap(_.keys).toSeq.distinct.sorted
@@ -91,8 +92,9 @@ object LakeSink {
       manifestDir(outDir).resolve(f"v$v%010d.txt")).asScala
       .filter(_.nonEmpty).toSeq
     val (headers, segs) = lines.partition(_.contains("="))
-    val (statLines, rest) = headers.partition(_.startsWith("stats="))
-    val (txnLines, scalarHeaders) = rest.partition(_.startsWith("txn="))
+    val (statLines, rest0) = headers.partition(_.startsWith("stats="))
+    val (txnLines, rest) = rest0.partition(_.startsWith("txn="))
+    val (expectLines, scalarHeaders) = rest.partition(_.startsWith("expect="))
     val h = scalarHeaders.map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
     }.toMap
@@ -115,8 +117,15 @@ object LakeSink {
         case _ => sys.error(s"manifest v$v at $outDir: bad txn line $l")
       }
     }.toMap
+    // name|sql, split once — the SQL side may itself contain '|'
+    val expects = expectLines.map { l =>
+      l.stripPrefix("expect=").split("\\|", 2) match {
+        case Array(n, sql) => n -> sql
+        case _ => sys.error(s"manifest v$v at $outDir: bad expect line $l")
+      }
+    }.toMap
     Manifest(v, maxB, segs, h.get("schemav").map(_.toLong).getOrElse(0L),
-      h.get("schema"), stats, txns)
+      h.get("schema"), stats, txns, expects)
   }
 
   /** Highest committed manifest. Version 0 = empty lake. */
@@ -148,7 +157,8 @@ object LakeSink {
       segs: Seq[String], schemaV: Long = 0L,
       schemaJson: Option[String] = None,
       stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      txns: Map[String, Long] = Map.empty): Boolean = {
+      txns: Map[String, Long] = Map.empty,
+      expects: Map[String, String] = Map.empty): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
@@ -160,10 +170,12 @@ object LakeSink {
         byCol.toSeq.map { case (c, (lo, hi)) => s"stats=$seg|$c|$lo|$hi" }
       }.sorted
     val txnLines = txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" }
+    val expectLines =
+      expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" }
     val headers = s"maxb=$maxB" +:
       ((if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
         schemaJson.map(j => s"schema=$j")
-       else Nil) ++ statLines ++ txnLines)
+       else Nil) ++ statLines ++ txnLines ++ expectLines)
     Files.write(tmp, (headers ++ segs).mkString("\n").getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
@@ -381,6 +393,39 @@ object LakeSink {
     reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
   }
 
+  /** DESCRIBE HISTORY: the retained manifest log as a DataFrame —
+    * one row per committed version still inside the vacuum retention
+    * horizon, with the version's segment count, schema generation,
+    * and what the commit DID relative to its predecessor (appended /
+    * rewrote / dropped segment counts — derived by diffing adjacent
+    * retained manifests, metadata only, zero data IO). The audit
+    * surface every lake format ships; at 100 TB it reads a handful
+    * of manifest files, never the data. */
+  def history(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val md = manifestDir(outDir)
+    val versions =
+      if (!Files.isDirectory(md)) Nil
+      else Files.list(md).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d{10}\\.txt") =>
+          s.substring(1, 11).toLong }
+        .toSeq.sorted
+    val manifests = versions.map(parseManifest(outDir, _))
+    val tip = versions.lastOption.getOrElse(0L)
+    val rows = manifests.zipWithIndex.map { case (m, i) =>
+      val prevSegs: Set[String] =
+        if (i == 0) Set.empty else manifests(i - 1).segs.toSet
+      val added = m.segs.count(!prevSegs(_))
+      val removed = (prevSegs -- m.segs).size
+      (m.version, m.segs.size.toLong, m.schemaV,
+        m.expects.size.toLong, added.toLong, removed.toLong,
+        m.version == tip)
+    }
+    rows.toDF("version", "n_segments", "schema_v", "n_expectations",
+      "segs_added", "segs_removed", "is_current")
+  }
+
   /** INCREMENTAL READ (change feed): the rows ADDED between committed
     * versions `fromV` (exclusive; 0 = the beginning) and `toV`
     * (inclusive), resolved as the segments `toV` lists that `fromV`
@@ -565,7 +610,7 @@ object LakeSink {
     if (rewritten == 0 && dropped == 0) (m.version, 0, 0, 0L)
     else {
       require(commitManifest(outDir, m.version + 1, m.maxB, newSegs,
-        m.schemaV, m.schemaJson, newStats.toMap, m.txns),
+        m.schemaV, m.schemaJson, newStats.toMap, m.txns, m.expects),
         s"delete at $outDir lost a manifest race at v${m.version + 1}")
       (m.version + 1, rewritten, dropped, deleted)
     }
@@ -636,7 +681,7 @@ object LakeSink {
     if (rewritten == 0) (m.version, 0, 0L)
     else {
       require(commitManifest(outDir, m.version + 1, m.maxB, newSegs,
-        m.schemaV, m.schemaJson, newStats.toMap, m.txns),
+        m.schemaV, m.schemaJson, newStats.toMap, m.txns, m.expects),
         s"update at $outDir lost a manifest race at v${m.version + 1}")
       (m.version + 1, rewritten, updated)
     }
@@ -674,13 +719,61 @@ object LakeSink {
       else Map(cseg -> segmentStats(
         spark.read.parquet(s"$outDir/$cseg"), tracked))
     require(commitManifest(outDir, m.version + 1, m.maxB, Seq(cseg),
-      m.schemaV, m.schemaJson, cstats, m.txns),
+      m.schemaV, m.schemaJson, cstats, m.txns, m.expects),
       s"compaction at $outDir lost a manifest race at v${m.version + 1}")
     // Input segments stay on disk (DML convention: the pre-compaction
     // version keeps time-traveling until vacuum) — unlike the
     // streaming path's eager cleanup, this op follows the
     // delete/update/merge retention contract.
     (m.version + 1, m.segs.size)
+  }
+
+  /** Register a table EXPECTATION (data contract): a boolean SQL
+    * predicate over the table's columns that every subsequently
+    * appended batch must satisfy ([[appendSegment]] enforces it with
+    * CHECK-constraint fail-loud semantics; SQL `INSERT INTO` goes
+    * through the same path). A METADATA-ONLY manifest commit — the
+    * DLT-expectations / Delta-constraints design: the contract lives
+    * WITH the table, so every writer sees it, not just the pipeline
+    * that happened to add validation code. Applies to new data;
+    * existing segments are not re-validated (`ADD CONSTRAINT ...
+    * NOT VALID` semantics). Returns the committed version. */
+  def addExpectation(spark: SparkSession, outDir: String, name: String,
+      condSql: String): Long = {
+    require(!name.contains('|') && name.nonEmpty,
+      s"expectation name must be non-empty without '|': $name")
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    require(!m.expects.contains(name),
+      s"expectation $name already registered on lake at $outDir")
+    // fail at registration, not first append, if the SQL is unparsable
+    // or references absent columns
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      tableSchema(spark, outDir, m))
+      .filter(org.apache.spark.sql.functions.expr(condSql))
+      .queryExecution.assertAnalyzed()
+    require(commitManifest(outDir, m.version + 1, m.maxB, m.segs,
+      m.schemaV, m.schemaJson, m.stats, m.txns,
+      m.expects + (name -> condSql)),
+      s"expectation registration at $outDir lost a manifest race")
+    m.version + 1
+  }
+
+  /** Split a batch into (passing, quarantined) against the table's
+    * registered expectations — the DROP/quarantine flow: append the
+    * passing side, route the quarantined side to a dead-letter table
+    * for inspection. Rows where any expectation is FALSE or NULL
+    * quarantine (a NULL check result is not a pass — same rule as
+    * the fail-loud path). */
+  def splitByExpectations(spark: SparkSession, outDir: String,
+      df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.expr
+    val m = readManifest(outDir)
+    if (m.expects.isEmpty) return (df, df.limit(0))
+    val passAll = m.expects.values
+      .map(sql => expr(sql) <=> org.apache.spark.sql.functions.lit(true))
+      .reduce(_ && _)
+    (df.filter(passAll), df.filter(!passAll))
   }
 
   /** SCHEMA EVOLUTION: add a nullable column — a METADATA-ONLY commit,
@@ -702,7 +795,7 @@ object LakeSink {
       s"column $name already exists in lake at $outDir")
     val wider = cur.add(name, dataType, nullable = true)
     require(commitManifest(outDir, m.version + 1, m.maxB, m.segs,
-      m.schemaV + 1, Some(wider.json), m.stats, m.txns),
+      m.schemaV + 1, Some(wider.json), m.stats, m.txns, m.expects),
       s"schema evolution at $outDir lost a manifest race")
     m.schemaV + 1
   }
@@ -731,6 +824,24 @@ object LakeSink {
     require(df.columns.toSeq == expected,
       s"appendSegment schema mismatch: got ${df.columns.mkString(",")}, " +
         s"table is ${expected.mkString(",")}")
+    // EXPECTATION enforcement (CHECK-constraint semantics): reject the
+    // whole append if any registered expectation has violating rows —
+    // one aggregate job over the batch, fail-loud with per-check
+    // counts. A drop/quarantine flow splits FIRST via
+    // [[splitByExpectations]] and appends the passing side.
+    if (m.expects.nonEmpty) {
+      import org.apache.spark.sql.functions.{count, expr, lit, when}
+      val checks = m.expects.toSeq.sortBy(_._1)
+      val aggs = checks.map { case (_, sql) =>
+        count(when(!expr(sql) || expr(sql).isNull, lit(1))) }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val bad = checks.zipWithIndex
+        .map { case ((n, _), i) => n -> row.getLong(i) }
+        .filter(_._2 > 0L)
+      require(bad.isEmpty,
+        s"appendSegment to $outDir violates expectation(s): " +
+          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+    }
     df.write.mode("overwrite").parquet(s"$outDir/$seg")
     val tracked = m.trackedCols
     val newStats =
@@ -739,7 +850,7 @@ object LakeSink {
         spark.read.parquet(s"$outDir/$seg"), tracked))
     require(commitManifest(outDir, m.version + 1, m.maxB, m.segs :+ seg,
       m.schemaV, m.schemaJson, newStats,
-      txn.fold(m.txns) { case (a, id) => m.txns + (a -> id) }),
+      txn.fold(m.txns) { case (a, id) => m.txns + (a -> id) }, m.expects),
       s"append at $outDir lost a manifest race at v${m.version + 1}")
     m.version + 1
   }
@@ -868,7 +979,8 @@ object LakeSink {
       else {
         require(commitManifest(outDir, m.version + 1, m.maxB, finalSegs,
           m.schemaV, m.schemaJson, newStats.toMap,
-          txn.fold(m.txns) { case (a, id) => m.txns + (a -> id) }),
+          txn.fold(m.txns) { case (a, id) => m.txns + (a -> id) },
+          m.expects),
           s"merge at $outDir lost a manifest race at v${m.version + 1}")
         (m.version + 1, rewritten, updated, inserted)
       }
@@ -913,7 +1025,7 @@ object LakeSink {
             } else commitManifest(outDir, m.version + 1, batchId,
               m.segs :+ seg, m.schemaV, m.schemaJson,
               if (bstats.isEmpty) m.stats else m.stats + (seg -> bstats),
-              m.txns)
+              m.txns, m.expects)
         }
         if (batchId % compactEvery == (compactEvery - 1)) {
           val m = readManifest(outDir)
@@ -932,7 +1044,8 @@ object LakeSink {
                 m.segs.filterNot(bsegs.contains) :+ cseg,
                 m.schemaV, m.schemaJson,
                 (if (cstats.isEmpty) m.stats
-                 else m.stats + (cseg -> cstats)) -- bsegs, m.txns)) {
+                 else m.stats + (cseg -> cstats)) -- bsegs,
+                m.txns, m.expects)) {
               // now-orphaned inputs: invisible to every reader; removal
               // is best-effort hygiene, crash-safe to skip
               bsegs.foreach { s =>

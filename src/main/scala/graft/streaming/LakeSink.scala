@@ -701,14 +701,35 @@ object LakeSink {
     * propagated. Returns (committed version, input segments compacted);
     * a 0/1-segment lake is a no-op. */
   def compact(spark: SparkSession, outDir: String, targetFiles: Int = 2,
-      clusterBy: Seq[String] = Nil): (Long, Int) = {
-    import org.apache.spark.sql.functions.col
+      clusterBy: Seq[String] = Nil,
+      zorderBy: Option[(String, String)] = None): (Long, Int) = {
+    import org.apache.spark.sql.functions.{col, max}
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "compact takes clusterBy OR zorderBy, not both")
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     if (m.segs.size <= 1) return (m.version, 0)
     val df = reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
     val out =
-      if (clusterBy.isEmpty) df.repartition(targetFiles)
+      if (zorderBy.isDefined) {
+        // OPTIMIZE ZORDER BY: the compaction rewrite lays the segment
+        // on the Morton curve over TWO hot dimensions, so each output
+        // file carries tight min/max on both (graft.functions.ZOrder —
+        // bounds from the ACTUAL data, the always-stretch rule). The
+        // key is layout-only and never reaches the table's columns.
+        val (xc, yc) = zorderBy.get
+        val b = df.agg(max(col(xc)).cast("long"),
+          max(col(yc)).cast("long")).head()
+        require(!b.isNullAt(0) && !b.isNullAt(1),
+          s"zorder columns $xc/$yc have no non-null values")
+        val z = graft.functions.ZOrder.zvalue(
+          col(xc), col(yc), b.getLong(0), b.getLong(1))
+        df.withColumn("__z", z)
+          .repartitionByRange(targetFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }
+      else if (clusterBy.isEmpty) df.repartition(targetFiles)
       else df.repartitionByRange(targetFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     val cseg = f"seg_c${m.version + 1}%010d"

@@ -72,6 +72,60 @@ class LakeCompactionSpec extends AnyFunSuite with SparkFixture {
     assert(LakeSink.readTable(spark, dir).count() === total)
   }
 
+  test("z-order compaction: measured skipping on BOTH dimensions") {
+    // OPTIMIZE ZORDER BY through the protocol: the same rewrite, laid
+    // on the Morton curve over (user_id, event-minutes) — each output
+    // file then carries tight min/max on BOTH columns, so a selective
+    // filter on EITHER skips most of the table (1-D clustering buys
+    // only its own key; thresholds mirror ZorderLayoutSpec).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lake_compact_z").toString
+    val raw = Tables.events(spark, sfDir)
+    val t0 = raw.agg(min(unix_micros(col("ts")))).head.getLong(0)
+    val ev = raw.select(
+      col("event_id"), col("user_id"),
+      ((unix_micros(col("ts")) - t0) / 60000000L).cast("long").as("tme"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+    (0 to 3).foreach { i =>
+      ev.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/seg_b$i")
+      val m = LakeSink.readManifest(dir)
+      require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+        m.segs :+ s"seg_b$i"))
+    }
+    val total = ev.count()
+    val tmeMax = ev.agg(max("tme")).head.getLong(0)
+    def userRead(): Long = ScanMetrics.scanOutputRows(
+      LakeSink.readTable(spark, dir)
+        .filter(col("user_id") === 7).agg(count(lit(1)), sum("vc")))
+    def timeRead(): Long = ScanMetrics.scanOutputRows(
+      LakeSink.readTable(spark, dir)
+        .filter(col("tme") <= tmeMax / 8).agg(count(lit(1)), sum("vc")))
+    def answers(): (Long, Long) = {
+      val t = LakeSink.readTable(spark, dir)
+      (t.filter(col("user_id") === 7).agg(sum("vc")).head.getLong(0),
+        t.filter(col("tme") <= tmeMax / 8).agg(sum("vc")).head.getLong(0))
+    }
+    // scattered: neither dimension skips
+    assert(userRead() > (total * 0.9).toLong)
+    assert(timeRead() > (total * 0.9).toLong)
+    val before = answers()
+
+    val (_, nIn) = LakeSink.compact(spark, dir, targetFiles = 32,
+      zorderBy = Some(("user_id", "tme")))
+    assert(nIn === 4)
+    assert(LakeSink.readTable(spark, dir).count() === total)
+    assert(answers() === before, "z-order rewrite changed the answer")
+    // the z-key never leaks into the table
+    assert(LakeSink.readTable(spark, dir).columns.toSeq ===
+      Seq("event_id", "user_id", "tme", "vc"))
+    val (u, t) = (userRead(), timeRead())
+    assert(u <= total / 2,
+      s"z-order read $u of $total on the user dimension")
+    assert(t <= total / 2,
+      s"z-order read $t of $total on the time dimension")
+  }
+
   test("0/1-segment lakes are a no-op") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_lake_compact_noop").toString

@@ -120,8 +120,18 @@ class LakeChangeFeedSource(spark: SparkSession, dir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(version).getOrElse(0L)
     val toV = version(end)
+    // INITIAL LOAD is a SNAPSHOT of the admitted version, not a
+    // change-feed walk from v0: a mature lake has DML/compaction in
+    // its history (v0..tip is not append-only) and vacuumed early
+    // manifests — a manifest diff from the beginning would refuse or
+    // fail on exactly the lakes worth streaming. The snapshot needs
+    // only toV's own manifest, and equals the v0-diff on the pure
+    // append-only case. Delta's source starts the same way (snapshot,
+    // then deltas). Incremental batches stay manifest diffs with the
+    // append-only contract.
     PlanBridge.asStreamingFrame(
-      LakeSink.changesBetween(spark, dir, fromV, toV))
+      if (fromV == 0L) LakeSink.readTableAsOf(spark, dir, toV)
+      else LakeSink.changesBetween(spark, dir, fromV, toV))
   }
 
   override def stop(): Unit = ()

@@ -193,6 +193,43 @@ class LakeChangeFeedSpec extends AnyFunSuite with SparkFixture {
     assert(got.size === 4)
   }
 
+  test("a fresh consumer starts on a lake with DML history (snapshot load)") {
+    // v0..tip of a mature lake is NOT append-only — the initial batch
+    // must be a snapshot of the tip, not a change-feed walk from the
+    // beginning (which would refuse on the DML window / fail on
+    // vacuumed manifests). Subsequent appends stream as deltas.
+    val dir = buildLake(2)
+    LakeSink.deleteWhere(spark, dir, col("id") === 1L) // DML in history
+    LakeSink.compact(spark, dir, targetFiles = 1)      // and compaction
+    LakeSink.vacuum(dir, retainVersions = 1)           // early manifests gone
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cf_src_ckpt5").toString
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("graft-lake-changefeed")
+      .option("path", dir).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batches.add(b.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      // snapshot = current state (id 1 deleted), not historical rows
+      assert(batches.asScala.flatMap(identity).toSeq.sorted ===
+        Seq(0L) ++ (2L to 4L) ++ (10L to 14L))
+      // and the feed continues incrementally from there
+      appendSeg(dir, 2)
+      q.processAllAvailable()
+      assert(batches.asScala.flatMap(identity).toSeq.sorted ===
+        Seq(0L) ++ (2L to 4L) ++ (10L to 14L) ++ (20L to 24L))
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger drains a backlog as bounded micro-batches") {
     val dir = buildLake(1)
     val ckpt = java.nio.file.Files

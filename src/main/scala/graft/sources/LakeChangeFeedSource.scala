@@ -41,6 +41,14 @@ import org.apache.spark.sql.types.StructType
   * mode of file-glob streaming sources), the data path is the same
   * pruned columnar scan as batch, and a consumer group's progress is
   * just a version number in its checkpoint.
+  *
+  * Schema contract: the stream's schema is fixed at start (the
+  * engine's rule for every source). A mid-stream ADD COLUMN commits
+  * fine on the lake side, but batches after it carry the wider frame
+  * and the query fails on the mismatch — restart the stream to pick
+  * up the new schema (Delta's source has the same restart-on-
+  * evolution behavior). The checkpointed version survives the
+  * restart, so no data is lost or repeated.
   */
 class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake-changefeed"

@@ -225,21 +225,27 @@ object SimilarityApi {
     * (more bands), exactly the MinHash S-curve. The signature pass
     * shuffles only (id, band, partial-bucket) longs — vectors never
     * cross the wire here. */
-  /** Corpus-size-adaptive band width: bits = ⌈log₂(n)⌉ − 8, clamped
-    * to [4, 16]. The collision fraction of a b-bit band over n vectors
+  /** Corpus-size-adaptive band width: bits = ⌈log₂(n)⌉ − 8, floor 4,
+    * NO CEILING. The collision fraction of a b-bit band over n vectors
     * is ~n²/2^b pairs — with FIXED b that is quadratic in n, the
     * classic LSH mistake at scale; growing b with log₂(n) keeps
     * expected per-band collisions ~linear in n (measured:
-    * SuiteScaleProbe's 10× corpus). Clamp floor 4 keeps small fixtures
-    * at the historical config (every driver SF lands on 4 → outputs
-    * unchanged); ceiling 16 bounds the plane count.
+    * SuiteScaleProbe's 10× corpus and BandScaleProbe's fixed-vs-
+    * adaptive sweep). The floor of 4 keeps small fixtures at the
+    * historical config (every driver SF lands on 4 → outputs
+    * unchanged). The OLD ceiling of 16 re-introduced the quadratic
+    * term past ~10⁷ vectors (n²/2¹⁶) — removed; the band bucket is now
+    * a 64-bit hash of the full signature ([[signBandSignatures]]), so
+    * nothing in the representation caps the width. bits ≤ 55 for any
+    * Long-sized corpus (n ≤ 2⁶³ ⇒ ⌈log₂ n⌉ − 8 ≤ 55), so the packed
+    * per-band signature always fits one BIGINT.
     *
     * ⌈log₂(n)⌉ is computed as an EXACT INTEGER via
     * numberOfLeadingZeros — no floating point at all. (The previous
     * `ceil(log(n)/log(2))` was only 1-ulp-accurate: at a power-of-two
     * corpus another libm could return 15.000000000000002 and disagree
     * with the oracle by one bit-width at exactly the boundary.) The
-    * DuckDB oracle's GREATEST/LEAST + ceil(log2(n)) agrees on every
+    * DuckDB oracle's GREATEST + ceil(log2(n)) agrees on every
     * integer result: libm log2 is exact at powers of two and safely
     * non-integral elsewhere. */
   def adaptiveBandBits(n: Long): Int = {
@@ -247,11 +253,26 @@ object SimilarityApi {
     // ceil(log2(n)) for n > 1; 0 for n == 1 (clamped to the floor anyway)
     val ceilLog2 =
       if (n == 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    math.min(16, math.max(4, ceilLog2 - 8))
+    math.max(4, ceilLog2 - 8)
   }
 
   def signBandSignatures(emb: DataFrame, planes: DataFrame, idCol: String,
-      embCol: String, bandBits: Int): DataFrame =
+      embCol: String, bandBits: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 55,
+      s"bandBits=$bandBits outside [1,55] — adaptiveBandBits never " +
+        "exceeds 55 for a Long-sized corpus; a packed band signature " +
+        "must fit one BIGINT")
+    // Packed b-bit sign pattern per (id, band) — a partial-aggregatable
+    // SUM, so the signature pass stays one map-side-combined shuffle of
+    // (id, band, long) — then the bucket is xxhash64(band, packed):
+    // the full band signature hashed into 64-BIT bucket space, the
+    // MinHash banding pattern (DedupApi.minhashCandidates). The raw
+    // packed value would work as a join key too, but hashing keeps the
+    // bucket domain uniform at any width (downstream bucketed-ledger
+    // layouts and skew accounting see evenly-spread 64-bit keys, not
+    // sign-pattern-shaped ones) and removes any temptation to cap the
+    // width for representation reasons — the cap was exactly the old
+    // scale bug (n²/2¹⁶ collisions past ~10⁷ vectors).
     emb.select(col(idCol), col(embCol))
       .crossJoin(broadcast(planes))
       .withColumn("band", expr(s"CAST(p_id div $bandBits AS BIGINT)"))
@@ -259,13 +280,60 @@ object SimilarityApi {
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p_id % $bandBits AS INT))"))
         .otherwise(0L))
       .groupBy(col(idCol), col("band"))
-      .agg(sum("__w").as("bucket"))
+      .agg(sum("__w").as("__packed"))
+      .select(col(idCol), col("band"),
+        xxhash64(col("band"), col("__packed")).as("bucket"))
+  }
+
+  /** Guard memo for [[bandedCandidates]]'s bucket-skew check: verdict
+    * is a property of the (immutable data behind the) canonicalized
+    * signature plan + cap, so the one aggregation job it costs is paid
+    * once per distinct input, not per invocation (same pattern as
+    * [[nnGuardOk]]). */
+  private val skewGuardOk = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
+    java.lang.Boolean]()
 
   /** Candidate pairs = pairs sharing ANY band bucket: a plain
     * equi-join on (band, bucket), O(corpus + collisions) — never the
     * O(n²) all-pairs product. Output deduplicated to (a_id, b_id),
-    * a_id < b_id. */
-  def bandedCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    * a_id < b_id.
+    *
+    * FAIL-LOUD bucket-skew guard: the self-join's cost is
+    * Σ n_bucket², so one pathological bucket of m rows contributes
+    * m(m−1)/2 pairs regardless of how good the average is. Before
+    * joining, the max (band, bucket) population is checked against
+    * `maxBucketRows` (default 2¹⁷ → worst single bucket ≲ 8.6 G raw
+    * pair rows, the edge of what one shuffle absorbs); a breach throws
+    * with the measured skew instead of silently launching a quadratic
+    * stage. Breaches mean the band width is too narrow for the corpus
+    * (use [[adaptiveBandBits]] on the true corpus size) or the data is
+    * degenerate in sign-space (many identical/near-axis vectors —
+    * pre-dedup exact copies first, or raise the cap deliberately for
+    * an offline run). The guard's verdict is memoized per
+    * canonicalized signature plan, so repeated calls (bench loops,
+    * multi-action plans) pay the one aggregation job once. */
+  def bandedCandidates(sigs: DataFrame, idCol: String,
+      maxBucketRows: Long = 1L << 17): DataFrame = {
+    skewGuardOk.computeIfAbsent(
+      (sigs.sparkSession, sigs.queryExecution.logical.canonicalized,
+        maxBucketRows),
+      _ => {
+        val worst = sigs.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .agg(max(struct(col("n"), col("band"), col("bucket"))).as("m"))
+          .select("m.n", "m.band", "m.bucket").collect()(0)
+        require(worst.getLong(0) <= maxBucketRows,
+          s"banded candidate join would be quadratic: bucket " +
+            s"(band=${worst.getLong(1)}, bucket=${worst.getLong(2)}) holds " +
+            s"${worst.getLong(0)} rows > cap $maxBucketRows (~" +
+            s"${worst.getLong(0) * (worst.getLong(0) - 1) / 2} pairs from " +
+            "this bucket alone). Widen the bands (adaptiveBandBits on the " +
+            "true corpus size), pre-dedup exact copies, or raise " +
+            "maxBucketRows for a deliberate offline run")
+        java.lang.Boolean.TRUE
+      })
     val a = sigs.select(col("band"), col("bucket"), col(idCol).as("a_id"))
     val b = sigs.select(col("band"), col("bucket"), col(idCol).as("b_id"))
     a.join(b, Seq("band", "bucket"))

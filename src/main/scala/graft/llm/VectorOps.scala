@@ -29,6 +29,13 @@ object VectorOps {
     s"""list_aggregate(list_transform(generate_series(1, len($a)),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
 
+  /** Oracle-side sign-LSH band bucket — Spark's `xxhash64(band,
+    * packed)` (seed 42, children folded left-to-right through
+    * XXH64.hashLong) replayed bit-for-bit via [[DuckHash]]. Mirrors
+    * [[SimilarityApi.signBandSignatures]]'s 64-bit band-bucket hash. */
+  private def bucketHashSql(band: String, packed: String): String =
+    DuckHash.hashLongSigned(packed, DuckHash.hashLongSigned(band, "42"))
+
   /** Brute-force cosine top-10 for a fixed query vector (vec_id 0):
     * broadcast the query, one codegen scan, TakeOrderedAndProject. */
   private val cosineTopk = QueryDef(
@@ -164,15 +171,21 @@ object VectorOps {
     * verification on candidates only, keep rounded sim ≥ 0.35.
     *
     * The band width b is CORPUS-SIZE-ADAPTIVE
-    * ([[SimilarityApi.adaptiveBandBits]]: ~log₂(n)−8, clamped [4,16])
-    * — a fixed b leaves a ~n²/2^b collision fraction that goes
-    * quadratic at scale (SuiteScaleProbe measured exactly that at a
-    * 10× corpus before this change); growing b with log₂(n) keeps
-    * per-band collisions ~linear. Every driver SF lands on the clamp
-    * floor b=4 (the historical config), so fixture outputs are
-    * unchanged; the DuckDB oracle computes b from count(*) with the
-    * identical GREATEST/LEAST/ceil(log2) formula, so the query stays
-    * hash-exact at ANY scale.
+    * ([[SimilarityApi.adaptiveBandBits]]: ~log₂(n)−8, floor 4, NO
+    * ceiling) — a fixed b leaves a ~n²/2^b collision fraction that
+    * goes quadratic at scale (SuiteScaleProbe measured exactly that at
+    * a 10× corpus before this change), and the old 16-bit CEILING
+    * reinstated the same failure past ~10⁷ vectors; now the bucket is
+    * xxhash64(band, packed-signature) — the full band signature hashed
+    * into 64-bit bucket space, the MinHash banding pattern — so
+    * nothing caps the width and per-band collisions stay ~linear at
+    * any n (BandScaleProbe measures fixed-vs-adaptive directly).
+    * Every driver SF lands on the floor b=4 (the historical config);
+    * the DuckDB oracle computes b from count(*) with the identical
+    * GREATEST/ceil(log2) formula and replays the XXH64.hashLong chain
+    * bit-for-bit (DuckHash), so the query stays hash-exact at ANY
+    * scale. The candidate join carries [[SimilarityApi.bandedCandidates]]'s
+    * fail-loud bucket-skew guard.
     *
     * Geometry: P[band collision] = (1-θ/π)ᵇ, so at sim 0.9 recall is
     * ~99.9% (b=4) with ~0.2% of pairs examined; this corpus is
@@ -195,20 +208,23 @@ object VectorOps {
         .orderBy("a_id", "b_id")
     },
     Some(s"""WITH bcfg AS (
-               SELECT LEAST(16, GREATEST(4,
-                 CAST(ceil(log2(count(*))) AS INTEGER) - 8)) AS bits
+               SELECT GREATEST(4,
+                 CAST(ceil(log2(count(*))) AS INTEGER) - 8) AS bits
                FROM embeddings),
              planes AS (
                SELECT vec_id - 10 AS p_id, embedding AS p_emb
                FROM embeddings, bcfg
                WHERE vec_id BETWEEN 10 AND 10 + 4 * bits - 1),
-             sigs AS (
+             packed AS (
                SELECT e.vec_id, CAST(p.p_id // bits AS BIGINT) AS band,
                  CAST(sum(CASE WHEN ${sqlDot("e.embedding", "p.p_emb")} >= 0
                           THEN CAST(1 AS BIGINT) << (p.p_id % bits)
-                          ELSE 0 END) AS BIGINT) AS bucket
+                          ELSE 0 END) AS BIGINT) AS packed
                FROM embeddings e CROSS JOIN planes p CROSS JOIN bcfg
                GROUP BY e.vec_id, band),
+             sigs AS (
+               SELECT vec_id, band, ${bucketHashSql("band", "packed")} AS bucket
+               FROM packed),
              cand AS (
                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
                FROM sigs a JOIN sigs b
@@ -270,20 +286,26 @@ object VectorOps {
                UNION ALL
                SELECT vec_id + 20000, list_transform(embedding, x -> -x)
                FROM embeddings WHERE vec_id BETWEEN 200 AND 249),
-             led_sig AS (
+             led_packed AS (
                SELECT e.vec_id, CAST(p.p_id // 4 AS BIGINT) AS band,
                  CAST(sum(CASE WHEN ${sqlDot("e.embedding", "p.p_emb")} >= 0
                           THEN CAST(1 AS BIGINT) << (p.p_id % 4)
-                          ELSE 0 END) AS BIGINT) AS bucket
+                          ELSE 0 END) AS BIGINT) AS packed
                FROM embeddings e CROSS JOIN planes p
                GROUP BY e.vec_id, band),
-             bat_sig AS (
+             led_sig AS (
+               SELECT vec_id, band, ${bucketHashSql("band", "packed")} AS bucket
+               FROM led_packed),
+             bat_packed AS (
                SELECT b.vec_id, CAST(p.p_id // 4 AS BIGINT) AS band,
                  CAST(sum(CASE WHEN ${sqlDot("b.embedding", "p.p_emb")} >= 0
                           THEN CAST(1 AS BIGINT) << (p.p_id % 4)
-                          ELSE 0 END) AS BIGINT) AS bucket
+                          ELSE 0 END) AS BIGINT) AS packed
                FROM batch b CROSS JOIN planes p
                GROUP BY b.vec_id, band),
+             bat_sig AS (
+               SELECT vec_id, band, ${bucketHashSql("band", "packed")} AS bucket
+               FROM bat_packed),
              cand AS (
                SELECT DISTINCT b.vec_id, l.vec_id AS pid
                FROM bat_sig b JOIN led_sig l

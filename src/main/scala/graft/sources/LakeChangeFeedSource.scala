@@ -58,8 +58,14 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
       parameters: Map[String, String]): (String, StructType) = {
     val dir = LakeChangeFeedSource.path(parameters)
     val m = LakeSink.readManifest(dir)
-    require(m.segs.nonEmpty,
-      s"graft-lake-changefeed: lake at $dir has no committed segments yet")
+    // Subscribe-before-data: a CREATE-TABLE'd lake (schema recorded in
+    // the manifest, zero segments) is a valid subscription target —
+    // the stream idles (getOffset None) until the first data commit.
+    // Only a lake with NEITHER data NOR a recorded schema is refused:
+    // there is nothing to derive a schema from.
+    require(m.segs.nonEmpty || m.schemaJson.isDefined,
+      s"graft-lake-changefeed: lake at $dir has no committed segments " +
+        "and no recorded schema — create the table or commit data first")
     (s"graft-lake-changefeed:$dir",
       LakeSink.tableSchema(sqlContext.sparkSession, dir, m))
   }
@@ -88,12 +94,18 @@ class LakeChangeFeedSource(spark: SparkSession, dir: String,
     LakeSink.tableSchema(spark, dir, LakeSink.readManifest(dir))
 
   /** Highest version this source has admitted or seen committed —
-    * the base the per-trigger cap advances from. Volatile session
-    * state only: after a restart the first report is UNCAPPED (we
-    * cannot know the checkpointed position from here — reporting
-    * below it would confuse the engine), and capping resumes from
-    * the restored batch via [[commit]]. The same first-trigger
-    * semantics as `maxFilesPerTrigger` on a fresh listing. */
+    * the base the per-trigger cap advances from. In-memory state, but
+    * RESTART-SAFE: on restart the engine replays the checkpointed
+    * batch range through [[getBatch]] before asking for a new offset
+    * (MicroBatchExecution.populateStartOffsets makes that catch-up
+    * call for committed batches too), and getBatch seeds this from
+    * the restored end offset — so the backlog accumulated while a
+    * consumer was DOWN (exactly the situation admission control
+    * exists for) drains as capped micro-batches from the checkpointed
+    * position, never as one unbounded gulp. admittedV == 0 therefore
+    * means a genuinely FRESH start, whose first batch is the initial
+    * whole-table snapshot — uncapped by design, since a snapshot's
+    * volume is the table's, not the version count's. */
   @volatile private var admittedV: Long = 0L
 
   override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit =
@@ -109,11 +121,15 @@ class LakeChangeFeedSource(spark: SparkSession, dir: String,
     * `get_records` Limit / `maxFilesPerTrigger` semantic). None until
     * the first commit (no data yet). */
   override def getOffset: Option[Offset] = {
-    val tip = LakeSink.readManifest(dir).version
-    if (tip == 0L) return None
+    val m = LakeSink.readManifest(dir)
+    // No data segments: either a never-written lake or a CREATE-
+    // TABLE'd one whose commits so far are metadata-only — idle until
+    // the first data commit (an offset must land on a version the
+    // initial snapshot can read).
+    if (m.segs.isEmpty) return None
     val capped =
-      if (admittedV == 0L || maxVersionsPerTrigger == Long.MaxValue) tip
-      else math.min(tip, admittedV + maxVersionsPerTrigger)
+      if (admittedV == 0L || maxVersionsPerTrigger == Long.MaxValue) m.version
+      else math.min(m.version, admittedV + maxVersionsPerTrigger)
     admittedV = math.max(admittedV, capped)
     Some(LongOffset(capped))
   }
@@ -128,6 +144,13 @@ class LakeChangeFeedSource(spark: SparkSession, dir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(version).getOrElse(0L)
     val toV = version(end)
+    // Seed the admission base from whatever range the engine hands us:
+    // on restart this is the CHECKPOINTED batch (populateStartOffsets'
+    // catch-up call replays it through here before the first new
+    // getOffset), so the per-trigger cap applies from the restored
+    // position instead of letting the first post-restart batch gulp
+    // the whole downtime backlog.
+    admittedV = math.max(admittedV, toV)
     // INITIAL LOAD is a SNAPSHOT of the admitted version, not a
     // change-feed walk from v0: a mature lake has DML/compaction in
     // its history (v0..tip is not append-only) and vacuumed early

@@ -81,6 +81,27 @@ object LakeSink {
 
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
 
+  /** Directory listing that CLOSES the underlying stream — `Files.list`
+    * holds a directory file descriptor until closed, and iterator-style
+    * consumption never closes it, so every history()/vacuum()/tip-read
+    * call would leak one fd (a real leak on the user-facing audit path
+    * of a long-lived writer). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Committed manifest versions at `outDir`, ascending. */
+  private def manifestVersions(outDir: String): Seq[Long] = {
+    val md = manifestDir(outDir)
+    if (!Files.isDirectory(md)) Nil
+    else listDir(md)
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{10}\\.txt") =>
+        s.substring(1, 11).toLong }
+      .sorted
+  }
+
   /** Parse one committed manifest file. Header lines (`maxb=`,
     * `schemav=`, `schema=`, repeated `stats=seg|col|min|max`,
     * repeated `txn=app|lastBatchId`) precede the segment list; segment
@@ -130,13 +151,7 @@ object LakeSink {
 
   /** Highest committed manifest. Version 0 = empty lake. */
   def readManifest(outDir: String): Manifest = {
-    val md = manifestDir(outDir)
-    if (!Files.isDirectory(md)) return Manifest(0L, -1L, Nil)
-    val versions = Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{10}\\.txt") =>
-        s.substring(1, 11).toLong }
-      .toSeq
+    val versions = manifestVersions(outDir)
     if (versions.isEmpty) Manifest(0L, -1L, Nil)
     else parseManifest(outDir, versions.max)
   }
@@ -163,9 +178,12 @@ object LakeSink {
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
     // Stats only for segments this version lists; sorted so the file
-    // bytes are deterministic for a given logical manifest.
+    // bytes are deterministic for a given logical manifest. Set
+    // membership, not Seq.contains — a linear scan per stats entry is
+    // O(S²) per commit, at odds with the million-segment design.
+    val live = segs.toSet
     val statLines = stats.toSeq
-      .filter { case (seg, _) => segs.contains(seg) }
+      .filter { case (seg, _) => live(seg) }
       .flatMap { case (seg, byCol) =>
         byCol.toSeq.map { case (c, (lo, hi)) => s"stats=$seg|$c|$lo|$hi" }
       }.sorted
@@ -186,6 +204,83 @@ object LakeSink {
       Files.deleteIfExists(tmp)
     }
   }
+
+  /** Attempts a DML re-plan loop makes before giving up — each retry
+    * costs a full re-plan (reads + rewrites), so a table busy enough to
+    * lose 8 straight races needs coordination, not more retries. */
+  private val dmlMaxAttempts = 8
+
+  /** OPTIMISTIC-CONCURRENCY commit for copy-on-write DML: publish an
+    * edit (drop `removed`, add `added`) computed against `base`, even
+    * if other writers committed since — the Delta/Iceberg retry
+    * protocol. On a lost CAS the tip is re-read and the edit re-staged
+    * when it still COMMUTES with what landed in between: every base
+    * segment must still be live (concurrent commits only APPENDED),
+    * and schema/expectations/our-txn state must be unmoved. Committing
+    * then serializes this DML BEFORE the concurrent appends
+    * (WriteSerializable, Delta's default level: the final table equals
+    * the serial history "this DML, then those appends" — appended rows
+    * are deliberately not re-examined by the already-planned rewrite).
+    *
+    * Returns Some(committed version) — possibly several versions past
+    * `base` — or None on a TRUE CONFLICT: a base segment this DML read
+    * was itself rewritten or dropped (its replacement may hold rows
+    * the predicate should see, so the staged rewrite is stale), the
+    * schema or expectation set changed, or our (appId, batchId) txn
+    * got recorded by someone else. The caller re-plans against the new
+    * tip; segments already written by the stale attempt become orphans
+    * for [[vacuum]]. */
+  private def tryCommitEdit(outDir: String, base: Manifest,
+      removed: Set[String], added: Seq[String],
+      addedStats: Map[String, Map[String, (Long, Long)]],
+      txn: Option[(String, Long)]): Option[Long] = {
+    val baseSegs = base.segs.toSet
+    var tip = base
+    while (true) {
+      val segs = tip.segs.filterNot(removed) ++ added
+      val stats = (tip.stats -- removed) ++ addedStats
+      val txns = txn.fold(tip.txns) { case (a, id) => tip.txns + (a -> id) }
+      if (commitManifest(outDir, tip.version + 1, tip.maxB, segs,
+          tip.schemaV, tip.schemaJson, stats, txns, tip.expects))
+        return Some(tip.version + 1)
+      val now = readManifest(outDir)
+      val nowSegs = now.segs.toSet
+      val commutes = now.schemaV == base.schemaV &&
+        now.expects == base.expects &&
+        baseSegs.forall(nowSegs) &&
+        txn.forall { case (a, id) =>
+          now.txns.getOrElse(a, Long.MinValue) < id }
+      if (!commutes) return None
+      tip = now
+    }
+    None // unreachable
+  }
+
+  /** CREATE TABLE: initialize an EMPTY lake with a recorded schema —
+    * one metadata-only commit (version 1, zero segments, schema
+    * generation 1), the Delta/Iceberg CREATE TABLE analog. Enables the
+    * subscribe-first topology: a change-feed consumer can attach to
+    * the table (the source reads the schema from the manifest and
+    * idles until data arrives) BEFORE any producer has committed —
+    * without this, consumer deployment would be ordered after first
+    * ingest. [[appendSegment]], expectations and evolution all accept
+    * the created-but-empty state. Returns the committed version (1). */
+  def createTable(outDir: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    val m = readManifest(outDir)
+    require(m.version == 0L,
+      s"lake at $outDir already has commits (v${m.version})")
+    require(commitManifest(outDir, 1L, -1L, Nil, 1L, Some(schema.json)),
+      s"create table at $outDir lost a manifest race")
+    1L
+  }
+
+  /** A lake a writer/metadata op can target: has data, or was
+    * CREATE-TABLE'd (schema recorded, possibly zero segments yet). */
+  private def requireTable(m: Manifest, outDir: String): Unit =
+    require(m.segs.nonEmpty || m.schemaJson.isDefined,
+      s"lake at $outDir has no committed segments and no recorded " +
+        "schema — createTable first or commit data")
 
   /** Reader honoring the manifest's schema, when one is recorded: the
     * unified schema is APPLIED to the scan, so pre-evolution segments
@@ -375,7 +470,7 @@ object LakeSink {
   /** Number of parquet data files a segment holds (compaction's
     * observable effect). */
   def segmentFileCount(outDir: String, seg: String): Int =
-    Files.list(Paths.get(outDir, seg)).iterator().asScala
+    listDir(Paths.get(outDir, seg))
       .count(_.getFileName.toString.endsWith(".parquet"))
 
   /** TIME TRAVEL: read the lake as of a specific committed manifest
@@ -403,14 +498,7 @@ object LakeSink {
     * of manifest files, never the data. */
   def history(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
-    val md = manifestDir(outDir)
-    val versions =
-      if (!Files.isDirectory(md)) Nil
-      else Files.list(md).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.matches("v\\d{10}\\.txt") =>
-          s.substring(1, 11).toLong }
-        .toSeq.sorted
+    val versions = manifestVersions(outDir)
     val manifests = versions.map(parseManifest(outDir, _))
     val tip = versions.lastOption.getOrElse(0L)
     val rows = manifests.zipWithIndex.map { case (m, i) =>
@@ -494,20 +582,14 @@ object LakeSink {
   def vacuum(outDir: String, retainVersions: Int = 2): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the live version")
     val md = manifestDir(outDir)
-    if (!Files.isDirectory(md)) return (0, 0)
-    val versions = Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{10}\\.txt") =>
-        s.substring(1, 11).toLong }
-      .toSeq.sorted
+    val versions = manifestVersions(outDir)
     if (versions.isEmpty) return (0, 0)
     val retained = versions.takeRight(retainVersions)
     val live: Set[String] =
       retained.flatMap(v => parseManifest(outDir, v).segs).toSet
-    val segDirs = Files.list(Paths.get(outDir)).iterator().asScala
+    val segDirs = listDir(Paths.get(outDir))
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("seg_"))
-      .toSeq
     val orphans = segDirs.filterNot(p => live(p.getFileName.toString))
     orphans.foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
@@ -554,66 +636,94 @@ object LakeSink {
     *
     * Returns (committed version, segments rewritten, segments dropped,
     * rows deleted); a no-match delete commits nothing and returns the
-    * current version. */
+    * current version.
+    *
+    * CONCURRENCY: a lost manifest race triggers the optimistic retry
+    * protocol ([[tryCommitEdit]]) — commit as-staged when concurrent
+    * commits only appended (this delete serializes before them), full
+    * re-plan against the new tip when a segment this delete read was
+    * itself rewritten (true conflict); abort only after
+    * [[dmlMaxAttempts]] straight losses. Never a lost update: every
+    * commit lands via the CAS against a tip whose segments the staged
+    * edit provably read-or-commutes-with. */
   def deleteWhere(spark: SparkSession, outDir: String,
       cond: org.apache.spark.sql.Column,
-      pruneHint: Option[(String, Long, Long)] = None)
+      pruneHint: Option[(String, Long, Long)] = None,
+      beforeCommit: () => Unit = () => ())
       : (Long, Int, Int, Long) = {
     import org.apache.spark.sql.functions.{coalesce, count, lit, when}
-    val m = readManifest(outDir)
-    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
-    val tracked = m.trackedCols
-    // No explicit hint? Derive one from the predicate's own conjuncts
-    // over the tracked columns — SQL DML gets file skipping for free.
-    val hint = pruneHint.orElse(
-      if (tracked.isEmpty) None
-      else inferPruneHint(spark, tableSchema(spark, outDir, m), cond, tracked))
-    var rewritten = 0
-    var dropped = 0
-    var deleted = 0L
-    val newStats = scala.collection.mutable.Map.empty[
-      String, Map[String, (Long, Long)]] ++= m.stats
-    val newSegs = m.segs.zipWithIndex.flatMap { case (seg, i) =>
-      val pruned = hint.exists { case (c, lo, hi) =>
-        !mayOverlap(m, seg, c, lo, hi) }
-      if (pruned) Some(seg)
-      else {
-        // Segment-sized cache (a segment is one ingest micro-batch /
-        // compaction target, bounded by construction): count + rewrite
-        // read one materialization instead of re-scanning parquet 2-3x.
-        val df = reader(spark, m).parquet(s"$outDir/$seg").cache()
-        try {
-          // One job for both counts — total and predicate-TRUE rows.
-          val Array(total, matches) = df.agg(
-            count(lit(1)), count(when(cond, lit(1)))).head
-            .toSeq.map(_.asInstanceOf[Long]).toArray
-          if (matches == 0L) Some(seg)
-          else {
-            deleted += matches
-            if (matches == total) { dropped += 1; newStats -= seg; None }
-            else {
-              // keep = NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
-              // NULL-predicate rows.
-              val keep = df.filter(!coalesce(cond, lit(false)))
-              val newSeg = f"seg_d${m.version + 1}%010d_$i"
-              keep.write.mode("overwrite").parquet(s"$outDir/$newSeg")
-              rewritten += 1
-              newStats -= seg
-              if (tracked.nonEmpty)
-                newStats(newSeg) = segmentStats(keep, tracked)
-              Some(newSeg)
+    // `beforeCommit` is the race-injection seam (the
+    // beforeMaintenanceCommit pattern): it runs after each attempt's
+    // planning/rewrites and before its commit — the exact window a
+    // concurrent writer's commit forces the optimistic retry protocol.
+    var attempt = 0
+    while (attempt < dmlMaxAttempts) {
+      attempt += 1
+      val m = readManifest(outDir)
+      require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+      val tracked = m.trackedCols
+      // No explicit hint? Derive one from the predicate's own conjuncts
+      // over the tracked columns — SQL DML gets file skipping for free.
+      val hint = pruneHint.orElse(
+        if (tracked.isEmpty) None
+        else inferPruneHint(spark, tableSchema(spark, outDir, m), cond, tracked))
+      // Written-segment names carry a per-attempt NONCE: two racing
+      // writers both staging rewrites for version v+1 must never share
+      // a dir — the CAS loser's in-flight write would silently replace
+      // the winner's committed data (the one corruption the manifest
+      // protocol alone cannot see). A stale attempt's dirs become
+      // vacuum orphans.
+      val nonce = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      var rewritten = 0
+      var dropped = 0
+      var deleted = 0L
+      val removed = Set.newBuilder[String]
+      val added = Seq.newBuilder[String]
+      val addedStats = Map.newBuilder[String, Map[String, (Long, Long)]]
+      m.segs.zipWithIndex.foreach { case (seg, i) =>
+        val pruned = hint.exists { case (c, lo, hi) =>
+          !mayOverlap(m, seg, c, lo, hi) }
+        if (!pruned) {
+          // Segment-sized cache (a segment is one ingest micro-batch /
+          // compaction target, bounded by construction): count + rewrite
+          // read one materialization instead of re-scanning parquet 2-3x.
+          val df = reader(spark, m).parquet(s"$outDir/$seg").cache()
+          try {
+            // One job for both counts — total and predicate-TRUE rows.
+            val Array(total, matches) = df.agg(
+              count(lit(1)), count(when(cond, lit(1)))).head
+              .toSeq.map(_.asInstanceOf[Long]).toArray
+            if (matches > 0L) {
+              deleted += matches
+              if (matches == total) { dropped += 1; removed += seg }
+              else {
+                // keep = NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
+                // NULL-predicate rows.
+                val keep = df.filter(!coalesce(cond, lit(false)))
+                val newSeg = f"seg_d${m.version + 1}%010d_${i}_$nonce"
+                keep.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+                rewritten += 1
+                removed += seg
+                added += newSeg
+                if (tracked.nonEmpty)
+                  addedStats += newSeg -> segmentStats(keep, tracked)
+              }
             }
-          }
-        } finally df.unpersist()
+          } finally df.unpersist()
+        }
+      }
+      if (rewritten == 0 && dropped == 0) return (m.version, 0, 0, 0L)
+      beforeCommit()
+      tryCommitEdit(outDir, m, removed.result(), added.result(),
+        addedStats.result(), None) match {
+        case Some(v) => return (v, rewritten, dropped, deleted)
+        case None => // true conflict — re-plan against the new tip
       }
     }
-    if (rewritten == 0 && dropped == 0) (m.version, 0, 0, 0L)
-    else {
-      require(commitManifest(outDir, m.version + 1, m.maxB, newSegs,
-        m.schemaV, m.schemaJson, newStats.toMap, m.txns, m.expects),
-        s"delete at $outDir lost a manifest race at v${m.version + 1}")
-      (m.version + 1, rewritten, dropped, deleted)
-    }
+    sys.error(s"delete at $outDir: $dmlMaxAttempts consecutive true " +
+      "conflicts (concurrent writers rewriting the same segments) — " +
+      "coordinate the writers or retry later")
   }
 
   /** Row-level UPDATE, copy-on-write — [[deleteWhere]]'s companion,
@@ -624,67 +734,75 @@ object LakeSink {
     * time-travel/vacuum semantics are exactly deleteWhere's. Returns
     * (committed version, segments rewritten, rows updated).
     * `pruneHint` is [[deleteWhere]]'s: manifest-stats-disjoint
-    * segments survive by reference with zero Spark jobs. */
+    * segments survive by reference with zero Spark jobs. Lost manifest
+    * races follow [[deleteWhere]]'s optimistic retry protocol. */
   def updateWhere(spark: SparkSession, outDir: String,
       cond: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       pruneHint: Option[(String, Long, Long)] = None)
       : (Long, Int, Long) = {
     import org.apache.spark.sql.functions.{col, when}
-    val m = readManifest(outDir)
-    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     require(assignments.nonEmpty, "UPDATE with no assignments")
-    val tracked = m.trackedCols
-    val hint = pruneHint.orElse(
-      if (tracked.isEmpty) None
-      else inferPruneHint(spark, tableSchema(spark, outDir, m), cond, tracked))
-    var rewritten = 0
-    var updated = 0L
-    val newStats = scala.collection.mutable.Map.empty[
-      String, Map[String, (Long, Long)]] ++= m.stats
-    val newSegs = m.segs.zipWithIndex.map { case (seg, i) =>
-      val pruned = hint.exists { case (c, lo, hi) =>
-        !mayOverlap(m, seg, c, lo, hi) }
-      if (pruned) seg
-      else {
-        val df = reader(spark, m).parquet(s"$outDir/$seg")
-        // A misspelled assignment column must error, not silently
-        // no-op-rewrite every touched segment.
-        val unknown = assignments.keySet -- df.columns
-        require(unknown.isEmpty,
-          s"UPDATE assigns column(s) not in segment $seg schema: " +
-            unknown.toSeq.sorted.mkString(", "))
-        val matches = df.filter(cond).count()
-        if (matches == 0L) seg
-        else {
-          updated += matches
-          // One projection: SQL UPDATE evaluates the predicate AND every
-          // right-hand side against the OLD row — chained withColumn
-          // would feed already-updated columns into later assignments.
-          val out = df.select(df.columns.map { c =>
-            assignments.get(c) match {
-              case Some(v) => when(cond, v).otherwise(col(c)).as(c)
-              case None => col(c)
-            }
-          }: _*)
-          val newSeg = f"seg_u${m.version + 1}%010d_$i"
-          out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
-          rewritten += 1
-          newStats -= seg
-          if (tracked.nonEmpty)
-            newStats(newSeg) = segmentStats(
-              spark.read.parquet(s"$outDir/$newSeg"), tracked)
-          newSeg
+    var attempt = 0
+    while (attempt < dmlMaxAttempts) {
+      attempt += 1
+      val m = readManifest(outDir)
+      require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+      val tracked = m.trackedCols
+      val hint = pruneHint.orElse(
+        if (tracked.isEmpty) None
+        else inferPruneHint(spark, tableSchema(spark, outDir, m), cond, tracked))
+      val nonce = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      var rewritten = 0
+      var updated = 0L
+      val removed = Set.newBuilder[String]
+      val added = Seq.newBuilder[String]
+      val addedStats = Map.newBuilder[String, Map[String, (Long, Long)]]
+      m.segs.zipWithIndex.foreach { case (seg, i) =>
+        val pruned = hint.exists { case (c, lo, hi) =>
+          !mayOverlap(m, seg, c, lo, hi) }
+        if (!pruned) {
+          val df = reader(spark, m).parquet(s"$outDir/$seg")
+          // A misspelled assignment column must error, not silently
+          // no-op-rewrite every touched segment.
+          val unknown = assignments.keySet -- df.columns
+          require(unknown.isEmpty,
+            s"UPDATE assigns column(s) not in segment $seg schema: " +
+              unknown.toSeq.sorted.mkString(", "))
+          val matches = df.filter(cond).count()
+          if (matches > 0L) {
+            updated += matches
+            // One projection: SQL UPDATE evaluates the predicate AND every
+            // right-hand side against the OLD row — chained withColumn
+            // would feed already-updated columns into later assignments.
+            val out = df.select(df.columns.map { c =>
+              assignments.get(c) match {
+                case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+                case None => col(c)
+              }
+            }: _*)
+            val newSeg = f"seg_u${m.version + 1}%010d_${i}_$nonce"
+            out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+            rewritten += 1
+            removed += seg
+            added += newSeg
+            if (tracked.nonEmpty)
+              addedStats += newSeg -> segmentStats(
+                spark.read.parquet(s"$outDir/$newSeg"), tracked)
+          }
         }
       }
+      if (rewritten == 0) return (m.version, 0, 0L)
+      tryCommitEdit(outDir, m, removed.result(), added.result(),
+        addedStats.result(), None) match {
+        case Some(v) => return (v, rewritten, updated)
+        case None => // true conflict — re-plan against the new tip
+      }
     }
-    if (rewritten == 0) (m.version, 0, 0L)
-    else {
-      require(commitManifest(outDir, m.version + 1, m.maxB, newSegs,
-        m.schemaV, m.schemaJson, newStats.toMap, m.txns, m.expects),
-        s"update at $outDir lost a manifest race at v${m.version + 1}")
-      (m.version + 1, rewritten, updated)
-    }
+    sys.error(s"update at $outDir: $dmlMaxAttempts consecutive true " +
+      "conflicts (concurrent writers rewriting the same segments) — " +
+      "coordinate the writers or retry later")
   }
 
   /** MAINTENANCE COMPACTION as a standalone protocol op, with an
@@ -763,8 +881,15 @@ object LakeSink {
       condSql: String): Long = {
     require(!name.contains('|') && name.nonEmpty,
       s"expectation name must be non-empty without '|': $name")
+    // The manifest is line-oriented: a multi-line condition (legal SQL
+    // that passes analysis) would be written as one `expect=` header
+    // whose continuation lines later parse as segment names, poisoning
+    // every subsequent read of the table. Refuse at registration.
+    require(!condSql.exists(c => c == '\n' || c == '\r'),
+      "expectation SQL must be single-line (the manifest is " +
+        "line-oriented); rewrite the condition without newlines")
     val m = readManifest(outDir)
-    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    requireTable(m, outDir)
     require(!m.expects.contains(name),
       s"expectation $name already registered on lake at $outDir")
     // fail at registration, not first append, if the SQL is unparsable
@@ -810,7 +935,7 @@ object LakeSink {
   def evolveAddColumn(spark: SparkSession, outDir: String, name: String,
       dataType: org.apache.spark.sql.types.DataType): Long = {
     val m = readManifest(outDir)
-    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    requireTable(m, outDir)
     val cur = tableSchema(spark, outDir, m)
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column $name already exists in lake at $outDir")
@@ -829,7 +954,7 @@ object LakeSink {
   def appendSegment(spark: SparkSession, outDir: String, df: DataFrame,
       seg: String, txn: Option[(String, Long)] = None): Long = {
     val m = readManifest(outDir)
-    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    requireTable(m, outDir)
     // Transactional idempotence (Delta's `txn` action): a writer that
     // identifies as (appId, batchId) is applied AT MOST ONCE — a
     // replayed batch whose id is already recorded is a no-op. This is
@@ -865,15 +990,21 @@ object LakeSink {
     }
     df.write.mode("overwrite").parquet(s"$outDir/$seg")
     val tracked = m.trackedCols
-    val newStats =
-      if (tracked.isEmpty) m.stats
-      else m.stats + (seg -> segmentStats(
+    val segStats =
+      if (tracked.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      else Map(seg -> segmentStats(
         spark.read.parquet(s"$outDir/$seg"), tracked))
-    require(commitManifest(outDir, m.version + 1, m.maxB, m.segs :+ seg,
-      m.schemaV, m.schemaJson, newStats,
-      txn.fold(m.txns) { case (a, id) => m.txns + (a -> id) }, m.expects),
-      s"append at $outDir lost a manifest race at v${m.version + 1}")
-    m.version + 1
+    // An append commutes with ANY concurrent commit that leaves the
+    // schema, expectation set, and our txn state alone (it reads no
+    // segments), so a lost CAS retries in place via the optimistic
+    // protocol; a true conflict (schema/expectations moved — the
+    // validation above ran against stale contracts — or our txn
+    // landed) re-plans from the top, re-validating under the new state.
+    tryCommitEdit(outDir, m, Set.empty, Seq(seg), segStats, txn) match {
+      case Some(v) => v
+      case None => appendSegment(spark, outDir,
+        df, seg, txn) // tail re-plan; txn guard stops infinite recursion
+    }
   }
 
   /** MERGE INTO (upsert), copy-on-write — the third DML verb, same
@@ -908,104 +1039,108 @@ object LakeSink {
       keys: Seq[String],
       txn: Option[(String, Long)] = None): (Long, Int, Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, when}
-    val m = readManifest(outDir)
-    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     require(keys.nonEmpty, "MERGE with no key columns")
-    // Transactional idempotence (see [[appendSegment]]): a replayed
-    // (appId, batchId) merge is a no-op — the guard rides the same
-    // manifest CAS as the data, making foreachBatch read-modify-MERGE
-    // folds EXACTLY-once under crash replay.
-    txn.foreach { case (app, id) =>
-      if (m.txns.getOrElse(app, Long.MinValue) >= id)
-        return (m.version, 0, 0L, 0L)
-    }
-    val targetCols = tableSchema(spark, outDir, m).fieldNames
-    val missing = targetCols.toSet -- source.columns
-    require(missing.isEmpty,
-      s"MERGE source lacks target column(s): ${missing.toSeq.sorted.mkString(", ")}")
-    val src = source.select(targetCols.map(col).toSeq: _*).cache()
-    try {
-      val dupKeys = src.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
-      require(dupKeys.isEmpty,
-        "MERGE source has multiple rows per key — ambiguous match")
-      val marked = src.withColumn("__matched", lit(1))
-      // AUTOMATIC stats pruning (no caller hint needed — unlike
-      // delete/update, MERGE's match predicate IS the key equi-join,
-      // so the source's key range is a complete bound): with a single
-      // BIGINT key and manifest stats on it, a segment whose recorded
-      // [min,max] is disjoint from the source's key range cannot match
-      // and survives by reference with zero Spark jobs. One small-side
-      // agg (the source is cached) plans the touched-set from the
-      // manifest — a 3-row upsert against a million-segment lake probes
-      // only the segments whose key range it straddles.
-      val srcKeyRange: Option[(String, Long, Long)] =
-        if (keys.size == 1 && m.stats.values.exists(_.contains(keys.head)))
-          segmentStats(src, keys).get(keys.head)
-            .map { case (lo, hi) => (keys.head, lo, hi) }
-        else None
-      val tracked = m.trackedCols
-      val newStats = scala.collection.mutable.Map.empty[
-        String, Map[String, (Long, Long)]] ++= m.stats
-      var rewritten = 0
-      var updated = 0L
-      val newSegs = m.segs.zipWithIndex.map { case (seg, i) =>
-        val pruned = srcKeyRange.exists { case (c, lo, hi) =>
-          !mayOverlap(m, seg, c, lo, hi) }
-        if (pruned) seg
-        else {
-          val df = reader(spark, m).parquet(s"$outDir/$seg")
-          val matches = df.join(broadcast(src), keys, "left_semi").count()
-          if (matches == 0L) seg
-          else {
-            updated += matches
-            val joined = df.as("t").join(
-              broadcast(marked).as("s"), keys, "left_outer")
-            // Projection preserves the target schema's column ORDER so
-            // every segment in the lake stays byte-layout-compatible.
-            val out = joined.select(targetCols.map { c =>
-              // using-join merges the key columns (left value survives);
-              // non-keys exist on both sides and need qualification.
-              if (keys.contains(c)) col(c)
-              else when(col("s.__matched").isNotNull, col(s"s.$c"))
-                .otherwise(col(s"t.$c")).as(c)
-            }.toSeq: _*)
-            val newSeg = f"seg_m${m.version + 1}%010d_$i"
-            out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
-            rewritten += 1
-            newStats -= seg
-            if (tracked.nonEmpty)
-              newStats(newSeg) = segmentStats(
-                spark.read.parquet(s"$outDir/$newSeg"), tracked)
-            newSeg
+    var attempt = 0
+    while (attempt < dmlMaxAttempts) {
+      attempt += 1
+      val m = readManifest(outDir)
+      require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+      // Transactional idempotence (see [[appendSegment]]): a replayed
+      // (appId, batchId) merge is a no-op — the guard rides the same
+      // manifest CAS as the data, making foreachBatch read-modify-MERGE
+      // folds EXACTLY-once under crash replay. Re-checked on every
+      // re-plan: if our txn landed between attempts, stop as a replay.
+      txn.foreach { case (app, id) =>
+        if (m.txns.getOrElse(app, Long.MinValue) >= id)
+          return (m.version, 0, 0L, 0L)
+      }
+      val targetCols = tableSchema(spark, outDir, m).fieldNames
+      val missing = targetCols.toSet -- source.columns
+      require(missing.isEmpty,
+        s"MERGE source lacks target column(s): ${missing.toSeq.sorted.mkString(", ")}")
+      val src = source.select(targetCols.map(col).toSeq: _*).cache()
+      try {
+        val dupKeys = src.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+        require(dupKeys.isEmpty,
+          "MERGE source has multiple rows per key — ambiguous match")
+        val marked = src.withColumn("__matched", lit(1))
+        // AUTOMATIC stats pruning (no caller hint needed — unlike
+        // delete/update, MERGE's match predicate IS the key equi-join,
+        // so the source's key range is a complete bound): with a single
+        // BIGINT key and manifest stats on it, a segment whose recorded
+        // [min,max] is disjoint from the source's key range cannot match
+        // and survives by reference with zero Spark jobs. One small-side
+        // agg (the source is cached) plans the touched-set from the
+        // manifest — a 3-row upsert against a million-segment lake probes
+        // only the segments whose key range it straddles.
+        val srcKeyRange: Option[(String, Long, Long)] =
+          if (keys.size == 1 && m.stats.values.exists(_.contains(keys.head)))
+            segmentStats(src, keys).get(keys.head)
+              .map { case (lo, hi) => (keys.head, lo, hi) }
+          else None
+        val tracked = m.trackedCols
+        val nonce = java.lang.Long.toHexString(
+          java.util.concurrent.ThreadLocalRandom.current().nextLong())
+        var rewritten = 0
+        var updated = 0L
+        val removed = Set.newBuilder[String]
+        val added = Seq.newBuilder[String]
+        val addedStats = Map.newBuilder[String, Map[String, (Long, Long)]]
+        m.segs.zipWithIndex.foreach { case (seg, i) =>
+          val pruned = srcKeyRange.exists { case (c, lo, hi) =>
+            !mayOverlap(m, seg, c, lo, hi) }
+          if (!pruned) {
+            val df = reader(spark, m).parquet(s"$outDir/$seg")
+            val matches = df.join(broadcast(src), keys, "left_semi").count()
+            if (matches > 0L) {
+              updated += matches
+              val joined = df.as("t").join(
+                broadcast(marked).as("s"), keys, "left_outer")
+              // Projection preserves the target schema's column ORDER so
+              // every segment in the lake stays byte-layout-compatible.
+              val out = joined.select(targetCols.map { c =>
+                // using-join merges the key columns (left value survives);
+                // non-keys exist on both sides and need qualification.
+                if (keys.contains(c)) col(c)
+                else when(col("s.__matched").isNotNull, col(s"s.$c"))
+                  .otherwise(col(s"t.$c")).as(c)
+              }.toSeq: _*)
+              val newSeg = f"seg_m${m.version + 1}%010d_${i}_$nonce"
+              out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+              rewritten += 1
+              removed += seg
+              added += newSeg
+              if (tracked.nonEmpty)
+                addedStats += newSeg -> segmentStats(
+                  spark.read.parquet(s"$outDir/$newSeg"), tracked)
+            }
           }
         }
-      }
-      val inserts = src.join(
-        reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
-          .select(keys.map(col).toSeq: _*),
-        keys, "left_anti")
-      val inserted = inserts.count()
-      val finalSegs =
-        if (inserted == 0L) newSegs
-        else {
-          val insSeg = f"seg_m${m.version + 1}%010d_ins"
+        val inserts = src.join(
+          reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
+            .select(keys.map(col).toSeq: _*),
+          keys, "left_anti")
+        val inserted = inserts.count()
+        if (inserted > 0L) {
+          val insSeg = f"seg_m${m.version + 1}%010d_ins_$nonce"
           inserts.write.mode("overwrite").parquet(s"$outDir/$insSeg")
+          added += insSeg
           if (tracked.nonEmpty)
-            newStats(insSeg) = segmentStats(
+            addedStats += insSeg -> segmentStats(
               spark.read.parquet(s"$outDir/$insSeg"), tracked)
-          newSegs :+ insSeg
         }
-      if (rewritten == 0 && inserted == 0L) (m.version, 0, 0L, 0L)
-      else {
-        require(commitManifest(outDir, m.version + 1, m.maxB, finalSegs,
-          m.schemaV, m.schemaJson, newStats.toMap,
-          txn.fold(m.txns) { case (a, id) => m.txns + (a -> id) },
-          m.expects),
-          s"merge at $outDir lost a manifest race at v${m.version + 1}")
-        (m.version + 1, rewritten, updated, inserted)
-      }
-    } finally src.unpersist()
+        if (rewritten == 0 && inserted == 0L) return (m.version, 0, 0L, 0L)
+        tryCommitEdit(outDir, m, removed.result(), added.result(),
+          addedStats.result(), txn) match {
+          case Some(v) => return (v, rewritten, updated, inserted)
+          case None => // true conflict — re-plan against the new tip
+        }
+      } finally src.unpersist()
+    }
+    sys.error(s"merge at $outDir: $dmlMaxAttempts consecutive true " +
+      "conflicts (concurrent writers rewriting the same segments) — " +
+      "coordinate the writers or retry later")
   }
 
   /** Start the ingest-with-maintenance stream. Every `compactEvery`

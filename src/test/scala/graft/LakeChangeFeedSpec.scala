@@ -267,6 +267,78 @@ class LakeChangeFeedSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("subscribe before data: a CREATE-TABLE'd empty lake idles, then streams the first commit") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cf_src_empty").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cf_src_ckpt5").toString
+    import org.apache.spark.sql.types.{LongType, StructType}
+    LakeSink.createTable(dir,
+      new StructType().add("id", LongType).add("seg", LongType))
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    // the consumer attaches BEFORE any producer has committed data —
+    // the subscribe-first topology the schema-recording commit enables
+    val q = spark.readStream.format("graft-lake-changefeed")
+      .option("path", dir).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batches.add(b.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(batches.asScala.flatMap(identity).isEmpty,
+        "no data committed yet — the stream must idle, not fail")
+      appendSeg(dir, 0)
+      q.processAllAvailable()
+      assert(batches.asScala.flatMap(identity).toSeq.sorted === (0L to 4L))
+    } finally q.stop()
+  }
+
+  test("restart admission: downtime backlog drains capped from the checkpointed position") {
+    val dir = buildLake(1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cf_src_ckpt6").toString
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def start() = spark.readStream.format("graft-lake-changefeed")
+      .option("path", dir)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        batches.add(b.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    batches.clear()
+    // a backlog of commits lands while the consumer is DOWN — exactly
+    // the situation admission control exists for; before the getBatch
+    // seeding fix the first post-restart batch gulped all of it
+    appendSeg(dir, 1)
+    appendSeg(dir, 2)
+    appendSeg(dir, 3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batches.asScala.map(_.size).toSeq
+    assert(sizes.nonEmpty && sizes.forall(_ <= 5),
+      s"post-restart backlog must drain one version (5 rows) per " +
+        s"micro-batch, got batch sizes $sizes")
+    val all = batches.asScala.flatMap(identity).toSeq
+    assert(all.sorted === (1 to 3).flatMap(i => i * 10L to i * 10L + 4))
+    assert(all.size === all.distinct.size)
+  }
+
   test("copy-on-write DML inside an unconsumed window fails the stream") {
     val dir = buildLake(3)
     val ckpt = java.nio.file.Files

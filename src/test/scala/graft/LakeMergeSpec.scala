@@ -57,7 +57,7 @@ class LakeMergeSpec extends AnyFunSuite with SparkFixture {
 
     val m = LakeSink.readManifest(dir)
     assert(m.segs.contains("seg_b2"))              // by reference
-    assert(m.segs.exists(_.endsWith("_ins")))      // one insert segment
+    assert(m.segs.exists(_.contains("_ins")))      // one insert segment
     assert(m.segs.size === 4)
 
     val after = LakeSink.readTable(spark, dir)

@@ -237,9 +237,15 @@ class LlmSpec extends AnyFunSuite with SparkFixture {
     // ceil at a power of two must NOT round up (IEEE-exact log2)
     assert(adaptiveBandBits(1L << 15) == 7)  // the 10x-probe regime
     assert(adaptiveBandBits((1L << 15) + 1) == 8)
-    // ceiling clamp: a trillion-vector corpus stays at 16 bits
+    // NO CEILING (r11): the old min(16, ·) reinstated the quadratic
+    // n²/2¹⁶ collision regime past ~10⁷ vectors — width now keeps
+    // growing with log₂(n), and the band bucket is a 64-bit hash of
+    // the full signature, so nothing in the representation caps it
     assert(adaptiveBandBits(1L << 24) == 16)
-    assert(adaptiveBandBits(1L << 40) == 16)
+    assert(adaptiveBandBits((1L << 24) + 1) == 17)
+    assert(adaptiveBandBits(1L << 40) == 32)
+    // a Long-sized corpus still packs into one BIGINT (bits <= 55)
+    assert(adaptiveBandBits(Long.MaxValue) == 55)
     intercept[IllegalArgumentException] { adaptiveBandBits(0) }
   }
 }

@@ -108,10 +108,14 @@ object LakeSink {
     * names never contain `=` so the split is unambiguous, and old
     * manifests without the newer headers parse as schemaV 0 / no
     * stats / no txns. */
-  private def parseManifest(outDir: String, v: Long): Manifest = {
-    val lines = Files.readAllLines(
+  private def parseManifest(outDir: String, v: Long): Manifest =
+    parseSnapshotLines(outDir, v, Files.readAllLines(
       manifestDir(outDir).resolve(f"v$v%010d.txt")).asScala
-      .filter(_.nonEmpty).toSeq
+      .filter(_.nonEmpty).toSeq)
+
+  private def parseSnapshotLines(outDir: String, v: Long,
+      lines0: Seq[String]): Manifest = {
+    val lines = lines0
     val (headers, segs) = lines.partition(_.contains("="))
     val (statLines, rest0) = headers.partition(_.startsWith("stats="))
     val (txnLines, rest) = rest0.partition(_.startsWith("txn="))
@@ -149,11 +153,199 @@ object LakeSink {
       h.get("schema"), stats, txns, expects)
   }
 
+  // ---- manifest LOG: delta records + periodic checkpoints ------------
+  // A full-snapshot manifest per commit is O(segments) WRITE per commit
+  // and O(segments) per tip read — at millions of segments/commits the
+  // cumulative write volume is quadratic, the failure mode Delta/Iceberg
+  // solve with an incremental log + periodic checkpoint. Same here:
+  // most version files are small DELTA records (the segments this
+  // commit added/removed plus the compact scalar state), and every
+  // [[snapshotInterval]]-th version is a full SNAPSHOT. Reconstruction
+  // walks back ≤ interval files to the nearest snapshot and replays
+  // forward — commit cost O(edit), tip-read O(segments + interval·edit),
+  // cumulative manifest bytes O(commits·edit + commits·segments/interval).
+  // The CAS is untouched: one hard-linked file per version, whatever its
+  // kind, so racing writers still serialize per version; mixed chains
+  // (external tools committing full snapshots via [[commitManifest]])
+  // remain valid — any snapshot resets the walk-back.
+
+  /** Every k-th version is a full snapshot; the rest are deltas. 32
+    * bounds walk-back reads at 32 small files while keeping snapshot
+    * write amplification to segments/32 per commit on average. */
+  val snapshotInterval: Int = 32
+
+  /** One committed version file: a full snapshot, or a delta against
+    * its immediate parent. Scalar state (maxB, txns, expects, schemaV)
+    * is stored in full on every record — it is compact; only the
+    * O(segments) parts (segment list, per-segment stats) are
+    * differential. `schemaJson` is written only when the generation
+    * changed; reconstruction carries it forward otherwise. */
+  private final case class DeltaRec(version: Long, maxB: Long,
+      adds: Seq[String], removes: Set[String],
+      addStats: Map[String, Map[String, (Long, Long)]],
+      schemaV: Long, schemaJson: Option[String],
+      txns: Map[String, Long], expects: Map[String, String])
+
+  private def parseDelta(outDir: String, v: Long,
+      lines: Seq[String]): DeltaRec = {
+    val h = scala.collection.mutable.Map.empty[String, String]
+    val adds = Seq.newBuilder[String]
+    val removes = Set.newBuilder[String]
+    val statLines = Seq.newBuilder[(String, String, Long, Long)]
+    val txns = Map.newBuilder[String, Long]
+    val expects = Map.newBuilder[String, String]
+    lines.foreach { l =>
+      val i = l.indexOf('=')
+      require(i > 0, s"manifest delta v$v at $outDir: bad line $l")
+      val (k, value) = (l.substring(0, i), l.substring(i + 1))
+      k match {
+        case "delta" =>
+        case "add" => adds += value
+        case "remove" => removes += value
+        case "stats" => value.split('|') match {
+          case Array(seg, c, lo, hi) => statLines += ((seg, c, lo.toLong, hi.toLong))
+          case _ => sys.error(s"manifest delta v$v at $outDir: bad stats line $l")
+        }
+        case "txn" => value.split('|') match {
+          case Array(app, id) => txns += app -> id.toLong
+          case _ => sys.error(s"manifest delta v$v at $outDir: bad txn line $l")
+        }
+        case "expect" => value.split("\\|", 2) match {
+          case Array(n, sql) => expects += n -> sql
+          case _ => sys.error(s"manifest delta v$v at $outDir: bad expect line $l")
+        }
+        case other => h(other) = value
+      }
+    }
+    val addStats = statLines.result().groupBy(_._1).map { case (seg, rows) =>
+      seg -> rows.map { case (_, c, lo, hi) => c -> (lo, hi) }.toMap
+    }
+    DeltaRec(v,
+      h.getOrElse("maxb",
+        sys.error(s"manifest delta v$v at $outDir missing maxb")).toLong,
+      adds.result(), removes.result(), addStats,
+      h.get("schemav").map(_.toLong).getOrElse(0L), h.get("schema"),
+      txns.result(), expects.result())
+  }
+
+  /** Auxiliary CHECKPOINT file for version `v` (Delta's
+    * `.checkpoint` move): same snapshot format as a full manifest,
+    * written OUTSIDE the CAS (deterministic content for a given
+    * committed state, so rewrites are idempotent). [[vacuum]]
+    * materializes one at the retention boundary before deleting the
+    * older files a delta chain would otherwise need for
+    * reconstruction. */
+  private def snapPath(outDir: String, v: Long): Path =
+    manifestDir(outDir).resolve(f"v$v%010d.snap")
+
+  /** Parse version `v` as whichever kind it is. A `.snap` checkpoint,
+    * when present, short-circuits the walk-back (it IS the
+    * reconstructed state). */
+  private def parseVersionFile(outDir: String,
+      v: Long): Either[DeltaRec, Manifest] = {
+    val snap = snapPath(outDir, v)
+    if (Files.exists(snap))
+      return Right(parseSnapshotLines(outDir, v,
+        Files.readAllLines(snap).asScala.filter(_.nonEmpty).toSeq))
+    val lines = Files.readAllLines(
+      manifestDir(outDir).resolve(f"v$v%010d.txt")).asScala
+      .filter(_.nonEmpty).toSeq
+    if (lines.headOption.contains("delta=1"))
+      Left(parseDelta(outDir, v, lines))
+    else Right(parseSnapshotLines(outDir, v, lines))
+  }
+
+  private def applyDelta(acc: Manifest, d: DeltaRec): Manifest =
+    Manifest(d.version, d.maxB,
+      acc.segs.filterNot(d.removes) ++ d.adds,
+      d.schemaV,
+      if (d.schemaV != acc.schemaV) d.schemaJson else acc.schemaJson,
+      (acc.stats -- d.removes) ++ d.addStats,
+      d.txns, d.expects)
+
+  /** Reconstruct the committed state at version `v`: walk back to the
+    * nearest snapshot (≤ [[snapshotInterval]] small files, or the
+    * implicit empty v0), replay deltas forward. */
+  private[graft] def manifestAt(outDir: String, v: Long): Manifest = {
+    if (v == 0L) return Manifest(0L, -1L, Nil)
+    var deltas = List.empty[DeltaRec]
+    var cur = v
+    var base: Manifest = null
+    while (base == null) {
+      if (cur == 0L) base = Manifest(0L, -1L, Nil)
+      else parseVersionFile(outDir, cur) match {
+        case Right(m) => base = m
+        case Left(d) => deltas ::= d; cur -= 1
+      }
+    }
+    deltas.foldLeft(base)(applyDelta)
+  }
+
   /** Highest committed manifest. Version 0 = empty lake. */
   def readManifest(outDir: String): Manifest = {
     val versions = manifestVersions(outDir)
     if (versions.isEmpty) Manifest(0L, -1L, Nil)
-    else parseManifest(outDir, versions.max)
+    else manifestAt(outDir, versions.max)
+  }
+
+  /** Commit `m` (= parent.version + 1) through the manifest LOG:
+    * a delta record against `parent` normally, a full snapshot on
+    * every [[snapshotInterval]]-th version. Same CAS semantics as
+    * [[commitManifest]] (false = version already taken). This is the
+    * committer every internal writer uses; [[commitManifest]] remains
+    * the always-snapshot primitive for callers without the parent in
+    * hand. */
+  def commitNext(outDir: String, parent: Manifest, m: Manifest): Boolean = {
+    val parentSegs = parent.segs.toSet
+    val liveSet = m.segs.toSet
+    val adds = m.segs.filterNot(parentSegs)
+    val removes = parent.segs.filterNot(liveSet).toSet
+    // differential stats: entries new or changed vs the parent (live
+    // segments only — commitManifest applies the same liveness rule)
+    val addStats = m.stats.filter { case (seg, st) =>
+      liveSet(seg) && !parent.stats.get(seg).contains(st) }
+    commitEditRecord(outDir, parent, m, removes, adds, addStats)
+  }
+
+  /** [[commitNext]] for a caller that already KNOWS its edit (the DML
+    * retry loop, the ingest sink): skips the O(segments) parent/next
+    * diff, so a delta commit's cost is O(edit) — the property the log
+    * exists for (measured: ManifestScaleProbe). The caller contract is
+    * that `m` = `parent` minus `removed` plus `added` with `addedStats`
+    * the only stats changes; [[commitNext]] is the checked general
+    * path that derives the edit instead of trusting it. */
+  def commitEditRecord(outDir: String, parent: Manifest, m: Manifest,
+      removed: Set[String], added: Seq[String],
+      addedStats: Map[String, Map[String, (Long, Long)]]): Boolean = {
+    require(m.version == parent.version + 1,
+      s"commit needs consecutive versions, got parent " +
+        s"v${parent.version} -> v${m.version}")
+    if (m.version % snapshotInterval == 0)
+      return commitManifest(outDir, m.version, m.maxB, m.segs, m.schemaV,
+        m.schemaJson, m.stats, m.txns, m.expects)
+    val lines = Seq("delta=1", s"maxb=${m.maxB}") ++
+      (if (m.schemaV > 0L) Seq(s"schemav=${m.schemaV}") else Nil) ++
+      (if (m.schemaV != parent.schemaV) m.schemaJson.map(j => s"schema=$j")
+       else None) ++
+      m.txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" } ++
+      m.expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" } ++
+      added.map(s => s"add=$s") ++
+      removed.toSeq.sorted.map(s => s"remove=$s") ++
+      addedStats.toSeq.flatMap { case (seg, byCol) =>
+        byCol.toSeq.map { case (c, (lo, hi)) => s"stats=$seg|$c|$lo|$hi" }
+      }.sorted
+    val md = manifestDir(outDir)
+    Files.createDirectories(md)
+    val tmp = Files.createTempFile(md, s"tmp_v${m.version}-", ".inprogress")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(md.resolve(f"v${m.version}%010d.txt"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
+    }
   }
 
   /** Publish manifest version `v` atomically with FAIL-IF-EXISTS
@@ -177,10 +369,27 @@ object LakeSink {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
-    // Stats only for segments this version lists; sorted so the file
-    // bytes are deterministic for a given logical manifest. Set
-    // membership, not Seq.contains — a linear scan per stats entry is
-    // O(S²) per commit, at odds with the million-segment design.
+    Files.write(tmp, snapshotLines(maxB, segs, schemaV, schemaJson,
+      stats, txns, expects).mkString("\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** Full-snapshot serialization (deterministic bytes for a given
+    * logical state — stats/txn/expect lines sorted, segment order
+    * preserved). Stats only for segments the version lists; set
+    * membership, not Seq.contains — a linear scan per stats entry is
+    * O(S²) per commit, at odds with the million-segment design. */
+  private def snapshotLines(maxB: Long, segs: Seq[String], schemaV: Long,
+      schemaJson: Option[String],
+      stats: Map[String, Map[String, (Long, Long)]],
+      txns: Map[String, Long], expects: Map[String, String]): Seq[String] = {
     val live = segs.toSet
     val statLines = stats.toSeq
       .filter { case (seg, _) => live(seg) }
@@ -190,19 +399,10 @@ object LakeSink {
     val txnLines = txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" }
     val expectLines =
       expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" }
-    val headers = s"maxb=$maxB" +:
+    (s"maxb=$maxB" +:
       ((if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
         schemaJson.map(j => s"schema=$j")
-       else Nil) ++ statLines ++ txnLines ++ expectLines)
-    Files.write(tmp, (headers ++ segs).mkString("\n").getBytes("UTF-8"))
-    try {
-      Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally {
-      Files.deleteIfExists(tmp)
-    }
+       else Nil) ++ statLines ++ txnLines ++ expectLines)) ++ segs
   }
 
   /** Attempts a DML re-plan loop makes before giving up — each retry
@@ -240,8 +440,10 @@ object LakeSink {
       val segs = tip.segs.filterNot(removed) ++ added
       val stats = (tip.stats -- removed) ++ addedStats
       val txns = txn.fold(tip.txns) { case (a, id) => tip.txns + (a -> id) }
-      if (commitManifest(outDir, tip.version + 1, tip.maxB, segs,
-          tip.schemaV, tip.schemaJson, stats, txns, tip.expects))
+      if (commitEditRecord(outDir, tip,
+          Manifest(tip.version + 1, tip.maxB, segs, tip.schemaV,
+            tip.schemaJson, stats, txns, tip.expects),
+          removed, added, addedStats))
         return Some(tip.version + 1)
       val now = readManifest(outDir)
       val nowSegs = now.segs.toSet
@@ -480,7 +682,7 @@ object LakeSink {
       version: Long): DataFrame = {
     val p = manifestDir(outDir).resolve(f"v$version%010d.txt")
     require(Files.exists(p), s"lake at $outDir has no manifest v$version")
-    val m = parseManifest(outDir, version)
+    val m = manifestAt(outDir, version)
     require(m.segs.nonEmpty, s"manifest v$version lists no segments")
     // Time travel is schema travel too: each version reads under the
     // schema IT recorded, so pre-evolution versions surface the
@@ -499,7 +701,17 @@ object LakeSink {
   def history(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
     val versions = manifestVersions(outDir)
-    val manifests = versions.map(parseManifest(outDir, _))
+    // Incremental reconstruction along the retained (contiguous) log:
+    // the first version via walk-back, each later one by applying its
+    // own record — O(log) total, not O(versions · walk-back).
+    val manifests = versions.headOption.fold(Seq.empty[Manifest]) { v0 =>
+      versions.tail.scanLeft(manifestAt(outDir, v0)) { (acc, v) =>
+        parseVersionFile(outDir, v) match {
+          case Right(m) => m
+          case Left(d) => applyDelta(acc, d)
+        }
+      }
+    }
     val tip = versions.lastOption.getOrElse(0L)
     val rows = manifests.zipWithIndex.map { case (m, i) =>
       val prevSegs: Set[String] =
@@ -538,22 +750,25 @@ object LakeSink {
       require(Files.exists(md.resolve(f"v$v%010d.txt")),
         s"lake at $outDir has no manifest v$v (vacuumed or never committed)")
     }
-    val mf = if (fromV == 0L) Manifest(0L, -1L, Nil)
-             else parseManifest(outDir, fromV)
-    val mt = parseManifest(outDir, toV)
+    val mf = manifestAt(outDir, fromV)
     // Append-only means EVERY step in the window only adds segments —
     // checking the endpoints alone would miss a segment added and then
     // rewritten inside the window (its rewritten copy would be emitted
     // as if it were new rows). The walk reads only manifest files
-    // (metadata, no data IO); vacuum retains a contiguous suffix of
-    // versions, so if any intermediate is within retention they all
-    // are, and the existence check above already gated the endpoints.
+    // (metadata, no data IO) and reconstructs incrementally — one
+    // record applied per step, never a per-version walk-back; vacuum
+    // retains a contiguous suffix of versions, so if any intermediate
+    // is within retention they all are, and the existence check above
+    // already gated the endpoints.
     var prev = mf
     (fromV + 1 to toV).foreach { v =>
       require(Files.exists(md.resolve(f"v$v%010d.txt")),
         s"manifest v$v inside window v$fromV..v$toV was vacuumed — " +
           "the change feed horizon is the vacuum retention horizon")
-      val cur = parseManifest(outDir, v)
+      val cur = parseVersionFile(outDir, v) match {
+        case Right(m) => m
+        case Left(d) => applyDelta(prev, d)
+      }
       val removed = prev.segs.toSet -- cur.segs
       require(removed.isEmpty,
         s"version window v$fromV..v$toV is not append-only (v$v " +
@@ -561,6 +776,7 @@ object LakeSink {
           "via DML/compaction) — diff snapshots via readTableAsOf")
       prev = cur
     }
+    val mt = prev
     val added = mt.segs.filterNot(mf.segs.toSet)
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -585,8 +801,32 @@ object LakeSink {
     val versions = manifestVersions(outDir)
     if (versions.isEmpty) return (0, 0)
     val retained = versions.takeRight(retainVersions)
-    val live: Set[String] =
-      retained.flatMap(v => parseManifest(outDir, v).segs).toSet
+    // The log is differential: a retained DELTA version reconstructs
+    // through files below the retention boundary. Before deleting
+    // them, MATERIALIZE the boundary state as a `.snap` checkpoint
+    // (idempotent, deterministic bytes, written outside the CAS —
+    // Delta's checkpoint move), so every retained version keeps
+    // reconstructing from files that survive the vacuum.
+    val oldestRetained = retained.head
+    if (parseVersionFile(outDir, oldestRetained).isLeft) {
+      val b = manifestAt(outDir, oldestRetained)
+      Files.write(snapPath(outDir, oldestRetained),
+        snapshotLines(b.maxB, b.segs, b.schemaV, b.schemaJson, b.stats,
+          b.txns, b.expects).mkString("\n").getBytes("UTF-8"))
+    }
+    // Live segments = union over the retained versions, reconstructed
+    // incrementally along the contiguous suffix (the boundary .snap
+    // makes the first reconstruction one file read).
+    val live = scala.collection.mutable.Set.empty[String]
+    var acc = manifestAt(outDir, oldestRetained)
+    live ++= acc.segs
+    retained.tail.foreach { v =>
+      acc = parseVersionFile(outDir, v) match {
+        case Right(m) => m
+        case Left(d) => applyDelta(acc, d)
+      }
+      live ++= acc.segs
+    }
     val segDirs = listDir(Paths.get(outDir))
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("seg_"))
@@ -594,7 +834,10 @@ object LakeSink {
     orphans.foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
     val stale = versions.dropRight(retainVersions)
-    stale.foreach(v => Files.deleteIfExists(md.resolve(f"v$v%010d.txt")))
+    stale.foreach { v =>
+      Files.deleteIfExists(md.resolve(f"v$v%010d.txt"))
+      Files.deleteIfExists(snapPath(outDir, v))
+    }
     (orphans.size, stale.size)
   }
 
@@ -857,8 +1100,8 @@ object LakeSink {
       if (tracked.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
       else Map(cseg -> segmentStats(
         spark.read.parquet(s"$outDir/$cseg"), tracked))
-    require(commitManifest(outDir, m.version + 1, m.maxB, Seq(cseg),
-      m.schemaV, m.schemaJson, cstats, m.txns, m.expects),
+    require(commitNext(outDir, m, Manifest(m.version + 1, m.maxB, Seq(cseg),
+      m.schemaV, m.schemaJson, cstats, m.txns, m.expects)),
       s"compaction at $outDir lost a manifest race at v${m.version + 1}")
     // Input segments stay on disk (DML convention: the pre-compaction
     // version keeps time-traveling until vacuum) — unlike the
@@ -898,9 +1141,8 @@ object LakeSink {
       tableSchema(spark, outDir, m))
       .filter(org.apache.spark.sql.functions.expr(condSql))
       .queryExecution.assertAnalyzed()
-    require(commitManifest(outDir, m.version + 1, m.maxB, m.segs,
-      m.schemaV, m.schemaJson, m.stats, m.txns,
-      m.expects + (name -> condSql)),
+    require(commitNext(outDir, m, m.copy(version = m.version + 1,
+      expects = m.expects + (name -> condSql))),
       s"expectation registration at $outDir lost a manifest race")
     m.version + 1
   }
@@ -940,8 +1182,8 @@ object LakeSink {
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column $name already exists in lake at $outDir")
     val wider = cur.add(name, dataType, nullable = true)
-    require(commitManifest(outDir, m.version + 1, m.maxB, m.segs,
-      m.schemaV + 1, Some(wider.json), m.stats, m.txns, m.expects),
+    require(commitNext(outDir, m, m.copy(version = m.version + 1,
+      schemaV = m.schemaV + 1, schemaJson = Some(wider.json))),
       s"schema evolution at $outDir lost a manifest race")
     m.schemaV + 1
   }
@@ -1178,10 +1420,13 @@ object LakeSink {
               org.apache.commons.io.FileUtils.deleteQuietly(
                 new java.io.File(s"$outDir/$seg"))
               true
-            } else commitManifest(outDir, m.version + 1, batchId,
-              m.segs :+ seg, m.schemaV, m.schemaJson,
-              if (bstats.isEmpty) m.stats else m.stats + (seg -> bstats),
-              m.txns, m.expects)
+            } else commitEditRecord(outDir, m,
+              Manifest(m.version + 1, batchId, m.segs :+ seg,
+                m.schemaV, m.schemaJson,
+                if (bstats.isEmpty) m.stats else m.stats + (seg -> bstats),
+                m.txns, m.expects),
+              Set.empty, Seq(seg),
+              if (bstats.isEmpty) Map.empty else Map(seg -> bstats))
         }
         if (batchId % compactEvery == (compactEvery - 1)) {
           val m = readManifest(outDir)
@@ -1196,12 +1441,14 @@ object LakeSink {
               else segmentStats(
                 spark.read.parquet(s"$outDir/$cseg"), statsCols)
             beforeMaintenanceCommit(batchId)
-            if (commitManifest(outDir, m.version + 1, m.maxB,
+            if (commitEditRecord(outDir, m, Manifest(m.version + 1, m.maxB,
                 m.segs.filterNot(bsegs.contains) :+ cseg,
                 m.schemaV, m.schemaJson,
                 (if (cstats.isEmpty) m.stats
                  else m.stats + (cseg -> cstats)) -- bsegs,
-                m.txns, m.expects)) {
+                m.txns, m.expects),
+                bsegs.toSet, Seq(cseg),
+                if (cstats.isEmpty) Map.empty else Map(cseg -> cstats))) {
               // now-orphaned inputs: invisible to every reader; removal
               // is best-effort hygiene, crash-safe to skip
               bsegs.foreach { s =>

@@ -1058,6 +1058,66 @@ object Extensions {
               CAST(sum(vc) AS BIGINT) AS sum_cents
             FROM b CROSS JOIN pr WHERE tse BETWEEN lo AND hi"""))
 
+  /** STRING segment stats + file skipping (r11): the manifest records
+    * per-segment STRING min/max (and null counts), so a
+    * `WHERE event_type = 'error'` point read — the predicate shape the
+    * r10 numeric-only stats could not touch — plans its scan set from
+    * ONE manifest read. Ingest is type-partitioned into 3 alphabet-
+    * range segments (click | error..purchase | signup..view — the
+    * layout a type-bucketed writer produces); the probe value 'error'
+    * falls inside exactly one segment's [min,max]. The oracle replays
+    * the bucket rule and derives the scanned-segment count as the
+    * buckets whose string range covers the probe — a segment skipped
+    * that held matching rows, or scanned that provably could not,
+    * both fail the hash. LakeStatsSpec covers the string-predicate
+    * DML pruning and IS NULL null-count pruning paths. */
+  private val sinkLakeStatsPruneStr = QueryDef(
+    "sink_lake_stats_prune_str",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_stps", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      val withB = ev.withColumn("b",
+        when(col("event_type") < "d", 0)
+          .when(col("event_type") < "s", 1).otherwise(2))
+      (0 to 2).foreach { i =>
+        val seg = s"seg_b$i"
+        withB.filter(col("b") === i).drop("b")
+          .write.mode("overwrite").parquet(s"$dir/$seg")
+        val m = LakeSink.readManifest(dir)
+        require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+          m.segs :+ seg, m.schemaV, m.schemaJson,
+          m.stats + (seg -> LakeSink.segmentStats(
+            s.read.parquet(s"$dir/$seg"), Seq("event_type")))),
+          s"string-stats ingest commit $i lost a race")
+      }
+      val (sel, scanned, total) =
+        LakeSink.readTableWhereEq(s, dir, "event_type", "error")
+      sel.agg(
+        lit(total.toLong).as("n_segments"),
+        lit(scanned.size.toLong).as("n_scanned"),
+        count(lit(1)).as("n_rows"),
+        sum("vc").as("sum_cents"))
+    },
+    Some("""WITH e AS (SELECT event_id, event_type,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+                 b AS (SELECT e.*, CASE WHEN event_type < 'd' THEN 0
+                                        WHEN event_type < 's' THEN 1
+                                        ELSE 2 END AS bkt FROM e),
+                 bb AS (SELECT bkt, min(event_type) AS mn,
+                          max(event_type) AS mx FROM b GROUP BY bkt)
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM bb) AS n_segments,
+              (SELECT CAST(count(*) AS BIGINT) FROM bb
+                 WHERE mn <= 'error' AND mx >= 'error') AS n_scanned,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(vc) AS BIGINT) AS sum_cents
+            FROM b WHERE event_type = 'error'"""))
+
   /** Lake CHANGE FEED (r10): incremental consumption by manifest diff
     * — the rows added between two committed versions are exactly the
     * segments the later manifest lists that the earlier one does not,
@@ -1257,6 +1317,7 @@ object Extensions {
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkLakeMerge,
     sqlLakeDml, sinkLakeEvolution, sinkLakeCompactClustered, sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
+    sinkLakeStatsPruneStr,
     sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead, sinkLakeExpectations,
     sinkLakeHistory)
 }

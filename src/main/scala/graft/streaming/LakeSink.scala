@@ -69,9 +69,21 @@ object LakeSink {
     * opening a million footers. Stats are advisory bounds — a segment
     * with no recorded stats for a column is always scanned, so readers
     * stay correct on mixed lakes. */
+  /** Per-column segment statistics (r11: beyond BIGINT min/max —
+    * string min/max and null counts, so `WHERE event_type = 'error'`
+    * DML/reads and `IS NULL` predicates prune too). `nulls == -1`
+    * means unknown (legacy manifests recorded none): null-based
+    * pruning then stays off for that entry while min/max pruning keeps
+    * working — advisory-bounds semantics throughout. */
+  sealed trait ColStat { def nulls: Long }
+  final case class LongStat(lo: Long, hi: Long,
+      nulls: Long = -1L) extends ColStat
+  final case class StrStat(lo: String, hi: String,
+      nulls: Long = -1L) extends ColStat
+
   final case class Manifest(version: Long, maxB: Long, segs: Seq[String],
       schemaV: Long = 0L, schemaJson: Option[String] = None,
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
       expects: Map[String, String] = Map.empty) {
     /** Columns any live segment tracks stats for. */
@@ -113,11 +125,29 @@ object LakeSink {
       manifestDir(outDir).resolve(f"v$v%010d.txt")).asScala
       .filter(_.nonEmpty).toSeq)
 
+  /** Decode one stats payload (the part after `stats=`/`strstats=`)
+    * to (seg, col, stat). */
+  private def parseStatPayload(outDir: String, v: Long, l: String,
+      isStr: Boolean): (String, String, ColStat) = {
+    def unb64(s: String): String =
+      new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+    l.split('|') match {
+      case Array(seg, c, lo, hi) if !isStr => // pre-r11: no null count
+        (seg, c, LongStat(lo.toLong, hi.toLong, -1L))
+      case Array(seg, c, lo, hi, n) =>
+        (seg, c,
+          if (isStr) StrStat(unb64(lo), unb64(hi), n.toLong)
+          else LongStat(lo.toLong, hi.toLong, n.toLong))
+      case _ => sys.error(s"manifest v$v at $outDir: bad stats line $l")
+    }
+  }
+
   private def parseSnapshotLines(outDir: String, v: Long,
       lines0: Seq[String]): Manifest = {
     val lines = lines0
     val (headers, segs) = lines.partition(_.contains("="))
-    val (statLines, rest0) = headers.partition(_.startsWith("stats="))
+    val (statLines, rest00) = headers.partition(_.startsWith("stats="))
+    val (strStatLines, rest0) = rest00.partition(_.startsWith("strstats="))
     val (txnLines, rest) = rest0.partition(_.startsWith("txn="))
     val (expectLines, scalarHeaders) = rest.partition(_.startsWith("expect="))
     val h = scalarHeaders.map { l =>
@@ -125,16 +155,14 @@ object LakeSink {
     }.toMap
     val maxB = h.getOrElse("maxb",
       sys.error(s"manifest v$v at $outDir missing maxb header")).toLong
-    val stats = statLines
-      .map { l =>
-        l.stripPrefix("stats=").split('|') match {
-          case Array(seg, c, lo, hi) => (seg, c, lo.toLong, hi.toLong)
-          case _ => sys.error(s"manifest v$v at $outDir: bad stats line $l")
-        }
-      }
+    val stats =
+      (statLines.map(l =>
+          parseStatPayload(outDir, v, l.stripPrefix("stats="), isStr = false)) ++
+        strStatLines.map(l =>
+          parseStatPayload(outDir, v, l.stripPrefix("strstats="), isStr = true)))
       .groupBy(_._1)
       .map { case (seg, rows) =>
-        seg -> rows.map { case (_, c, lo, hi) => c -> (lo, hi) }.toMap
+        seg -> rows.map { case (_, c, st) => c -> st }.toMap
       }
     val txns = txnLines.map { l =>
       l.stripPrefix("txn=").split('|') match {
@@ -182,7 +210,7 @@ object LakeSink {
     * changed; reconstruction carries it forward otherwise. */
   private final case class DeltaRec(version: Long, maxB: Long,
       adds: Seq[String], removes: Set[String],
-      addStats: Map[String, Map[String, (Long, Long)]],
+      addStats: Map[String, Map[String, ColStat]],
       schemaV: Long, schemaJson: Option[String],
       txns: Map[String, Long], expects: Map[String, String])
 
@@ -191,7 +219,7 @@ object LakeSink {
     val h = scala.collection.mutable.Map.empty[String, String]
     val adds = Seq.newBuilder[String]
     val removes = Set.newBuilder[String]
-    val statLines = Seq.newBuilder[(String, String, Long, Long)]
+    val statLines = Seq.newBuilder[(String, String, ColStat)]
     val txns = Map.newBuilder[String, Long]
     val expects = Map.newBuilder[String, String]
     lines.foreach { l =>
@@ -202,10 +230,10 @@ object LakeSink {
         case "delta" =>
         case "add" => adds += value
         case "remove" => removes += value
-        case "stats" => value.split('|') match {
-          case Array(seg, c, lo, hi) => statLines += ((seg, c, lo.toLong, hi.toLong))
-          case _ => sys.error(s"manifest delta v$v at $outDir: bad stats line $l")
-        }
+        case "stats" =>
+          statLines += parseStatPayload(outDir, v, value, isStr = false)
+        case "strstats" =>
+          statLines += parseStatPayload(outDir, v, value, isStr = true)
         case "txn" => value.split('|') match {
           case Array(app, id) => txns += app -> id.toLong
           case _ => sys.error(s"manifest delta v$v at $outDir: bad txn line $l")
@@ -218,7 +246,7 @@ object LakeSink {
       }
     }
     val addStats = statLines.result().groupBy(_._1).map { case (seg, rows) =>
-      seg -> rows.map { case (_, c, lo, hi) => c -> (lo, hi) }.toMap
+      seg -> rows.map { case (_, c, st) => c -> st }.toMap
     }
     DeltaRec(v,
       h.getOrElse("maxb",
@@ -316,7 +344,7 @@ object LakeSink {
     * path that derives the edit instead of trusting it. */
   def commitEditRecord(outDir: String, parent: Manifest, m: Manifest,
       removed: Set[String], added: Seq[String],
-      addedStats: Map[String, Map[String, (Long, Long)]]): Boolean = {
+      addedStats: Map[String, Map[String, ColStat]]): Boolean = {
     require(m.version == parent.version + 1,
       s"commit needs consecutive versions, got parent " +
         s"v${parent.version} -> v${m.version}")
@@ -332,7 +360,7 @@ object LakeSink {
       added.map(s => s"add=$s") ++
       removed.toSeq.sorted.map(s => s"remove=$s") ++
       addedStats.toSeq.flatMap { case (seg, byCol) =>
-        byCol.toSeq.map { case (c, (lo, hi)) => s"stats=$seg|$c|$lo|$hi" }
+        byCol.toSeq.map { case (c, st) => statLine(seg, c, st) }
       }.sorted
     val md = manifestDir(outDir)
     Files.createDirectories(md)
@@ -363,7 +391,7 @@ object LakeSink {
   def commitManifest(outDir: String, v: Long, maxB: Long,
       segs: Seq[String], schemaV: Long = 0L,
       schemaJson: Option[String] = None,
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
       expects: Map[String, String] = Map.empty): Boolean = {
     val md = manifestDir(outDir)
@@ -381,6 +409,20 @@ object LakeSink {
     }
   }
 
+  /** One serialized stats line. Numeric: `stats=seg|c|lo|hi|nulls`
+    * (the pre-r11 4-field form parses back with nulls = -1 unknown).
+    * String: `strstats=seg|c|b64(lo)|b64(hi)|nulls` — base64 keeps
+    * arbitrary string bounds (pipes, newlines, unicode) inside the
+    * line-oriented format. */
+  private def statLine(seg: String, c: String, st: ColStat): String = {
+    def b64(s: String): String = java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))
+    st match {
+      case LongStat(lo, hi, n) => s"stats=$seg|$c|$lo|$hi|$n"
+      case StrStat(lo, hi, n) => s"strstats=$seg|$c|${b64(lo)}|${b64(hi)}|$n"
+    }
+  }
+
   /** Full-snapshot serialization (deterministic bytes for a given
     * logical state — stats/txn/expect lines sorted, segment order
     * preserved). Stats only for segments the version lists; set
@@ -388,13 +430,13 @@ object LakeSink {
     * O(S²) per commit, at odds with the million-segment design. */
   private def snapshotLines(maxB: Long, segs: Seq[String], schemaV: Long,
       schemaJson: Option[String],
-      stats: Map[String, Map[String, (Long, Long)]],
+      stats: Map[String, Map[String, ColStat]],
       txns: Map[String, Long], expects: Map[String, String]): Seq[String] = {
     val live = segs.toSet
     val statLines = stats.toSeq
       .filter { case (seg, _) => live(seg) }
       .flatMap { case (seg, byCol) =>
-        byCol.toSeq.map { case (c, (lo, hi)) => s"stats=$seg|$c|$lo|$hi" }
+        byCol.toSeq.map { case (c, st) => statLine(seg, c, st) }
       }.sorted
     val txnLines = txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" }
     val expectLines =
@@ -432,7 +474,7 @@ object LakeSink {
     * for [[vacuum]]. */
   private def tryCommitEdit(outDir: String, base: Manifest,
       removed: Set[String], added: Seq[String],
-      addedStats: Map[String, Map[String, (Long, Long)]],
+      addedStats: Map[String, Map[String, ColStat]],
       txn: Option[(String, Long)]): Option[Long] = {
     val baseSegs = base.segs.toSet
     var tip = base
@@ -512,37 +554,133 @@ object LakeSink {
     reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
   }
 
-  /** One-job min/max collection over `df` for the BIGINT columns in
-    * `cols` (absent or non-BIGINT columns are skipped — stats are
-    * advisory bounds, and no stats is always safe). Returns empty for
-    * an all-NULL / empty input. Writers call this once per segment
-    * they materialize; the cost is one scan of data that was just
-    * written (in a production writer the bounds come for free from
-    * the parquet writer's own footer accumulation). */
+  /** One-job stats collection over `df` for the BIGINT and STRING
+    * columns in `cols` (absent or other-typed columns are skipped —
+    * stats are advisory bounds, and no stats is always safe): min,
+    * max, and NULL COUNT per column. All-NULL columns record no
+    * min/max entry. Writers call this once per segment they
+    * materialize; the cost is one scan of data that was just written
+    * (in a production writer the bounds come for free from the
+    * parquet writer's own footer accumulation). */
   def segmentStats(df: DataFrame,
-      cols: Seq[String]): Map[String, (Long, Long)] = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    val longCols = cols.filter(c => df.schema.fields.exists(f =>
-      f.name == c && f.dataType == org.apache.spark.sql.types.LongType))
-    if (longCols.isEmpty) return Map.empty
-    val aggs = longCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      cols: Seq[String]): Map[String, ColStat] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val typed = cols.flatMap(c => df.schema.fields.collectFirst {
+      case f if f.name == c &&
+        (f.dataType == LongType || f.dataType == StringType) =>
+        (c, f.dataType == LongType)
+    })
+    if (typed.isEmpty) return Map.empty
+    val aggs = typed.flatMap { case (c, _) =>
+      Seq(min(col(c)), max(col(c)),
+        count(when(col(c).isNull, lit(1)))) }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    longCols.zipWithIndex.flatMap { case (c, i) =>
-      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-      else Some(c -> (row.getLong(2 * i), row.getLong(2 * i + 1)))
+    typed.zipWithIndex.flatMap { case ((c, isLong), i) =>
+      val (mnI, mxI, nI) = (3 * i, 3 * i + 1, 3 * i + 2)
+      if (row.isNullAt(mnI) || row.isNullAt(mxI)) None
+      else if (isLong)
+        Some(c -> LongStat(row.getLong(mnI), row.getLong(mxI),
+          row.getLong(nI)))
+      else
+        Some(c -> StrStat(row.getString(mnI), row.getString(mxI),
+          row.getLong(nI)))
     }.toMap
   }
 
   /** Does segment `seg` possibly hold rows with `column` ∈ [lo, hi]?
-    * TRUE when no stats are recorded (must scan — correctness over
-    * skipping); FALSE only when recorded bounds are disjoint from the
-    * probe range. */
+    * TRUE when no stats are recorded or the recorded stat is not
+    * numeric (must scan — correctness over skipping); FALSE only when
+    * recorded bounds are disjoint from the probe range. */
   private def mayOverlap(m: Manifest, seg: String, column: String,
       lo: Long, hi: Long): Boolean =
     m.stats.get(seg).flatMap(_.get(column)) match {
-      case Some((mn, mx)) => mx >= lo && mn <= hi
-      case None => true
+      case Some(LongStat(mn, mx, _)) => mx >= lo && mn <= hi
+      case _ => true
     }
+
+  /** Segment-level verdict for one prune hint: false ONLY when the
+    * recorded stats prove no row can satisfy it. Type-mismatched or
+    * absent stats always scan. */
+  private def mayMatchHint(m: Manifest, seg: String,
+      hint: PruneHint): Boolean = hint match {
+    case NumRange(c, lo, hi) => mayOverlap(m, seg, c, lo, hi)
+    case StrRange(c, lo, hi) =>
+      m.stats.get(seg).flatMap(_.get(c)) match {
+        case Some(StrStat(mn, mx, _)) => mx >= lo && mn <= hi
+        case _ => true
+      }
+    case MustBeNull(c) =>
+      m.stats.get(seg).flatMap(_.get(c)) match {
+        // nulls == 0 proves no NULL row; -1 = unknown, must scan
+        case Some(st) => st.nulls != 0L
+        case None => true
+      }
+  }
+
+  /** A constraint every predicate-TRUE row provably satisfies, usable
+    * for manifest-stats pruning. */
+  sealed trait PruneHint
+  /** `col` ∈ [lo, hi] (BIGINT bounds). */
+  final case class NumRange(col: String, lo: Long, hi: Long) extends PruneHint
+  /** `col` ∈ [lo, hi] lexicographically (STRING bounds — equality
+    * contributes lo == hi). */
+  final case class StrRange(col: String, lo: String, hi: String) extends PruneHint
+  /** every matching row has `col IS NULL` — prunes segments whose
+    * recorded null count is zero. */
+  final case class MustBeNull(col: String) extends PruneHint
+
+  /** ALL safe prune hints for `cond` over the stats-tracked columns —
+    * the r11 generalization of [[inferPruneHint]]: numeric ranges,
+    * string ranges/equalities, and IS NULL constraints, one hint per
+    * qualifying tracked column. A segment is skipped when ANY hint
+    * disproves it. Soundness argument as in [[inferPruneHint]]:
+    * top-level conjuncts only, column-vs-literal comparisons only. */
+  def inferPruneHints(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      cond: org.apache.spark.sql.Column,
+      tracked: Seq[String]): Seq[PruneHint] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.types.StringType
+    val condExpr =
+      try {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          .filter(cond).queryExecution.analyzed
+          .collectFirst { case f: Filter => f.condition }
+      } catch { case _: Exception => None }
+    if (condExpr.isEmpty) return Nil
+    def name(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def strLit(e: Expression): Option[String] =
+      if (e.foldable && e.dataType == StringType)
+        Option(e.eval()).map(_.toString)
+      else None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val cs = conjuncts(condExpr.get)
+    val trackedSet = tracked.toSet
+    // string equality / IS NULL hints (numeric ranges come from the
+    // existing extractor below)
+    val strHints = cs.flatMap {
+      case EqualTo(l, r) =>
+        (for (n <- name(l); v <- strLit(r)) yield StrRange(n, v, v))
+          .orElse(for (n <- name(r); v <- strLit(l)) yield StrRange(n, v, v))
+      case IsNull(e) => name(e).map(MustBeNull)
+      case _ => None
+    }.filter {
+      case StrRange(c, _, _) => trackedSet(c)
+      case MustBeNull(c) => trackedSet(c)
+      case _ => false
+    }
+    val numHint = inferPruneHint(spark, schema, cond, tracked)
+      .map { case (c, lo, hi) => NumRange(c, lo, hi) }
+    numHint.toSeq ++ strHints
+  }
 
   /** Derive a safe prune range for `cond` over the stats-tracked
     * columns, so DML plans its touched-set from the manifest with NO
@@ -667,6 +805,28 @@ object LakeSink {
       else reader(spark, m).parquet(scanned.map(s => s"$outDir/$s"): _*)
     (base.filter(col(column) >= lo && col(column) <= hi),
       scanned, m.segs.size)
+  }
+
+  /** STATS-PRUNED STRING POINT READ — [[readTableWhere]] for a string
+    * equality predicate (`WHERE event_type = 'error'`): drop every
+    * segment whose recorded string [min,max] for `column` excludes
+    * `value`, scan the rest with the residual filter applied. Same
+    * advisory-bounds contract: segments without string stats for the
+    * column are always scanned. Returns (filtered frame, segments
+    * scanned, segments total). */
+  def readTableWhereEq(spark: SparkSession, outDir: String, column: String,
+      value: String): (DataFrame, Seq[String], Int) = {
+    import org.apache.spark.sql.functions.col
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    val hint = StrRange(column, value, value)
+    val scanned = m.segs.filter(mayMatchHint(m, _, hint))
+    val base =
+      if (scanned.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          tableSchema(spark, outDir, m))
+      else reader(spark, m).parquet(scanned.map(s => s"$outDir/$s"): _*)
+    (base.filter(col(column) === value), scanned, m.segs.size)
   }
 
   /** Number of parquet data files a segment holds (compaction's
@@ -905,11 +1065,17 @@ object LakeSink {
       val m = readManifest(outDir)
       require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
       val tracked = m.trackedCols
-      // No explicit hint? Derive one from the predicate's own conjuncts
-      // over the tracked columns — SQL DML gets file skipping for free.
-      val hint = pruneHint.orElse(
-        if (tracked.isEmpty) None
-        else inferPruneHint(spark, tableSchema(spark, outDir, m), cond, tracked))
+      // No explicit hint? Derive ALL safe hints from the predicate's
+      // own conjuncts over the tracked columns (numeric + string +
+      // IS NULL) — SQL DML gets file skipping for free.
+      val hints: Seq[PruneHint] =
+        pruneHint.map { case (c, lo, hi) => NumRange(c, lo, hi) } match {
+          case Some(h) => Seq(h)
+          case None =>
+            if (tracked.isEmpty) Nil
+            else inferPruneHints(spark, tableSchema(spark, outDir, m),
+              cond, tracked)
+        }
       // Written-segment names carry a per-attempt NONCE: two racing
       // writers both staging rewrites for version v+1 must never share
       // a dir — the CAS loser's in-flight write would silently replace
@@ -923,10 +1089,9 @@ object LakeSink {
       var deleted = 0L
       val removed = Set.newBuilder[String]
       val added = Seq.newBuilder[String]
-      val addedStats = Map.newBuilder[String, Map[String, (Long, Long)]]
+      val addedStats = Map.newBuilder[String, Map[String, ColStat]]
       m.segs.zipWithIndex.foreach { case (seg, i) =>
-        val pruned = hint.exists { case (c, lo, hi) =>
-          !mayOverlap(m, seg, c, lo, hi) }
+        val pruned = hints.exists(h => !mayMatchHint(m, seg, h))
         if (!pruned) {
           // Segment-sized cache (a segment is one ingest micro-batch /
           // compaction target, bounded by construction): count + rewrite
@@ -992,19 +1157,26 @@ object LakeSink {
       val m = readManifest(outDir)
       require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
       val tracked = m.trackedCols
-      val hint = pruneHint.orElse(
-        if (tracked.isEmpty) None
-        else inferPruneHint(spark, tableSchema(spark, outDir, m), cond, tracked))
+      // No explicit hint? Derive ALL safe hints from the predicate's
+      // own conjuncts over the tracked columns (numeric + string +
+      // IS NULL) — SQL DML gets file skipping for free.
+      val hints: Seq[PruneHint] =
+        pruneHint.map { case (c, lo, hi) => NumRange(c, lo, hi) } match {
+          case Some(h) => Seq(h)
+          case None =>
+            if (tracked.isEmpty) Nil
+            else inferPruneHints(spark, tableSchema(spark, outDir, m),
+              cond, tracked)
+        }
       val nonce = java.lang.Long.toHexString(
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
       var rewritten = 0
       var updated = 0L
       val removed = Set.newBuilder[String]
       val added = Seq.newBuilder[String]
-      val addedStats = Map.newBuilder[String, Map[String, (Long, Long)]]
+      val addedStats = Map.newBuilder[String, Map[String, ColStat]]
       m.segs.zipWithIndex.foreach { case (seg, i) =>
-        val pruned = hint.exists { case (c, lo, hi) =>
-          !mayOverlap(m, seg, c, lo, hi) }
+        val pruned = hints.exists(h => !mayMatchHint(m, seg, h))
         if (!pruned) {
           val df = reader(spark, m).parquet(s"$outDir/$seg")
           // A misspelled assignment column must error, not silently
@@ -1097,7 +1269,7 @@ object LakeSink {
     out.write.mode("overwrite").parquet(s"$outDir/$cseg")
     val tracked = m.trackedCols
     val cstats =
-      if (tracked.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
       else Map(cseg -> segmentStats(
         spark.read.parquet(s"$outDir/$cseg"), tracked))
     require(commitNext(outDir, m, Manifest(m.version + 1, m.maxB, Seq(cseg),
@@ -1233,7 +1405,7 @@ object LakeSink {
     df.write.mode("overwrite").parquet(s"$outDir/$seg")
     val tracked = m.trackedCols
     val segStats =
-      if (tracked.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
       else Map(seg -> segmentStats(
         spark.read.parquet(s"$outDir/$seg"), tracked))
     // An append commutes with ANY concurrent commit that leaves the
@@ -1318,8 +1490,8 @@ object LakeSink {
         // only the segments whose key range it straddles.
         val srcKeyRange: Option[(String, Long, Long)] =
           if (keys.size == 1 && m.stats.values.exists(_.contains(keys.head)))
-            segmentStats(src, keys).get(keys.head)
-              .map { case (lo, hi) => (keys.head, lo, hi) }
+            segmentStats(src, keys).get(keys.head).collect {
+              case LongStat(lo, hi, _) => (keys.head, lo, hi) }
           else None
         val tracked = m.trackedCols
         val nonce = java.lang.Long.toHexString(
@@ -1328,7 +1500,7 @@ object LakeSink {
         var updated = 0L
         val removed = Set.newBuilder[String]
         val added = Seq.newBuilder[String]
-        val addedStats = Map.newBuilder[String, Map[String, (Long, Long)]]
+        val addedStats = Map.newBuilder[String, Map[String, ColStat]]
         m.segs.zipWithIndex.foreach { case (seg, i) =>
           val pruned = srcKeyRange.exists { case (c, lo, hi) =>
             !mayOverlap(m, seg, c, lo, hi) }
@@ -1406,7 +1578,7 @@ object LakeSink {
         // epoch — time-ordered micro-batches each cover a narrow
         // range, exactly the layout that makes pruning effective).
         val bstats =
-          if (statsCols.isEmpty) Map.empty[String, (Long, Long)]
+          if (statsCols.isEmpty) Map.empty[String, ColStat]
           else segmentStats(spark.read.parquet(s"$outDir/$seg"), statsCols)
         // ingest commit loop: retry on version race (replay in practice)
         var done = false
@@ -1437,7 +1609,7 @@ object LakeSink {
               .repartition(targetFiles)
               .write.mode("overwrite").parquet(s"$outDir/$cseg")
             val cstats =
-              if (statsCols.isEmpty) Map.empty[String, (Long, Long)]
+              if (statsCols.isEmpty) Map.empty[String, ColStat]
               else segmentStats(
                 spark.read.parquet(s"$outDir/$cseg"), statsCols)
             beforeMaintenanceCommit(batchId)

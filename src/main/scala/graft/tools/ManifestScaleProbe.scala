@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.streaming.LakeSink
-import graft.streaming.LakeSink.Manifest
+import graft.streaming.LakeSink.{LongStat, Manifest}
 
 /** Manifest-LOG scale probe (pure metadata — no SparkSession): drives
   * ≥10 k commits through (a) the r11 delta log (commitNext: delta
@@ -40,7 +40,7 @@ object ManifestScaleProbe {
       var t0 = System.nanoTime()
       (1 to commits).foreach { i =>
         val seg = s"seg_b$i"
-        val bstats = Map("ts" -> (i * 1000L, i * 1000L + 999L))
+        val bstats = Map("ts" -> LongStat(i * 1000L, i * 1000L + 999L, 0L))
         val next = Manifest(m.version + 1, i.toLong, m.segs :+ seg,
           stats = m.stats + (seg -> bstats))
         val ok = mode match {

@@ -127,10 +127,10 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     // bounds-wise at the edges (10,11 and 16..19 survive).
     val m = LakeSink.readManifest(hinted)
     val rewrittenSeg = m.segs.find(_.startsWith("seg_d")).get
-    assert(m.stats(rewrittenSeg)("tse") === (10L, 19L))
+    assert(m.stats(rewrittenSeg)("tse") === LakeSink.LongStat(10L, 19L, 0L))
     // untouched segments kept their stats entries
-    assert(m.stats("seg_b0")("tse") === (0L, 9L))
-    assert(m.stats("seg_b2")("tse") === (20L, 29L))
+    assert(m.stats("seg_b0")("tse") === LakeSink.LongStat(0L, 9L, 0L))
+    assert(m.stats("seg_b2")("tse") === LakeSink.LongStat(20L, 29L, 0L))
     // pruning still works post-DML
     val (_, scannedAfter, _) =
       LakeSink.readTableWhere(spark, hinted, "tse", 0L, 5L)
@@ -211,10 +211,10 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     // untouched segments survived by reference with stats intact
     val m = LakeSink.readManifest(statsLake)
     assert(m.segs.contains("seg_b0") && m.segs.contains("seg_b2"))
-    assert(m.stats("seg_b0")("tse") === (0L, 9L))
+    assert(m.stats("seg_b0")("tse") === LakeSink.LongStat(0L, 9L, 0L))
     // the rewritten segment carries recomputed stats
     val mseg = m.segs.find(_.startsWith("seg_m")).get
-    assert(m.stats(mseg)("tse") === (10L, 19L))
+    assert(m.stats(mseg)("tse") === LakeSink.LongStat(10L, 19L, 0L))
   }
 
   test("txn guard: replayed merges and appends are exactly-once") {
@@ -270,7 +270,7 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     assert(nIn === 3)
     val m = LakeSink.readManifest(dir)
     assert(m.version === v && m.segs.size === 1)
-    assert(m.stats(m.segs.head)("tse") === (0L, 29L))
+    assert(m.stats(m.segs.head)("tse") === LakeSink.LongStat(0L, 29L, 0L))
     val (_, scanned, total) =
       LakeSink.readTableWhere(spark, dir, "tse", 5L, 6L)
     assert(total === 1 && scanned.size === 1)
@@ -346,5 +346,101 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
       org.apache.spark.sql.Row(1L, 5L, 102L),
       org.apache.spark.sql.Row(2L, 3L, 201L),
       org.apache.spark.sql.Row(3L, 4L, 300L)))
+  }
+
+  // ---- string + null-count stats (r11) -------------------------------
+
+  /** 3 segments bucketed by event-type alphabet range — the layout a
+    * type-partitioned ingest produces: seg0 {alpha}, seg1 {echo,
+    * mike}, seg2 {sierra, victor}. Stats on the STRING column and on
+    * the nullable note column (note is NULL everywhere except seg1). */
+  private def buildTypeLake(withStats: Boolean = true): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lake_strstats_spec").toString
+    import spark.implicits._
+    val buckets = Seq(
+      Seq("alpha"), Seq("echo", "mike"), Seq("sierra", "victor"))
+    buckets.zipWithIndex.foreach { case (types, i) =>
+      val rows = types.zipWithIndex.flatMap { case (t, j) =>
+        (0 to 4).map(k =>
+          (i * 100L + j * 10L + k, t,
+            if (i == 1) s"n$k" else null.asInstanceOf[String]))
+      }
+      val df = rows.toDF("id", "event_type", "note")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/seg_b$i")
+      val m = LakeSink.readManifest(dir)
+      require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+        m.segs :+ s"seg_b$i", m.schemaV, m.schemaJson,
+        if (!withStats) m.stats
+        else m.stats + (s"seg_b$i" -> LakeSink.segmentStats(
+          spark.read.parquet(s"$dir/seg_b$i"),
+          Seq("event_type", "note")))))
+    }
+    dir
+  }
+
+  test("string stats: recorded bounds + null counts, point read prunes") {
+    val dir = buildTypeLake()
+    val m = LakeSink.readManifest(dir)
+    assert(m.stats("seg_b1")("event_type") ===
+      LakeSink.StrStat("echo", "mike", 0L))
+    assert(m.stats("seg_b1")("note") === LakeSink.StrStat("n0", "n4", 0L))
+    // all-NULL note in seg0/seg2: no min/max entry (advisory bounds)
+    assert(!m.stats("seg_b0").contains("note"))
+    // a point read on 'echo' scans ONLY the covering segment
+    val (df, scanned, total) =
+      LakeSink.readTableWhereEq(spark, dir, "event_type", "echo")
+    assert(total === 3 && scanned === Seq("seg_b1"))
+    assert(df.count() === 5L)
+    // a value outside every range scans nothing
+    val (none, scanned0, _) =
+      LakeSink.readTableWhereEq(spark, dir, "event_type", "zulu")
+    assert(scanned0.isEmpty && none.count() === 0L)
+  }
+
+  test("string-predicate DELETE prunes by string stats: fewer jobs than stats-less twin") {
+    val dir = buildTypeLake()
+    val statless = buildTypeLake(withStats = false)
+    val cond = col("event_type") === "echo"
+    val jStats = jobsIn {
+      val (v, rewritten, dropped, deleted) =
+        LakeSink.deleteWhere(spark, dir, cond)
+      assert(v === 4L && rewritten === 1 && dropped === 0 && deleted === 5L)
+    }
+    val jFull = jobsIn {
+      val (_, rewritten, dropped, deleted) =
+        LakeSink.deleteWhere(spark, statless, cond)
+      assert(rewritten === 1 && dropped === 0 && deleted === 5L)
+    }
+    // the stats lake skips the two string-disjoint segments' count
+    // jobs (the pre-r11 engine had no string stats and scanned all 3)
+    assert(jStats < jFull,
+      s"expected fewer jobs with string stats ($jStats) than without ($jFull)")
+    val m = LakeSink.readManifest(dir)
+    assert(m.segs.contains("seg_b0") && m.segs.contains("seg_b2"),
+      "disjoint segments survive by reference")
+    val a = LakeSink.readTable(spark, dir).orderBy("id").collect()
+    val b = LakeSink.readTable(spark, statless).orderBy("id").collect()
+    assert(a.toSeq === b.toSeq, "pruned and unpruned deletes must agree")
+  }
+
+  test("IS NULL predicate prunes segments with zero recorded nulls") {
+    val dir = buildTypeLake()
+    val statless = buildTypeLake(withStats = false)
+    // note IS NULL: seg1 records nulls=0 for note → pruned; seg0/seg2
+    // record NO note min/max (all-NULL column) → must scan, and match
+    val jStats = jobsIn {
+      val (_, _, dropped, deleted) =
+        LakeSink.deleteWhere(spark, dir, col("note").isNull)
+      assert(dropped === 2 && deleted === 15L)
+    }
+    val jFull = jobsIn {
+      val (_, _, dropped, deleted) =
+        LakeSink.deleteWhere(spark, statless, col("note").isNull)
+      assert(dropped === 2 && deleted === 15L)
+    }
+    assert(jStats < jFull,
+      s"expected the zero-null segment skipped ($jStats vs $jFull jobs)")
+    assert(LakeSink.readTable(spark, dir).count() === 10L) // seg1 only
   }
 }

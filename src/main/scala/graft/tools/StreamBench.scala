@@ -320,6 +320,73 @@ object StreamBench {
       } (feedChunks(in, events, 16))
     }
 
+    // ---- medallion chain: bronze → silver → gold ---------------------
+    // Two CHAINED streaming queries over three lake tables: bronze
+    // appends → change-feed → watermarked windowed agg → silver
+    // appends (txn-guarded) → change-feed → running-total merge →
+    // gold. Wall covers the WHOLE chain drained after every bronze
+    // append (worst-case end-to-end latency view: no pipelining
+    // between hops); p50/p99 are the silver hop's trigger times.
+    // Correctness is asserted, not assumed: gold must equal the batch
+    // rollup of bronze.
+    locally {
+      import graft.streaming.{LakeSink, Medallion}
+      val bronzeDir = tmpDir("graft_sb_med_bronze")
+      val silverDir = tmpDir("graft_sb_med_silver")
+      val goldDir = tmpDir("graft_sb_med_gold")
+      val evDf = spark.createDataset(events.take(1)).toDF()
+      LakeSink.createTable(bronzeDir, evDf.schema)
+      Medallion.initTables(silverDir, goldDir)
+      val t0 = System.nanoTime()
+      val sq = Medallion.startSilver(spark, bronzeDir, silverDir,
+        tmpDir("graft_sb_med_ck_s"))
+      val gq = Medallion.startGold(spark, silverDir, goldDir,
+        tmpDir("graft_sb_med_ck_g"))
+      try {
+        chunksOf(events, 16).zipWithIndex.foreach { case (c, i) =>
+          LakeSink.appendSegment(spark, bronzeDir,
+            spark.createDataset(c).toDF(), f"seg_e$i%04d")
+          sq.processAllAvailable()
+          gq.processAllAvailable()
+        }
+        // close every real window: one sentinel 2h past the last event
+        val sent = events.last.copy(event_id = -1L,
+          ts = new Timestamp(events.last.ts.getTime + 2 * 3600 * 1000L),
+          event_type = "sentinel")
+        LakeSink.appendSegment(spark, bronzeDir,
+          spark.createDataset(Seq(sent)).toDF(), "seg_sentinel")
+        sq.processAllAvailable()
+        gq.processAllAvailable()
+      } finally { sq.stop(); gq.stop() }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val durs = sq.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .map(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong).getOrElse(0L)).sorted
+      def pct(p: Double): Long =
+        if (durs.isEmpty) 0L
+        else durs(math.min(durs.size - 1, math.ceil(p * durs.size).toInt - 1))
+      val r = Res("stream_medallion", events.size, durs.size, wall,
+        events.size / wall, pct(0.50), pct(0.99))
+      results += r
+      println(f"[streambench] ${r.name}%-22s ${r.rowsIn}%8d rows " +
+        f"${r.batches}%3d batches ${r.wallSec}%7.2fs " +
+        f"${r.rowsPerSec}%10.0f rows/s  p50 ${r.p50Ms}%5d ms  p99 ${r.p99Ms}%5d ms")
+      val gotGold = LakeSink.readTable(spark, goldDir)
+        .orderBy("event_type").collect()
+        .map(row => (row.getString(0), row.getLong(1), row.getLong(2))).toSeq
+      val wantGold = spark.createDataset(events).toDF()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .orderBy("event_type").collect()
+        .map(row => (row.getString(0), row.getLong(1), row.getLong(2))).toSeq
+      require(gotGold == wantGold,
+        s"medallion gold diverged from the batch rollup of bronze:\n" +
+          s"  got  $gotGold\n  want $wantGold")
+      println(s"[streambench] stream_medallion identity: gold matches " +
+        s"batch rollup (${gotGold.size} event types)")
+    }
+
     // ---- report --------------------------------------------------------
     def jnum(d: Double): String = f"$d%.2f"
     val pipelinesJson = results.map { r =>

@@ -1311,6 +1311,89 @@ object Extensions {
               FROM k)
             ORDER BY version"""))
 
+  /** MEDALLION CHAIN as a declared, oracle-checked query (r11): the
+    * whole bronze→silver→gold pipeline from
+    * [[graft.streaming.Medallion]] — bronze built from the REAL
+    * events table in three time-tranche appends, the silver hop
+    * tailing bronze's change feed into watermarked 1h windows
+    * (append mode: a window commits exactly once, when it provably
+    * closed), the gold hop tailing silver's change feed into running
+    * per-type totals via txn-guarded MERGE. A final sentinel event 2h
+    * past the last real event closes every real window (its own
+    * window never closes, so it reaches neither table). Output is
+    * gold joined with silver's per-type window count; the DuckDB
+    * oracle recomputes BOTH from the events table alone — a dropped
+    * window, a double-folded batch, a late-dropped real event, or a
+    * sentinel leak all fail the hash. Kill/restart exactly-once at
+    * each hop is MedallionSpec's job; THIS query pins the end-to-end
+    * arithmetic under the driver's gate. */
+  private val sinkLakeMedallion = QueryDef(
+    "sink_lake_medallion",
+    (s, d) => {
+      import graft.streaming.{LakeSink, Medallion}
+      val bronze = tmpPath("graft_med_q_b", d)
+      val silver = tmpPath("graft_med_q_s", d)
+      val gold = tmpPath("graft_med_q_g", d)
+      val ckS = tmpPath("graft_med_q_cks", d)
+      val ckG = tmpPath("graft_med_q_ckg", d)
+      Seq(bronze, silver, gold, ckS, ckG).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      // scanned 4× (bounds + three tranche filters) — cache once
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).persist()
+      LakeSink.createTable(bronze, ev.schema)
+      Medallion.initTables(silver, gold)
+      val b0 = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val (t0, t1) = (b0.getLong(0), b0.getLong(1))
+      val span = t1 - t0 + 1
+      // state partitions near core count, not batch shuffle width —
+      // each trigger pays a per-partition state-store commit floor,
+      // and the r9 deploy-shape row measured that floor dominating at
+      // 32 partitions (state partitioning bakes into the checkpoint,
+      // which is fresh every run, so this is safe to set here)
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val prevShuffle = s.conf.get(shuffleKey)
+      s.conf.set(shuffleKey, "8")
+      val sq = Medallion.startSilver(s, bronze, silver, ckS)
+      val gq = Medallion.startGold(s, silver, gold, ckG)
+      try {
+        // time-tranche appends: tranche i+1's earliest event is past
+        // tranche i's latest, so nothing is ever watermark-late
+        (0 until 3).foreach { i =>
+          LakeSink.appendSegment(s, bronze,
+            ev.filter(expr(
+              s"((unix_micros(ts) - $t0) * 3) div $span") === i),
+            s"seg_e$i")
+          sq.processAllAvailable(); gq.processAllAvailable()
+        }
+        LakeSink.appendSegment(s, bronze, s.range(1).select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(t1 + 2L * 3600 * 1000000L)).as("ts"),
+          lit(0L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value")), "seg_sentinel")
+        sq.processAllAvailable(); gq.processAllAvailable()
+      } finally {
+        sq.stop(); gq.stop()
+        s.conf.set(shuffleKey, prevShuffle)
+        ev.unpersist()
+      }
+      val windows = LakeSink.readTable(s, silver)
+        .groupBy("event_type").agg(count(lit(1)).as("n_windows"))
+      LakeSink.readTable(s, gold)
+        .join(windows, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("cents"),
+          col("n_windows"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents,
+              CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+                AS n_windows
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
@@ -1319,5 +1402,5 @@ object Extensions {
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
     sinkLakeStatsPruneStr,
     sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead, sinkLakeExpectations,
-    sinkLakeHistory)
+    sinkLakeHistory, sinkLakeMedallion)
 }

@@ -106,18 +106,46 @@ object StatsCommitProbe {
     }
 
     // ---- read-side payoff: scanned-segment counts ------------------
-    val statsDir = buildLake("read_stats", withStats = true)
-    val noDir = buildLake("read_nostats", withStats = false)
+    // The write A/B above uses the id-bucketed layout (matching the
+    // bench DML fixtures) where every segment spans the full tse
+    // range — stats there prune nothing, which is exactly why the
+    // payoff must be measured on the layout a 100 TB lake actually
+    // has: TIME-ORDERED ingest, each segment one time slice. A
+    // quartile-range probe then opens ~2 of 8 segments with stats
+    // and all 8 without.
+    def buildTimeLake(name: String, withStats: Boolean): String = {
+      val dir = root.resolve(name).toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val bnd = ev.agg(min("tse"), max("tse")).head()
+      val (lo, hi) = (bnd.getLong(0), bnd.getLong(1))
+      val span = hi - lo + 1
+      (0 until 8).foreach { i =>
+        val seg = s"seg_t$i"
+        ev.filter(expr(s"((tse - $lo) * 8) div $span") === i)
+          .write.mode("overwrite").parquet(s"$dir/$seg")
+        val m = LakeSink.readManifest(dir)
+        val st =
+          if (withStats) Map(seg -> LakeSink.segmentStats(
+            spark.read.parquet(s"$dir/$seg"), statsCols))
+          else Map.empty[String, Map[String, LakeSink.ColStat]]
+        require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+          m.segs :+ seg, stats = m.stats ++ st),
+          s"time ingest commit $i lost a race")
+      }
+      dir
+    }
+    val statsDir = buildTimeLake("read_stats", withStats = true)
+    val noDir = buildTimeLake("read_nostats", withStats = false)
     val b = ev.agg(min("tse"), max("tse")).head()
     val (t0, t1) = (b.getLong(0), b.getLong(1))
     val qLo = t0 + (t1 - t0) / 4
     val qHi = t0 + (t1 - t0) / 2
-    val (_, scannedS, totalS) =
+    val (selS, scannedS, totalS) =
       LakeSink.readTableWhere(spark, statsDir, "tse", qLo, qHi)
-    val (_, scannedN, totalN) =
+    val (selN, scannedN, totalN) =
       LakeSink.readTableWhere(spark, noDir, "tse", qLo, qHi)
-    val (_, scannedEq, _) =
-      LakeSink.readTableWhereEq(spark, statsDir, "event_type", "error")
+    require(selS.count() == selN.count(),
+      "stats pruning changed the answer — skipping bug")
 
     def j(d: Double): String = f"$d%.3f"
     val ab = results.map { case (k, v) => s""""$k":${j(v)}""" }.mkString(",")
@@ -125,7 +153,6 @@ object StatsCommitProbe {
       s"""{"probe":"stats_commit_ab","sf":"$sfDir","reps":$reps,$ab,""" +
         s""""read_tse_scanned_stats":${scannedS.size},""" +
         s""""read_tse_scanned_nostats":${scannedN.size},""" +
-        s""""read_eq_scanned_stats":${scannedEq.size},""" +
         s""""n_segments":$totalS}"""
     require(totalS == totalN)
     println(json)

@@ -1311,6 +1311,57 @@ object Extensions {
               FROM k)
             ORDER BY version"""))
 
+  /** CHANGE DATA FEED (r11): Delta-CDF-analog row-level change capture
+    * through copy-on-write DML — [[graft.streaming.LakeSink
+    * .changesCdcBetween]]. The DML verbs run with `cdc = true`, so each
+    * commit records its pre/post images as change segments in the SAME
+    * manifest CAS as the rewrite; the feed walk is pure manifest
+    * metadata and reads only the changed rows. The query deletes one
+    * event_type and reprices another, then aggregates the whole feed
+    * window by change type; the oracle recomputes every (type, count,
+    * cents) line from the events table alone — a missed delete, a
+    * double-captured image, or a post-image with the wrong arithmetic
+    * all fail the hash. LakeCdcSpec covers the mixed-history walk,
+    * compaction transparency (dataChange=false), the cdc-less refusal,
+    * vacuum retention, and the CDC-mode streaming source. */
+  private val sinkLakeCdf = QueryDef(
+    "sink_lake_cdf",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_cdf", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val v0 = LakeSink.readManifest(dir).version
+      LakeSink.deleteWhere(s, dir, col("event_type") === "click",
+        cdc = true)
+      LakeSink.updateWhere(s, dir, col("event_type") === "error",
+        Map("vc" -> (col("vc") + 100L)), cdc = true)
+      val tip = LakeSink.readManifest(dir).version
+      LakeSink.changesCdcBetween(s, dir, v0, tip)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum("vc").as("sum_cents"))
+        .orderBy("change_type")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'delete' AS change_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+              FROM events WHERE event_type = 'click' HAVING count(*) > 0
+              UNION ALL
+              SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+              FROM events WHERE event_type = 'error' HAVING count(*) > 0
+              UNION ALL
+              SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(value * 100) AS BIGINT) + 100)
+                  AS BIGINT)
+              FROM events WHERE event_type = 'error' HAVING count(*) > 0)
+            ORDER BY change_type"""))
+
   /** MEDALLION CHAIN as a declared, oracle-checked query (r11): the
     * whole bronze→silver→gold pipeline from
     * [[graft.streaming.Medallion]] — bronze built from the REAL
@@ -1402,5 +1453,5 @@ object Extensions {
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
     sinkLakeStatsPruneStr,
     sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead, sinkLakeExpectations,
-    sinkLakeHistory, sinkLakeMedallion)
+    sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf)
 }

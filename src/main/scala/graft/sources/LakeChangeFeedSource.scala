@@ -66,8 +66,11 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
     require(m.segs.nonEmpty || m.schemaJson.isDefined,
       s"graft-lake-changefeed: lake at $dir has no committed segments " +
         "and no recorded schema — create the table or commit data first")
+    val base = LakeSink.tableSchema(sqlContext.sparkSession, dir, m)
     (s"graft-lake-changefeed:$dir",
-      LakeSink.tableSchema(sqlContext.sparkSession, dir, m))
+      if (LakeChangeFeedSource.cdcMode(parameters))
+        LakeChangeFeedSource.withCdcColumns(base)
+      else base)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -76,22 +79,37 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
     new LakeChangeFeedSource(sqlContext.sparkSession,
       LakeChangeFeedSource.path(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong)
-        .getOrElse(Long.MaxValue))
+        .getOrElse(Long.MaxValue),
+      LakeChangeFeedSource.cdcMode(parameters))
 }
 
 object LakeChangeFeedSource {
   private[sources] def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       sys.error("graft-lake-changefeed requires a path option"))
+
+  /** `readChangeFeed=true` switches the source to CDC mode (Delta's
+    * option of the same name): batches carry `_change_type` +
+    * `_commit_version` and DML versions stream as their recorded
+    * change rows instead of failing the append-only contract. */
+  private[sources] def cdcMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+
+  private[sources] def withCdcColumns(base: StructType): StructType =
+    base.add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
 }
 
 class LakeChangeFeedSource(spark: SparkSession, dir: String,
-    maxVersionsPerTrigger: Long = Long.MaxValue) extends Source {
+    maxVersionsPerTrigger: Long = Long.MaxValue,
+    cdc: Boolean = false) extends Source {
   require(maxVersionsPerTrigger >= 1L,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
 
-  override val schema: StructType =
-    LakeSink.tableSchema(spark, dir, LakeSink.readManifest(dir))
+  override val schema: StructType = {
+    val base = LakeSink.tableSchema(spark, dir, LakeSink.readManifest(dir))
+    if (cdc) LakeChangeFeedSource.withCdcColumns(base) else base
+  }
 
   /** Highest version this source has admitted or seen committed —
     * the base the per-trigger cap advances from. In-memory state, but
@@ -161,7 +179,20 @@ class LakeChangeFeedSource(spark: SparkSession, dir: String,
     // then deltas). Incremental batches stay manifest diffs with the
     // append-only contract.
     PlanBridge.asStreamingFrame(
-      if (fromV == 0L) LakeSink.readTableAsOf(spark, dir, toV)
+      if (cdc) {
+        import org.apache.spark.sql.functions.lit
+        // initial load: the snapshot's rows ARE the inserts as of toV
+        // (Delta CDF's startingVersion-at-snapshot semantics); column
+        // order normalized to the declared schema either way
+        val df =
+          if (fromV == 0L) LakeSink.readTableAsOf(spark, dir, toV)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(toV))
+          else LakeSink.changesCdcBetween(spark, dir, fromV, toV)
+        df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toSeq: _*)
+      }
+      else if (fromV == 0L) LakeSink.readTableAsOf(spark, dir, toV)
       else LakeSink.changesBetween(spark, dir, fromV, toV))
   }
 

@@ -85,7 +85,16 @@ object LakeSink {
       schemaV: Long = 0L, schemaJson: Option[String] = None,
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
-      expects: Map[String, String] = Map.empty) {
+      expects: Map[String, String] = Map.empty,
+      // Per-VERSION commit annotations (events, not cumulative state):
+      // `cdcSegs` are THIS version's change-data segments (row-level
+      // pre/post images a DML wrote alongside its rewrite — Delta's
+      // _change_data files; invisible to table readers, consumed by
+      // [[changesCdcBetween]]); `dataChange = false` marks a commit
+      // that rearranged bytes without changing rows (compaction —
+      // Delta's dataChange=false AddFile), which a change feed skips.
+      cdcSegs: Seq[String] = Nil,
+      dataChange: Boolean = true) {
     /** Columns any live segment tracks stats for. */
     def trackedCols: Seq[String] =
       stats.values.flatMap(_.keys).toSeq.distinct.sorted
@@ -148,7 +157,8 @@ object LakeSink {
     val (headers, segs) = lines.partition(_.contains("="))
     val (statLines, rest00) = headers.partition(_.startsWith("stats="))
     val (strStatLines, rest0) = rest00.partition(_.startsWith("strstats="))
-    val (txnLines, rest) = rest0.partition(_.startsWith("txn="))
+    val (txnLines, rest1) = rest0.partition(_.startsWith("txn="))
+    val (cdcLines, rest) = rest1.partition(_.startsWith("cdc="))
     val (expectLines, scalarHeaders) = rest.partition(_.startsWith("expect="))
     val h = scalarHeaders.map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
@@ -178,7 +188,9 @@ object LakeSink {
       }
     }.toMap
     Manifest(v, maxB, segs, h.get("schemav").map(_.toLong).getOrElse(0L),
-      h.get("schema"), stats, txns, expects)
+      h.get("schema"), stats, txns, expects,
+      cdcLines.map(_.stripPrefix("cdc=")),
+      !h.get("datachange").contains("0"))
   }
 
   // ---- manifest LOG: delta records + periodic checkpoints ------------
@@ -212,7 +224,8 @@ object LakeSink {
       adds: Seq[String], removes: Set[String],
       addStats: Map[String, Map[String, ColStat]],
       schemaV: Long, schemaJson: Option[String],
-      txns: Map[String, Long], expects: Map[String, String])
+      txns: Map[String, Long], expects: Map[String, String],
+      cdcSegs: Seq[String], dataChange: Boolean)
 
   private def parseDelta(outDir: String, v: Long,
       lines: Seq[String]): DeltaRec = {
@@ -222,6 +235,7 @@ object LakeSink {
     val statLines = Seq.newBuilder[(String, String, ColStat)]
     val txns = Map.newBuilder[String, Long]
     val expects = Map.newBuilder[String, String]
+    val cdcSegs = Seq.newBuilder[String]
     lines.foreach { l =>
       val i = l.indexOf('=')
       require(i > 0, s"manifest delta v$v at $outDir: bad line $l")
@@ -230,6 +244,7 @@ object LakeSink {
         case "delta" =>
         case "add" => adds += value
         case "remove" => removes += value
+        case "cdc" => cdcSegs += value
         case "stats" =>
           statLines += parseStatPayload(outDir, v, value, isStr = false)
         case "strstats" =>
@@ -253,7 +268,8 @@ object LakeSink {
         sys.error(s"manifest delta v$v at $outDir missing maxb")).toLong,
       adds.result(), removes.result(), addStats,
       h.get("schemav").map(_.toLong).getOrElse(0L), h.get("schema"),
-      txns.result(), expects.result())
+      txns.result(), expects.result(), cdcSegs.result(),
+      !h.get("datachange").contains("0"))
   }
 
   /** Auxiliary CHECKPOINT file for version `v` (Delta's
@@ -289,7 +305,7 @@ object LakeSink {
       d.schemaV,
       if (d.schemaV != acc.schemaV) d.schemaJson else acc.schemaJson,
       (acc.stats -- d.removes) ++ d.addStats,
-      d.txns, d.expects)
+      d.txns, d.expects, d.cdcSegs, d.dataChange)
 
   /** Reconstruct the committed state at version `v`: walk back to the
     * nearest snapshot (≤ [[snapshotInterval]] small files, or the
@@ -350,13 +366,15 @@ object LakeSink {
         s"v${parent.version} -> v${m.version}")
     if (m.version % snapshotInterval == 0)
       return commitManifest(outDir, m.version, m.maxB, m.segs, m.schemaV,
-        m.schemaJson, m.stats, m.txns, m.expects)
+        m.schemaJson, m.stats, m.txns, m.expects, m.cdcSegs, m.dataChange)
     val lines = Seq("delta=1", s"maxb=${m.maxB}") ++
       (if (m.schemaV > 0L) Seq(s"schemav=${m.schemaV}") else Nil) ++
       (if (m.schemaV != parent.schemaV) m.schemaJson.map(j => s"schema=$j")
        else None) ++
+      (if (m.dataChange) Nil else Seq("datachange=0")) ++
       m.txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" } ++
       m.expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" } ++
+      m.cdcSegs.map(s => s"cdc=$s") ++
       added.map(s => s"add=$s") ++
       removed.toSeq.sorted.map(s => s"remove=$s") ++
       addedStats.toSeq.flatMap { case (seg, byCol) =>
@@ -393,12 +411,14 @@ object LakeSink {
       schemaJson: Option[String] = None,
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
-      expects: Map[String, String] = Map.empty): Boolean = {
+      expects: Map[String, String] = Map.empty,
+      cdcSegs: Seq[String] = Nil, dataChange: Boolean = true): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
     Files.write(tmp, snapshotLines(maxB, segs, schemaV, schemaJson,
-      stats, txns, expects).mkString("\n").getBytes("UTF-8"))
+      stats, txns, expects, cdcSegs, dataChange).mkString("\n")
+      .getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
       true
@@ -431,7 +451,9 @@ object LakeSink {
   private def snapshotLines(maxB: Long, segs: Seq[String], schemaV: Long,
       schemaJson: Option[String],
       stats: Map[String, Map[String, ColStat]],
-      txns: Map[String, Long], expects: Map[String, String]): Seq[String] = {
+      txns: Map[String, Long], expects: Map[String, String],
+      cdcSegs: Seq[String] = Nil,
+      dataChange: Boolean = true): Seq[String] = {
     val live = segs.toSet
     val statLines = stats.toSeq
       .filter { case (seg, _) => live(seg) }
@@ -441,10 +463,12 @@ object LakeSink {
     val txnLines = txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" }
     val expectLines =
       expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" }
+    val cdcLines = cdcSegs.map(s => s"cdc=$s") ++
+      (if (dataChange) Nil else Seq("datachange=0"))
     (s"maxb=$maxB" +:
       ((if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
         schemaJson.map(j => s"schema=$j")
-       else Nil) ++ statLines ++ txnLines ++ expectLines)) ++ segs
+       else Nil) ++ statLines ++ txnLines ++ expectLines ++ cdcLines)) ++ segs
   }
 
   /** Attempts a DML re-plan loop makes before giving up — each retry
@@ -475,7 +499,8 @@ object LakeSink {
   private def tryCommitEdit(outDir: String, base: Manifest,
       removed: Set[String], added: Seq[String],
       addedStats: Map[String, Map[String, ColStat]],
-      txn: Option[(String, Long)]): Option[Long] = {
+      txn: Option[(String, Long)],
+      cdcSegs: Seq[String] = Nil): Option[Long] = {
     val baseSegs = base.segs.toSet
     var tip = base
     while (true) {
@@ -484,7 +509,7 @@ object LakeSink {
       val txns = txn.fold(tip.txns) { case (a, id) => tip.txns + (a -> id) }
       if (commitEditRecord(outDir, tip,
           Manifest(tip.version + 1, tip.maxB, segs, tip.schemaV,
-            tip.schemaJson, stats, txns, tip.expects),
+            tip.schemaJson, stats, txns, tip.expects, cdcSegs),
           removed, added, addedStats))
         return Some(tip.version + 1)
       val now = readManifest(outDir)
@@ -944,6 +969,86 @@ object LakeSink {
     else reader(spark, mt).parquet(added.map(s => s"$outDir/$s"): _*)
   }
 
+  /** CHANGE DATA FEED read (Delta CDF / `table_changes` analog): every
+    * row-level change between committed versions `fromV` (exclusive)
+    * and `toV` (inclusive), as the table's columns plus
+    * `_change_type` ('insert' | 'delete' | 'update_preimage' |
+    * 'update_postimage') and `_commit_version`. Where
+    * [[changesBetween]] REFUSES a window containing copy-on-write DML
+    * (a segment diff cannot represent a rewrite as appends), this
+    * walk consumes the CHANGE-DATA SEGMENTS the DML recorded in its
+    * commit (`cdc=` manifest lines, written by
+    * deleteWhere/updateWhere/mergeInto with `cdc = true`):
+    *
+    *  - a version with cdc segments emits exactly those rows;
+    *  - a plain append emits its added segments as 'insert';
+    *  - a `dataChange = false` commit (compaction) emits NOTHING —
+    *    layout moved, rows did not;
+    *  - a DML committed WITHOUT change data still refuses, loudly —
+    *    emitting its rewritten segments as changes would be wrong.
+    *
+    * Planning is pure manifest metadata (no data IO); the data read
+    * is bounded by the rows that actually changed — the property that
+    * lets a downstream keep a 100 TB table's derived views fresh
+    * without ever re-diffing it. The feed horizon is the [[vacuum]]
+    * retention horizon, like time travel. */
+  def changesCdcBetween(spark: SparkSession, outDir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV >= 0L && fromV <= toV,
+      s"bad CDC window v$fromV..v$toV")
+    val md = manifestDir(outDir)
+    Seq(fromV, toV).filter(_ > 0L).foreach { v =>
+      require(Files.exists(md.resolve(f"v$v%010d.txt")),
+        s"lake at $outDir has no manifest v$v (vacuumed or never committed)")
+    }
+    var prev = manifestAt(outDir, fromV)
+    val parts = Seq.newBuilder[DataFrame]
+    (fromV + 1 to toV).foreach { v =>
+      require(Files.exists(md.resolve(f"v$v%010d.txt")),
+        s"manifest v$v inside CDC window v$fromV..v$toV was vacuumed — " +
+          "the change feed horizon is the vacuum retention horizon")
+      val cur = parseVersionFile(outDir, v) match {
+        case Right(mm) => mm
+        case Left(d) => applyDelta(prev, d)
+      }
+      val prevSet = prev.segs.toSet
+      val removed = prevSet -- cur.segs
+      val addedSegs = cur.segs.filterNot(prevSet)
+      if (cur.cdcSegs.nonEmpty) {
+        parts += spark.read
+          .parquet(cur.cdcSegs.map(s => s"$outDir/$s"): _*)
+          .withColumn("_commit_version", lit(v))
+      } else if (!cur.dataChange) {
+        // compaction / layout-only: bytes moved, rows did not
+      } else if (removed.isEmpty) {
+        if (addedSegs.nonEmpty)
+          parts += reader(spark, cur)
+            .parquet(addedSegs.map(s => s"$outDir/$s"): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+      } else {
+        sys.error(s"version v$v of $outDir rewrote or dropped " +
+          s"${removed.toSeq.sorted.mkString(", ")} without recording " +
+          "change data (DML ran with cdc = false) — the CDC feed " +
+          "cannot represent it; re-run DML with cdc = true or diff " +
+          "snapshots via readTableAsOf")
+      }
+      prev = cur
+    }
+    val ps = parts.result()
+    if (ps.isEmpty) {
+      val base = tableSchema(spark, outDir, prev)
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base)
+    }
+    // allowMissingColumns: a window straddling a schema evolution has
+    // pre-evolution change rows without the added columns — they
+    // surface as NULL, the same rule the table reader applies
+    else ps.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** VACUUM: delete segment dirs no retained manifest references, and
     * manifest versions older than the newest `retainVersions`. Orphans
     * arise from compaction inputs whose best-effort cleanup was
@@ -972,20 +1077,25 @@ object LakeSink {
       val b = manifestAt(outDir, oldestRetained)
       Files.write(snapPath(outDir, oldestRetained),
         snapshotLines(b.maxB, b.segs, b.schemaV, b.schemaJson, b.stats,
-          b.txns, b.expects).mkString("\n").getBytes("UTF-8"))
+          b.txns, b.expects, b.cdcSegs, b.dataChange)
+          .mkString("\n").getBytes("UTF-8"))
     }
     // Live segments = union over the retained versions, reconstructed
     // incrementally along the contiguous suffix (the boundary .snap
-    // makes the first reconstruction one file read).
+    // makes the first reconstruction one file read). A retained
+    // version's CHANGE-DATA segments stay live with it — the CDC feed
+    // horizon is the vacuum retention horizon, same as time travel.
     val live = scala.collection.mutable.Set.empty[String]
     var acc = manifestAt(outDir, oldestRetained)
     live ++= acc.segs
+    live ++= acc.cdcSegs
     retained.tail.foreach { v =>
       acc = parseVersionFile(outDir, v) match {
         case Right(m) => m
         case Left(d) => applyDelta(acc, d)
       }
       live ++= acc.segs
+      live ++= acc.cdcSegs
     }
     val segDirs = listDir(Paths.get(outDir))
       .filter(p => Files.isDirectory(p) &&
@@ -1052,7 +1162,8 @@ object LakeSink {
   def deleteWhere(spark: SparkSession, outDir: String,
       cond: org.apache.spark.sql.Column,
       pruneHint: Option[(String, Long, Long)] = None,
-      beforeCommit: () => Unit = () => ())
+      beforeCommit: () => Unit = () => (),
+      cdc: Boolean = false)
       : (Long, Int, Int, Long) = {
     import org.apache.spark.sql.functions.{coalesce, count, lit, when}
     // `beforeCommit` is the race-injection seam (the
@@ -1090,6 +1201,13 @@ object LakeSink {
       val removed = Set.newBuilder[String]
       val added = Seq.newBuilder[String]
       val addedStats = Map.newBuilder[String, Map[String, ColStat]]
+      // CHANGE DATA FEED: the deleted rows, written once alongside the
+      // rewrite (Delta's _change_data move) into one per-DML cdc
+      // segment the commit records — the only extra IO is the changed
+      // rows themselves, and [[changesCdcBetween]] never has to diff
+      // snapshots. Orphaned on a lost CAS like any staged rewrite.
+      val cdcSeg = s"seg_cdc_d$nonce"
+      var cdcRows = false
       m.segs.zipWithIndex.foreach { case (seg, i) =>
         val pruned = hints.exists(h => !mayMatchHint(m, seg, h))
         if (!pruned) {
@@ -1104,6 +1222,12 @@ object LakeSink {
               .toSeq.map(_.asInstanceOf[Long]).toArray
             if (matches > 0L) {
               deleted += matches
+              if (cdc) {
+                df.filter(coalesce(cond, lit(false)))
+                  .withColumn("_change_type", lit("delete"))
+                  .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                cdcRows = true
+              }
               if (matches == total) { dropped += 1; removed += seg }
               else {
                 // keep = NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
@@ -1124,7 +1248,8 @@ object LakeSink {
       if (rewritten == 0 && dropped == 0) return (m.version, 0, 0, 0L)
       beforeCommit()
       tryCommitEdit(outDir, m, removed.result(), added.result(),
-        addedStats.result(), None) match {
+        addedStats.result(), None,
+        cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil) match {
         case Some(v) => return (v, rewritten, dropped, deleted)
         case None => // true conflict — re-plan against the new tip
       }
@@ -1147,9 +1272,10 @@ object LakeSink {
   def updateWhere(spark: SparkSession, outDir: String,
       cond: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
-      pruneHint: Option[(String, Long, Long)] = None)
+      pruneHint: Option[(String, Long, Long)] = None,
+      cdc: Boolean = false)
       : (Long, Int, Long) = {
-    import org.apache.spark.sql.functions.{col, when}
+    import org.apache.spark.sql.functions.{col, lit, when}
     require(assignments.nonEmpty, "UPDATE with no assignments")
     var attempt = 0
     while (attempt < dmlMaxAttempts) {
@@ -1175,6 +1301,11 @@ object LakeSink {
       val removed = Set.newBuilder[String]
       val added = Seq.newBuilder[String]
       val addedStats = Map.newBuilder[String, Map[String, ColStat]]
+      // Change data feed: pre- AND post-images of updated rows (the
+      // Delta CDF update_preimage/update_postimage pair), one cdc
+      // segment per DML, recorded by the commit.
+      val cdcSeg = s"seg_cdc_u$nonce"
+      var cdcRows = false
       m.segs.zipWithIndex.foreach { case (seg, i) =>
         val pruned = hints.exists(h => !mayMatchHint(m, seg, h))
         if (!pruned) {
@@ -1199,6 +1330,19 @@ object LakeSink {
             }: _*)
             val newSeg = f"seg_u${m.version + 1}%010d_${i}_$nonce"
             out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+            if (cdc) {
+              df.filter(cond)
+                .withColumn("_change_type", lit("update_preimage"))
+                .write.mode("append").parquet(s"$outDir/$cdcSeg")
+              // post-image: assignments against the OLD rows (same
+              // projection rule as the rewrite), matched rows only
+              df.filter(cond).select(df.columns.map { c =>
+                  assignments.get(c).map(_.as(c)).getOrElse(col(c))
+                }: _*)
+                .withColumn("_change_type", lit("update_postimage"))
+                .write.mode("append").parquet(s"$outDir/$cdcSeg")
+              cdcRows = true
+            }
             rewritten += 1
             removed += seg
             added += newSeg
@@ -1210,7 +1354,8 @@ object LakeSink {
       }
       if (rewritten == 0) return (m.version, 0, 0L)
       tryCommitEdit(outDir, m, removed.result(), added.result(),
-        addedStats.result(), None) match {
+        addedStats.result(), None,
+        cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil) match {
         case Some(v) => return (v, rewritten, updated)
         case None => // true conflict — re-plan against the new tip
       }
@@ -1273,7 +1418,8 @@ object LakeSink {
       else Map(cseg -> segmentStats(
         spark.read.parquet(s"$outDir/$cseg"), tracked))
     require(commitNext(outDir, m, Manifest(m.version + 1, m.maxB, Seq(cseg),
-      m.schemaV, m.schemaJson, cstats, m.txns, m.expects)),
+      m.schemaV, m.schemaJson, cstats, m.txns, m.expects,
+      dataChange = false)),
       s"compaction at $outDir lost a manifest race at v${m.version + 1}")
     // Input segments stay on disk (DML convention: the pre-compaction
     // version keeps time-traveling until vacuum) — unlike the
@@ -1451,7 +1597,8 @@ object LakeSink {
     * commits nothing. */
   def mergeInto(spark: SparkSession, outDir: String, source: DataFrame,
       keys: Seq[String],
-      txn: Option[(String, Long)] = None): (Long, Int, Long, Long) = {
+      txn: Option[(String, Long)] = None,
+      cdc: Boolean = false): (Long, Int, Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, when}
     require(keys.nonEmpty, "MERGE with no key columns")
     var attempt = 0
@@ -1501,6 +1648,11 @@ object LakeSink {
         val removed = Set.newBuilder[String]
         val added = Seq.newBuilder[String]
         val addedStats = Map.newBuilder[String, Map[String, ColStat]]
+        // Change data feed: replaced target rows as update_preimage,
+        // the winning source rows as update_postimage, unmatched
+        // source rows as insert — one cdc segment per MERGE.
+        val cdcSeg = s"seg_cdc_m$nonce"
+        var cdcRows = false
         m.segs.zipWithIndex.foreach { case (seg, i) =>
           val pruned = srcKeyRange.exists { case (c, lo, hi) =>
             !mayOverlap(m, seg, c, lo, hi) }
@@ -1509,6 +1661,16 @@ object LakeSink {
             val matches = df.join(broadcast(src), keys, "left_semi").count()
             if (matches > 0L) {
               updated += matches
+              if (cdc) {
+                df.join(broadcast(src), keys, "left_semi")
+                  .withColumn("_change_type", lit("update_preimage"))
+                  .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                src.join(broadcast(df.select(keys.map(col).toSeq: _*)),
+                    keys, "left_semi")
+                  .withColumn("_change_type", lit("update_postimage"))
+                  .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                cdcRows = true
+              }
               val joined = df.as("t").join(
                 broadcast(marked).as("s"), keys, "left_outer")
               // Projection preserves the target schema's column ORDER so
@@ -1540,13 +1702,19 @@ object LakeSink {
           val insSeg = f"seg_m${m.version + 1}%010d_ins_$nonce"
           inserts.write.mode("overwrite").parquet(s"$outDir/$insSeg")
           added += insSeg
+          if (cdc) {
+            inserts.withColumn("_change_type", lit("insert"))
+              .write.mode("append").parquet(s"$outDir/$cdcSeg")
+            cdcRows = true
+          }
           if (tracked.nonEmpty)
             addedStats += insSeg -> segmentStats(
               spark.read.parquet(s"$outDir/$insSeg"), tracked)
         }
         if (rewritten == 0 && inserted == 0L) return (m.version, 0, 0L, 0L)
         tryCommitEdit(outDir, m, removed.result(), added.result(),
-          addedStats.result(), txn) match {
+          addedStats.result(), txn,
+          cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil) match {
           case Some(v) => return (v, rewritten, updated, inserted)
           case None => // true conflict — re-plan against the new tip
         }
@@ -1618,7 +1786,7 @@ object LakeSink {
                 m.schemaV, m.schemaJson,
                 (if (cstats.isEmpty) m.stats
                  else m.stats + (cseg -> cstats)) -- bsegs,
-                m.txns, m.expects),
+                m.txns, m.expects, dataChange = false),
                 bsegs.toSet, Seq(cseg),
                 if (cstats.isEmpty) Map.empty else Map(cseg -> cstats))) {
               // now-orphaned inputs: invisible to every reader; removal

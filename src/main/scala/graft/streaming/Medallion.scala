@@ -138,4 +138,140 @@ object Medallion {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  // ---- CDC-MAINTAINED variant: the chain under bronze DML ----------
+  // The watermark chain above assumes bronze is append-only — the
+  // common case. A bronze that takes row-level DELETEs (GDPR erasure,
+  // late corrections) breaks it: closed windows already folded
+  // downstream would silently keep counting erased rows. This variant
+  // rebuilds both hops as INCREMENTAL VIEW MAINTENANCE over the CDC
+  // feed: every change row folds with a SIGN (+1 for
+  // insert/update_postimage, -1 for delete/update_preimage), each
+  // hop's own writes run with `cdc = true` so the NEXT hop sees its
+  // changes the same way, and a window whose count reaches zero is
+  // physically deleted. One bronze DELETE thus propagates
+  // bronze → silver → gold touching only the changed rows — no
+  // rescan, no rebuild, and the erased user is gone from every
+  // derived table. Exactly-once: merges are txn-guarded as before;
+  // the zero-row cleanup is idempotent on replay (nothing left to
+  // delete). There is no watermark: windows never "close", they
+  // converge — the trade for correcting history is that silver rows
+  // are upserted, not append-final (which is exactly why the hops
+  // talk CDC, not the append-only feed).
+
+  /** Signed (window × type) delta of one bronze CDC micro-batch. */
+  private def signedWindowDelta(b: Dataset[Row]): DataFrame =
+    b.withColumn("__sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(sum(col("__sign")).as("dn"),
+        sum(col("__sign") *
+          expr("CAST(round(value * 100) AS BIGINT)")).as("dcents"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("dn"), col("dcents"))
+
+  /** One CDC silver fold: merge the signed delta into the rollup,
+    * then drop rows whose count reached zero. Public for replay
+    * tests. */
+  def foldSilverCdc(b: Dataset[Row], batchId: Long,
+      silverDir: String): Unit = {
+    val s = b.sparkSession
+    val delta = signedWindowDelta(b)
+    if (!delta.isEmpty) {
+      // No explicit replay check: append/merge carry their own txn
+      // guard (a replayed batch's stale `folded` is computed but never
+      // committed), and the zero-row cleanup below must run EVEN on
+      // replay — a crash between the merge commit and the cleanup
+      // would otherwise leave zero-count rows forever.
+      val m = LakeSink.readManifest(silverDir)
+      if (m.segs.isEmpty) {
+        LakeSink.appendSegment(s, silverDir,
+          delta.filter(col("dn") =!= 0L)
+            .select(col("win_start"), col("event_type"),
+              col("dn").as("n"), col("dcents").as("cents")),
+          f"seg_s$batchId%06d",
+          txn = Some(("medallion-silver-cdc", batchId)))
+      } else {
+        val cur = LakeSink.readTable(s, silverDir)
+          .withColumnRenamed("n", "cur_n")
+          .withColumnRenamed("cents", "cur_cents")
+        val folded = delta
+          .join(cur, Seq("win_start", "event_type"), "left_outer")
+          .select(col("win_start"), col("event_type"),
+            (col("dn") + coalesce(col("cur_n"), lit(0L))).as("n"),
+            (col("dcents") + coalesce(col("cur_cents"), lit(0L)))
+              .as("cents"))
+        LakeSink.mergeInto(s, silverDir, folded,
+          Seq("win_start", "event_type"),
+          txn = Some(("medallion-silver-cdc", batchId)), cdc = true)
+        // fully-erased windows leave the table (idempotent on replay)
+        LakeSink.deleteWhere(s, silverDir, col("n") === 0L, cdc = true)
+      }
+    }
+  }
+
+  /** One CDC gold fold: signed per-type totals from silver's change
+    * rows (silver's merges/deletes ran with cdc, so its feed carries
+    * them). */
+  def foldGoldCdc(b: Dataset[Row], batchId: Long,
+      goldDir: String): Unit = {
+    val s = b.sparkSession
+    val delta = b.withColumn("__sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy("event_type")
+      .agg(sum(col("__sign") * col("n")).as("dn"),
+        sum(col("__sign") * col("cents")).as("dcents"))
+      .filter(col("dn") =!= 0L || col("dcents") =!= 0L)
+    if (!delta.isEmpty) {
+      val m = LakeSink.readManifest(goldDir)
+      if (m.segs.isEmpty) {
+        LakeSink.appendSegment(s, goldDir,
+          delta.select(col("event_type"), col("dn").as("n"),
+            col("dcents").as("cents")),
+          "seg_g000000", txn = Some(("medallion-gold-cdc", batchId)))
+      } else {
+        val cur = LakeSink.readTable(s, goldDir)
+          .withColumnRenamed("n", "cur_n")
+          .withColumnRenamed("cents", "cur_cents")
+        val folded = delta.join(cur, Seq("event_type"), "left_outer")
+          .select(col("event_type"),
+            (col("dn") + coalesce(col("cur_n"), lit(0L))).as("n"),
+            (col("dcents") + coalesce(col("cur_cents"), lit(0L)))
+              .as("cents"))
+        LakeSink.mergeInto(s, goldDir, folded, Seq("event_type"),
+          txn = Some(("medallion-gold-cdc", batchId)), cdc = true)
+        LakeSink.deleteWhere(s, goldDir, col("n") === 0L)
+      }
+    }
+  }
+
+  /** Start the CDC bronze→silver hop. */
+  def startSilverCdc(spark: SparkSession, bronzeDir: String,
+      silverDir: String, checkpointDir: String,
+      afterCommit: Long => Unit = _ => ()): StreamingQuery =
+    spark.readStream.format("graft-lake-changefeed")
+      .option("path", bronzeDir).option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+        foldSilverCdc(b, batchId, silverDir)
+        afterCommit(batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Start the CDC silver→gold hop. */
+  def startGoldCdc(spark: SparkSession, silverDir: String,
+      goldDir: String, checkpointDir: String,
+      afterCommit: Long => Unit = _ => ()): StreamingQuery =
+    spark.readStream.format("graft-lake-changefeed")
+      .option("path", silverDir).option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+        foldGoldCdc(b, batchId, goldDir)
+        afterCommit(batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -1,0 +1,198 @@
+package graft
+
+import graft.streaming.LakeSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CHANGE DATA FEED (r11): row-level change capture through
+  * copy-on-write DML — the capability [[LakeSink.changesBetween]]'s
+  * append-only contract deliberately refuses, rebuilt the way Delta
+  * CDF does it: the DML itself records its pre/post images as change
+  * segments in the SAME commit, and readers walk manifest metadata.
+  * What must hold:
+  *
+  *  - each DML verb (DELETE / UPDATE / MERGE) with `cdc = true` emits
+  *    exactly its row-level changes, typed;
+  *  - appends surface as inserts, compaction as NOTHING
+  *    (dataChange=false), DML without change data still refuses loudly;
+  *  - the feed composes across a mixed history in one walk;
+  *  - a CDC-mode streaming consumer follows a table THROUGH deletes
+  *    and can maintain an exact downstream materialization;
+  *  - vacuum retains change segments with their versions.
+  */
+class LakeCdcSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** 2-segment lake: ids 0-4 (seg 0), 10-14 (seg 1); flag = id % 2. */
+  private def buildLake(): String = {
+    val dir = tmp("graft_cdc_lake")
+    import spark.implicits._
+    (0 until 2).foreach { i =>
+      val rows = (0 until 5).map(j => (i * 10L + j, (i * 10L + j) % 2))
+      rows.toDF("id", "flag").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/seg_b$i")
+      val m = LakeSink.readManifest(dir)
+      require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+        m.segs :+ s"seg_b$i"))
+    }
+    dir
+  }
+
+  private def changes(dir: String, fromV: Long, toV: Long): Seq[(String, Long, Long)] =
+    LakeSink.changesCdcBetween(spark, dir, fromV, toV)
+      .select("_change_type", "id", "_commit_version")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("DELETE with cdc records the deleted rows; plain feed still refuses") {
+    val dir = buildLake()
+    val (v, _, _, nDel) =
+      LakeSink.deleteWhere(spark, dir, col("flag") === 1, cdc = true)
+    assert(nDel === 4L) // odd ids: 1,3,11,13
+    val got = changes(dir, 2L, v)
+    assert(got === Seq(("delete", 1L, v), ("delete", 3L, v),
+      ("delete", 11L, v), ("delete", 13L, v)))
+    // the append-only feed refuses the same window — unchanged contract
+    val e = intercept[Exception] {
+      LakeSink.changesBetween(spark, dir, 2L, v).collect()
+    }
+    assert(e.getMessage.contains("not append-only"))
+  }
+
+  test("UPDATE with cdc records pre- and post-images") {
+    val dir = buildLake()
+    val (v, _, nUpd) = LakeSink.updateWhere(spark, dir,
+      col("id") >= 10L, Map("flag" -> (col("flag") + 100L)), cdc = true)
+    assert(nUpd === 5L)
+    val rows = LakeSink.changesCdcBetween(spark, dir, 2L, v)
+      .select("_change_type", "id", "flag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want =
+      (10L to 14L).map(i => ("update_postimage", i, i % 2 + 100L)) ++
+        (10L to 14L).map(i => ("update_preimage", i, i % 2))
+    assert(rows === want.sortBy(t => (t._1, t._2)))
+  }
+
+  test("MERGE with cdc records update pre/post images and inserts") {
+    val dir = buildLake()
+    import spark.implicits._
+    // updates ids 3,4; inserts ids 100,101
+    val delta = Seq((3L, 50L), (4L, 50L), (100L, 9L), (101L, 9L))
+      .toDF("id", "flag")
+    val (v, _, nUpd, nIns) =
+      LakeSink.mergeInto(spark, dir, delta, Seq("id"), cdc = true)
+    assert(nUpd === 2L && nIns === 2L)
+    val rows = LakeSink.changesCdcBetween(spark, dir, 2L, v)
+      .select("_change_type", "id", "flag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows === Seq(
+      ("insert", 100L, 9L), ("insert", 101L, 9L),
+      ("update_postimage", 3L, 50L), ("update_postimage", 4L, 50L),
+      ("update_preimage", 3L, 1L), ("update_preimage", 4L, 0L)))
+  }
+
+  test("mixed history: append→delete→compact→append in ONE cdc walk") {
+    val dir = buildLake() // v1, v2: inserts
+    import spark.implicits._
+    val (vDel, _, _, _) =
+      LakeSink.deleteWhere(spark, dir, col("id") === 3L, cdc = true)
+    val (vComp, _) = LakeSink.compact(spark, dir, targetFiles = 1)
+    LakeSink.appendSegment(spark, dir,
+      Seq((20L, 0L)).toDF("id", "flag"), "seg_b2")
+    val tip = LakeSink.readManifest(dir).version
+    assert(tip === vComp + 1)
+    val got = changes(dir, 1L, tip)
+    // v2's seg appends as insert, v3 deletes id 3, v4 (compact) emits
+    // NOTHING, v5 appends id 20
+    assert(got === Seq(("delete", 3L, vDel),
+      ("insert", 10L, 2L), ("insert", 11L, 2L), ("insert", 12L, 2L),
+      ("insert", 13L, 2L), ("insert", 14L, 2L), ("insert", 20L, tip)))
+  }
+
+  test("DML without change data refuses the cdc walk loudly") {
+    val dir = buildLake()
+    val (v, _, _, _) =
+      LakeSink.deleteWhere(spark, dir, col("flag") === 1) // cdc = false
+    val e = intercept[Exception] { changes(dir, 2L, v) }
+    assert(e.getMessage.contains("cdc = false"))
+  }
+
+  test("vacuum keeps change segments with retained versions, drops the rest") {
+    val dir = buildLake()
+    val (vDel, _, _, _) =
+      LakeSink.deleteWhere(spark, dir, col("id") === 1L, cdc = true)
+    val cdcDirs = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("seg_cdc_")).toSeq
+    assert(cdcDirs.size === 1)
+    // retention window still covers vDel → its cdc segment survives
+    LakeSink.vacuum(dir, retainVersions = 2)
+    assert(new java.io.File(s"$dir/${cdcDirs.head}").exists(),
+      "cdc segment of a retained version was vacuumed")
+    assert(changes(dir, vDel - 1, vDel).nonEmpty)
+    // push vDel past the horizon → its cdc segment goes with it
+    import spark.implicits._
+    LakeSink.appendSegment(spark, dir,
+      Seq((30L, 0L)).toDF("id", "flag"), "seg_b2")
+    LakeSink.appendSegment(spark, dir,
+      Seq((31L, 1L)).toDF("id", "flag"), "seg_b3")
+    LakeSink.vacuum(dir, retainVersions = 2)
+    assert(!new java.io.File(s"$dir/${cdcDirs.head}").exists(),
+      "cdc segment of a vacuumed version leaked")
+  }
+
+  test("CDC-mode streaming source follows the table through a DELETE " +
+      "and maintains an exact downstream materialization") {
+    val dir = buildLake()
+    val ckpt = tmp("graft_cdc_src_ck")
+    // downstream state: exact multiset of live ids, maintained from
+    // change rows alone (insert adds, delete removes)
+    val live = scala.collection.mutable.Set.empty[Long]
+    def start() = spark.readStream.format("graft-lake-changefeed")
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        b.select("_change_type", "id").collect().foreach { r =>
+          r.getString(0) match {
+            case "insert" => live += r.getLong(1)
+            case "delete" => live -= r.getLong(1)
+            case other => fail(s"unexpected change type $other")
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // initial snapshot: 10 inserts
+      assert(live.size === 10)
+      // DML lands mid-stream: the plain feed would fail here; the CDC
+      // feed delivers the deletes
+      LakeSink.deleteWhere(spark, dir, col("flag") === 1, cdc = true)
+      q1.processAllAvailable()
+      assert(live.toSeq.sorted ===
+        LakeSink.readTable(spark, dir).select("id")
+          .collect().map(_.getLong(0)).sorted.toSeq,
+        "downstream materialization diverged from the table after DELETE")
+    } finally q1.stop()
+
+    // restart across more changes: appends + another delete
+    import spark.implicits._
+    LakeSink.appendSegment(spark, dir,
+      Seq((40L, 0L), (41L, 1L)).toDF("id", "flag"), "seg_b2")
+    LakeSink.deleteWhere(spark, dir, col("id") === 40L, cdc = true)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(live.toSeq.sorted ===
+      LakeSink.readTable(spark, dir).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq,
+      "materialization diverged after restart across append+DELETE")
+  }
+}

@@ -169,6 +169,78 @@ class MedallionSpec extends AnyFunSuite with SparkFixture {
       "gold diverged from the batch oracle (dup or loss survived the kills)")
   }
 
+  test("GDPR: bronze DELETEs propagate incrementally through the CDC " +
+      "chain and erase derived rows end-to-end") {
+    val bronze = tmp("graft_gdpr_bronze")
+    val silver = tmp("graft_gdpr_silver")
+    val gold = tmp("graft_gdpr_gold")
+    LakeSink.createTable(bronze, toDf(Nil).schema)
+    Medallion.initTables(silver, gold)
+    val sq = Medallion.startSilverCdc(spark, bronze, silver,
+      tmp("graft_gdpr_ck_s"))
+    val gq = Medallion.startGoldCdc(spark, silver, gold,
+      tmp("graft_gdpr_ck_g"))
+    def drain(): Unit = { sq.processAllAvailable(); gq.processAllAvailable() }
+
+    def silverRows(): Seq[Seq[Any]] = LakeSink.readTable(spark, silver)
+      .orderBy("win_start", "event_type").collect().map(_.toSeq).toSeq
+    def goldRows(): Seq[Seq[Any]] = LakeSink.readTable(spark, gold)
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    def wantSilver(): Seq[Seq[Any]] = LakeSink.readTable(spark, bronze)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("cents"))
+      .orderBy("win_start", "event_type").collect().map(_.toSeq).toSeq
+    def wantGold(): Seq[Seq[Any]] = LakeSink.readTable(spark, bronze)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+
+    try {
+      LakeSink.appendSegment(spark, bronze,
+        toDf(mkEvents(0 to 2, 6)), "seg_e000")
+      drain()
+      // no watermark in the CDC variant: every window is already live
+      assert(silverRows() === wantSilver(), "CDC silver rollup wrong")
+      assert(goldRows() === wantGold(), "CDC gold totals wrong")
+
+      // GDPR erasure: one user's rows leave bronze; the derived tables
+      // must correct themselves from the change rows alone
+      val (_, _, _, nDel) = LakeSink.deleteWhere(spark, bronze,
+        col("user_id") === 3L, cdc = true)
+      assert(nDel > 0L, "test shape: user 3 had no rows")
+      drain()
+      assert(silverRows() === wantSilver(),
+        "silver still counts erased rows after GDPR delete")
+      assert(goldRows() === wantGold(),
+        "gold still counts erased rows after GDPR delete")
+
+      // erase an entire type: its windows hit zero and must be GONE
+      LakeSink.deleteWhere(spark, bronze,
+        col("event_type") === "click", cdc = true)
+      drain()
+      assert(!silverRows().exists(_.contains("click")),
+        "zero-count click windows linger in silver")
+      assert(!goldRows().exists(_.contains("click")),
+        "zero-count click totals linger in gold")
+      assert(silverRows() === wantSilver() && goldRows() === wantGold())
+
+      // crash-replay the LAST silver fold directly: the txn guard must
+      // no-op the merge and the zero-row cleanup must stay idempotent
+      val tip = LakeSink.readManifest(bronze).version
+      val lastBatch = LakeSink.readManifest(silver)
+        .txns("medallion-silver-cdc")
+      val before = silverRows()
+      Medallion.foldSilverCdc(
+        LakeSink.changesCdcBetween(spark, bronze, tip - 1, tip),
+        lastBatch, silver)
+      assert(silverRows() === before, "replayed CDC fold changed silver")
+    } finally { sq.stop(); gq.stop() }
+  }
+
   test("medallion: subscribe-first — consumers attach before bronze has data") {
     val bronze = tmp("graft_med2_bronze")
     val silver = tmp("graft_med2_silver")

@@ -59,5 +59,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a LakeCatalog-registered table dispatches to the copy-on-write
     // manifest protocol (graft.plans.LakeDml).
     ext.injectResolutionRule(graft.plans.LakeDmlRule)
+
+    // table_changes('t', fromV, toV) — the Delta-CDF table-valued
+    // function over a registered lake's change data feed. A real TVF
+    // registration (not a rewrite rule): the analyzer resolves TVF
+    // names eagerly, before extension rules run.
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(table, fromVersion, toVersion) - row-level " +
+          "changes of a lake table as (..., _change_type, _commit_version)"),
+      (es: Seq[Expression]) => graft.plans.LakeDml.tableChanges(es)))
   }
 }

@@ -1362,6 +1362,56 @@ object Extensions {
               FROM events WHERE event_type = 'error' HAVING count(*) > 0)
             ORDER BY change_type"""))
 
+  /** SQL-surface twin of [[sinkLakeCdf]] (r11): the SAME change-data
+    * semantics driven entirely through SQL TEXT — the table registers
+    * with the CDC property on (the `enableChangeDataFeed` analog), so
+    * plain `DELETE FROM` / `UPDATE` record change rows, and the feed
+    * is read back through the `table_changes('t', from, to)`
+    * table-valued function (injected via GraftExtensions — a real TVF
+    * registration, since the analyzer resolves TVF names eagerly).
+    * Same DuckDB oracle as the Scala-API variant: both surfaces must
+    * produce the identical feed. */
+  private val sqlLakeCdf = QueryDef(
+    "sql_lake_cdf",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_cdf", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val tbl = "graft_sql_cdf_" + runTag(d)
+      LakeCatalog.register(tbl, dir, cdc = true)
+      val v0 = LakeSink.readManifest(dir).version
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'click'").collect()
+      s.sql(s"UPDATE $tbl SET vc = vc + 100 WHERE event_type = 'error'")
+        .collect()
+      val tip = LakeSink.readManifest(dir).version
+      s.sql(
+        s"""SELECT _change_type AS change_type,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(vc) AS BIGINT) AS sum_cents
+            FROM table_changes('$tbl', $v0, $tip)
+            GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'delete' AS change_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+              FROM events WHERE event_type = 'click' HAVING count(*) > 0
+              UNION ALL
+              SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+              FROM events WHERE event_type = 'error' HAVING count(*) > 0
+              UNION ALL
+              SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(value * 100) AS BIGINT) + 100)
+                  AS BIGINT)
+              FROM events WHERE event_type = 'error' HAVING count(*) > 0)
+            ORDER BY change_type"""))
+
   /** MEDALLION CHAIN as a declared, oracle-checked query (r11): the
     * whole bronze→silver→gold pipeline from
     * [[graft.streaming.Medallion]] — bronze built from the REAL
@@ -1453,5 +1503,5 @@ object Extensions {
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
     sinkLakeStatsPruneStr,
     sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead, sinkLakeExpectations,
-    sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf)
+    sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf, sqlLakeCdf)
 }

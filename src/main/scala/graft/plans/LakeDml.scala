@@ -29,12 +29,50 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * columns, which round-trip exactly; correlated subqueries in DML
   * predicates are out of scope and rejected by the re-parse.
   */
+object LakeDml {
+  /** `table_changes('t', fromV, toV)` — the Delta CDF table-valued
+    * function, registered via `injectTableFunction` (the analyzer's
+    * ResolveFunctions resolves TVFs EAGERLY, before any extension
+    * resolution rule runs, so a rewrite rule can never claim an
+    * unregistered TVF name — registration is the only seam). The
+    * builder resolves the named lake through [[LakeCatalog]] and
+    * returns the change-data walk's analyzed plan; it composes as a
+    * normal relation (filters, aggregates, joins). */
+  def tableChanges(args: Seq[Expression]): LogicalPlan = {
+    def bad(msg: String): Nothing = throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" -> s"table_changes: $msg"))
+    if (args.length != 3)
+      bad(s"expected (table, fromVersion, toVersion), got ${args.length} args")
+    if (!args.forall(_.foldable)) bad("arguments must be literals")
+    val name = Option(args.head.eval()).map(_.toString)
+      .getOrElse(bad("table name must be a non-null string"))
+    val dir = LakeCatalog.lookup(Seq(name))
+      .getOrElse(bad(s"'$name' is not a registered lake table"))
+    def longArg(i: Int): Long = args(i).eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => bad(s"version argument must be numeric, got $other")
+    }
+    LakeSink.changesCdcBetween(SparkSession.active, dir,
+      longArg(1), longArg(2)).queryExecution.analyzed
+  }
+}
+
 case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def lakeDir(p: LogicalPlan): Option[String] = p match {
     case SubqueryAlias(_, child) => lakeDir(child) // MERGE INTO t AS a
     case u: UnresolvedRelation => LakeCatalog.lookup(u.multipartIdentifier)
     case _ => None
+  }
+
+  /** Table-level CDC property of a DML target (set at registration —
+    * the `enableChangeDataFeed` analog): DML against such a table
+    * records its change rows. */
+  private def lakeCdc(p: LogicalPlan): Boolean = p match {
+    case SubqueryAlias(_, child) => lakeCdc(child)
+    case u: UnresolvedRelation => LakeCatalog.cdcEnabled(u.multipartIdentifier)
+    case _ => false
   }
 
   /** Merge keys from an equi-conjunction `t.k = s.k [AND …]`; the
@@ -71,7 +109,7 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
 
     case DeleteFromTable(target, cond) if lakeDir(target).isDefined =>
-      LakeDeleteCommand(lakeDir(target).get, cond.sql)
+      LakeDeleteCommand(lakeDir(target).get, cond.sql, lakeCdc(target))
 
     case UpdateTable(target, assignments, cond) if lakeDir(target).isDefined =>
       val pairs = assignments.map {
@@ -83,7 +121,7 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"lake UPDATE: unsupported assignment target $other"))
       }
       LakeUpdateCommand(lakeDir(target).get, pairs,
-        cond.map(_.sql).getOrElse("true"))
+        cond.map(_.sql).getOrElse("true"), lakeCdc(target))
 
     case m: MergeIntoTable if lakeDir(m.targetTable).isDefined =>
       val dir = lakeDir(m.targetTable).get
@@ -103,7 +141,7 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             ("lake MERGE supports WHEN MATCHED THEN UPDATE SET * / " +
               "WHEN NOT MATCHED THEN INSERT * on same-name equi-keys; got: " +
               m.simpleString(3))))
-      LakeMergeCommand(dir, m.sourceTable, keys.get)
+      LakeMergeCommand(dir, m.sourceTable, keys.get, lakeCdc(m.targetTable))
 
     // INSERT INTO <lake> <query> → one appended segment through the
     // manifest protocol. Positional column mapping + cast to the
@@ -143,7 +181,8 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 /** `DELETE FROM <lake> WHERE <cond>` → [[LakeSink.deleteWhere]].
   * Returns the protocol op's receipt row. */
-case class LakeDeleteCommand(dir: String, condSql: String)
+case class LakeDeleteCommand(dir: String, condSql: String,
+    cdc: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
@@ -151,14 +190,16 @@ case class LakeDeleteCommand(dir: String, condSql: String)
     AttributeReference("segments_dropped", IntegerType)(),
     AttributeReference("rows_deleted", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
-    val (v, rw, dr, del) = LakeSink.deleteWhere(session, dir, expr(condSql))
+    val (v, rw, dr, del) =
+      LakeSink.deleteWhere(session, dir, expr(condSql), cdc = cdc)
     Seq(Row(v, rw, dr, del))
   }
 }
 
 /** `UPDATE <lake> SET … [WHERE …]` → [[LakeSink.updateWhere]]. */
 case class LakeUpdateCommand(dir: String,
-    assignments: Seq[(String, String)], condSql: String)
+    assignments: Seq[(String, String)], condSql: String,
+    cdc: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
@@ -166,7 +207,8 @@ case class LakeUpdateCommand(dir: String,
     AttributeReference("rows_updated", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     val (v, rw, upd) = LakeSink.updateWhere(session, dir, expr(condSql),
-      assignments.map { case (k, sql) => k -> expr(sql) }.toMap)
+      assignments.map { case (k, sql) => k -> expr(sql) }.toMap,
+      cdc = cdc)
     Seq(Row(v, rw, upd))
   }
 }
@@ -176,7 +218,7 @@ case class LakeUpdateCommand(dir: String,
   * [[LakeSink.mergeInto]]. The source plan (table, view, or subquery)
   * is analyzed lazily at run time. */
 case class LakeMergeCommand(dir: String, source: LogicalPlan,
-    keys: Seq[String]) extends LeafRunnableCommand {
+    keys: Seq[String], cdc: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("segments_rewritten", IntegerType)(),
@@ -184,7 +226,8 @@ case class LakeMergeCommand(dir: String, source: LogicalPlan,
     AttributeReference("rows_inserted", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, source)
-    val (v, rw, upd, ins) = LakeSink.mergeInto(session, dir, src, keys)
+    val (v, rw, upd, ins) =
+      LakeSink.mergeInto(session, dir, src, keys, cdc = cdc)
     Seq(Row(v, rw, upd, ins))
   }
 }

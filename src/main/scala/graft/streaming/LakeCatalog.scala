@@ -17,10 +17,14 @@ import scala.collection.concurrent.TrieMap
   */
 object LakeCatalog {
 
-  private val tables = TrieMap.empty[String, String]
+  private val tables = TrieMap.empty[String, (String, Boolean)]
 
-  def register(name: String, dir: String): Unit =
-    tables.put(name.toLowerCase(java.util.Locale.ROOT), dir)
+  /** `cdc = true` is the table-level change-data-feed property
+    * (Delta's `enableChangeDataFeed`): SQL DML against the table runs
+    * with change capture, so `table_changes(...)` windows spanning it
+    * stay readable. */
+  def register(name: String, dir: String, cdc: Boolean = false): Unit =
+    tables.put(name.toLowerCase(java.util.Locale.ROOT), (dir, cdc))
 
   def unregister(name: String): Unit =
     tables.remove(name.toLowerCase(java.util.Locale.ROOT))
@@ -29,5 +33,10 @@ object LakeCatalog {
     * registered. */
   def lookup(ident: Seq[String]): Option[String] =
     ident.lastOption.flatMap(n =>
-      tables.get(n.toLowerCase(java.util.Locale.ROOT)))
+      tables.get(n.toLowerCase(java.util.Locale.ROOT))).map(_._1)
+
+  /** Is the table's change data feed on? */
+  def cdcEnabled(ident: Seq[String]): Boolean =
+    ident.lastOption.flatMap(n =>
+      tables.get(n.toLowerCase(java.util.Locale.ROOT))).exists(_._2)
 }

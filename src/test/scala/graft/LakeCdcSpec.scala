@@ -145,6 +145,37 @@ class LakeCdcSpec extends AnyFunSuite with SparkFixture {
       "cdc segment of a vacuumed version leaked")
   }
 
+  test("SQL surface: cdc table property + table_changes() TVF") {
+    val dir = buildLake()
+    val tbl = "graft_cdc_sql_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    // registration with the CDC property on — the enableChangeDataFeed
+    // analog: SQL DML against the table records change rows
+    graft.streaming.LakeCatalog.register(tbl, dir, cdc = true)
+    try {
+      val del = spark.sql(s"DELETE FROM $tbl WHERE flag = 1")
+        .collect().head
+      assert(del.getLong(3) === 4L)
+      spark.sql(s"UPDATE $tbl SET flag = flag + 100 WHERE id = 0")
+      val tip = LakeSink.readManifest(dir).version
+      val rows = spark.sql(
+        s"SELECT _change_type, id, flag, _commit_version " +
+          s"FROM table_changes('$tbl', 2, $tip) " +
+          "ORDER BY _change_type, id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(rows === Seq(
+        ("delete", 1L, 1L), ("delete", 3L, 1L),
+        ("delete", 11L, 1L), ("delete", 13L, 1L),
+        ("update_postimage", 0L, 100L), ("update_preimage", 0L, 0L)))
+      // the TVF composes as a normal relation: aggregate over it
+      val n = spark.sql(
+        s"SELECT CAST(count(*) AS BIGINT) FROM table_changes('$tbl', 2, $tip) " +
+          "WHERE _change_type = 'delete'").collect().head.getLong(0)
+      assert(n === 4L)
+    } finally graft.streaming.LakeCatalog.unregister(tbl)
+  }
+
   test("CDC-mode streaming source follows the table through a DELETE " +
       "and maintains an exact downstream materialization") {
     val dir = buildLake()

@@ -69,5 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "table_changes(table, fromVersion, toVersion) - row-level " +
           "changes of a lake table as (..., _change_type, _commit_version)"),
       (es: Seq[Expression]) => graft.plans.LakeDml.tableChanges(es)))
+    ext.injectTableFunction((FunctionIdentifier("table_history"),
+      info("table_history",
+        "table_history(table) - commit audit log of a lake table " +
+          "(version, n_segments, schema_v, ...)"),
+      (es: Seq[Expression]) => graft.plans.LakeDml.tableHistory(es)))
   }
 }

@@ -56,6 +56,21 @@ object LakeDml {
     LakeSink.changesCdcBetween(SparkSession.active, dir,
       longArg(1), longArg(2)).queryExecution.analyzed
   }
+
+  /** `table_history('t')` — DESCRIBE HISTORY as a TVF (the audit-log
+    * read of [[LakeSink.history]]), registered the same way. */
+  def tableHistory(args: Seq[Expression]): LogicalPlan = {
+    def bad(msg: String): Nothing = throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" -> s"table_history: $msg"))
+    if (args.length != 1) bad(s"expected (table), got ${args.length} args")
+    if (!args.head.foldable) bad("table name must be a literal")
+    val name = Option(args.head.eval()).map(_.toString)
+      .getOrElse(bad("table name must be a non-null string"))
+    val dir = LakeCatalog.lookup(Seq(name))
+      .getOrElse(bad(s"'$name' is not a registered lake table"))
+    LakeSink.history(SparkSession.active, dir).queryExecution.analyzed
+  }
 }
 
 case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {

@@ -80,7 +80,8 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
       LakeChangeFeedSource.path(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong)
         .getOrElse(Long.MaxValue),
-      LakeChangeFeedSource.cdcMode(parameters))
+      LakeChangeFeedSource.cdcMode(parameters),
+      parameters.get("startingVersion").map(_.trim.toLong))
 }
 
 object LakeChangeFeedSource {
@@ -102,9 +103,12 @@ object LakeChangeFeedSource {
 
 class LakeChangeFeedSource(spark: SparkSession, dir: String,
     maxVersionsPerTrigger: Long = Long.MaxValue,
-    cdc: Boolean = false) extends Source {
+    cdc: Boolean = false,
+    startingVersion: Option[Long] = None) extends Source {
   require(maxVersionsPerTrigger >= 1L,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+  require(startingVersion.forall(_ >= 0L),
+    s"startingVersion must be >= 0, got $startingVersion")
 
   override val schema: StructType = {
     val base = LakeSink.tableSchema(spark, dir, LakeSink.readManifest(dir))
@@ -178,6 +182,13 @@ class LakeChangeFeedSource(spark: SparkSession, dir: String,
     // append-only case. Delta's source starts the same way (snapshot,
     // then deltas). Incremental batches stay manifest diffs with the
     // append-only contract.
+    //
+    // `startingVersion` (Delta's option): a fresh consumer that wants
+    // the FEED from a known version instead of a snapshot — its first
+    // batch is the changes (startingVersion, toV], and the normal
+    // incremental contract applies from there. Only consulted on the
+    // fresh-start batch; after a checkpoint exists, fromV wins.
+    val effFrom = if (fromV == 0L) startingVersion.getOrElse(0L) else fromV
     PlanBridge.asStreamingFrame(
       if (cdc) {
         import org.apache.spark.sql.functions.lit
@@ -185,15 +196,15 @@ class LakeChangeFeedSource(spark: SparkSession, dir: String,
         // (Delta CDF's startingVersion-at-snapshot semantics); column
         // order normalized to the declared schema either way
         val df =
-          if (fromV == 0L) LakeSink.readTableAsOf(spark, dir, toV)
+          if (effFrom == 0L) LakeSink.readTableAsOf(spark, dir, toV)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(toV))
-          else LakeSink.changesCdcBetween(spark, dir, fromV, toV)
+          else LakeSink.changesCdcBetween(spark, dir, effFrom, toV)
         df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toSeq: _*)
       }
-      else if (fromV == 0L) LakeSink.readTableAsOf(spark, dir, toV)
-      else LakeSink.changesBetween(spark, dir, fromV, toV))
+      else if (effFrom == 0L) LakeSink.readTableAsOf(spark, dir, toV)
+      else LakeSink.changesBetween(spark, dir, effFrom, toV))
   }
 
   override def stop(): Unit = ()

@@ -1459,8 +1459,12 @@ object LakeSink {
       tableSchema(spark, outDir, m))
       .filter(org.apache.spark.sql.functions.expr(condSql))
       .queryExecution.assertAnalyzed()
+    // cdcSegs/dataChange are PER-VERSION annotations — a copy of the
+    // parent must not re-assert them (a DML parent's change segment
+    // would be emitted twice by the CDC walk)
     require(commitNext(outDir, m, m.copy(version = m.version + 1,
-      expects = m.expects + (name -> condSql))),
+      expects = m.expects + (name -> condSql),
+      cdcSegs = Nil, dataChange = true)),
       s"expectation registration at $outDir lost a manifest race")
     m.version + 1
   }
@@ -1500,8 +1504,10 @@ object LakeSink {
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column $name already exists in lake at $outDir")
     val wider = cur.add(name, dataType, nullable = true)
+    // per-version annotations reset — see addExpectation's note
     require(commitNext(outDir, m, m.copy(version = m.version + 1,
-      schemaV = m.schemaV + 1, schemaJson = Some(wider.json))),
+      schemaV = m.schemaV + 1, schemaJson = Some(wider.json),
+      cdcSegs = Nil, dataChange = true)),
       s"schema evolution at $outDir lost a manifest race")
     m.schemaV + 1
   }

@@ -105,6 +105,19 @@ object StatsCommitProbe {
       }
     }
 
+    // ---- CDC write-cost A/B (same method, orthogonal knob): what
+    // recording change rows costs each DML — one extra write of the
+    // changed rows (pre+post for update). Run on the no-stats lake so
+    // the two knobs don't confound.
+    results("update_cdc") = bench("up_cdc", withStats = false) { dir =>
+      LakeSink.updateWhere(spark, dir, col("event_type") === "error",
+        Map("vc" -> (col("vc") + 100L)), cdc = true)
+    }
+    results("delete_cdc") = bench("de_cdc", withStats = false) { dir =>
+      LakeSink.deleteWhere(spark, dir, col("event_type") === "click",
+        cdc = true)
+    }
+
     // ---- read-side payoff: scanned-segment counts ------------------
     // The write A/B above uses the id-bucketed layout (matching the
     // bench DML fixtures) where every segment spans the full tse

@@ -387,6 +387,71 @@ object StreamBench {
         s"batch rollup (${gotGold.size} event types)")
     }
 
+    // ---- CDC-maintained medallion with a mid-run GDPR delete ---------
+    // The signed-fold variant: no watermark (windows converge instead
+    // of closing), each hop folds its upstream's CDC feed, and a
+    // row-level DELETE on bronze lands mid-run — the identity check at
+    // the end proves gold equals the batch rollup of the SURVIVING
+    // bronze rows, i.e. the erasure propagated end-to-end through the
+    // chain while it was under load.
+    locally {
+      import graft.streaming.{LakeSink, Medallion}
+      val bronzeDir = tmpDir("graft_sb_gdpr_bronze")
+      val silverDir = tmpDir("graft_sb_gdpr_silver")
+      val goldDir = tmpDir("graft_sb_gdpr_gold")
+      val evDf = spark.createDataset(events.take(1)).toDF()
+      LakeSink.createTable(bronzeDir, evDf.schema)
+      Medallion.initTables(silverDir, goldDir)
+      val t0 = System.nanoTime()
+      val sq = Medallion.startSilverCdc(spark, bronzeDir, silverDir,
+        tmpDir("graft_sb_gdpr_ck_s"))
+      val gq = Medallion.startGoldCdc(spark, silverDir, goldDir,
+        tmpDir("graft_sb_gdpr_ck_g"))
+      try {
+        val cc = chunksOf(events, 8)
+        cc.zipWithIndex.foreach { case (c, i) =>
+          LakeSink.appendSegment(spark, bronzeDir,
+            spark.createDataset(c).toDF(), f"seg_e$i%04d")
+          sq.processAllAvailable()
+          gq.processAllAvailable()
+          if (i == cc.size / 2) {
+            // GDPR erasure under load: one user leaves bronze
+            LakeSink.deleteWhere(spark, bronzeDir,
+              col("user_id") % 100 === 7, cdc = true)
+            sq.processAllAvailable()
+            gq.processAllAvailable()
+          }
+        }
+      } finally { sq.stop(); gq.stop() }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val durs = sq.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .map(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong).getOrElse(0L)).sorted
+      def pct(p: Double): Long =
+        if (durs.isEmpty) 0L
+        else durs(math.min(durs.size - 1, math.ceil(p * durs.size).toInt - 1))
+      val r = Res("stream_medallion_cdc", events.size, durs.size, wall,
+        events.size / wall, pct(0.50), pct(0.99))
+      results += r
+      println(f"[streambench] ${r.name}%-22s ${r.rowsIn}%8d rows " +
+        f"${r.batches}%3d batches ${r.wallSec}%7.2fs " +
+        f"${r.rowsPerSec}%10.0f rows/s  p50 ${r.p50Ms}%5d ms  p99 ${r.p99Ms}%5d ms")
+      val gotGold = LakeSink.readTable(spark, goldDir)
+        .orderBy("event_type").collect()
+        .map(row => (row.getString(0), row.getLong(1), row.getLong(2))).toSeq
+      val wantGold = LakeSink.readTable(spark, bronzeDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .orderBy("event_type").collect()
+        .map(row => (row.getString(0), row.getLong(1), row.getLong(2))).toSeq
+      require(gotGold == wantGold,
+        s"CDC medallion gold diverged from surviving-bronze rollup:\n" +
+          s"  got  $gotGold\n  want $wantGold")
+      println(s"[streambench] stream_medallion_cdc identity: gold matches " +
+        s"post-erasure bronze rollup (${gotGold.size} event types)")
+    }
+
     // ---- report --------------------------------------------------------
     def jnum(d: Double): String = f"$d%.2f"
     val pipelinesJson = results.map { r =>

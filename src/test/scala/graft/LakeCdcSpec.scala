@@ -173,7 +173,78 @@ class LakeCdcSpec extends AnyFunSuite with SparkFixture {
         s"SELECT CAST(count(*) AS BIGINT) FROM table_changes('$tbl', 2, $tip) " +
           "WHERE _change_type = 'delete'").collect().head.getLong(0)
       assert(n === 4L)
+      // DESCRIBE HISTORY as SQL: the audit log through table_history()
+      val hist = spark.sql(
+        s"SELECT version, is_current FROM table_history('$tbl') " +
+          "ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      assert(hist.map(_._1) === (1L to tip))
+      assert(hist.count(_._2) === 1 && hist.last._2,
+        s"tip flag wrong in $hist")
     } finally graft.streaming.LakeCatalog.unregister(tbl)
+  }
+
+  test("metadata-only commits after a DML do not re-emit its change rows " +
+      "(per-version annotation reset)") {
+    // Regression: addExpectation/evolveAddColumn commit a COPY of the
+    // parent manifest — before the reset, a DML parent's cdcSegs rode
+    // along and the CDC walk emitted its change rows twice.
+    val dir = buildLake()
+    val (vDel, _, _, _) =
+      LakeSink.deleteWhere(spark, dir, col("id") === 1L, cdc = true)
+    LakeSink.addExpectation(spark, dir, "nonneg", "id >= 0")
+    LakeSink.evolveAddColumn(spark, dir, "tag",
+      org.apache.spark.sql.types.StringType)
+    val tip = LakeSink.readManifest(dir).version
+    assert(tip === vDel + 2)
+    val got = changes(dir, vDel - 1, tip)
+    assert(got === Seq(("delete", 1L, vDel)),
+      s"metadata commits duplicated or altered the feed: $got")
+    // and the evolved schema surfaces on post-evolution change rows,
+    // with pre-evolution rows showing the added column as NULL
+    import spark.implicits._
+    LakeSink.appendSegment(spark, dir,
+      Seq((50L, 0L, "x")).toDF("id", "flag", "tag"), "seg_b2")
+    val wide = LakeSink.changesCdcBetween(spark, dir, vDel - 1,
+      LakeSink.readManifest(dir).version)
+      .select("_change_type", "id", "tag")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)))).sortBy(t => (t._1, t._2)).toSeq
+    assert(wide === Seq(("delete", 1L, None), ("insert", 50L, Some("x"))))
+  }
+
+  test("startingVersion: a fresh consumer begins at the FEED position, " +
+      "not a snapshot") {
+    val dir = buildLake() // v1: ids 0-4, v2: ids 10-14
+    import spark.implicits._
+    LakeSink.appendSegment(spark, dir,
+      Seq((20L, 0L), (21L, 1L)).toDF("id", "flag"), "seg_b2") // v3
+    def consume(extra: Map[String, String]): Seq[(String, Long)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+      var reader = spark.readStream.format("graft-lake-changefeed")
+        .option("path", dir).option("readChangeFeed", "true")
+      extra.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          b.select("_change_type", "id").collect()
+            .foreach(r => got.add((r.getString(0), r.getLong(1))))
+          ()
+        }
+        .option("checkpointLocation", tmp("graft_sv_ck"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    // without the option: snapshot of the tip (all 12 rows as inserts)
+    assert(consume(Map.empty).size === 12)
+    // with startingVersion=2: only v3's appends, as feed rows
+    assert(consume(Map("startingVersion" -> "2")) ===
+      Seq(("insert", 20L), ("insert", 21L)))
+    // startingVersion at the tip: a consumer that wants only FUTURE
+    // changes starts empty
+    assert(consume(Map("startingVersion" -> "3")) === Seq.empty)
   }
 
   test("CDC-mode streaming source follows the table through a DELETE " +

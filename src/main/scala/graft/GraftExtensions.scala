@@ -74,5 +74,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "table_history(table) - commit audit log of a lake table " +
           "(version, n_segments, schema_v, ...)"),
       (es: Seq[Expression]) => graft.plans.LakeDml.tableHistory(es)))
+
+    // Maintenance DDL Spark's grammar lacks (the Delta surface):
+    // VACUUM / OPTIMIZE [CLUSTER BY|ZORDER BY] / DESCRIBE HISTORY over
+    // registered lake tables — a thin delegating parser that claims
+    // ONLY these whole-statement shapes (graft.plans.LakeMaintenanceSql).
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
   }
 }

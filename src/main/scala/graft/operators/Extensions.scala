@@ -1311,6 +1311,45 @@ object Extensions {
               FROM k)
             ORDER BY version"""))
 
+  /** SQL maintenance surface (r11): [[sinkLakeHistory]]'s twin driven
+    * entirely through SQL TEXT — the injected delegating parser claims
+    * `OPTIMIZE t` and `DESCRIBE HISTORY t` over registered lakes
+    * (graft.plans.LakeMaintenanceSql; VACUUM is spec-only here since
+    * deleting history would change what DESCRIBE HISTORY returns).
+    * Same oracle as the Scala-API variant: the audit log must be
+    * identical whichever surface drove the maintenance. */
+  private val sqlLakeHistory = QueryDef(
+    "sql_lake_history",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_hist", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val tbl = "graft_sql_hist_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      s.sql(s"OPTIMIZE $tbl").collect()
+      s.sql(s"DESCRIBE HISTORY $tbl").orderBy("version")
+    },
+    Some("""WITH k AS (SELECT CAST(count(DISTINCT event_id % 4) AS BIGINT)
+                         AS k FROM events)
+            SELECT * FROM (
+              SELECT v AS version, v AS n_segments,
+                CAST(0 AS BIGINT) AS schema_v,
+                CAST(0 AS BIGINT) AS n_expectations,
+                CAST(1 AS BIGINT) AS segs_added,
+                CAST(0 AS BIGINT) AS segs_removed,
+                FALSE AS is_current
+              FROM (SELECT unnest(generate_series(1, (SELECT k FROM k)))
+                      AS v)
+              UNION ALL
+              SELECT k + 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(1 AS BIGINT), k, TRUE
+              FROM k)
+            ORDER BY version"""))
+
   /** CHANGE DATA FEED (r11): Delta-CDF-analog row-level change capture
     * through copy-on-write DML — [[graft.streaming.LakeSink
     * .changesCdcBetween]]. The DML verbs run with `cdc = true`, so each
@@ -1503,5 +1542,6 @@ object Extensions {
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
     sinkLakeStatsPruneStr,
     sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead, sinkLakeExpectations,
-    sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf, sqlLakeCdf)
+    sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf, sqlLakeCdf,
+    sqlLakeHistory)
 }

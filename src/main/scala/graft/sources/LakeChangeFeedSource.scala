@@ -35,6 +35,15 @@ import org.apache.spark.sql.types.StructType
   *    checkpoint (reprocess) or diffing snapshots via
   *    `readTableAsOf`. The vacuum retention horizon bounds how far
   *    behind a checkpoint may fall.
+  *  - `readChangeFeed=true` (r11) switches to CDC mode: batches carry
+  *    `_change_type`/`_commit_version`, DML versions stream as their
+  *    recorded change rows ([[LakeSink.changesCdcBetween]]) instead
+  *    of failing, and compaction (`dataChange=false`) is invisible —
+  *    the mode a derived-view maintainer uses to follow a table that
+  *    takes deletes (LakeCdcSpec, Medallion.startSilverCdc).
+  *  - `startingVersion=<v>` starts a FRESH consumer at the feed
+  *    position after `v` instead of a whole-table snapshot; ignored
+  *    once a checkpoint exists.
   *
   * At 100 TB the properties that matter: per-trigger planning cost is
   * one manifest read (no listing of millions of files — the failure

@@ -184,6 +184,42 @@ class LakeCdcSpec extends AnyFunSuite with SparkFixture {
     } finally graft.streaming.LakeCatalog.unregister(tbl)
   }
 
+  test("CDC consumer rides through compaction: dataChange=false commits " +
+      "are invisible to the stream") {
+    // The append-only feed FAILS at a compaction version (rewritten
+    // segments can't be represented as appends); the CDC feed must
+    // instead skip it — bytes moved, rows did not — so a consumer can
+    // follow a table whose writer compacts continuously.
+    val dir = buildLake() // v1, v2: ids 0-4, 10-14
+    val ckpt = tmp("graft_cdc_compact_ck")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-lake-changefeed")
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        b.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // snapshot: 10 inserts
+      LakeSink.compact(spark, dir, targetFiles = 1) // v3, dataChange=0
+      import spark.implicits._
+      LakeSink.appendSegment(spark, dir,
+        Seq((30L, 0L)).toDF("id", "flag"), "seg_b2") // v4
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"CDC stream failed at the compaction version: ${q.exception}")
+      import scala.jdk.CollectionConverters._
+      val ids = seen.asScala.toSeq.sorted
+      assert(ids === ids.distinct, s"compaction re-emitted rows: $ids")
+      assert(ids === ((0L to 4L) ++ (10L to 14L) :+ 30L).sorted,
+        s"lost or phantom rows across compaction: $ids")
+    } finally q.stop()
+  }
+
   test("metadata-only commits after a DML do not re-emit its change rows " +
       "(per-version annotation reset)") {
     // Regression: addExpectation/evolveAddColumn commit a COPY of the

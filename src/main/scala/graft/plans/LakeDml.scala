@@ -42,8 +42,8 @@ object LakeDml {
     def bad(msg: String): Nothing = throw new AnalysisException(
       errorClass = "_LEGACY_ERROR_TEMP_3100",
       messageParameters = Map("message" -> s"table_changes: $msg"))
-    if (args.length != 3)
-      bad(s"expected (table, fromVersion, toVersion), got ${args.length} args")
+    if (args.length != 2 && args.length != 3)
+      bad(s"expected (table, fromVersion[, toVersion]), got ${args.length} args")
     if (!args.forall(_.foldable)) bad("arguments must be literals")
     val name = Option(args.head.eval()).map(_.toString)
       .getOrElse(bad("table name must be a non-null string"))
@@ -53,8 +53,14 @@ object LakeDml {
       case n: java.lang.Number => n.longValue()
       case other => bad(s"version argument must be numeric, got $other")
     }
+    // 2-arg form: toVersion defaults to the CURRENT committed tip
+    // (Delta's table_changes(t, from) semantics) — resolved at
+    // analysis time, so the plan reads a pinned version set
+    val toV =
+      if (args.length == 3) longArg(2)
+      else LakeSink.readManifest(dir).version
     LakeSink.changesCdcBetween(SparkSession.active, dir,
-      longArg(1), longArg(2)).queryExecution.analyzed
+      longArg(1), toV).queryExecution.analyzed
   }
 
   /** `table_history('t')` — DESCRIBE HISTORY as a TVF (the audit-log

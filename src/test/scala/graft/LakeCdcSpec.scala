@@ -173,6 +173,15 @@ class LakeCdcSpec extends AnyFunSuite with SparkFixture {
         s"SELECT CAST(count(*) AS BIGINT) FROM table_changes('$tbl', 2, $tip) " +
           "WHERE _change_type = 'delete'").collect().head.getLong(0)
       assert(n === 4L)
+      // 2-arg form: toVersion defaults to the committed tip
+      val two = spark.sql(
+        s"SELECT CAST(count(*) AS BIGINT) FROM table_changes('$tbl', 2)")
+        .collect().head.getLong(0)
+      val three = spark.sql(
+        s"SELECT CAST(count(*) AS BIGINT) " +
+          s"FROM table_changes('$tbl', 2, $tip)")
+        .collect().head.getLong(0)
+      assert(two === three, "2-arg table_changes diverged from explicit tip")
       // DESCRIBE HISTORY as SQL: the audit log through table_history()
       val hist = spark.sql(
         s"SELECT version, is_current FROM table_history('$tbl') " +

@@ -197,7 +197,16 @@ class LakeChangeFeedSource(spark: SparkSession, dir: String,
     // batch is the changes (startingVersion, toV], and the normal
     // incremental contract applies from there. Only consulted on the
     // fresh-start batch; after a checkpoint exists, fromV wins.
-    val effFrom = if (fromV == 0L) startingVersion.getOrElse(0L) else fromV
+    // `startingVersion=0` is NOT "unset": it means the full change
+    // history from the beginning (deletes included), so the
+    // explicitly-set case is tracked apart from its value — only an
+    // ABSENT option takes the snapshot initial load.
+    val (effFrom, initialSnapshot) =
+      if (fromV != 0L) (fromV, false)
+      else startingVersion match {
+        case Some(v) => (v, false)
+        case None => (0L, true)
+      }
     PlanBridge.asStreamingFrame(
       if (cdc) {
         import org.apache.spark.sql.functions.lit
@@ -205,14 +214,14 @@ class LakeChangeFeedSource(spark: SparkSession, dir: String,
         // (Delta CDF's startingVersion-at-snapshot semantics); column
         // order normalized to the declared schema either way
         val df =
-          if (effFrom == 0L) LakeSink.readTableAsOf(spark, dir, toV)
+          if (initialSnapshot) LakeSink.readTableAsOf(spark, dir, toV)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(toV))
           else LakeSink.changesCdcBetween(spark, dir, effFrom, toV)
         df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toSeq: _*)
       }
-      else if (effFrom == 0L) LakeSink.readTableAsOf(spark, dir, toV)
+      else if (initialSnapshot) LakeSink.readTableAsOf(spark, dir, toV)
       else LakeSink.changesBetween(spark, dir, effFrom, toV))
   }
 

@@ -242,7 +242,11 @@ object Medallion {
               .as("cents"))
         LakeSink.mergeInto(s, goldDir, folded, Seq("event_type"),
           txn = Some(("medallion-gold-cdc", batchId)), cdc = true)
-        LakeSink.deleteWhere(s, goldDir, col("n") === 0L)
+        // cdc = true like foldSilverCdc's cleanup: every gold write must
+        // record change data, or gold's own feed becomes unreadable
+        // (loud refusal) across any version where a type's totals
+        // reached zero.
+        LakeSink.deleteWhere(s, goldDir, col("n") === 0L, cdc = true)
       }
     }
   }

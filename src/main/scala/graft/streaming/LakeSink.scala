@@ -81,6 +81,16 @@ object LakeSink {
   final case class StrStat(lo: String, hi: String,
       nulls: Long = -1L) extends ColStat
 
+  /** One segment's DELETION VECTOR (r12, merge-on-read point DML):
+    * `file` names a parquet dir under `outDir/_dv/` holding the
+    * segment's deleted row positions as (file_name, row_index) pairs;
+    * `rows` is the cumulative deleted-row count (observability — the
+    * DV file is authoritative). DV files are immutable: a second
+    * point delete on the same segment writes a NEW file carrying the
+    * union and the manifest entry is replaced; superseded files
+    * become [[vacuum]] orphans. */
+  final case class DvRef(file: String, rows: Long)
+
   final case class Manifest(version: Long, maxB: Long, segs: Seq[String],
       schemaV: Long = 0L, schemaJson: Option[String] = None,
       stats: Map[String, Map[String, ColStat]] = Map.empty,
@@ -94,7 +104,11 @@ object LakeSink {
       // that rearranged bytes without changing rows (compaction —
       // Delta's dataChange=false AddFile), which a change feed skips.
       cdcSegs: Seq[String] = Nil,
-      dataChange: Boolean = true) {
+      dataChange: Boolean = true,
+      // Cumulative per-segment deletion vectors (merge-on-read state,
+      // keyed by live segment): every reader reconciles them at scan,
+      // compaction applies them physically, vacuum GCs their files.
+      dv: Map[String, DvRef] = Map.empty) {
     /** Columns any live segment tracks stats for. */
     def trackedCols: Seq[String] =
       stats.values.flatMap(_.keys).toSeq.distinct.sorted
@@ -158,7 +172,8 @@ object LakeSink {
     val (statLines, rest00) = headers.partition(_.startsWith("stats="))
     val (strStatLines, rest0) = rest00.partition(_.startsWith("strstats="))
     val (txnLines, rest1) = rest0.partition(_.startsWith("txn="))
-    val (cdcLines, rest) = rest1.partition(_.startsWith("cdc="))
+    val (dvLines, rest2) = rest1.partition(_.startsWith("dvec="))
+    val (cdcLines, rest) = rest2.partition(_.startsWith("cdc="))
     val (expectLines, scalarHeaders) = rest.partition(_.startsWith("expect="))
     val h = scalarHeaders.map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
@@ -190,7 +205,15 @@ object LakeSink {
     Manifest(v, maxB, segs, h.get("schemav").map(_.toLong).getOrElse(0L),
       h.get("schema"), stats, txns, expects,
       cdcLines.map(_.stripPrefix("cdc=")),
-      !h.get("datachange").contains("0"))
+      !h.get("datachange").contains("0"),
+      dvLines.map(l => parseDvPayload(outDir, v, l.stripPrefix("dvec="))).toMap)
+  }
+
+  /** Decode one deletion-vector payload (`seg|file|rows`). */
+  private def parseDvPayload(outDir: String, v: Long,
+      l: String): (String, DvRef) = l.split('|') match {
+    case Array(seg, file, rows) => seg -> DvRef(file, rows.toLong)
+    case _ => sys.error(s"manifest v$v at $outDir: bad dvec line $l")
   }
 
   // ---- manifest LOG: delta records + periodic checkpoints ------------
@@ -225,7 +248,8 @@ object LakeSink {
       addStats: Map[String, Map[String, ColStat]],
       schemaV: Long, schemaJson: Option[String],
       txns: Map[String, Long], expects: Map[String, String],
-      cdcSegs: Seq[String], dataChange: Boolean)
+      cdcSegs: Seq[String], dataChange: Boolean,
+      dvSets: Map[String, DvRef])
 
   private def parseDelta(outDir: String, v: Long,
       lines: Seq[String]): DeltaRec = {
@@ -236,6 +260,7 @@ object LakeSink {
     val txns = Map.newBuilder[String, Long]
     val expects = Map.newBuilder[String, String]
     val cdcSegs = Seq.newBuilder[String]
+    val dvSets = Map.newBuilder[String, DvRef]
     lines.foreach { l =>
       val i = l.indexOf('=')
       require(i > 0, s"manifest delta v$v at $outDir: bad line $l")
@@ -245,6 +270,7 @@ object LakeSink {
         case "add" => adds += value
         case "remove" => removes += value
         case "cdc" => cdcSegs += value
+        case "dvec" => dvSets += parseDvPayload(outDir, v, value)
         case "stats" =>
           statLines += parseStatPayload(outDir, v, value, isStr = false)
         case "strstats" =>
@@ -269,7 +295,7 @@ object LakeSink {
       adds.result(), removes.result(), addStats,
       h.get("schemav").map(_.toLong).getOrElse(0L), h.get("schema"),
       txns.result(), expects.result(), cdcSegs.result(),
-      !h.get("datachange").contains("0"))
+      !h.get("datachange").contains("0"), dvSets.result())
   }
 
   /** Auxiliary CHECKPOINT file for version `v` (Delta's
@@ -305,7 +331,8 @@ object LakeSink {
       d.schemaV,
       if (d.schemaV != acc.schemaV) d.schemaJson else acc.schemaJson,
       (acc.stats -- d.removes) ++ d.addStats,
-      d.txns, d.expects, d.cdcSegs, d.dataChange)
+      d.txns, d.expects, d.cdcSegs, d.dataChange,
+      (acc.dv -- d.removes) ++ d.dvSets)
 
   /** Reconstruct the committed state at version `v`: walk back to the
     * nearest snapshot (≤ [[snapshotInterval]] small files, or the
@@ -348,7 +375,9 @@ object LakeSink {
     // segments only — commitManifest applies the same liveness rule)
     val addStats = m.stats.filter { case (seg, st) =>
       liveSet(seg) && !parent.stats.get(seg).contains(st) }
-    commitEditRecord(outDir, parent, m, removes, adds, addStats)
+    val dvSets = m.dv.filter { case (seg, r) =>
+      liveSet(seg) && !parent.dv.get(seg).contains(r) }
+    commitEditRecord(outDir, parent, m, removes, adds, addStats, dvSets)
   }
 
   /** [[commitNext]] for a caller that already KNOWS its edit (the DML
@@ -360,13 +389,15 @@ object LakeSink {
     * path that derives the edit instead of trusting it. */
   def commitEditRecord(outDir: String, parent: Manifest, m: Manifest,
       removed: Set[String], added: Seq[String],
-      addedStats: Map[String, Map[String, ColStat]]): Boolean = {
+      addedStats: Map[String, Map[String, ColStat]],
+      dvSets: Map[String, DvRef] = Map.empty): Boolean = {
     require(m.version == parent.version + 1,
       s"commit needs consecutive versions, got parent " +
         s"v${parent.version} -> v${m.version}")
     if (m.version % snapshotInterval == 0)
       return commitManifest(outDir, m.version, m.maxB, m.segs, m.schemaV,
-        m.schemaJson, m.stats, m.txns, m.expects, m.cdcSegs, m.dataChange)
+        m.schemaJson, m.stats, m.txns, m.expects, m.cdcSegs, m.dataChange,
+        m.dv)
     val lines = Seq("delta=1", s"maxb=${m.maxB}") ++
       (if (m.schemaV > 0L) Seq(s"schemav=${m.schemaV}") else Nil) ++
       (if (m.schemaV != parent.schemaV) m.schemaJson.map(j => s"schema=$j")
@@ -375,6 +406,8 @@ object LakeSink {
       m.txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" } ++
       m.expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" } ++
       m.cdcSegs.map(s => s"cdc=$s") ++
+      dvSets.toSeq.sortBy(_._1).map { case (seg, r) =>
+        s"dvec=$seg|${r.file}|${r.rows}" } ++
       added.map(s => s"add=$s") ++
       removed.toSeq.sorted.map(s => s"remove=$s") ++
       addedStats.toSeq.flatMap { case (seg, byCol) =>
@@ -412,12 +445,13 @@ object LakeSink {
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
       expects: Map[String, String] = Map.empty,
-      cdcSegs: Seq[String] = Nil, dataChange: Boolean = true): Boolean = {
+      cdcSegs: Seq[String] = Nil, dataChange: Boolean = true,
+      dv: Map[String, DvRef] = Map.empty): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
     Files.write(tmp, snapshotLines(maxB, segs, schemaV, schemaJson,
-      stats, txns, expects, cdcSegs, dataChange).mkString("\n")
+      stats, txns, expects, cdcSegs, dataChange, dv).mkString("\n")
       .getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
@@ -453,7 +487,8 @@ object LakeSink {
       stats: Map[String, Map[String, ColStat]],
       txns: Map[String, Long], expects: Map[String, String],
       cdcSegs: Seq[String] = Nil,
-      dataChange: Boolean = true): Seq[String] = {
+      dataChange: Boolean = true,
+      dv: Map[String, DvRef] = Map.empty): Seq[String] = {
     val live = segs.toSet
     val statLines = stats.toSeq
       .filter { case (seg, _) => live(seg) }
@@ -463,12 +498,15 @@ object LakeSink {
     val txnLines = txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" }
     val expectLines =
       expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" }
+    val dvLines = dv.toSeq.filter { case (seg, _) => live(seg) }
+      .sortBy(_._1).map { case (seg, r) => s"dvec=$seg|${r.file}|${r.rows}" }
     val cdcLines = cdcSegs.map(s => s"cdc=$s") ++
       (if (dataChange) Nil else Seq("datachange=0"))
     (s"maxb=$maxB" +:
       ((if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
         schemaJson.map(j => s"schema=$j")
-       else Nil) ++ statLines ++ txnLines ++ expectLines ++ cdcLines)) ++ segs
+       else Nil) ++ statLines ++ txnLines ++ expectLines ++ dvLines ++
+        cdcLines)) ++ segs
   }
 
   /** Attempts a DML re-plan loop makes before giving up — each retry
@@ -500,23 +538,31 @@ object LakeSink {
       removed: Set[String], added: Seq[String],
       addedStats: Map[String, Map[String, ColStat]],
       txn: Option[(String, Long)],
-      cdcSegs: Seq[String] = Nil): Option[Long] = {
+      cdcSegs: Seq[String] = Nil,
+      dvSets: Map[String, DvRef] = Map.empty): Option[Long] = {
     val baseSegs = base.segs.toSet
     var tip = base
     while (true) {
       val segs = tip.segs.filterNot(removed) ++ added
       val stats = (tip.stats -- removed) ++ addedStats
       val txns = txn.fold(tip.txns) { case (a, id) => tip.txns + (a -> id) }
+      val dv = (tip.dv -- removed) ++ dvSets
       if (commitEditRecord(outDir, tip,
           Manifest(tip.version + 1, tip.maxB, segs, tip.schemaV,
-            tip.schemaJson, stats, txns, tip.expects, cdcSegs),
-          removed, added, addedStats))
+            tip.schemaJson, stats, txns, tip.expects, cdcSegs,
+            dataChange = true, dv = dv),
+          removed, added, addedStats, dvSets))
         return Some(tip.version + 1)
       val now = readManifest(outDir)
       val nowSegs = now.segs.toSet
       val commutes = now.schemaV == base.schemaV &&
         now.expects == base.expects &&
         baseSegs.forall(nowSegs) &&
+        // a concurrent DELETION VECTOR landed on a segment this edit
+        // read: the staged rewrite/DV was planned against the pre-DV
+        // row set and would resurrect the concurrently-deleted rows —
+        // a true conflict, exactly like a segment rewrite
+        baseSegs.forall(s => now.dv.get(s) == base.dv.get(s)) &&
         txn.forall { case (a, id) =>
           now.txns.getOrElse(a, Long.MinValue) < id }
       if (!commutes) return None
@@ -571,12 +617,70 @@ object LakeSink {
       case None => spark.read.parquet(s"$outDir/${m.segs.head}").schema
     }
 
+  /** DELETION-VECTOR-RECONCILING segment read — the merge-on-read seam
+    * every table read goes through: segments without a DV scan as one
+    * plain parquet read; DV'd segments scan WITH the parquet reader's
+    * positional metadata (`_metadata.file_name` + `row_index` — free,
+    * no data-column cost) and drop deleted positions via a BROADCAST
+    * anti-join against the manifest-referenced DV files. The DV side
+    * is O(deleted rows) — for the point-DML workload DVs exist for,
+    * a few rows against a 100 TB scan, so the anti-join is a broadcast
+    * hash probe inside the scan stage, never a shuffle. File NAMES
+    * (not paths) key the join: part-file names carry a per-job UUID,
+    * so they are unique across segments and stable under any
+    * mount/URI-prefix difference between writer and reader. */
+  private def readSegments(spark: SparkSession, outDir: String,
+      m: Manifest, segs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (segs.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        tableSchema(spark, outDir, m))
+    val (dvSegs, clean) = segs.partition(m.dv.contains)
+    val parts = Seq.newBuilder[DataFrame]
+    if (clean.nonEmpty)
+      parts += reader(spark, m).parquet(clean.map(s => s"$outDir/$s"): _*)
+    if (dvSegs.nonEmpty) {
+      val df = reader(spark, m)
+        .parquet(dvSegs.map(s => s"$outDir/$s"): _*)
+        .withColumn("__dv_f", col("_metadata.file_name"))
+        .withColumn("__dv_i", col("_metadata.row_index"))
+      val dv = spark.read.parquet(
+        dvSegs.map(s => s"$outDir/_dv/${m.dv(s).file}"): _*)
+      parts += df.join(broadcast(dv),
+          df("__dv_f") === dv("file_name") &&
+            df("__dv_i") === dv("row_index"), "left_anti")
+        .drop("__dv_f", "__dv_i")
+    }
+    parts.result().reduce(_.unionByName(_))
+  }
+
+  /** Read one segment's LIVE rows with their (file_name, row_index)
+    * positions attached as `__dv_f`/`__dv_i` — the planning read DML
+    * verbs use: counts and predicates see only live rows, and the
+    * matched positions are exactly what a merge-on-read DV write
+    * records. */
+  private def readSegmentWithPos(spark: SparkSession, outDir: String,
+      m: Manifest, seg: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val raw = reader(spark, m).parquet(s"$outDir/$seg")
+      .withColumn("__dv_f", col("_metadata.file_name"))
+      .withColumn("__dv_i", col("_metadata.row_index"))
+    m.dv.get(seg) match {
+      case None => raw
+      case Some(r) =>
+        val dv = spark.read.parquet(s"$outDir/_dv/${r.file}")
+        raw.join(broadcast(dv),
+          raw("__dv_f") === dv("file_name") &&
+            raw("__dv_i") === dv("row_index"), "left_anti")
+    }
+  }
+
   /** Read the lake AS OF its current committed manifest — exactly the
     * listed segments, never a partially-published one. */
   def readTable(spark: SparkSession, outDir: String): DataFrame = {
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
-    reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
+    readSegments(spark, outDir, m, m.segs)
   }
 
   /** One-job stats collection over `df` for the BIGINT and STRING
@@ -823,12 +927,8 @@ object LakeSink {
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     val scanned = m.segs.filter(mayOverlap(m, _, column, lo, hi))
-    val base =
-      if (scanned.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          tableSchema(spark, outDir, m))
-      else reader(spark, m).parquet(scanned.map(s => s"$outDir/$s"): _*)
-    (base.filter(col(column) >= lo && col(column) <= hi),
+    (readSegments(spark, outDir, m, scanned)
+      .filter(col(column) >= lo && col(column) <= hi),
       scanned, m.segs.size)
   }
 
@@ -846,12 +946,8 @@ object LakeSink {
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     val hint = StrRange(column, value, value)
     val scanned = m.segs.filter(mayMatchHint(m, _, hint))
-    val base =
-      if (scanned.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          tableSchema(spark, outDir, m))
-      else reader(spark, m).parquet(scanned.map(s => s"$outDir/$s"): _*)
-    (base.filter(col(column) === value), scanned, m.segs.size)
+    (readSegments(spark, outDir, m, scanned)
+      .filter(col(column) === value), scanned, m.segs.size)
   }
 
   /** Number of parquet data files a segment holds (compaction's
@@ -870,10 +966,65 @@ object LakeSink {
     val m = manifestAt(outDir, version)
     require(m.segs.nonEmpty, s"manifest v$version lists no segments")
     // Time travel is schema travel too: each version reads under the
-    // schema IT recorded, so pre-evolution versions surface the
-    // original narrow schema.
-    reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
+    // schema IT recorded — and under ITS deletion vectors, so a
+    // pre-point-delete version still shows the rows a later DV hid.
+    readSegments(spark, outDir, m, m.segs)
   }
+
+  // ---- TIMESTAMP-based time travel (r12) ------------------------------
+  // The manifest CAS publishes one immutable file per version (hard
+  // link, never rewritten), so that file's modification time IS the
+  // commit time — exactly how Delta resolves TIMESTAMP AS OF (commit
+  // file mtime). No manifest format change needed; the resolution is
+  // one metadata listing over the retained log. Retention contract:
+  // vacuum deletes old version files, so the timestamp horizon equals
+  // the time-travel horizon, and a timestamp older than the earliest
+  // retained commit refuses loudly.
+
+  /** Epoch-microsecond commit time of version `v` (the CAS-published
+    * manifest file's mtime — immutable once linked). */
+  def commitTimestampMicros(outDir: String, v: Long): Long = {
+    val p = manifestDir(outDir).resolve(f"v$v%010d.txt")
+    require(Files.exists(p),
+      s"lake at $outDir has no manifest v$v (vacuumed or never committed)")
+    val i = Files.getLastModifiedTime(p).toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Latest committed version whose commit time ≤ `tsMicros` — the
+    * `TIMESTAMP AS OF` resolution rule (a timestamp between two
+    * commits resolves to the earlier one: the table AS IT WAS at that
+    * instant). Refuses a timestamp older than the earliest retained
+    * commit (vacuumed history) or a lake with no commits. */
+  def versionAtOrBefore(outDir: String, tsMicros: Long): Long = {
+    val versions = manifestVersions(outDir)
+    require(versions.nonEmpty, s"lake at $outDir has no commits")
+    val at = versions.filter(commitTimestampMicros(outDir, _) <= tsMicros)
+    require(at.nonEmpty,
+      s"timestamp $tsMicros µs precedes the earliest retained commit " +
+        s"(v${versions.min}) of $outDir — older history was vacuumed")
+    at.max
+  }
+
+  /** Earliest committed version whose commit time ≥ `tsMicros` — the
+    * FROM-bound rule for timestamp-windowed change feeds (changes
+    * committed at or after the instant). Refuses a timestamp past the
+    * newest commit. */
+  def firstVersionAtOrAfter(outDir: String, tsMicros: Long): Long = {
+    val versions = manifestVersions(outDir)
+    require(versions.nonEmpty, s"lake at $outDir has no commits")
+    val at = versions.filter(commitTimestampMicros(outDir, _) >= tsMicros)
+    require(at.nonEmpty,
+      s"timestamp $tsMicros µs is past the newest commit " +
+        s"(v${versions.max}) of $outDir")
+    at.min
+  }
+
+  /** TIME TRAVEL by timestamp: [[readTableAsOf]] at
+    * [[versionAtOrBefore]]'s resolution. */
+  def readTableAsOfTimestamp(spark: SparkSession, outDir: String,
+      tsMicros: Long): DataFrame =
+    readTableAsOf(spark, outDir, versionAtOrBefore(outDir, tsMicros))
 
   /** DESCRIBE HISTORY: the retained manifest log as a DataFrame —
     * one row per committed version still inside the vacuum retention
@@ -959,14 +1110,20 @@ object LakeSink {
         s"version window v$fromV..v$toV is not append-only (v$v " +
           s"rewrote or dropped ${removed.toSeq.sorted.mkString(", ")} " +
           "via DML/compaction) — diff snapshots via readTableAsOf")
+      // a deletion vector hides rows WITHOUT removing a segment — just
+      // as much a non-append as a rewrite, and just as refused here
+      val dvChanged = cur.dv.filter { case (s, r) =>
+        !prev.dv.get(s).contains(r) }
+      require(dvChanged.isEmpty,
+        s"version window v$fromV..v$toV is not append-only (v$v added " +
+          s"deletion vectors on ${dvChanged.keys.toSeq.sorted.mkString(", ")}" +
+          ") — diff snapshots via readTableAsOf")
       prev = cur
     }
     val mt = prev
-    val added = mt.segs.filterNot(mf.segs.toSet)
-    if (added.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        tableSchema(spark, outDir, mt))
-    else reader(spark, mt).parquet(added.map(s => s"$outDir/$s"): _*)
+    // window verified append-only ⇒ the added segments carry no DVs
+    // at toV; readSegments handles the empty case with mt's schema
+    readSegments(spark, outDir, mt, mt.segs.filterNot(mf.segs.toSet))
   }
 
   /** CHANGE DATA FEED read (Delta CDF / `table_changes` analog): every
@@ -1015,24 +1172,30 @@ object LakeSink {
       val prevSet = prev.segs.toSet
       val removed = prevSet -- cur.segs
       val addedSegs = cur.segs.filterNot(prevSet)
+      // deletion vectors hide rows without touching the segment list —
+      // a DV-writing commit is row-level change and needs change data
+      val dvChanged = cur.dv.exists { case (s, r) =>
+        !prev.dv.get(s).contains(r) }
       if (cur.cdcSegs.nonEmpty) {
         parts += spark.read
           .parquet(cur.cdcSegs.map(s => s"$outDir/$s"): _*)
           .withColumn("_commit_version", lit(v))
       } else if (!cur.dataChange) {
         // compaction / layout-only: bytes moved, rows did not
-      } else if (removed.isEmpty) {
+      } else if (removed.isEmpty && !dvChanged) {
         if (addedSegs.nonEmpty)
           parts += reader(spark, cur)
             .parquet(addedSegs.map(s => s"$outDir/$s"): _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v))
       } else {
-        sys.error(s"version v$v of $outDir rewrote or dropped " +
-          s"${removed.toSeq.sorted.mkString(", ")} without recording " +
-          "change data (DML ran with cdc = false) — the CDC feed " +
-          "cannot represent it; re-run DML with cdc = true or diff " +
-          "snapshots via readTableAsOf")
+        sys.error(s"version v$v of $outDir rewrote, dropped, or " +
+          "deletion-vectored " +
+          s"${(removed ++ cur.dv.keySet.filter(s => !prev.dv.get(s)
+            .contains(cur.dv(s)))).toSeq.sorted.mkString(", ")} " +
+          "without recording change data (DML ran with cdc = false) — " +
+          "the CDC feed cannot represent it; re-run DML with cdc = true " +
+          "or diff snapshots via readTableAsOf")
       }
       prev = cur
     }
@@ -1043,10 +1206,26 @@ object LakeSink {
         .add("_commit_version", org.apache.spark.sql.types.LongType)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base)
     }
-    // allowMissingColumns: a window straddling a schema evolution has
-    // pre-evolution change rows without the added columns — they
-    // surface as NULL, the same rule the table reader applies
-    else ps.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      import org.apache.spark.sql.functions.col
+      // allowMissingColumns: a window straddling a schema evolution has
+      // pre-evolution change rows without the added columns — they
+      // surface as NULL, the same rule the table reader applies
+      val unioned = ps.reduce(_.unionByName(_, allowMissingColumns = true))
+      // STABLE column order regardless of which part came first (cdc
+      // segments carry _change_type before _commit_version is appended;
+      // insert parts append both): every caller — the TVF, the
+      // streaming source, a bare API read — gets table columns in
+      // schema order, then the two feed columns. A window entirely
+      // before a trailing ADD COLUMN has no rows for the new column:
+      // surface it as typed NULL, as the table reader would.
+      val have = unioned.columns.toSet
+      val ordered = tableSchema(spark, outDir, prev).fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(col("_change_type"), col("_commit_version"))
+      unioned.select(ordered: _*)
+    }
   }
 
   /** VACUUM: delete segment dirs no retained manifest references, and
@@ -1077,7 +1256,7 @@ object LakeSink {
       val b = manifestAt(outDir, oldestRetained)
       Files.write(snapPath(outDir, oldestRetained),
         snapshotLines(b.maxB, b.segs, b.schemaV, b.schemaJson, b.stats,
-          b.txns, b.expects, b.cdcSegs, b.dataChange)
+          b.txns, b.expects, b.cdcSegs, b.dataChange, b.dv)
           .mkString("\n").getBytes("UTF-8"))
     }
     // Live segments = union over the retained versions, reconstructed
@@ -1085,10 +1264,15 @@ object LakeSink {
     // makes the first reconstruction one file read). A retained
     // version's CHANGE-DATA segments stay live with it — the CDC feed
     // horizon is the vacuum retention horizon, same as time travel.
+    // Deletion-vector files referenced by any retained version stay
+    // too (time travel reconciles each version under ITS DVs);
+    // superseded/unreferenced DV files are GC'd like segment orphans.
     val live = scala.collection.mutable.Set.empty[String]
+    val liveDv = scala.collection.mutable.Set.empty[String]
     var acc = manifestAt(outDir, oldestRetained)
     live ++= acc.segs
     live ++= acc.cdcSegs
+    liveDv ++= acc.dv.values.map(_.file)
     retained.tail.foreach { v =>
       acc = parseVersionFile(outDir, v) match {
         case Right(m) => m
@@ -1096,11 +1280,17 @@ object LakeSink {
       }
       live ++= acc.segs
       live ++= acc.cdcSegs
+      liveDv ++= acc.dv.values.map(_.file)
     }
     val segDirs = listDir(Paths.get(outDir))
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("seg_"))
-    val orphans = segDirs.filterNot(p => live(p.getFileName.toString))
+    val dvRoot = Paths.get(outDir, "_dv")
+    val dvOrphans =
+      if (!Files.isDirectory(dvRoot)) Nil
+      else listDir(dvRoot).filterNot(p => liveDv(p.getFileName.toString))
+    val orphans = segDirs.filterNot(p => live(p.getFileName.toString)) ++
+      dvOrphans
     orphans.foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
     val stale = versions.dropRight(retainVersions)
@@ -1147,9 +1337,23 @@ object LakeSink {
     * caller contract, not checked; a hint wider than the predicate is
     * always safe, a narrower one loses rows.
     *
+    * `dvMaxFraction > 0` enables MERGE-ON-READ for partially-matching
+    * segments: when matched rows ≤ fraction × live rows, the delete
+    * writes a per-segment DELETION VECTOR (the matched positions,
+    * O(deleted rows)) instead of rewriting the segment — Delta's
+    * deletion-vector design, the 100 TB answer to point-DML write
+    * amplification. Readers reconcile DVs at scan (broadcast
+    * anti-join on file-name + row-index), [[compact]] applies them
+    * physically, [[vacuum]] GCs superseded DV files, and the change
+    * feed/CDC contracts treat a DV commit exactly like a rewrite.
+    * Fully-matching segments still drop by metadata; 0.0 (default)
+    * keeps pure copy-on-write.
+    *
     * Returns (committed version, segments rewritten, segments dropped,
     * rows deleted); a no-match delete commits nothing and returns the
-    * current version.
+    * current version. A DV-mode delete reports the affected segments
+    * as neither rewritten nor dropped (they survive, minus rows) —
+    * the manifest's `dv` entries are the receipt.
     *
     * CONCURRENCY: a lost manifest race triggers the optimistic retry
     * protocol ([[tryCommitEdit]]) — commit as-staged when concurrent
@@ -1163,9 +1367,12 @@ object LakeSink {
       cond: org.apache.spark.sql.Column,
       pruneHint: Option[(String, Long, Long)] = None,
       beforeCommit: () => Unit = () => (),
-      cdc: Boolean = false)
+      cdc: Boolean = false,
+      dvMaxFraction: Double = 0.0)
       : (Long, Int, Int, Long) = {
     import org.apache.spark.sql.functions.{coalesce, count, lit, when}
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     // `beforeCommit` is the race-injection seam (the
     // beforeMaintenanceCommit pattern): it runs after each attempt's
     // planning/rewrites and before its commit — the exact window a
@@ -1208,13 +1415,18 @@ object LakeSink {
       // snapshots. Orphaned on a lost CAS like any staged rewrite.
       val cdcSeg = s"seg_cdc_d$nonce"
       var cdcRows = false
+      val dvSets = Map.newBuilder[String, DvRef]
+      var dvWrites = 0
       m.segs.zipWithIndex.foreach { case (seg, i) =>
         val pruned = hints.exists(h => !mayMatchHint(m, seg, h))
         if (!pruned) {
           // Segment-sized cache (a segment is one ingest micro-batch /
           // compaction target, bounded by construction): count + rewrite
           // read one materialization instead of re-scanning parquet 2-3x.
-          val df = reader(spark, m).parquet(s"$outDir/$seg").cache()
+          // The positional read reconciles any existing deletion vector,
+          // so counts/predicates see only LIVE rows, and the matched
+          // positions are exactly what a merge-on-read write records.
+          val df = readSegmentWithPos(spark, outDir, m, seg).cache()
           try {
             // One job for both counts — total and predicate-TRUE rows.
             val Array(total, matches) = df.agg(
@@ -1224,15 +1436,47 @@ object LakeSink {
               deleted += matches
               if (cdc) {
                 df.filter(coalesce(cond, lit(false)))
+                  .drop("__dv_f", "__dv_i")
                   .withColumn("_change_type", lit("delete"))
                   .write.mode("append").parquet(s"$outDir/$cdcSeg")
                 cdcRows = true
               }
               if (matches == total) { dropped += 1; removed += seg }
+              else if (dvMaxFraction > 0.0 &&
+                  matches <= (total * dvMaxFraction).toLong) {
+                // MERGE-ON-READ point delete: write O(deleted rows) — a
+                // deletion-vector file with the matched positions (plus
+                // the segment's previous DV: files are immutable, a new
+                // delete supersedes with the union) — instead of
+                // rewriting the segment. At 100 TB this turns a
+                // GDPR-style 4-row delete from a full-segment rewrite
+                // into a kilobyte write; readers reconcile, OPTIMIZE
+                // applies physically, vacuum GCs superseded files.
+                val newDel = df.filter(coalesce(cond, lit(false)))
+                  .select(org.apache.spark.sql.functions.col("__dv_f")
+                      .as("file_name"),
+                    org.apache.spark.sql.functions.col("__dv_i")
+                      .as("row_index"))
+                val allDel = m.dv.get(seg) match {
+                  case None => newDel
+                  case Some(r) => newDel.unionByName(
+                    spark.read.parquet(s"$outDir/_dv/${r.file}"))
+                }
+                val dvName = s"dv_${nonce}_$i"
+                allDel.coalesce(1).write.mode("overwrite")
+                  .parquet(s"$outDir/_dv/$dvName")
+                dvSets += seg -> DvRef(dvName,
+                  m.dv.get(seg).map(_.rows).getOrElse(0L) + matches)
+                dvWrites += 1
+                // stats stay as recorded: a DV only narrows the true
+                // bounds, so the stale min/max remain sound (advisory
+                // superset) for pruning
+              }
               else {
                 // keep = NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
                 // NULL-predicate rows.
                 val keep = df.filter(!coalesce(cond, lit(false)))
+                  .drop("__dv_f", "__dv_i")
                 val newSeg = f"seg_d${m.version + 1}%010d_${i}_$nonce"
                 keep.write.mode("overwrite").parquet(s"$outDir/$newSeg")
                 rewritten += 1
@@ -1245,11 +1489,13 @@ object LakeSink {
           } finally df.unpersist()
         }
       }
-      if (rewritten == 0 && dropped == 0) return (m.version, 0, 0, 0L)
+      if (rewritten == 0 && dropped == 0 && dvWrites == 0)
+        return (m.version, 0, 0, 0L)
       beforeCommit()
       tryCommitEdit(outDir, m, removed.result(), added.result(),
         addedStats.result(), None,
-        cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil) match {
+        cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
+        dvSets = dvSets.result()) match {
         case Some(v) => return (v, rewritten, dropped, deleted)
         case None => // true conflict — re-plan against the new tip
       }
@@ -1309,7 +1555,10 @@ object LakeSink {
       m.segs.zipWithIndex.foreach { case (seg, i) =>
         val pruned = hints.exists(h => !mayMatchHint(m, seg, h))
         if (!pruned) {
-          val df = reader(spark, m).parquet(s"$outDir/$seg")
+          // DV-reconciling read: predicates and the rewrite see only
+          // live rows; the rewrite drops the segment's dv entry with
+          // the segment (merge-on-read debt is paid here).
+          val df = readSegments(spark, outDir, m, Seq(seg))
           // A misspelled assignment column must error, not silently
           // no-op-rewrite every touched segment.
           val unknown = assignments.keySet -- df.columns
@@ -1386,8 +1635,13 @@ object LakeSink {
       "compact takes clusterBy OR zorderBy, not both")
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
-    if (m.segs.size <= 1) return (m.version, 0)
-    val df = reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
+    if (m.segs.size <= 1 && m.dv.isEmpty) return (m.version, 0)
+    // DV-reconciling read: compaction PHYSICALLY APPLIES deletion
+    // vectors — the rewritten segment holds only live rows and the new
+    // manifest carries no dv entries (they die with the replaced
+    // segments), which is the merge-on-read lifecycle: DML writes
+    // O(deleted rows), OPTIMIZE folds the debt into the layout.
+    val df = readSegments(spark, outDir, m, m.segs)
     val out =
       if (zorderBy.isDefined) {
         // OPTIMIZE ZORDER BY: the compaction rewrite lays the segment
@@ -1663,7 +1917,9 @@ object LakeSink {
           val pruned = srcKeyRange.exists { case (c, lo, hi) =>
             !mayOverlap(m, seg, c, lo, hi) }
           if (!pruned) {
-            val df = reader(spark, m).parquet(s"$outDir/$seg")
+            // DV-reconciling read — a merge must never match or rewrite
+            // a row an earlier point delete already hid
+            val df = readSegments(spark, outDir, m, Seq(seg))
             val matches = df.join(broadcast(src), keys, "left_semi").count()
             if (matches > 0L) {
               updated += matches
@@ -1671,8 +1927,17 @@ object LakeSink {
                 df.join(broadcast(src), keys, "left_semi")
                   .withColumn("_change_type", lit("update_preimage"))
                   .write.mode("append").parquet(s"$outDir/$cdcSeg")
-                src.join(broadcast(df.select(keys.map(col).toSeq: _*)),
-                    keys, "left_semi")
+                // Post-images mirror the REWRITE, one per matched TARGET
+                // row: a target holding k same-key rows rewrites all k to
+                // the source row and must emit k post-images — a semi-join
+                // of src against target keys would emit 1, and a
+                // signed-fold consumer (the Medallion IVM pattern) would
+                // drift by k-1 rows. Inner join target-keys × src (src is
+                // key-unique, checked above) yields exactly one src-valued
+                // row per matched target row.
+                df.select(keys.map(col).toSeq: _*)
+                  .join(broadcast(src), keys, "inner")
+                  .select(targetCols.map(col).toSeq: _*)
                   .withColumn("_change_type", lit("update_postimage"))
                   .write.mode("append").parquet(s"$outDir/$cdcSeg")
                 cdcRows = true
@@ -1700,7 +1965,7 @@ object LakeSink {
           }
         }
         val inserts = src.join(
-          reader(spark, m).parquet(m.segs.map(s => s"$outDir/$s"): _*)
+          readSegments(spark, outDir, m, m.segs)
             .select(keys.map(col).toSeq: _*),
           keys, "left_anti")
         val inserted = inserts.count()
@@ -1767,10 +2032,14 @@ object LakeSink {
                 new java.io.File(s"$outDir/$seg"))
               true
             } else commitEditRecord(outDir, m,
-              Manifest(m.version + 1, batchId, m.segs :+ seg,
-                m.schemaV, m.schemaJson,
-                if (bstats.isEmpty) m.stats else m.stats + (seg -> bstats),
-                m.txns, m.expects),
+              // copy, not positional construction: cumulative state
+              // (dv, schema, txns) rides through; per-version
+              // annotations reset (see addExpectation's note)
+              m.copy(version = m.version + 1, maxB = batchId,
+                segs = m.segs :+ seg,
+                stats =
+                  if (bstats.isEmpty) m.stats else m.stats + (seg -> bstats),
+                cdcSegs = Nil, dataChange = true),
               Set.empty, Seq(seg),
               if (bstats.isEmpty) Map.empty else Map(seg -> bstats))
         }
@@ -1779,7 +2048,9 @@ object LakeSink {
           val bsegs = m.segs.filter(_.startsWith("seg_b"))
           if (bsegs.size > 1) {
             val cseg = s"seg_c$batchId"
-            spark.read.parquet(bsegs.map(s => s"$outDir/$s"): _*)
+            // DV-reconciling read: a b-segment that took a point delete
+            // between ingest and compaction must not resurrect its rows
+            readSegments(spark, outDir, m, bsegs)
               .repartition(targetFiles)
               .write.mode("overwrite").parquet(s"$outDir/$cseg")
             val cstats =
@@ -1787,12 +2058,13 @@ object LakeSink {
               else segmentStats(
                 spark.read.parquet(s"$outDir/$cseg"), statsCols)
             beforeMaintenanceCommit(batchId)
-            if (commitEditRecord(outDir, m, Manifest(m.version + 1, m.maxB,
-                m.segs.filterNot(bsegs.contains) :+ cseg,
-                m.schemaV, m.schemaJson,
-                (if (cstats.isEmpty) m.stats
-                 else m.stats + (cseg -> cstats)) -- bsegs,
-                m.txns, m.expects, dataChange = false),
+            if (commitEditRecord(outDir, m,
+                m.copy(version = m.version + 1,
+                  segs = m.segs.filterNot(bsegs.contains) :+ cseg,
+                  stats = (if (cstats.isEmpty) m.stats
+                    else m.stats + (cseg -> cstats)) -- bsegs,
+                  cdcSegs = Nil, dataChange = false,
+                  dv = m.dv -- bsegs),
                 bsegs.toSet, Seq(cseg),
                 if (cstats.isEmpty) Map.empty else Map(cseg -> cstats))) {
               // now-orphaned inputs: invisible to every reader; removal

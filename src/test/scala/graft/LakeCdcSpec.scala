@@ -342,4 +342,72 @@ class LakeCdcSpec extends AnyFunSuite with SparkFixture {
         .collect().map(_.getLong(0)).sorted.toSeq,
       "materialization diverged after restart across append+DELETE")
   }
+
+  test("MERGE cdc post-images count DUPLICATE-KEY target rows (one " +
+      "post-image per rewritten target row, not per source key)") {
+    val dir = tmp("graft_cdc_dup")
+    import spark.implicits._
+    // one segment holding TWO rows for key 1 — legal for a lake fed by
+    // appends; the merge rewrites both to the source row
+    Seq((1L, 0L), (1L, 0L), (2L, 1L)).toDF("id", "flag").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/seg_b0")
+    require(LakeSink.commitManifest(dir, 1L, 0L, Seq("seg_b0")))
+    val (v, _, nUpd, nIns) = LakeSink.mergeInto(spark, dir,
+      Seq((1L, 9L)).toDF("id", "flag"), Seq("id"), cdc = true)
+    assert(nUpd === 2L && nIns === 0L)
+    val rows = LakeSink.changesCdcBetween(spark, dir, 1L, v)
+      .select("_change_type", "id", "flag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // 2 pre-images AND 2 post-images — a signed-fold consumer
+    // (+post, -pre) must see net zero row-count drift
+    assert(rows === Seq(
+      ("update_postimage", 1L, 9L), ("update_postimage", 1L, 9L),
+      ("update_preimage", 1L, 0L), ("update_preimage", 1L, 0L)))
+    // and the rewrite itself matches: both target rows carry src values
+    assert(LakeSink.readTable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((1L, 9L), (1L, 9L), (2L, 1L)))
+  }
+
+  test("startingVersion=0 replays the FULL feed from the beginning " +
+      "(deletes included), not the snapshot initial load") {
+    val dir = buildLake() // v1: ids 0-4, v2: ids 10-14
+    val (vDel, _, _, nDel) =
+      LakeSink.deleteWhere(spark, dir, col("flag") === 1, cdc = true)
+    assert(nDel === 4L)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q = spark.readStream.format("graft-lake-changefeed")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .load().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        b.select("_change_type", "id").collect()
+          .foreach(r => got.add((r.getString(0), r.getLong(1))))
+        ()
+      }
+      .option("checkpointLocation", tmp("graft_sv0_ck"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val events = got.asScala.toSeq.sorted
+    // full history: 10 inserts (v1+v2) AND the 4 deletes (v3) — the
+    // snapshot load would emit only the 6 live rows as inserts
+    assert(events.count(_._1 == "insert") === 10)
+    assert(events.filter(_._1 == "delete").map(_._2) ===
+      Seq(1L, 3L, 11L, 13L))
+  }
+
+  test("changesCdcBetween returns one stable column order for every " +
+      "window shape (insert-only, cdc, mixed)") {
+    val dir = buildLake()
+    val (vDel, _, _, _) =
+      LakeSink.deleteWhere(spark, dir, col("id") === 3L, cdc = true)
+    val insertOnly = LakeSink.changesCdcBetween(spark, dir, 0L, 2L).columns.toSeq
+    val cdcOnly = LakeSink.changesCdcBetween(spark, dir, 2L, vDel).columns.toSeq
+    val mixed = LakeSink.changesCdcBetween(spark, dir, 0L, vDel).columns.toSeq
+    val want = Seq("id", "flag", "_change_type", "_commit_version")
+    assert(insertOnly === want && cdcOnly === want && mixed === want)
+  }
 }

@@ -52,11 +52,12 @@ object Bench {
     // "success" — count it and surface `errors` in the JSON line so
     // the driver (and any regression diff) sees breakage immediately.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    // Three timed passes. Pass 1 is the round's headline (`queries` /
-    // `value`, comparable with every prior round); the per-query
-    // MEDIAN of the three lands in BENCH_FULL.json as `median_queries`
-    // — host contention adds ±20-30 % to any single pass (BASELINE.md)
-    // and the median is the number round-over-round diffs should read.
+    // Three timed passes; the round's HEADLINE (`value`, `queries`) is
+    // the per-query MEDIAN of the three — any single pass carries
+    // ±20-30 % host contention (BASELINE.md), and r11 shipped a 241 s
+    // contended pass-1 as the number while its own median was 137 s.
+    // Pass 1's total is still reported (`first_pass_sec`) for
+    // continuity with pre-r12 rounds whose `value` was pass 1.
     val passes = (1 to 3).map { pass =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -65,8 +66,8 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
-    val results = passes.head
-    val medians = results.keys.map { n =>
+    val firstPass = passes.head
+    val medians = firstPass.keys.map { n =>
       n -> passes.map(_(n)).sorted.apply(1)
     }.toMap
     // Locale-pinned formatting: the f-interpolator uses the JVM default
@@ -74,57 +75,63 @@ object Bench {
     // JSON for the driver's strict parser.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Compute vs write-IO split: these queries deliberately time table
-    // WRITES (bucketed-table builds, sink round-trips) — their cost is
-    // disk bandwidth, not plan quality. Reporting the two subtotals
-    // separately makes round-over-round COMPUTE movement visible
-    // without manual exclusion. (The incremental-ledger queries are
-    // NOT here: their one-time ledger builds are memoized out of the
-    // timed region; the timed part is the recurring read-side probe.)
+    val medianTotal = medians.values.sum
+    val firstPassTotal = firstPass.values.sum
+    // Three cost classes, so round-over-round COMPUTE movement stays
+    // visible without manual exclusion:
+    //  - write-IO: queries that deliberately time non-protocol table
+    //    WRITES (bucketed builds, sink round-trips) — disk bandwidth;
+    //  - protocol: the lake suite (every sink_lake_*/sql_lake_* query,
+    //    caught BY PREFIX so a new lake query can never silently land
+    //    in compute) — manifest CAS round trips, DML rewrites,
+    //    micro-batch trigger floors; their cost is commit latency and
+    //    changed-row volume, not scan/plan quality;
+    //  - compute: everything else (the plan-quality signal).
     val writeIoQueries = Set("sink_parquet", "sink_partitioned",
-      "sink_compacted", "sink_lake_maintenance", "sink_lake_delete",
-      "sink_lake_update",
-      "sink_clustered",
+      "sink_compacted", "sink_clustered",
       "sink_zorder", "sink_bloom", "csv_roundtrip", "orc_roundtrip",
       "join_bucketed")
+    def isProtocol(n: String): Boolean =
+      n.startsWith("sink_lake_") || n.startsWith("sql_lake_")
     // A renamed/removed sink query must not silently migrate its time
     // into the compute subtotal — surface the misses in the JSON (and
     // on stderr) instead of skewing round-over-round comparisons.
-    val writeIoMissing = (writeIoQueries -- results.keySet).toSeq.sorted
+    val writeIoMissing = (writeIoQueries -- medians.keySet).toSeq.sorted
     if (writeIoMissing.nonEmpty)
       System.err.println(
         s"[bench] write-IO queries missing from the run: ${writeIoMissing.mkString(", ")}")
-    val writeIo = results.filter { case (n, _) => writeIoQueries(n) }.values.sum
-    val compute = total - writeIo
+    val writeIo = medians.filter { case (n, _) => writeIoQueries(n) }.values.sum
+    val protocol = medians.filter { case (n, _) => isProtocol(n) }.values.sum
+    val compute = medianTotal - writeIo - protocol
     // Full per-query timings go to a file: with 100+ queries the map no
     // longer fits the driver's 2000-char output-tail buffer, and a
     // truncated line is unparseable.
-    val full = results.toSeq.sortBy(_._1)
+    val full = firstPass.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullMed = medians.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val medianTotal = medians.values.sum
     val errs = failed.size
     val errNames =
       if (failed.isEmpty) "[]"
       else failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val missingJson =
       writeIoMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val protocolNames = medians.keys.filter(isProtocol).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Failed queries exit in ~0.06s, so any errors>0 run has an
     // artificially low total/median — flag it so round-over-round
     // tooling never compares headline fields from a broken run.
     val invalidFlag = if (errs > 0) """"totals_invalid":true,""" else ""
     val fullPath = new java.io.File("BENCH_FULL.json")
     val w = new java.io.PrintWriter(fullPath, "UTF-8")
-    try w.println(s"""{"metric":"total",$invalidFlag"value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"write_io_queries":${writeIoQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"write_io_missing":$missingJson,"aqe":$aqe,"errors":$errs,"failed":$errNames,"median_total_sec":${fmt(medianTotal)},"median_queries":$fullMed,"queries":$full,"sf":"$sfDir"}""")
+    try w.println(s"""{"metric":"total",$invalidFlag"value":${fmt(medianTotal)},"unit":"sec","value_is":"median_of_3_passes","first_pass_sec":${fmt(firstPassTotal)},"compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"protocol_sec":${fmt(protocol)},"write_io_queries":${writeIoQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"protocol_queries":$protocolNames,"write_io_missing":$missingJson,"aqe":$aqe,"errors":$errs,"failed":$errNames,"median_total_sec":${fmt(medianTotal)},"median_queries":$fullMed,"first_pass_queries":$full,"sf":"$sfDir"}""")
     finally w.close()
     // The printed line keeps the slowest queries, greedily, up to a
     // budget that leaves the whole line intact inside the tail buffer.
     val budget = 1600
-    val slowFirst = results.toSeq.sortBy { case (n, t) => (-t, n) }
+    val slowFirst = medians.toSeq.sortBy { case (n, t) => (-t, n) }
     val picked = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
     slowFirst.foreach { case (k, v) =>
@@ -135,6 +142,6 @@ object Bench {
     // Stop Spark BEFORE printing so no shutdown log line can land after
     // the JSON in the driver's combined-output tail.
     spark.stop()
-    println(s"""{"metric":"total",$invalidFlag"value":${fmt(total)},"unit":"sec","compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"median_total_sec":${fmt(medianTotal)},"aqe":$aqe,"errors":$errs,"queries":$qs,"n_queries":${results.size},"queries_note":"slowest subset; all ${results.size} in BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total",$invalidFlag"value":${fmt(medianTotal)},"unit":"sec","value_is":"median_of_3_passes","first_pass_sec":${fmt(firstPassTotal)},"compute_sec":${fmt(compute)},"write_io_sec":${fmt(writeIo)},"protocol_sec":${fmt(protocol)},"median_total_sec":${fmt(medianTotal)},"aqe":$aqe,"errors":$errs,"queries":$qs,"n_queries":${medians.size},"queries_note":"per-query medians, slowest subset; all ${medians.size} in BENCH_FULL.json","sf":"$sfDir"}""")
   }
 }

@@ -484,6 +484,65 @@ object Extensions {
                 AS sum_cents
             FROM events"""))
 
+  /** MERGE-ON-READ lake DELETE via DELETION VECTORS (r12): the same
+    * delete as [[sinkLakeDelete]] — same oracle-checked final state —
+    * but executed with `dvMaxFraction = 1.0`, so NO segment is
+    * rewritten: fully-click buckets drop by metadata, partial buckets
+    * survive with an O(deleted rows) positional DV file referenced
+    * from the manifest, and the table read reconciles at scan
+    * (broadcast anti-join on file-name + row-index). The query
+    * REQUIREs zero rewrites (the protocol claim) and folds the
+    * DV'd-segment count into the output; the oracle derives both from
+    * the events table alone, so a resurrected row, a mis-scoped DV,
+    * or a silent fallback to copy-on-write all fail the hash. At
+    * 100 TB this is the difference between a GDPR point delete
+    * costing O(deleted rows) and costing a full segment rewrite —
+    * DvProbe measures the gap (LakeDvSpec pins the protocol:
+    * supersession, OPTIMIZE apply, vacuum GC, CDC, conflicts). */
+  private val sinkLakeDeleteDv = QueryDef(
+    "sink_lake_delete_dv",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_dv", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val (_, rw, _, nDel) = LakeSink.deleteWhere(s, dir,
+        col("event_type") === "click", dvMaxFraction = 1.0)
+      require(rw == 0,
+        s"merge-on-read delete rewrote $rw segments (must write DVs)")
+      val mf = LakeSink.readManifest(dir)
+      LakeSink.readTable(s, dir)
+        .agg(
+          lit(mf.segs.size.toLong).as("n_segments"),
+          lit(mf.dv.size.toLong).as("n_dv_segments"),
+          lit(nDel).as("n_deleted"),
+          count(lit(1)).as("n_rows"),
+          sum("vc").as("sum_cents"))
+    },
+    // n_segments: a segment survives iff it holds ≥1 non-click row —
+    // IDENTICAL to the copy-on-write oracle (that is the point: the
+    // result is indistinguishable). n_dv_segments: buckets holding
+    // BOTH click and non-click rows (dropped buckets carry no DV).
+    Some("""SELECT
+              CAST(count(DISTINCT CASE WHEN event_type <> 'click'
+                THEN event_id % 4 END) AS BIGINT) AS n_segments,
+              (SELECT CAST(count(*) AS BIGINT) FROM (
+                 SELECT event_id % 4 AS b FROM events GROUP BY 1
+                 HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+                    AND count(CASE WHEN event_type <> 'click' THEN 1 END) > 0))
+                AS n_dv_segments,
+              CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS n_deleted,
+              CAST(count(CASE WHEN event_type <> 'click' THEN 1 END)
+                AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN event_type <> 'click'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+                AS sum_cents
+            FROM events"""))
+
   /** Row-level lake UPDATE (r9): [[sinkLakeDelete]]'s companion —
     * same copy-on-write manifest protocol via
     * [[graft.streaming.LakeSink.updateWhere]] (segments without
@@ -966,6 +1025,72 @@ object Extensions {
                   FROM $tbl GROUP BY event_type) cur
             LEFT JOIN (SELECT event_type, count(*) AS n
                        FROM $tbl VERSION AS OF $preV
+                       GROUP BY event_type) old
+              ON cur.event_type = old.event_type
+            ORDER BY cur.event_type""")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events),
+                 cur AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(vc) AS BIGINT) AS sum_cents
+                         FROM (SELECT event_id, event_type, vc FROM ev
+                               UNION ALL
+                               SELECT event_id + 20000000, 'inserted', vc
+                               FROM ev WHERE event_type = 'purchase')
+                         GROUP BY event_type),
+                 old AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                         FROM ev GROUP BY event_type)
+            SELECT cur.event_type, cur.n, cur.sum_cents, old.n AS n_asof
+            FROM cur LEFT JOIN old ON cur.event_type = old.event_type
+            ORDER BY cur.event_type"""))
+
+  /** TIMESTAMP AS OF (r12): [[sqlLakeRead]]'s twin with the as-of read
+    * addressed by COMMIT TIME instead of version number — the
+    * resolution walks the manifest log's commit timestamps (the
+    * CAS-published file's mtime, immutable by construction — Delta
+    * resolves TIMESTAMP AS OF from its commit files the same way) to
+    * the latest version at or before the instant. The query asks for
+    * the PRE-INSERT commit's exact instant, which must resolve to the
+    * pre-insert version — so the oracle is the version-addressed
+    * twin's, verbatim: both addressings must read identical history.
+    * Boundary semantics (between-commits rounding, vacuum-horizon
+    * refusal, timestamp-bounded table_changes) are LakeTimeTravelSpec's
+    * job; this query pins the end-to-end SQL path under the driver's
+    * gate with wall-clock-independent determinism (the probe instant
+    * is derived from the commit itself, never from "now"). */
+  private val sqlLakeReadTs = QueryDef(
+    "sql_lake_read_ts",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_read_ts", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val tbl = "graft_sql_lake_read_ts_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      val preV = LakeSink.readManifest(dir).version
+      s.sql(
+        s"""INSERT INTO $tbl
+            SELECT event_id + 20000000, 'inserted', vc
+            FROM $tbl WHERE event_type = 'purchase'""").collect()
+      val us = LakeSink.commitTimestampMicros(dir, preV)
+      val asOf = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(us / 1000000L,
+          (us % 1000000L) * 1000L),
+        java.time.ZoneOffset.UTC).format(
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      s.sql(
+        s"""SELECT cur.event_type, cur.n, cur.sum_cents, old.n AS n_asof
+            FROM (SELECT event_type, count(*) AS n,
+                    sum(vc) AS sum_cents
+                  FROM $tbl GROUP BY event_type) cur
+            LEFT JOIN (SELECT event_type, count(*) AS n
+                       FROM $tbl TIMESTAMP AS OF '$asOf'
                        GROUP BY event_type) old
               ON cur.event_type = old.event_type
             ORDER BY cur.event_type""")
@@ -1537,11 +1662,13 @@ object Extensions {
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
-    sinkLakeMaintenance, sinkLakeDelete, sinkLakeUpdate, sinkLakeMerge,
+    sinkLakeMaintenance, sinkLakeDelete, sinkLakeDeleteDv, sinkLakeUpdate,
+    sinkLakeMerge,
     sqlLakeDml, sinkLakeEvolution, sinkLakeCompactClustered, sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
     sinkLakeStatsPruneStr,
-    sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead, sinkLakeExpectations,
+    sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead, sqlLakeReadTs,
+    sinkLakeExpectations,
     sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf, sqlLakeCdf,
     sqlLakeHistory)
 }

@@ -30,6 +30,35 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * predicates are out of scope and rejected by the re-parse.
   */
 object LakeDml {
+
+  /** Evaluate a foldable expression to epoch-microseconds: timestamps
+    * directly, strings/dates through a session-timezone cast — the
+    * coercion `TIMESTAMP AS OF '2026-01-01'` and timestamp-bounded
+    * `table_changes` share. None if the expression is not
+    * timestamp-like (callers then treat it as a version number). */
+  private def tsMicrosOf(e: Expression): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+    if (!e.foldable) return None
+    e.dataType match {
+      case TimestampType => Option(e.eval()).map(_.asInstanceOf[Long])
+      case StringType | DateType =>
+        val zone = SparkSession.active.sessionState.conf.sessionLocalTimeZone
+        Option(Cast(e, TimestampType, Option(zone)).eval())
+          .map(_.asInstanceOf[Long])
+      case _ => None
+    }
+  }
+
+  /** [[tsMicrosOf]] with an analysis error for non-timestamp input —
+    * the `TIMESTAMP AS OF` coercion. */
+  private[plans] def tsMicrosOfOrFail(spark: SparkSession,
+      e: Expression): Long =
+    tsMicrosOf(e).getOrElse(throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" ->
+        s"TIMESTAMP AS OF requires a timestamp/string/date literal, got $e")))
+
   /** `table_changes('t', fromV, toV)` — the Delta CDF table-valued
     * function, registered via `injectTableFunction` (the analyzer's
     * ResolveFunctions resolves TVFs EAGERLY, before any extension
@@ -49,18 +78,35 @@ object LakeDml {
       .getOrElse(bad("table name must be a non-null string"))
     val dir = LakeCatalog.lookup(Seq(name))
       .getOrElse(bad(s"'$name' is not a registered lake table"))
-    def longArg(i: Int): Long = args(i).eval() match {
-      case n: java.lang.Number => n.longValue()
-      case other => bad(s"version argument must be numeric, got $other")
-    }
+    // Version bounds accept NUMBERS (manifest versions, as before) or
+    // TIMESTAMPS (timestamp/string/date literals — Delta's
+    // table_changes accepts either): a timestamp FROM-bound resolves
+    // to "every change committed at or after the instant" (earliest
+    // version with commit time ≥ ts, made exclusive-from), a TO-bound
+    // to "as of the instant" (latest version with commit time ≤ ts).
+    def boundArg(i: Int, isFrom: Boolean): Long =
+      args(i).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          args(i).eval() match {
+            case n: java.lang.Number => n.longValue()
+            case other => bad(s"version argument must be numeric, got $other")
+          }
+        case _ => tsMicrosOf(args(i)) match {
+          case Some(us) =>
+            if (isFrom) LakeSink.firstVersionAtOrAfter(dir, us) - 1
+            else LakeSink.versionAtOrBefore(dir, us)
+          case None => bad("version bound must be a number or a " +
+            s"timestamp, got ${args(i)}")
+        }
+      }
     // 2-arg form: toVersion defaults to the CURRENT committed tip
     // (Delta's table_changes(t, from) semantics) — resolved at
     // analysis time, so the plan reads a pinned version set
     val toV =
-      if (args.length == 3) longArg(2)
+      if (args.length == 3) boundArg(2, isFrom = false)
       else LakeSink.readManifest(dir).version
     LakeSink.changesCdcBetween(SparkSession.active, dir,
-      longArg(1), toV).queryExecution.analyzed
+      boundArg(1, isFrom = true), toV).queryExecution.analyzed
   }
 
   /** `table_history('t')` — DESCRIBE HISTORY as a TVF (the audit-log
@@ -184,19 +230,25 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val dir = LakeCatalog.lookup(u.multipartIdentifier).get
       LakeSink.readTable(spark, dir).queryExecution.analyzed
 
-    // SELECT ... FROM <lake> VERSION AS OF <v>: time travel reads the
-    // exact segment set (and schema) that version committed.
+    // SELECT ... FROM <lake> VERSION AS OF <v> / TIMESTAMP AS OF <ts>:
+    // time travel reads the exact segment set (and schema) that
+    // version committed; a timestamp resolves through the manifest
+    // log's commit times (latest version at or before the instant —
+    // LakeSink.versionAtOrBefore, the Delta rule).
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)
         if LakeCatalog.lookup(u.multipartIdentifier).isDefined =>
       val dir = LakeCatalog.lookup(u.multipartIdentifier).get
-      if (ts.isDefined || version.isEmpty)
-        throw new AnalysisException(
+      val v = (version, ts) match {
+        case (Some(n), None) => n.toLong
+        case (None, Some(e)) => LakeDml.tsMicrosOfOrFail(spark, e) match {
+          case us => LakeSink.versionAtOrBefore(dir, us)
+        }
+        case _ => throw new AnalysisException(
           errorClass = "_LEGACY_ERROR_TEMP_3100",
           messageParameters = Map("message" ->
-            ("lake time travel is by manifest version (VERSION AS OF <n>); " +
-              "TIMESTAMP AS OF is not supported")))
-      LakeSink.readTableAsOf(spark, dir, version.get.toLong)
-        .queryExecution.analyzed
+            "lake time travel takes VERSION AS OF <n> or TIMESTAMP AS OF <ts>"))
+      }
+      LakeSink.readTableAsOf(spark, dir, v).queryExecution.analyzed
   }
 }
 

@@ -110,12 +110,25 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql("SELECT count(*) FROM sqtt_t").head.getLong(0) === 3L)
     assert(spark.sql(
       "SELECT count(*) FROM sqtt_t VERSION AS OF 2").head.getLong(0) === 4L)
-    // TIMESTAMP AS OF is rejected with the version-based contract
+    // TIMESTAMP AS OF (r12) resolves through the manifest log's commit
+    // times: the pre-delete commit's exact instant reads the pre-delete
+    // rows, and an instant before all retained history refuses loudly
+    // (boundary semantics pinned in LakeTimeTravelSpec)
+    val t2 = LakeSink.commitTimestampMicros(dir, 2L)
+    val asOf = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(t2 / 1000000L,
+        (t2 % 1000000L) * 1000L),
+      java.time.ZoneOffset.UTC).format(
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM sqtt_t TIMESTAMP AS OF '$asOf'")
+      .head.getLong(0) === 4L)
     val e = intercept[Exception] {
       spark.sql(
-        "SELECT * FROM sqtt_t TIMESTAMP AS OF '2026-01-01'").collect()
+        "SELECT * FROM sqtt_t TIMESTAMP AS OF '2001-01-01'").collect()
     }
-    assert(e.getMessage.contains("VERSION AS OF"))
+    assert(e.getMessage.contains("precedes the earliest retained"))
     assert(LakeSink.readManifest(dir).version === 3L)
   }
 

@@ -738,6 +738,60 @@ object Extensions {
             FROM events
             GROUP BY 1 ORDER BY event_type"""))
 
+  /** COLUMN MAPPING (r12): RENAME + DROP + re-ADD of the same name,
+    * driven end-to-end through SQL DDL text, with DML in between —
+    * the schema-evolution surface beyond additive. The rename is
+    * REQUIREd metadata-only (identical segment list); the re-added
+    * `event_type` must be all-NULL (a fresh physical id — the dropped
+    * bytes still sit in the old segment files, and resurrecting them
+    * through a reused name is the classic column-mapping bug this
+    * query exists to catch); the pre-rename version is read back by
+    * time travel to prove name-travel. Every output cell derives from
+    * the events table alone, so the DuckDB oracle is exact. */
+  private val sinkLakeColmap = QueryDef(
+    "sink_lake_colmap",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_lake_cm", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val tbl = "graft_lake_cm_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      val vIngest = LakeSink.readManifest(dir).version
+      val segsBefore = LakeSink.readManifest(dir).segs
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN vc TO cents").collect()
+      require(LakeSink.readManifest(dir).segs == segsBefore,
+        "RENAME COLUMN must be metadata-only (zero segments touched)")
+      // DML under the NEW name: predicates, rewrites, and the manifest
+      // protocol all run with the mapping active
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'click'").collect()
+      s.sql(s"ALTER TABLE $tbl DROP COLUMN event_type").collect()
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN event_type STRING").collect()
+      val pre = LakeSink.readTableAsOf(s, dir, vIngest)
+        .agg(count(lit(1)).as("pre_rows"), sum("vc").as("pre_sum"))
+        .head()
+      LakeSink.readTable(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum("cents").as("sum_cents"),
+        count(col("event_type")).as("n_resurrected"),
+        lit(pre.getLong(0)).as("pre_rows"),
+        lit(pre.getLong(1)).as("pre_sum_cents"))
+    },
+    Some("""SELECT
+              CAST(count(CASE WHEN event_type <> 'click' THEN 1 END)
+                AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN event_type <> 'click'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+                AS sum_cents,
+              CAST(0 AS BIGINT) AS n_resurrected,
+              CAST(count(*) AS BIGINT) AS pre_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS pre_sum_cents
+            FROM events"""))
+
   /** SQL DML TEXT surface (r10): the same three protocol verbs, but
     * submitted as `spark.sql` TEXT — `DELETE FROM` / `UPDATE` /
     * `MERGE INTO` against a [[graft.streaming.LakeCatalog]]-registered
@@ -1664,7 +1718,8 @@ object Extensions {
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeDeleteDv, sinkLakeUpdate,
     sinkLakeMerge,
-    sqlLakeDml, sinkLakeEvolution, sinkLakeCompactClustered, sinkClustered,
+    sqlLakeDml, sinkLakeEvolution, sinkLakeColmap, sinkLakeCompactClustered,
+    sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
     sinkLakeStatsPruneStr,
     sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead, sqlLakeReadTs,

@@ -38,6 +38,16 @@ object LakeMaintenanceSql {
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(\s*([\w]+)\s*,\s*([\w]+)\s*\)\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  // Schema-evolution DDL (r12): valid Spark grammar too, but claimed
+  // ONLY for LakeCatalog-registered names (which are deliberately not
+  // catalog tables — the delegate would fail them with TABLE_NOT_FOUND
+  // anyway), so catalog-table ALTERs are untouched.
+  private val AlterRenameCol =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+  private val AlterDropCol =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
+  private val AlterAddCol =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w<>(),. ]+?)\s*;?\s*$""".r
 
   private def dirOf(ident: String): Option[String] =
     LakeCatalog.lookup(ident.split('.').toSeq)
@@ -54,7 +64,34 @@ object LakeMaintenanceSql {
       LakeOptimizeCommand(d, Nil, Some((x, y))))
     case History(t) => dirOf(t).map(d =>
       LakeSink.history(SparkSession.active, d).queryExecution.analyzed)
+    case AlterRenameCol(t, a, b) => dirOf(t).map(d =>
+      LakeAlterColumnCommand(d, "rename", a, Some(b), None))
+    case AlterDropCol(t, a) => dirOf(t).map(d =>
+      LakeAlterColumnCommand(d, "drop", a, None, None))
+    case AlterAddCol(t, a, tpe) => dirOf(t).map(d =>
+      LakeAlterColumnCommand(d, "add", a, None, Some(tpe)))
     case _ => None
+  }
+}
+
+/** ALTER TABLE … RENAME/DROP/ADD COLUMN over a lake table — rename and
+  * drop are metadata-only via the manifest's COLUMN MAPPING
+  * ([[LakeSink.evolveRenameColumn]]/[[LakeSink.evolveDropColumn]]);
+  * add is the additive evolution that predates them. Returns the new
+  * schema generation. */
+case class LakeAlterColumnCommand(dir: String, op: String, col: String,
+    to: Option[String], dataType: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("schema_v", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val sv = op match {
+      case "rename" => LakeSink.evolveRenameColumn(session, dir, col, to.get)
+      case "drop" => LakeSink.evolveDropColumn(session, dir, col)
+      case "add" => LakeSink.evolveAddColumn(session, dir, col,
+        org.apache.spark.sql.types.DataType.fromDDL(dataType.get))
+    }
+    Seq(Row(sv))
   }
 }
 

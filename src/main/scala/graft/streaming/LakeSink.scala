@@ -108,10 +108,30 @@ object LakeSink {
       // Cumulative per-segment deletion vectors (merge-on-read state,
       // keyed by live segment): every reader reconciles them at scan,
       // compaction applies them physically, vacuum GCs their files.
-      dv: Map[String, DvRef] = Map.empty) {
-    /** Columns any live segment tracks stats for. */
+      dv: Map[String, DvRef] = Map.empty,
+      // COLUMN MAPPING (r12, Delta columnMapping / Iceberg field-id
+      // analog): logical column name → PHYSICAL name as written in
+      // parquet files. Empty = identity (pre-mapping lakes, physical
+      // == logical, zero overhead). Activated by the first RENAME/DROP
+      // COLUMN, after which it is TOTAL over the logical schema:
+      // renames change only the logical key (metadata-only — old
+      // segments keep reading through the stable physical id), drops
+      // remove the entry (the physical column lingers in old files,
+      // unselected), and later ADD COLUMNs mint fresh physical names
+      // so a re-added name can never resurrect lingering data.
+      colmap: Map[String, String] = Map.empty) {
+    /** Columns any live segment tracks stats for (PHYSICAL names —
+      * stats follow the bytes, surviving renames). */
     def trackedCols: Seq[String] =
       stats.values.flatMap(_.keys).toSeq.distinct.sorted
+    /** Physical name of a logical column. */
+    def physicalOf(logical: String): String =
+      colmap.getOrElse(logical, logical)
+    /** Logical name currently mapped to a physical column, if any
+      * (None = dropped or never existed). */
+    def logicalOf(physical: String): Option[String] =
+      if (colmap.isEmpty) Some(physical)
+      else colmap.collectFirst { case (l, p) if p == physical => l }
   }
 
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
@@ -173,7 +193,8 @@ object LakeSink {
     val (strStatLines, rest0) = rest00.partition(_.startsWith("strstats="))
     val (txnLines, rest1) = rest0.partition(_.startsWith("txn="))
     val (dvLines, rest2) = rest1.partition(_.startsWith("dvec="))
-    val (cdcLines, rest) = rest2.partition(_.startsWith("cdc="))
+    val (cmLines, rest3) = rest2.partition(_.startsWith("colmap="))
+    val (cdcLines, rest) = rest3.partition(_.startsWith("cdc="))
     val (expectLines, scalarHeaders) = rest.partition(_.startsWith("expect="))
     val h = scalarHeaders.map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
@@ -206,7 +227,16 @@ object LakeSink {
       h.get("schema"), stats, txns, expects,
       cdcLines.map(_.stripPrefix("cdc=")),
       !h.get("datachange").contains("0"),
-      dvLines.map(l => parseDvPayload(outDir, v, l.stripPrefix("dvec="))).toMap)
+      dvLines.map(l => parseDvPayload(outDir, v, l.stripPrefix("dvec="))).toMap,
+      cmLines.map(l => parseColmapPayload(outDir, v,
+        l.stripPrefix("colmap="))).toMap)
+  }
+
+  /** Decode one column-mapping payload (`logical|physical`). */
+  private def parseColmapPayload(outDir: String, v: Long,
+      l: String): (String, String) = l.split('|') match {
+    case Array(lg, ph) => lg -> ph
+    case _ => sys.error(s"manifest v$v at $outDir: bad colmap line $l")
   }
 
   /** Decode one deletion-vector payload (`seg|file|rows`). */
@@ -249,7 +279,7 @@ object LakeSink {
       schemaV: Long, schemaJson: Option[String],
       txns: Map[String, Long], expects: Map[String, String],
       cdcSegs: Seq[String], dataChange: Boolean,
-      dvSets: Map[String, DvRef])
+      dvSets: Map[String, DvRef], colmap: Map[String, String])
 
   private def parseDelta(outDir: String, v: Long,
       lines: Seq[String]): DeltaRec = {
@@ -261,6 +291,7 @@ object LakeSink {
     val expects = Map.newBuilder[String, String]
     val cdcSegs = Seq.newBuilder[String]
     val dvSets = Map.newBuilder[String, DvRef]
+    val colmap = Map.newBuilder[String, String]
     lines.foreach { l =>
       val i = l.indexOf('=')
       require(i > 0, s"manifest delta v$v at $outDir: bad line $l")
@@ -271,6 +302,7 @@ object LakeSink {
         case "remove" => removes += value
         case "cdc" => cdcSegs += value
         case "dvec" => dvSets += parseDvPayload(outDir, v, value)
+        case "colmap" => colmap += parseColmapPayload(outDir, v, value)
         case "stats" =>
           statLines += parseStatPayload(outDir, v, value, isStr = false)
         case "strstats" =>
@@ -295,7 +327,8 @@ object LakeSink {
       adds.result(), removes.result(), addStats,
       h.get("schemav").map(_.toLong).getOrElse(0L), h.get("schema"),
       txns.result(), expects.result(), cdcSegs.result(),
-      !h.get("datachange").contains("0"), dvSets.result())
+      !h.get("datachange").contains("0"), dvSets.result(),
+      colmap.result())
   }
 
   /** Auxiliary CHECKPOINT file for version `v` (Delta's
@@ -332,7 +365,7 @@ object LakeSink {
       if (d.schemaV != acc.schemaV) d.schemaJson else acc.schemaJson,
       (acc.stats -- d.removes) ++ d.addStats,
       d.txns, d.expects, d.cdcSegs, d.dataChange,
-      (acc.dv -- d.removes) ++ d.dvSets)
+      (acc.dv -- d.removes) ++ d.dvSets, d.colmap)
 
   /** Reconstruct the committed state at version `v`: walk back to the
     * nearest snapshot (≤ [[snapshotInterval]] small files, or the
@@ -397,7 +430,7 @@ object LakeSink {
     if (m.version % snapshotInterval == 0)
       return commitManifest(outDir, m.version, m.maxB, m.segs, m.schemaV,
         m.schemaJson, m.stats, m.txns, m.expects, m.cdcSegs, m.dataChange,
-        m.dv)
+        m.dv, m.colmap)
     val lines = Seq("delta=1", s"maxb=${m.maxB}") ++
       (if (m.schemaV > 0L) Seq(s"schemav=${m.schemaV}") else Nil) ++
       (if (m.schemaV != parent.schemaV) m.schemaJson.map(j => s"schema=$j")
@@ -405,6 +438,7 @@ object LakeSink {
       (if (m.dataChange) Nil else Seq("datachange=0")) ++
       m.txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" } ++
       m.expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" } ++
+      m.colmap.toSeq.sorted.map { case (lg, ph) => s"colmap=$lg|$ph" } ++
       m.cdcSegs.map(s => s"cdc=$s") ++
       dvSets.toSeq.sortBy(_._1).map { case (seg, r) =>
         s"dvec=$seg|${r.file}|${r.rows}" } ++
@@ -446,12 +480,13 @@ object LakeSink {
       txns: Map[String, Long] = Map.empty,
       expects: Map[String, String] = Map.empty,
       cdcSegs: Seq[String] = Nil, dataChange: Boolean = true,
-      dv: Map[String, DvRef] = Map.empty): Boolean = {
+      dv: Map[String, DvRef] = Map.empty,
+      colmap: Map[String, String] = Map.empty): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
     Files.write(tmp, snapshotLines(maxB, segs, schemaV, schemaJson,
-      stats, txns, expects, cdcSegs, dataChange, dv).mkString("\n")
+      stats, txns, expects, cdcSegs, dataChange, dv, colmap).mkString("\n")
       .getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
@@ -488,7 +523,8 @@ object LakeSink {
       txns: Map[String, Long], expects: Map[String, String],
       cdcSegs: Seq[String] = Nil,
       dataChange: Boolean = true,
-      dv: Map[String, DvRef] = Map.empty): Seq[String] = {
+      dv: Map[String, DvRef] = Map.empty,
+      colmap: Map[String, String] = Map.empty): Seq[String] = {
     val live = segs.toSet
     val statLines = stats.toSeq
       .filter { case (seg, _) => live(seg) }
@@ -500,13 +536,15 @@ object LakeSink {
       expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" }
     val dvLines = dv.toSeq.filter { case (seg, _) => live(seg) }
       .sortBy(_._1).map { case (seg, r) => s"dvec=$seg|${r.file}|${r.rows}" }
+    val cmLines =
+      colmap.toSeq.sorted.map { case (lg, ph) => s"colmap=$lg|$ph" }
     val cdcLines = cdcSegs.map(s => s"cdc=$s") ++
       (if (dataChange) Nil else Seq("datachange=0"))
     (s"maxb=$maxB" +:
       ((if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
         schemaJson.map(j => s"schema=$j")
-       else Nil) ++ statLines ++ txnLines ++ expectLines ++ dvLines ++
-        cdcLines)) ++ segs
+       else Nil) ++ statLines ++ txnLines ++ expectLines ++ cmLines ++
+        dvLines ++ cdcLines)) ++ segs
   }
 
   /** Attempts a DML re-plan loop makes before giving up — each retry
@@ -550,7 +588,7 @@ object LakeSink {
       if (commitEditRecord(outDir, tip,
           Manifest(tip.version + 1, tip.maxB, segs, tip.schemaV,
             tip.schemaJson, stats, txns, tip.expects, cdcSegs,
-            dataChange = true, dv = dv),
+            dataChange = true, dv = dv, colmap = tip.colmap),
           removed, added, addedStats, dvSets))
         return Some(tip.version + 1)
       val now = readManifest(outDir)
@@ -597,14 +635,54 @@ object LakeSink {
       s"lake at $outDir has no committed segments and no recorded " +
         "schema — createTable first or commit data")
 
+  /** PHYSICAL file schema under the column mapping: the logical
+    * schema with each field renamed to its stable physical name.
+    * Identity when the mapping is inactive. */
+  private def physicalSchema(
+      logical: org.apache.spark.sql.types.StructType,
+      m: Manifest): org.apache.spark.sql.types.StructType =
+    if (m.colmap.isEmpty) logical
+    else org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => f.copy(name = m.physicalOf(f.name))))
+
+  /** Rename a PHYSICAL-columned frame back to logical names (the read
+    * seam); `extraCols` pass through unmapped (feed/positional
+    * columns). Dropped physical columns are simply not selected —
+    * that is how DROP COLUMN is metadata-only. */
+  private def dephysicalize(df: DataFrame, m: Manifest,
+      logical: org.apache.spark.sql.types.StructType,
+      extraCols: Seq[String] = Nil): DataFrame =
+    if (m.colmap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(logical.fields.toSeq.map(f =>
+        col(m.physicalOf(f.name)).as(f.name)) ++
+        extraCols.map(col): _*)
+    }
+
+  /** Rename a LOGICAL-columned frame to physical names (the write
+    * seam — every segment/cdc file on disk carries physical names);
+    * non-mapped columns (feed columns) pass through. */
+  private def physicalize(df: DataFrame, m: Manifest): DataFrame =
+    if (m.colmap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.map(c =>
+        if (m.colmap.contains(c)) col(c).as(m.colmap(c)) else col(c))
+        .toSeq: _*)
+    }
+
   /** Reader honoring the manifest's schema, when one is recorded: the
     * unified schema is APPLIED to the scan, so pre-evolution segments
     * surface the added columns as NULL without any footer merging —
-    * the parquet reader fills absent columns per file. */
+    * the parquet reader fills absent columns per file. Under an
+    * active column mapping the applied schema is the PHYSICAL one
+    * (files carry physical names); [[readSegments]] renames back. */
   private def reader(spark: SparkSession, m: Manifest) =
     m.schemaJson.map { j =>
-      spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      spark.read.schema(physicalSchema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType], m))
     }.getOrElse(spark.read)
 
   /** The table's current schema: the manifest's, or (pre-evolution
@@ -651,7 +729,15 @@ object LakeSink {
             df("__dv_i") === dv("row_index"), "left_anti")
         .drop("__dv_f", "__dv_i")
     }
-    parts.result().reduce(_.unionByName(_))
+    // Under an active column mapping the scan produced PHYSICAL names
+    // (the applied schema selects stable ids out of the files) — every
+    // consumer speaks logical; rename back at the one shared seam.
+    // (colmap non-empty ⇒ schemaJson recorded, so the schema fetch
+    // never touches a parquet footer; the common identity case skips
+    // it entirely.)
+    val joined = parts.result().reduce(_.unionByName(_))
+    if (m.colmap.isEmpty) joined
+    else dephysicalize(joined, m, tableSchema(spark, outDir, m))
   }
 
   /** Read one segment's LIVE rows with their (file_name, row_index)
@@ -665,7 +751,7 @@ object LakeSink {
     val raw = reader(spark, m).parquet(s"$outDir/$seg")
       .withColumn("__dv_f", col("_metadata.file_name"))
       .withColumn("__dv_i", col("_metadata.row_index"))
-    m.dv.get(seg) match {
+    val live = m.dv.get(seg) match {
       case None => raw
       case Some(r) =>
         val dv = spark.read.parquet(s"$outDir/_dv/${r.file}")
@@ -673,6 +759,10 @@ object LakeSink {
           raw("__dv_f") === dv("file_name") &&
             raw("__dv_i") === dv("row_index"), "left_anti")
     }
+    // logical names for the DML verbs' predicates; positions ride along
+    if (m.colmap.isEmpty) live
+    else dephysicalize(live, m, tableSchema(spark, outDir, m),
+      Seq("__dv_f", "__dv_i"))
   }
 
   /** Read the lake AS OF its current committed manifest — exactly the
@@ -746,6 +836,17 @@ object LakeSink {
         case None => true
       }
   }
+
+  /** Re-key a LOGICAL-columned hint to the PHYSICAL name manifest
+    * stats are recorded under (stats follow the bytes across renames);
+    * identity when the mapping is inactive. */
+  private def hintPhysical(h: PruneHint, m: Manifest): PruneHint =
+    if (m.colmap.isEmpty) h
+    else h match {
+      case NumRange(c, lo, hi) => NumRange(m.physicalOf(c), lo, hi)
+      case StrRange(c, lo, hi) => StrRange(m.physicalOf(c), lo, hi)
+      case MustBeNull(c) => MustBeNull(m.physicalOf(c))
+    }
 
   /** A constraint every predicate-TRUE row provably satisfies, usable
     * for manifest-stats pruning. */
@@ -926,7 +1027,9 @@ object LakeSink {
     require(lo <= hi, s"empty probe range [$lo, $hi]")
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
-    val scanned = m.segs.filter(mayOverlap(m, _, column, lo, hi))
+    // `column` is logical; stats key the physical name
+    val scanned = m.segs.filter(
+      mayOverlap(m, _, m.physicalOf(column), lo, hi))
     (readSegments(spark, outDir, m, scanned)
       .filter(col(column) >= lo && col(column) <= hi),
       scanned, m.segs.size)
@@ -944,7 +1047,7 @@ object LakeSink {
     import org.apache.spark.sql.functions.col
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
-    val hint = StrRange(column, value, value)
+    val hint = StrRange(m.physicalOf(column), value, value)
     val scanned = m.segs.filter(mayMatchHint(m, _, hint))
     (readSegments(spark, outDir, m, scanned)
       .filter(col(column) === value), scanned, m.segs.size)
@@ -1220,8 +1323,15 @@ object LakeSink {
       // before a trailing ADD COLUMN has no rows for the new column:
       // surface it as typed NULL, as the table reader would.
       val have = unioned.columns.toSet
+      // Under an active column mapping every part carries PHYSICAL
+      // names (cdc files and segments alike — physical ids are STABLE
+      // across renames, so a pre-rename cdc file and a post-rename one
+      // hold the SAME physical column); select them back to the feed
+      // window's end-of-window LOGICAL names, exactly the table
+      // reader's rule.
       val ordered = tableSchema(spark, outDir, prev).fields.toSeq.map { f =>
-        if (have(f.name)) col(f.name)
+        val ph = prev.physicalOf(f.name)
+        if (have(ph)) col(ph).as(f.name)
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
       } ++ Seq(col("_change_type"), col("_commit_version"))
       unioned.select(ordered: _*)
@@ -1256,7 +1366,7 @@ object LakeSink {
       val b = manifestAt(outDir, oldestRetained)
       Files.write(snapPath(outDir, oldestRetained),
         snapshotLines(b.maxB, b.segs, b.schemaV, b.schemaJson, b.stats,
-          b.txns, b.expects, b.cdcSegs, b.dataChange, b.dv)
+          b.txns, b.expects, b.cdcSegs, b.dataChange, b.dv, b.colmap)
           .mkString("\n").getBytes("UTF-8"))
     }
     // Live segments = union over the retained versions, reconstructed
@@ -1386,14 +1496,19 @@ object LakeSink {
       // No explicit hint? Derive ALL safe hints from the predicate's
       // own conjuncts over the tracked columns (numeric + string +
       // IS NULL) — SQL DML gets file skipping for free.
+      // Inference runs in LOGICAL space (the predicate and the table
+      // schema speak logical); the resulting hints re-key to the
+      // PHYSICAL names manifest stats live under.
+      val trackedLogical =
+        if (m.colmap.isEmpty) tracked else tracked.flatMap(m.logicalOf(_))
       val hints: Seq[PruneHint] =
-        pruneHint.map { case (c, lo, hi) => NumRange(c, lo, hi) } match {
+        (pruneHint.map { case (c, lo, hi) => NumRange(c, lo, hi) } match {
           case Some(h) => Seq(h)
           case None =>
-            if (tracked.isEmpty) Nil
+            if (trackedLogical.isEmpty) Nil
             else inferPruneHints(spark, tableSchema(spark, outDir, m),
-              cond, tracked)
-        }
+              cond, trackedLogical)
+        }).map(hintPhysical(_, m))
       // Written-segment names carry a per-attempt NONCE: two racing
       // writers both staging rewrites for version v+1 must never share
       // a dir — the CAS loser's in-flight write would silently replace
@@ -1435,9 +1550,9 @@ object LakeSink {
             if (matches > 0L) {
               deleted += matches
               if (cdc) {
-                df.filter(coalesce(cond, lit(false)))
+                physicalize(df.filter(coalesce(cond, lit(false)))
                   .drop("__dv_f", "__dv_i")
-                  .withColumn("_change_type", lit("delete"))
+                  .withColumn("_change_type", lit("delete")), m)
                   .write.mode("append").parquet(s"$outDir/$cdcSeg")
                 cdcRows = true
               }
@@ -1475,8 +1590,8 @@ object LakeSink {
               else {
                 // keep = NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
                 // NULL-predicate rows.
-                val keep = df.filter(!coalesce(cond, lit(false)))
-                  .drop("__dv_f", "__dv_i")
+                val keep = physicalize(df.filter(!coalesce(cond, lit(false)))
+                  .drop("__dv_f", "__dv_i"), m)
                 val newSeg = f"seg_d${m.version + 1}%010d_${i}_$nonce"
                 keep.write.mode("overwrite").parquet(s"$outDir/$newSeg")
                 rewritten += 1
@@ -1532,14 +1647,19 @@ object LakeSink {
       // No explicit hint? Derive ALL safe hints from the predicate's
       // own conjuncts over the tracked columns (numeric + string +
       // IS NULL) — SQL DML gets file skipping for free.
+      // Inference runs in LOGICAL space (the predicate and the table
+      // schema speak logical); the resulting hints re-key to the
+      // PHYSICAL names manifest stats live under.
+      val trackedLogical =
+        if (m.colmap.isEmpty) tracked else tracked.flatMap(m.logicalOf(_))
       val hints: Seq[PruneHint] =
-        pruneHint.map { case (c, lo, hi) => NumRange(c, lo, hi) } match {
+        (pruneHint.map { case (c, lo, hi) => NumRange(c, lo, hi) } match {
           case Some(h) => Seq(h)
           case None =>
-            if (tracked.isEmpty) Nil
+            if (trackedLogical.isEmpty) Nil
             else inferPruneHints(spark, tableSchema(spark, outDir, m),
-              cond, tracked)
-        }
+              cond, trackedLogical)
+        }).map(hintPhysical(_, m))
       val nonce = java.lang.Long.toHexString(
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
       var rewritten = 0
@@ -1578,17 +1698,18 @@ object LakeSink {
               }
             }: _*)
             val newSeg = f"seg_u${m.version + 1}%010d_${i}_$nonce"
-            out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+            physicalize(out, m).write.mode("overwrite")
+              .parquet(s"$outDir/$newSeg")
             if (cdc) {
-              df.filter(cond)
-                .withColumn("_change_type", lit("update_preimage"))
+              physicalize(df.filter(cond)
+                .withColumn("_change_type", lit("update_preimage")), m)
                 .write.mode("append").parquet(s"$outDir/$cdcSeg")
               // post-image: assignments against the OLD rows (same
               // projection rule as the rewrite), matched rows only
-              df.filter(cond).select(df.columns.map { c =>
+              physicalize(df.filter(cond).select(df.columns.map { c =>
                   assignments.get(c).map(_.as(c)).getOrElse(col(c))
                 }: _*)
-                .withColumn("_change_type", lit("update_postimage"))
+                .withColumn("_change_type", lit("update_postimage")), m)
                 .write.mode("append").parquet(s"$outDir/$cdcSeg")
               cdcRows = true
             }
@@ -1666,11 +1787,21 @@ object LakeSink {
         .sortWithinPartitions(clusterBy.map(col): _*)
     val cseg = f"seg_c${m.version + 1}%010d"
     out.write.mode("overwrite").parquet(s"$outDir/$cseg")
-    val tracked = m.trackedCols
+    // Stats for the rebaselined segment track the LOGICAL names (the
+    // file now physically carries them — see the colmap-reset note
+    // below); a tracked physical whose logical was dropped has no
+    // surviving column to track.
+    val tracked = m.trackedCols.flatMap(m.logicalOf(_))
     val cstats =
       if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
       else Map(cseg -> segmentStats(
         spark.read.parquet(s"$outDir/$cseg"), tracked))
+    // The positional Manifest deliberately RESETS dv (the rewrite
+    // applied every deletion vector) AND colmap (the rewrite was
+    // written from the LOGICAL read, so the new segment's file columns
+    // ARE the logical names — compaction re-baselines the mapping and
+    // physically sheds dropped columns' lingering bytes, for free,
+    // inside the rewrite it was going to pay anyway).
     require(commitNext(outDir, m, Manifest(m.version + 1, m.maxB, Seq(cseg),
       m.schemaV, m.schemaJson, cstats, m.txns, m.expects,
       dataChange = false)),
@@ -1758,11 +1889,125 @@ object LakeSink {
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column $name already exists in lake at $outDir")
     val wider = cur.add(name, dataType, nullable = true)
+    // Under an ACTIVE column mapping, an added column mints a FRESH
+    // physical name: if `name` was ever dropped, old segments still
+    // physically hold its bytes, and an identity-mapped re-add would
+    // RESURRECT them through the applied-schema read. A fresh physical
+    // name can never alias lingering data ([[mintPhysical]] proves
+    // non-collision against every retained version's physical schema).
+    val cm =
+      if (m.colmap.isEmpty) m.colmap
+      else m.colmap + (name -> mintPhysical(spark, outDir, m, name))
     // per-version annotations reset — see addExpectation's note
     require(commitNext(outDir, m, m.copy(version = m.version + 1,
       schemaV = m.schemaV + 1, schemaJson = Some(wider.json),
-      cdcSegs = Nil, dataChange = true)),
+      colmap = cm, cdcSegs = Nil, dataChange = true)),
       s"schema evolution at $outDir lost a manifest race")
+    m.schemaV + 1
+  }
+
+  /** The column mapping to commit when a rename/drop ACTIVATES it: the
+    * identity map over the current logical schema. Every column a
+    * segment file already holds keeps reading under its original name
+    * (now its stable physical id); only the renamed/dropped entry then
+    * diverges. */
+  private def activatedColmap(m: Manifest,
+      logical: org.apache.spark.sql.types.StructType): Map[String, String] =
+    if (m.colmap.nonEmpty) m.colmap
+    else logical.fieldNames.map(n => n -> n).toMap
+
+  /** Mint a physical column name no RETAINED version's physical schema
+    * has ever used (walking the manifest log — metadata only, and DDL
+    * is rare): `<name>_p<k>` with the first non-colliding k. Collision
+    * matters because the applied-schema read selects BY PHYSICAL NAME
+    * from old files — a reused name would read a dead column's bytes. */
+  private def mintPhysical(spark: SparkSession, outDir: String,
+      m: Manifest, name: String): String = {
+    val used = manifestVersions(outDir).flatMap { v =>
+      val mv = manifestAt(outDir, v)
+      mv.schemaJson.toSeq.flatMap { j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSeq.map(mv.physicalOf)
+      }
+    }.toSet ++ m.colmap.values
+    Iterator.from(m.schemaV.toInt + 1).map(k => s"${name}_p$k")
+      .find(!used(_)).get
+  }
+
+  /** Every registered expectation must still ANALYZE against `schema`
+    * — a rename/drop that broke an expectation would otherwise fail
+    * every later append with an unrelated-looking error. Refuses with
+    * the offending expectation's name. */
+  private def requireExpectsAnalyze(spark: SparkSession, m: Manifest,
+      schema: org.apache.spark.sql.types.StructType, op: String): Unit =
+    m.expects.foreach { case (n, sql) =>
+      try spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .filter(org.apache.spark.sql.functions.expr(sql))
+        .queryExecution.assertAnalyzed()
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"$op would break expectation '$n' ($sql) — drop the " +
+          "expectation first", e) }
+    }
+
+  /** SCHEMA EVOLUTION: RENAME COLUMN — a METADATA-ONLY commit via
+    * COLUMN MAPPING (Delta's columnMapping=name / Iceberg field-id
+    * analog). The first rename activates the mapping (identity over
+    * the current schema), then moves only the LOGICAL key: the
+    * physical name in every already-written segment file is untouched
+    * and stable, so zero segments rewrite, old versions time-travel
+    * under their own names, and the change feed keeps reading
+    * pre-rename cdc files through the same stable physical ids.
+    * Returns the new schema generation. */
+  def evolveRenameColumn(spark: SparkSession, outDir: String,
+      oldName: String, newName: String): Long = {
+    val m = readManifest(outDir)
+    requireTable(m, outDir)
+    val cur = tableSchema(spark, outDir, m)
+    require(cur.fieldNames.contains(oldName),
+      s"no column $oldName in lake at $outDir " +
+        s"(has ${cur.fieldNames.mkString(", ")})")
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column $newName already exists in lake at $outDir")
+    val cm0 = activatedColmap(m, cur)
+    val cm = (cm0 - oldName) + (newName -> cm0(oldName))
+    val renamed = org.apache.spark.sql.types.StructType(
+      cur.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+    requireExpectsAnalyze(spark, m, renamed, s"RENAME COLUMN $oldName")
+    require(commitNext(outDir, m, m.copy(version = m.version + 1,
+      schemaV = m.schemaV + 1, schemaJson = Some(renamed.json),
+      colmap = cm, cdcSegs = Nil, dataChange = true)),
+      s"rename column at $outDir lost a manifest race")
+    m.schemaV + 1
+  }
+
+  /** SCHEMA EVOLUTION: DROP COLUMN — METADATA-ONLY, the column-mapping
+    * twin of [[evolveRenameColumn]]: the logical entry disappears from
+    * the mapping and the schema; the physical bytes linger UNSELECTED
+    * in old segment files (the applied-schema read never names them)
+    * until a rewrite — the next [[compact]] — physically sheds them.
+    * Time travel before the drop still sees the column; a later ADD
+    * COLUMN of the same name mints a fresh physical id and can never
+    * resurrect the dropped data. Returns the new schema generation. */
+  def evolveDropColumn(spark: SparkSession, outDir: String,
+      name: String): Long = {
+    val m = readManifest(outDir)
+    requireTable(m, outDir)
+    val cur = tableSchema(spark, outDir, m)
+    require(cur.fieldNames.contains(name),
+      s"no column $name in lake at $outDir " +
+        s"(has ${cur.fieldNames.mkString(", ")})")
+    require(cur.fields.length > 1,
+      s"cannot drop the only column of lake at $outDir")
+    val cm = activatedColmap(m, cur) - name
+    val narrowed = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name == name))
+    requireExpectsAnalyze(spark, m, narrowed, s"DROP COLUMN $name")
+    require(commitNext(outDir, m, m.copy(version = m.version + 1,
+      schemaV = m.schemaV + 1, schemaJson = Some(narrowed.json),
+      colmap = cm, cdcSegs = Nil, dataChange = true)),
+      s"drop column at $outDir lost a manifest race")
     m.schemaV + 1
   }
 
@@ -1808,7 +2053,7 @@ object LakeSink {
         s"appendSegment to $outDir violates expectation(s): " +
           bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
     }
-    df.write.mode("overwrite").parquet(s"$outDir/$seg")
+    physicalize(df, m).write.mode("overwrite").parquet(s"$outDir/$seg")
     val tracked = m.trackedCols
     val segStats =
       if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
@@ -1895,10 +2140,12 @@ object LakeSink {
         // agg (the source is cached) plans the touched-set from the
         // manifest — a 3-row upsert against a million-segment lake probes
         // only the segments whose key range it straddles.
+        // (stats key physical names; the source's key column is logical)
+        val keyPhys = m.physicalOf(keys.head)
         val srcKeyRange: Option[(String, Long, Long)] =
-          if (keys.size == 1 && m.stats.values.exists(_.contains(keys.head)))
+          if (keys.size == 1 && m.stats.values.exists(_.contains(keyPhys)))
             segmentStats(src, keys).get(keys.head).collect {
-              case LongStat(lo, hi, _) => (keys.head, lo, hi) }
+              case LongStat(lo, hi, _) => (keyPhys, lo, hi) }
           else None
         val tracked = m.trackedCols
         val nonce = java.lang.Long.toHexString(
@@ -1924,8 +2171,8 @@ object LakeSink {
             if (matches > 0L) {
               updated += matches
               if (cdc) {
-                df.join(broadcast(src), keys, "left_semi")
-                  .withColumn("_change_type", lit("update_preimage"))
+                physicalize(df.join(broadcast(src), keys, "left_semi")
+                  .withColumn("_change_type", lit("update_preimage")), m)
                   .write.mode("append").parquet(s"$outDir/$cdcSeg")
                 // Post-images mirror the REWRITE, one per matched TARGET
                 // row: a target holding k same-key rows rewrites all k to
@@ -1935,10 +2182,10 @@ object LakeSink {
                 // drift by k-1 rows. Inner join target-keys × src (src is
                 // key-unique, checked above) yields exactly one src-valued
                 // row per matched target row.
-                df.select(keys.map(col).toSeq: _*)
+                physicalize(df.select(keys.map(col).toSeq: _*)
                   .join(broadcast(src), keys, "inner")
                   .select(targetCols.map(col).toSeq: _*)
-                  .withColumn("_change_type", lit("update_postimage"))
+                  .withColumn("_change_type", lit("update_postimage")), m)
                   .write.mode("append").parquet(s"$outDir/$cdcSeg")
                 cdcRows = true
               }
@@ -1954,7 +2201,8 @@ object LakeSink {
                   .otherwise(col(s"t.$c")).as(c)
               }.toSeq: _*)
               val newSeg = f"seg_m${m.version + 1}%010d_${i}_$nonce"
-              out.write.mode("overwrite").parquet(s"$outDir/$newSeg")
+              physicalize(out, m).write.mode("overwrite")
+                .parquet(s"$outDir/$newSeg")
               rewritten += 1
               removed += seg
               added += newSeg
@@ -1971,10 +2219,11 @@ object LakeSink {
         val inserted = inserts.count()
         if (inserted > 0L) {
           val insSeg = f"seg_m${m.version + 1}%010d_ins_$nonce"
-          inserts.write.mode("overwrite").parquet(s"$outDir/$insSeg")
+          physicalize(inserts, m).write.mode("overwrite")
+            .parquet(s"$outDir/$insSeg")
           added += insSeg
           if (cdc) {
-            inserts.withColumn("_change_type", lit("insert"))
+            physicalize(inserts.withColumn("_change_type", lit("insert")), m)
               .write.mode("append").parquet(s"$outDir/$cdcSeg")
             cdcRows = true
           }
@@ -2011,14 +2260,21 @@ object LakeSink {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val seg = s"seg_b$batchId"
-        batch.write.mode("overwrite").parquet(s"$outDir/$seg")
+        // mW only keys the write's column names (the mapping changes
+        // via rare DDL, never mid-batch); the commit loop below reads
+        // its own fresh tips
+        val mW = readManifest(outDir)
+        physicalize(batch, mW).write.mode("overwrite")
+          .parquet(s"$outDir/$seg")
         // Per-batch stats from the just-written segment (statsCols
         // names the BIGINT columns to track, e.g. the event-time
         // epoch — time-ordered micro-batches each cover a narrow
         // range, exactly the layout that makes pruning effective).
+        // Stats key PHYSICAL names (they follow the bytes).
         val bstats =
           if (statsCols.isEmpty) Map.empty[String, ColStat]
-          else segmentStats(spark.read.parquet(s"$outDir/$seg"), statsCols)
+          else segmentStats(spark.read.parquet(s"$outDir/$seg"),
+            statsCols.map(mW.physicalOf))
         // ingest commit loop: retry on version race (replay in practice)
         var done = false
         while (!done) {
@@ -2050,13 +2306,14 @@ object LakeSink {
             val cseg = s"seg_c$batchId"
             // DV-reconciling read: a b-segment that took a point delete
             // between ingest and compaction must not resurrect its rows
-            readSegments(spark, outDir, m, bsegs)
-              .repartition(targetFiles)
+            physicalize(readSegments(spark, outDir, m, bsegs)
+              .repartition(targetFiles), m)
               .write.mode("overwrite").parquet(s"$outDir/$cseg")
             val cstats =
               if (statsCols.isEmpty) Map.empty[String, ColStat]
               else segmentStats(
-                spark.read.parquet(s"$outDir/$cseg"), statsCols)
+                spark.read.parquet(s"$outDir/$cseg"),
+                statsCols.map(m.physicalOf))
             beforeMaintenanceCommit(batchId)
             if (commitEditRecord(outDir, m,
                 m.copy(version = m.version + 1,

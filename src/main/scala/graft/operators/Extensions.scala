@@ -748,6 +748,61 @@ object Extensions {
     * query exists to catch); the pre-rename version is read back by
     * time travel to prove name-travel. Every output cell derives from
     * the events table alone, so the DuckDB oracle is exact. */
+  /** PARTITION SPEC + metadata-only RETENTION (r12): the table
+    * declares `day` as its partition column at CREATE TABLE;
+    * [[graft.streaming.LakeSink.appendPartitioned]] splits the batch
+    * into one segment per day (ONE write job for all of them) and
+    * records each segment's exact (column, value, rows) fact in the
+    * manifest; then the retention statement every 100 TB deployment
+    * runs — `DELETE WHERE day < cutoff` — is planned from the manifest
+    * ALONE: covered partitions drop by metadata, uncovered ones are
+    * skipped, ZERO data jobs either way (LakePartitionSpec counts the
+    * jobs; this query REQUIREs the protocol receipt: zero rewritten
+    * segments, the exact dropped count). The oracle replays day
+    * assignment and the cutoff rule from the events table, so a
+    * wrongly-dropped or wrongly-kept partition fails the hash. */
+  private val sinkLakePartitioned = QueryDef(
+    "sink_lake_partitioned",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_part", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      LakeSink.createTable(dir, ev.schema, partitionBy = Some("day"))
+      val (_, nParts) = LakeSink.appendPartitioned(s, dir, ev)
+      val cutoff = ev.agg(min("day")).head().getLong(0) + 10L
+      val (_, rewritten, dropped, nDel) =
+        LakeSink.deleteWhere(s, dir, col("day") < cutoff)
+      require(rewritten == 0,
+        "partition-covered retention delete must not rewrite any " +
+          s"segment (rewrote $rewritten)")
+      LakeSink.readTable(s, dir).agg(
+        lit(nParts.toLong).as("n_parts"),
+        lit(dropped.toLong).as("n_dropped"),
+        lit(nDel).as("n_deleted"),
+        count(lit(1)).as("n_rows"),
+        sum("vc").as("sum_cents"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+                 c AS (SELECT min(day) + 10 AS cutoff FROM e)
+            SELECT
+              CAST((SELECT count(DISTINCT day) FROM e) AS BIGINT)
+                AS n_parts,
+              CAST(count(DISTINCT CASE WHEN day < cutoff THEN day END)
+                AS BIGINT) AS n_dropped,
+              CAST(count(CASE WHEN day < cutoff THEN 1 END) AS BIGINT)
+                AS n_deleted,
+              CAST(count(CASE WHEN day >= cutoff THEN 1 END) AS BIGINT)
+                AS n_rows,
+              CAST(sum(CASE WHEN day >= cutoff THEN vc END) AS BIGINT)
+                AS sum_cents
+            FROM e CROSS JOIN c"""))
+
   private val sinkLakeColmap = QueryDef(
     "sink_lake_colmap",
     (s, d) => {
@@ -1718,7 +1773,8 @@ object Extensions {
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeDeleteDv, sinkLakeUpdate,
     sinkLakeMerge,
-    sqlLakeDml, sinkLakeEvolution, sinkLakeColmap, sinkLakeCompactClustered,
+    sqlLakeDml, sinkLakeEvolution, sinkLakeColmap,
+    sinkLakePartitioned, sinkLakeCompactClustered,
     sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
     sinkLakeStatsPruneStr,

@@ -91,6 +91,20 @@ object LakeSink {
     * become [[vacuum]] orphans. */
   final case class DvRef(file: String, rows: Long)
 
+  /** One segment's PARTITION VALUE (r12, Hive/Delta partition-column /
+    * Iceberg partition-spec analog): every row of the segment has
+    * `col == value` (`col` is the PHYSICAL column name — partition
+    * facts follow the bytes across renames; `value = None` is the NULL
+    * partition), and the segment held `rows` rows when written. The
+    * fact is what makes retention DML metadata-only: a predicate
+    * referencing only the partition column is decided per segment on
+    * the manifest alone — TRUE drops the segment with zero data jobs,
+    * FALSE skips it. `col` is recorded PER SEGMENT, not read from the
+    * table-level spec, so changing the spec later (partition
+    * evolution) leaves old segments deciding under the column they
+    * were actually written by. */
+  final case class PartVal(col: String, value: Option[String], rows: Long)
+
   final case class Manifest(version: Long, maxB: Long, segs: Seq[String],
       schemaV: Long = 0L, schemaJson: Option[String] = None,
       stats: Map[String, Map[String, ColStat]] = Map.empty,
@@ -119,7 +133,23 @@ object LakeSink {
       // remove the entry (the physical column lingers in old files,
       // unselected), and later ADD COLUMNs mint fresh physical names
       // so a re-added name can never resurrect lingering data.
-      colmap: Map[String, String] = Map.empty) {
+      colmap: Map[String, String] = Map.empty,
+      // PARTITION SPEC (r12): the PHYSICAL column new partitioned
+      // appends split by (None = unpartitioned table). A declared
+      // table property like the schema — carried across commits,
+      // changeable by partition evolution without touching data.
+      partSpec: Option[String] = None,
+      // Cumulative per-segment partition values (keyed by live
+      // segment, like stats/dv): the manifest facts that let
+      // partition-covered DML drop whole segments with zero data jobs.
+      parts: Map[String, PartVal] = Map.empty,
+      // Per-VERSION annotation (like cdcSegs): segments THIS version
+      // dropped whole by partition-covered metadata delete under
+      // cdc=true — the change feed reads the (dead but vacuum-retained)
+      // segment files themselves as delete rows, so even a
+      // metadata-only drop costs O(0) at DML time and O(dropped rows)
+      // only when a feed consumer actually reads the window.
+      cdcDropSegs: Seq[String] = Nil) {
     /** Columns any live segment tracks stats for (PHYSICAL names —
       * stats follow the bytes, surviving renames). */
     def trackedCols: Seq[String] =
@@ -194,7 +224,9 @@ object LakeSink {
     val (txnLines, rest1) = rest0.partition(_.startsWith("txn="))
     val (dvLines, rest2) = rest1.partition(_.startsWith("dvec="))
     val (cmLines, rest3) = rest2.partition(_.startsWith("colmap="))
-    val (cdcLines, rest) = rest3.partition(_.startsWith("cdc="))
+    val (partLines, rest4) = rest3.partition(_.startsWith("part="))
+    val (cdcDropLines, rest5) = rest4.partition(_.startsWith("cdcdrop="))
+    val (cdcLines, rest) = rest5.partition(_.startsWith("cdc="))
     val (expectLines, scalarHeaders) = rest.partition(_.startsWith("expect="))
     val h = scalarHeaders.map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
@@ -229,7 +261,30 @@ object LakeSink {
       !h.get("datachange").contains("0"),
       dvLines.map(l => parseDvPayload(outDir, v, l.stripPrefix("dvec="))).toMap,
       cmLines.map(l => parseColmapPayload(outDir, v,
-        l.stripPrefix("colmap="))).toMap)
+        l.stripPrefix("colmap="))).toMap,
+      h.get("partspec"),
+      partLines.map(l => parsePartPayload(outDir, v,
+        l.stripPrefix("part="))).toMap,
+      cdcDropLines.map(_.stripPrefix("cdcdrop=")))
+  }
+
+  /** Decode one partition-value payload (`seg|col|rows|b64(value)`,
+    * empty value field = NULL partition). */
+  private def parsePartPayload(outDir: String, v: Long,
+      l: String): (String, PartVal) = l.split("\\|", -1) match {
+    case Array(seg, c, rows, enc) =>
+      seg -> PartVal(c,
+        if (enc.isEmpty) None
+        else Some(new String(
+          java.util.Base64.getDecoder.decode(enc), "UTF-8")),
+        rows.toLong)
+    case _ => sys.error(s"manifest v$v at $outDir: bad part line $l")
+  }
+
+  private def partLine(seg: String, pv: PartVal): String = {
+    val enc = pv.value.fold("")(s => java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8")))
+    s"part=$seg|${pv.col}|${pv.rows}|$enc"
   }
 
   /** Decode one column-mapping payload (`logical|physical`). */
@@ -279,7 +334,9 @@ object LakeSink {
       schemaV: Long, schemaJson: Option[String],
       txns: Map[String, Long], expects: Map[String, String],
       cdcSegs: Seq[String], dataChange: Boolean,
-      dvSets: Map[String, DvRef], colmap: Map[String, String])
+      dvSets: Map[String, DvRef], colmap: Map[String, String],
+      partSpec: Option[String], addParts: Map[String, PartVal],
+      cdcDropSegs: Seq[String])
 
   private def parseDelta(outDir: String, v: Long,
       lines: Seq[String]): DeltaRec = {
@@ -292,6 +349,8 @@ object LakeSink {
     val cdcSegs = Seq.newBuilder[String]
     val dvSets = Map.newBuilder[String, DvRef]
     val colmap = Map.newBuilder[String, String]
+    val addParts = Map.newBuilder[String, PartVal]
+    val cdcDropSegs = Seq.newBuilder[String]
     lines.foreach { l =>
       val i = l.indexOf('=')
       require(i > 0, s"manifest delta v$v at $outDir: bad line $l")
@@ -301,8 +360,10 @@ object LakeSink {
         case "add" => adds += value
         case "remove" => removes += value
         case "cdc" => cdcSegs += value
+        case "cdcdrop" => cdcDropSegs += value
         case "dvec" => dvSets += parseDvPayload(outDir, v, value)
         case "colmap" => colmap += parseColmapPayload(outDir, v, value)
+        case "part" => addParts += parsePartPayload(outDir, v, value)
         case "stats" =>
           statLines += parseStatPayload(outDir, v, value, isStr = false)
         case "strstats" =>
@@ -328,7 +389,8 @@ object LakeSink {
       h.get("schemav").map(_.toLong).getOrElse(0L), h.get("schema"),
       txns.result(), expects.result(), cdcSegs.result(),
       !h.get("datachange").contains("0"), dvSets.result(),
-      colmap.result())
+      colmap.result(), h.get("partspec"), addParts.result(),
+      cdcDropSegs.result())
   }
 
   /** Auxiliary CHECKPOINT file for version `v` (Delta's
@@ -365,7 +427,8 @@ object LakeSink {
       if (d.schemaV != acc.schemaV) d.schemaJson else acc.schemaJson,
       (acc.stats -- d.removes) ++ d.addStats,
       d.txns, d.expects, d.cdcSegs, d.dataChange,
-      (acc.dv -- d.removes) ++ d.dvSets, d.colmap)
+      (acc.dv -- d.removes) ++ d.dvSets, d.colmap, d.partSpec,
+      (acc.parts -- d.removes) ++ d.addParts, d.cdcDropSegs)
 
   /** Reconstruct the committed state at version `v`: walk back to the
     * nearest snapshot (≤ [[snapshotInterval]] small files, or the
@@ -410,7 +473,10 @@ object LakeSink {
       liveSet(seg) && !parent.stats.get(seg).contains(st) }
     val dvSets = m.dv.filter { case (seg, r) =>
       liveSet(seg) && !parent.dv.get(seg).contains(r) }
-    commitEditRecord(outDir, parent, m, removes, adds, addStats, dvSets)
+    val addParts = m.parts.filter { case (seg, p) =>
+      liveSet(seg) && !parent.parts.get(seg).contains(p) }
+    commitEditRecord(outDir, parent, m, removes, adds, addStats, dvSets,
+      addParts)
   }
 
   /** [[commitNext]] for a caller that already KNOWS its edit (the DML
@@ -423,14 +489,15 @@ object LakeSink {
   def commitEditRecord(outDir: String, parent: Manifest, m: Manifest,
       removed: Set[String], added: Seq[String],
       addedStats: Map[String, Map[String, ColStat]],
-      dvSets: Map[String, DvRef] = Map.empty): Boolean = {
+      dvSets: Map[String, DvRef] = Map.empty,
+      addedParts: Map[String, PartVal] = Map.empty): Boolean = {
     require(m.version == parent.version + 1,
       s"commit needs consecutive versions, got parent " +
         s"v${parent.version} -> v${m.version}")
     if (m.version % snapshotInterval == 0)
       return commitManifest(outDir, m.version, m.maxB, m.segs, m.schemaV,
         m.schemaJson, m.stats, m.txns, m.expects, m.cdcSegs, m.dataChange,
-        m.dv, m.colmap)
+        m.dv, m.colmap, m.partSpec, m.parts, m.cdcDropSegs)
     val lines = Seq("delta=1", s"maxb=${m.maxB}") ++
       (if (m.schemaV > 0L) Seq(s"schemav=${m.schemaV}") else Nil) ++
       (if (m.schemaV != parent.schemaV) m.schemaJson.map(j => s"schema=$j")
@@ -439,9 +506,13 @@ object LakeSink {
       m.txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" } ++
       m.expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" } ++
       m.colmap.toSeq.sorted.map { case (lg, ph) => s"colmap=$lg|$ph" } ++
+      m.partSpec.map(c => s"partspec=$c") ++
       m.cdcSegs.map(s => s"cdc=$s") ++
+      m.cdcDropSegs.map(s => s"cdcdrop=$s") ++
       dvSets.toSeq.sortBy(_._1).map { case (seg, r) =>
         s"dvec=$seg|${r.file}|${r.rows}" } ++
+      addedParts.toSeq.sortBy(_._1).map { case (seg, p) =>
+        partLine(seg, p) } ++
       added.map(s => s"add=$s") ++
       removed.toSeq.sorted.map(s => s"remove=$s") ++
       addedStats.toSeq.flatMap { case (seg, byCol) =>
@@ -481,12 +552,16 @@ object LakeSink {
       expects: Map[String, String] = Map.empty,
       cdcSegs: Seq[String] = Nil, dataChange: Boolean = true,
       dv: Map[String, DvRef] = Map.empty,
-      colmap: Map[String, String] = Map.empty): Boolean = {
+      colmap: Map[String, String] = Map.empty,
+      partSpec: Option[String] = None,
+      parts: Map[String, PartVal] = Map.empty,
+      cdcDropSegs: Seq[String] = Nil): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
     Files.write(tmp, snapshotLines(maxB, segs, schemaV, schemaJson,
-      stats, txns, expects, cdcSegs, dataChange, dv, colmap).mkString("\n")
+      stats, txns, expects, cdcSegs, dataChange, dv, colmap, partSpec,
+      parts, cdcDropSegs).mkString("\n")
       .getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
@@ -524,7 +599,10 @@ object LakeSink {
       cdcSegs: Seq[String] = Nil,
       dataChange: Boolean = true,
       dv: Map[String, DvRef] = Map.empty,
-      colmap: Map[String, String] = Map.empty): Seq[String] = {
+      colmap: Map[String, String] = Map.empty,
+      partSpec: Option[String] = None,
+      parts: Map[String, PartVal] = Map.empty,
+      cdcDropSegs: Seq[String] = Nil): Seq[String] = {
     val live = segs.toSet
     val statLines = stats.toSeq
       .filter { case (seg, _) => live(seg) }
@@ -538,13 +616,17 @@ object LakeSink {
       .sortBy(_._1).map { case (seg, r) => s"dvec=$seg|${r.file}|${r.rows}" }
     val cmLines =
       colmap.toSeq.sorted.map { case (lg, ph) => s"colmap=$lg|$ph" }
+    val partLines = parts.toSeq.filter { case (seg, _) => live(seg) }
+      .sortBy(_._1).map { case (seg, p) => partLine(seg, p) }
     val cdcLines = cdcSegs.map(s => s"cdc=$s") ++
+      cdcDropSegs.map(s => s"cdcdrop=$s") ++
       (if (dataChange) Nil else Seq("datachange=0"))
     (s"maxb=$maxB" +:
       ((if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
         schemaJson.map(j => s"schema=$j")
-       else Nil) ++ statLines ++ txnLines ++ expectLines ++ cmLines ++
-        dvLines ++ cdcLines)) ++ segs
+       else Nil) ++ partSpec.map(c => s"partspec=$c").toSeq ++
+        statLines ++ txnLines ++ expectLines ++ cmLines ++
+        partLines ++ dvLines ++ cdcLines)) ++ segs
   }
 
   /** Attempts a DML re-plan loop makes before giving up — each retry
@@ -577,7 +659,9 @@ object LakeSink {
       addedStats: Map[String, Map[String, ColStat]],
       txn: Option[(String, Long)],
       cdcSegs: Seq[String] = Nil,
-      dvSets: Map[String, DvRef] = Map.empty): Option[Long] = {
+      dvSets: Map[String, DvRef] = Map.empty,
+      addedParts: Map[String, PartVal] = Map.empty,
+      cdcDropSegs: Seq[String] = Nil): Option[Long] = {
     val baseSegs = base.segs.toSet
     var tip = base
     while (true) {
@@ -585,11 +669,14 @@ object LakeSink {
       val stats = (tip.stats -- removed) ++ addedStats
       val txns = txn.fold(tip.txns) { case (a, id) => tip.txns + (a -> id) }
       val dv = (tip.dv -- removed) ++ dvSets
+      val parts = (tip.parts -- removed) ++ addedParts
       if (commitEditRecord(outDir, tip,
           Manifest(tip.version + 1, tip.maxB, segs, tip.schemaV,
             tip.schemaJson, stats, txns, tip.expects, cdcSegs,
-            dataChange = true, dv = dv, colmap = tip.colmap),
-          removed, added, addedStats, dvSets))
+            dataChange = true, dv = dv, colmap = tip.colmap,
+            partSpec = tip.partSpec, parts = parts,
+            cdcDropSegs = cdcDropSegs),
+          removed, added, addedStats, dvSets, addedParts))
         return Some(tip.version + 1)
       val now = readManifest(outDir)
       val nowSegs = now.segs.toSet
@@ -619,13 +706,51 @@ object LakeSink {
     * ingest. [[appendSegment]], expectations and evolution all accept
     * the created-but-empty state. Returns the committed version (1). */
   def createTable(outDir: String,
-      schema: org.apache.spark.sql.types.StructType): Long = {
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Option[String] = None): Long = {
     val m = readManifest(outDir)
     require(m.version == 0L,
       s"lake at $outDir already has commits (v${m.version})")
-    require(commitManifest(outDir, 1L, -1L, Nil, 1L, Some(schema.json)),
+    partitionBy.foreach(c => requirePartitionable(schema, c))
+    require(commitManifest(outDir, 1L, -1L, Nil, 1L, Some(schema.json),
+      partSpec = partitionBy),
       s"create table at $outDir lost a manifest race")
     1L
+  }
+
+  /** Partition columns must be integral or string — the two types a
+    * partition value round-trips losslessly through the manifest's
+    * line format and the staged write's directory names. */
+  private def requirePartitionable(
+      schema: org.apache.spark.sql.types.StructType, c: String): Unit = {
+    import org.apache.spark.sql.types._
+    val f = schema.fields.find(_.name == c).getOrElse(
+      sys.error(s"no column $c to partition by " +
+        s"(has ${schema.fieldNames.mkString(", ")})"))
+    require(Seq[DataType](LongType, IntegerType, ShortType, ByteType,
+      StringType).contains(f.dataType),
+      s"partition column $c must be integral or string, is ${f.dataType}")
+  }
+
+  /** PARTITION EVOLUTION: declare (or change) the partition column of
+    * an existing table — a METADATA-ONLY commit, Iceberg's
+    * update-partition-spec. Existing segments keep whatever partition
+    * value (and column) they were written under; only FUTURE
+    * [[appendPartitioned]] batches split by the new column. Mixed
+    * layouts stay correct everywhere because partition facts are
+    * per-segment ([[PartVal.col]]), not global. Returns the committed
+    * version. */
+  def evolvePartitionSpec(spark: SparkSession, outDir: String,
+      column: String): Long = {
+    val m = readManifest(outDir)
+    requireTable(m, outDir)
+    val cur = tableSchema(spark, outDir, m)
+    requirePartitionable(cur, column)
+    require(commitNext(outDir, m, m.copy(version = m.version + 1,
+      partSpec = Some(m.physicalOf(column)),
+      cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true)),
+      s"partition-spec change at $outDir lost a manifest race")
+    m.version + 1
   }
 
   /** A lake a writer/metadata op can target: has data, or was
@@ -859,6 +984,60 @@ object LakeSink {
   /** every matching row has `col IS NULL` — prunes segments whose
     * recorded null count is zero. */
   final case class MustBeNull(col: String) extends PruneHint
+
+  /** Compile `cond` into a per-PARTITION-VALUE decider for segments
+    * partitioned by PHYSICAL column `physCol`: Some(f) when the
+    * predicate is deterministic and references ONLY that column — then
+    * every row of such a segment has the same `cond` truth value, so
+    * `f(partitionValue)` decides the WHOLE segment from the manifest
+    * (true = every row matches, false = none does; NULL evaluations
+    * are false, exactly SQL DML's keep-NULL rule). None = undecidable
+    * per partition (other columns referenced, unanalyzable, or the
+    * partition column was dropped) — callers fall back to the normal
+    * scan path. Evaluation is an interpreted Catalyst predicate over a
+    * single in-memory row: ZERO Spark jobs, arbitrary expression shape
+    * (`pmod(day, 7) = 3` works, not just ranges). */
+  private def partitionDecider(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      cond: org.apache.spark.sql.Column, m: Manifest,
+      physCol: String): Option[Option[String] => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.types._
+    val logical = m.logicalOf(physCol).getOrElse(return None)
+    val analyzed =
+      try spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .filter(cond).queryExecution.analyzed
+      catch { case _: Exception => return None }
+    analyzed.collectFirst { case f: Filter => (f.condition, f.child.output) }
+      .flatMap { case (e, out) =>
+        if (!e.deterministic || !e.references.forall(_.name == logical))
+          None
+        else {
+          val bound = BindReferences.bindReference(e, AttributeSeq(out))
+          val pred = Predicate.createInterpreted(bound)
+          val ord = out.indexWhere(_.name == logical)
+          val dt = schema.fields.find(_.name == logical).get.dataType
+          Some((value: Option[String]) => {
+            val row = new GenericInternalRow(out.length) // all-NULL base
+            value.foreach { v =>
+              val conv: Any = dt match {
+                case LongType => v.toLong
+                case IntegerType => v.toInt
+                case ShortType => v.toShort
+                case ByteType => v.toByte
+                case StringType =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(v)
+                case other => sys.error(
+                  s"partition column $logical has unsupported type $other")
+              }
+              row.update(ord, conv)
+            }
+            pred.eval(row)
+          })
+        }
+      }
+  }
 
   /** ALL safe prune hints for `cond` over the stats-tracked columns —
     * the r11 generalization of [[inferPruneHint]]: numeric ranges,
@@ -1273,7 +1452,18 @@ object LakeSink {
         case Left(d) => applyDelta(prev, d)
       }
       val prevSet = prev.segs.toSet
-      val removed = prevSet -- cur.segs
+      val dropSet = cur.cdcDropSegs.toSet
+      // partition-covered metadata drops: the DROPPED segment's own
+      // files ARE the change data — every live row became a delete
+      // (the drop path guarantees no deletion vector was attached, so
+      // the raw read is exactly the dead live-set). Read under the
+      // PRE-drop manifest: the segment was live there.
+      if (cur.cdcDropSegs.nonEmpty)
+        parts += reader(spark, prev)
+          .parquet(cur.cdcDropSegs.map(s => s"$outDir/$s"): _*)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v))
+      val removed = prevSet -- cur.segs -- dropSet
       val addedSegs = cur.segs.filterNot(prevSet)
       // deletion vectors hide rows without touching the segment list —
       // a DV-writing commit is row-level change and needs change data
@@ -1366,7 +1556,8 @@ object LakeSink {
       val b = manifestAt(outDir, oldestRetained)
       Files.write(snapPath(outDir, oldestRetained),
         snapshotLines(b.maxB, b.segs, b.schemaV, b.schemaJson, b.stats,
-          b.txns, b.expects, b.cdcSegs, b.dataChange, b.dv, b.colmap)
+          b.txns, b.expects, b.cdcSegs, b.dataChange, b.dv, b.colmap,
+          b.partSpec, b.parts, b.cdcDropSegs)
           .mkString("\n").getBytes("UTF-8"))
     }
     // Live segments = union over the retained versions, reconstructed
@@ -1382,6 +1573,9 @@ object LakeSink {
     var acc = manifestAt(outDir, oldestRetained)
     live ++= acc.segs
     live ++= acc.cdcSegs
+    // a retained partition-drop version reads the DROPPED segment's
+    // own files as its change data — they stay live with the version
+    live ++= acc.cdcDropSegs
     liveDv ++= acc.dv.values.map(_.file)
     retained.tail.foreach { v =>
       acc = parseVersionFile(outDir, v) match {
@@ -1390,6 +1584,7 @@ object LakeSink {
       }
       live ++= acc.segs
       live ++= acc.cdcSegs
+      live ++= acc.cdcDropSegs
       liveDv ++= acc.dv.values.map(_.file)
     }
     val segDirs = listDir(Paths.get(outDir))
@@ -1523,6 +1718,7 @@ object LakeSink {
       val removed = Set.newBuilder[String]
       val added = Seq.newBuilder[String]
       val addedStats = Map.newBuilder[String, Map[String, ColStat]]
+      val addedParts = Map.newBuilder[String, PartVal]
       // CHANGE DATA FEED: the deleted rows, written once alongside the
       // rewrite (Delta's _change_data move) into one per-DML cdc
       // segment the commit records — the only extra IO is the changed
@@ -1532,7 +1728,38 @@ object LakeSink {
       var cdcRows = false
       val dvSets = Map.newBuilder[String, DvRef]
       var dvWrites = 0
+      // PARTITION-COVERED planning (zero data jobs): each segment with
+      // a recorded partition value is decided on the manifest alone
+      // when the predicate references only its partition column — one
+      // compiled decider per distinct recorded column (mixed columns =
+      // partition evolution; each segment decides under ITS OWN).
+      val deciders = scala.collection.mutable.Map
+        .empty[String, Option[Option[String] => Boolean]]
+      def deciderFor(c: String): Option[Option[String] => Boolean] =
+        deciders.getOrElseUpdate(c, partitionDecider(spark,
+          tableSchema(spark, outDir, m), cond, m, c))
+      val cdcDrops = Seq.newBuilder[String]
+      var cdcDropped = false
       m.segs.zipWithIndex.foreach { case (seg, i) =>
+        val pvOpt = m.parts.get(seg)
+        val partDecision: Option[Boolean] =
+          pvOpt.flatMap(pv => deciderFor(pv.col).map(f => f(pv.value)))
+        if (partDecision.contains(false)) {
+          // no row of this partition can match — skip, zero jobs
+        } else if (partDecision.contains(true) &&
+            (m.dv.get(seg).isEmpty || !cdc)) {
+          // EVERY live row matches: metadata-only drop. Row count from
+          // the manifest (minus any deletion-vector debt); with cdc on,
+          // the commit records the dropped segment as its own change
+          // data (`cdcdrop=`) — the feed reads the dead files as
+          // deletes, so even the feed costs this DML zero IO. (A
+          // DV-carrying segment under cdc falls through to the scan
+          // path instead: its dead rows must not re-enter the feed.)
+          dropped += 1
+          removed += seg
+          deleted += pvOpt.get.rows - m.dv.get(seg).map(_.rows).getOrElse(0L)
+          if (cdc) { cdcDrops += seg; cdcDropped = true }
+        } else {
         val pruned = hints.exists(h => !mayMatchHint(m, seg, h))
         if (!pruned) {
           // Segment-sized cache (a segment is one ingest micro-batch /
@@ -1599,9 +1826,14 @@ object LakeSink {
                 added += newSeg
                 if (tracked.nonEmpty)
                   addedStats += newSeg -> segmentStats(keep, tracked)
+                // a delete-rewrite keeps a SUBSET of the segment's rows,
+                // so the partition fact survives with the new count
+                pvOpt.foreach(pv => addedParts +=
+                  newSeg -> PartVal(pv.col, pv.value, total - matches))
               }
             }
           } finally df.unpersist()
+        }
         }
       }
       if (rewritten == 0 && dropped == 0 && dvWrites == 0)
@@ -1610,7 +1842,9 @@ object LakeSink {
       tryCommitEdit(outDir, m, removed.result(), added.result(),
         addedStats.result(), None,
         cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
-        dvSets = dvSets.result()) match {
+        dvSets = dvSets.result(),
+        addedParts = addedParts.result(),
+        cdcDropSegs = if (cdcDropped) cdcDrops.result() else Nil) match {
         case Some(v) => return (v, rewritten, dropped, deleted)
         case None => // true conflict — re-plan against the new tip
       }
@@ -1667,6 +1901,7 @@ object LakeSink {
       val removed = Set.newBuilder[String]
       val added = Seq.newBuilder[String]
       val addedStats = Map.newBuilder[String, Map[String, ColStat]]
+      val addedParts = Map.newBuilder[String, PartVal]
       // Change data feed: pre- AND post-images of updated rows (the
       // Delta CDF update_preimage/update_postimage pair), one cdc
       // segment per DML, recorded by the commit.
@@ -1719,13 +1954,20 @@ object LakeSink {
             if (tracked.nonEmpty)
               addedStats += newSeg -> segmentStats(
                 spark.read.parquet(s"$outDir/$newSeg"), tracked)
+            // an update keeps every row; the partition fact survives
+            // unless the partition column itself was assigned
+            m.parts.get(seg).foreach { pv =>
+              if (!m.logicalOf(pv.col).exists(assignments.contains))
+                addedParts += newSeg -> pv
+            }
           }
         }
       }
       if (rewritten == 0) return (m.version, 0, 0L)
       tryCommitEdit(outDir, m, removed.result(), added.result(),
         addedStats.result(), None,
-        cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil) match {
+        cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
+        addedParts = addedParts.result()) match {
         case Some(v) => return (v, rewritten, updated)
         case None => // true conflict — re-plan against the new tip
       }
@@ -1804,7 +2046,15 @@ object LakeSink {
     // inside the rewrite it was going to pay anyway).
     require(commitNext(outDir, m, Manifest(m.version + 1, m.maxB, Seq(cseg),
       m.schemaV, m.schemaJson, cstats, m.txns, m.expects,
-      dataChange = false)),
+      dataChange = false,
+      // partSpec survives (a declared table property, like the
+      // schema) — RE-KEYED to the logical name because compaction
+      // re-baselines the column mapping (physical == logical again);
+      // a spec whose logical column was dropped dies with the drop.
+      // Per-segment partition VALUES do not survive: the compacted
+      // segment spans partitions, so it simply has no recorded value
+      // and later partition-covered DML reads it the normal way.
+      partSpec = m.partSpec.flatMap(m.logicalOf(_)))),
       s"compaction at $outDir lost a manifest race at v${m.version + 1}")
     // Input segments stay on disk (DML convention: the pre-compaction
     // version keeps time-traveling until vacuum) — unlike the
@@ -1849,7 +2099,7 @@ object LakeSink {
     // would be emitted twice by the CDC walk)
     require(commitNext(outDir, m, m.copy(version = m.version + 1,
       expects = m.expects + (name -> condSql),
-      cdcSegs = Nil, dataChange = true)),
+      cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true)),
       s"expectation registration at $outDir lost a manifest race")
     m.version + 1
   }
@@ -1901,7 +2151,7 @@ object LakeSink {
     // per-version annotations reset — see addExpectation's note
     require(commitNext(outDir, m, m.copy(version = m.version + 1,
       schemaV = m.schemaV + 1, schemaJson = Some(wider.json),
-      colmap = cm, cdcSegs = Nil, dataChange = true)),
+      colmap = cm, cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true)),
       s"schema evolution at $outDir lost a manifest race")
     m.schemaV + 1
   }
@@ -1977,7 +2227,7 @@ object LakeSink {
     requireExpectsAnalyze(spark, m, renamed, s"RENAME COLUMN $oldName")
     require(commitNext(outDir, m, m.copy(version = m.version + 1,
       schemaV = m.schemaV + 1, schemaJson = Some(renamed.json),
-      colmap = cm, cdcSegs = Nil, dataChange = true)),
+      colmap = cm, cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true)),
       s"rename column at $outDir lost a manifest race")
     m.schemaV + 1
   }
@@ -2006,7 +2256,7 @@ object LakeSink {
     requireExpectsAnalyze(spark, m, narrowed, s"DROP COLUMN $name")
     require(commitNext(outDir, m, m.copy(version = m.version + 1,
       schemaV = m.schemaV + 1, schemaJson = Some(narrowed.json),
-      colmap = cm, cdcSegs = Nil, dataChange = true)),
+      colmap = cm, cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true)),
       s"drop column at $outDir lost a manifest race")
     m.schemaV + 1
   }
@@ -2069,6 +2319,146 @@ object LakeSink {
       case Some(v) => v
       case None => appendSegment(spark, outDir,
         df, seg, txn) // tail re-plan; txn guard stops infinite recursion
+    }
+  }
+
+  /** Hive-style path-name unescape for a staged partition directory
+    * value (`%xx` sequences; Spark writes them for chars illegal in
+    * path names). */
+  private def unescapePathValue(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Append one batch SPLIT BY the table's declared partition column
+    * ([[createTable]]'s `partitionBy` / [[evolvePartitionSpec]]) — one
+    * segment per distinct partition value, each recorded in the
+    * manifest with its exact value and row count ([[PartVal]]). This
+    * is what buys the partition dividend downstream:
+    *
+    *  - retention DML (`DELETE WHERE day < cutoff`) drops covered
+    *    segments with ZERO data jobs ([[deleteWhere]]'s partition fast
+    *    path decides per segment on the manifest alone);
+    *  - selective reads prune for free — the partition value doubles
+    *    as an EXACT stats entry (lo == hi, nulls == 0), so the
+    *    existing stats-skipping path needs nothing new;
+    *
+    * and costs almost nothing upfront: ONE Spark write job for all
+    * partitions (`partitionBy` on a shadow of the partition column —
+    * the shadow becomes the directory key and is stripped, the real
+    * column stays IN the files so reads/DML are layout-agnostic), plus
+    * one small aggregation for the per-partition row counts. Staged
+    * directories are MOVED into place (same filesystem, metadata-only)
+    * and nothing is visible until the one manifest CAS. Other tracked
+    * columns' stats are deliberately NOT computed here (that would
+    * re-read what was just written); absent stats mean "always scan" —
+    * advisory-bounds semantics, correct on mixed lakes.
+    *
+    * The NULL partition is a real partition (`PartVal.value = None`):
+    * its segment is never partition-dropped by a delete predicate
+    * (SQL keeps NULL-predicate rows) and never stats-pruned wrongly
+    * (it records no min/max entry for the partition column).
+    *
+    * Returns (committed version, segments written). */
+  def appendPartitioned(spark: SparkSession, outDir: String,
+      df: DataFrame): (Long, Int) = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val m = readManifest(outDir)
+    requireTable(m, outDir)
+    val partPhys = m.partSpec.getOrElse(sys.error(
+      s"lake at $outDir declares no partition column — createTable " +
+        "with partitionBy or evolvePartitionSpec first"))
+    val partCol = m.logicalOf(partPhys).getOrElse(sys.error(
+      s"lake at $outDir: partition column (physical $partPhys) was " +
+        "dropped — evolvePartitionSpec to a live column first"))
+    val expected = tableSchema(spark, outDir, m).fieldNames.toSeq
+    require(df.columns.toSeq == expected,
+      s"appendPartitioned schema mismatch: got ${df.columns.mkString(",")}" +
+        s", table is ${expected.mkString(",")}")
+    // Same CHECK-constraint gate as appendSegment — the contract does
+    // not care how a batch is laid out.
+    if (m.expects.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, when}
+      val checks = m.expects.toSeq.sortBy(_._1)
+      val aggs = checks.map { case (_, sql) =>
+        count(when(!expr(sql) || expr(sql).isNull, lit(1))) }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val bad = checks.zipWithIndex
+        .map { case ((n, _), i) => n -> row.getLong(i) }
+        .filter(_._2 > 0L)
+      require(bad.isEmpty,
+        s"appendPartitioned to $outDir violates expectation(s): " +
+          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+    }
+    val isStr = tableSchema(spark, outDir, m)
+      .fields.find(_.name == partCol).get.dataType ==
+      org.apache.spark.sql.types.StringType
+    // per-partition row counts: one aggregation, #distinct-values rows
+    // (bounded — a partition key IS a low-cardinality-per-batch key)
+    val counts: Map[Option[String], Long] =
+      df.groupBy(col(partCol)).agg(count(lit(1))).collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.get(0).toString)) ->
+          r.getLong(1)
+      }.toMap
+    if (counts.isEmpty) return (m.version, 0)
+    // Hive path encoding writes the EMPTY STRING into the same
+    // __HIVE_DEFAULT_PARTITION__ directory as NULL — the one value the
+    // staged layout cannot round-trip. Fail loud, not ambiguous.
+    require(!counts.contains(Some("")),
+      s"appendPartitioned to $outDir: empty-string partition values " +
+        "are indistinguishable from NULL in the staged layout — " +
+        "normalize them (e.g. to a sentinel) before the append")
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    // ONE write job for every partition: the shadow column becomes the
+    // staging directory key (and is stripped from the files); the real
+    // partition column remains a normal file column.
+    val stage = s"_stage_$nonce"
+    physicalize(df, m).withColumn("__gp", col(partCol))
+      .write.partitionBy("__gp").parquet(s"$outDir/$stage")
+    val stageDirs = listDir(Paths.get(outDir, stage))
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("__gp="))
+      .sortBy(_.getFileName.toString)
+    val hiveNull = "__HIVE_DEFAULT_PARTITION__"
+    val segs = Seq.newBuilder[String]
+    val addParts = Map.newBuilder[String, PartVal]
+    val addStats = Map.newBuilder[String, Map[String, ColStat]]
+    stageDirs.zipWithIndex.foreach { case (p, i) =>
+      val raw = p.getFileName.toString.stripPrefix("__gp=")
+      val value: Option[String] =
+        if (raw == hiveNull) None else Some(unescapePathValue(raw))
+      val seg = f"seg_p${m.version + 1}%010d_${i}_$nonce"
+      Files.move(p, Paths.get(outDir, seg))
+      val rows = counts.getOrElse(value, sys.error(
+        s"staged partition $raw has no counted value — partition " +
+          "column must be deterministic"))
+      segs += seg
+      addParts += seg -> PartVal(partPhys, value, rows)
+      // the partition fact doubles as an exact stats entry — free
+      // file-skipping for reads and non-covering DML
+      value.foreach { v =>
+        addStats += seg -> Map(partPhys ->
+          (if (isStr) StrStat(v, v, 0L)
+           else LongStat(v.toLong, v.toLong, 0L)))
+      }
+    }
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(Paths.get(outDir, stage).toFile)
+    tryCommitEdit(outDir, m, Set.empty, segs.result(), addStats.result(),
+      None, addedParts = addParts.result()) match {
+      case Some(v) => (v, counts.size)
+      case None => appendPartitioned(spark, outDir, df) // re-plan
     }
   }
 
@@ -2295,7 +2685,7 @@ object LakeSink {
                 segs = m.segs :+ seg,
                 stats =
                   if (bstats.isEmpty) m.stats else m.stats + (seg -> bstats),
-                cdcSegs = Nil, dataChange = true),
+                cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true),
               Set.empty, Seq(seg),
               if (bstats.isEmpty) Map.empty else Map(seg -> bstats))
         }
@@ -2320,7 +2710,7 @@ object LakeSink {
                   segs = m.segs.filterNot(bsegs.contains) :+ cseg,
                   stats = (if (cstats.isEmpty) m.stats
                     else m.stats + (cseg -> cstats)) -- bsegs,
-                  cdcSegs = Nil, dataChange = false,
+                  cdcSegs = Nil, cdcDropSegs = Nil, dataChange = false,
                   dv = m.dv -- bsegs),
                 bsegs.toSet, Seq(cseg),
                 if (cstats.isEmpty) Map.empty else Map(cseg -> cstats))) {

@@ -847,6 +847,84 @@ object Extensions {
                 AS pre_sum_cents
             FROM events"""))
 
+  /** SQL LIFECYCLE DDL (r12): the whole lake story driven from SQL
+    * TEXT alone — `CREATE TABLE … USING graft_lake PARTITIONED BY …
+    * LOCATION … TBLPROPERTIES('cdc'='true','expect.…'='…')` creates +
+    * registers + wires the change feed and a data contract in one
+    * statement; `INSERT INTO` ingests through the protocol (the
+    * expectation gates it — a violating insert is REQUIREd to fail);
+    * retention `DELETE` runs under the cdc property so
+    * `table_changes()` reads the deletes back; `ALTER TABLE SET
+    * TBLPROPERTIES` evolves the contract mid-life; `DROP TABLE`
+    * unregisters the name WITHOUT touching data — proven by
+    * re-attaching via CREATE-over-LOCATION and reading the same rows.
+    * Every output cell derives from the events table, so the DuckDB
+    * oracle is exact. */
+  private val sqlLakeDdl = QueryDef(
+    "sql_lake_ddl",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_ddl", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val tbl = "graft_sql_ddl_" + runTag(d)
+      LakeCatalog.unregister(tbl) // idempotent re-runs in one JVM
+      s.sql(s"""CREATE TABLE $tbl (event_id BIGINT, day BIGINT, vc BIGINT)
+                USING graft_lake PARTITIONED BY (day) LOCATION '$dir'
+                TBLPROPERTIES ('cdc'='true',
+                               'expect.vc_sane'='vc > -10000000')""")
+        .collect()
+      val ev = Tables.events(s, d).select(
+        col("event_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ev.createOrReplaceTempView(s"${tbl}_src")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM ${tbl}_src").collect()
+      // the expectation from TBLPROPERTIES must gate the protocol
+      val rejected =
+        try {
+          s.sql(s"INSERT INTO $tbl VALUES (CAST(-1 AS BIGINT), " +
+            "CAST(0 AS BIGINT), CAST(-10000001 AS BIGINT))").collect()
+          0L
+        } catch { case _: Exception => 1L }
+      require(rejected == 1L,
+        "TBLPROPERTIES expectation failed to gate a violating INSERT")
+      val vPre = LakeSink.readManifest(dir).version
+      val cutoff = ev.agg(min("day")).head().getLong(0) + 10L
+      s.sql(s"DELETE FROM $tbl WHERE day < $cutoff").collect()
+      val vPost = LakeSink.readManifest(dir).version
+      // the cdc property wired at CREATE must make the delete
+      // feed-readable as SQL text
+      val nFeedDel = s.sql(
+        s"SELECT count(*) FROM table_changes('$tbl', $vPre, $vPost) " +
+          "WHERE _change_type = 'delete'").head().getLong(0)
+      // DROP unregisters, data survives, CREATE-over-LOCATION re-attaches
+      s.sql(s"DROP TABLE $tbl").collect()
+      require(LakeCatalog.lookup(Seq(tbl)).isEmpty, "DROP failed to unregister")
+      s.sql(s"""CREATE TABLE $tbl (event_id BIGINT, day BIGINT, vc BIGINT)
+                USING graft_lake LOCATION '$dir'""").collect()
+      val out = s.sql(s"SELECT count(*) AS n_rows, sum(vc) AS sum_cents " +
+        s"FROM $tbl").head()
+      LakeCatalog.unregister(tbl)
+      Tables.events(s, d).limit(1).select(
+        lit(out.getLong(0)).as("n_rows"),
+        lit(out.getLong(1)).as("sum_cents"),
+        lit(nFeedDel).as("n_feed_deletes"),
+        lit(rejected).as("n_rejected"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+                 c AS (SELECT min(day) + 10 AS cutoff FROM e)
+            SELECT
+              CAST(count(CASE WHEN day >= cutoff THEN 1 END) AS BIGINT)
+                AS n_rows,
+              CAST(sum(CASE WHEN day >= cutoff THEN vc END) AS BIGINT)
+                AS sum_cents,
+              CAST(count(CASE WHEN day < cutoff THEN 1 END) AS BIGINT)
+                AS n_feed_deletes,
+              CAST(1 AS BIGINT) AS n_rejected
+            FROM e CROSS JOIN c"""))
+
   /** SQL DML TEXT surface (r10): the same three protocol verbs, but
     * submitted as `spark.sql` TEXT — `DELETE FROM` / `UPDATE` /
     * `MERGE INTO` against a [[graft.streaming.LakeCatalog]]-registered
@@ -1773,7 +1851,7 @@ object Extensions {
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeDeleteDv, sinkLakeUpdate,
     sinkLakeMerge,
-    sqlLakeDml, sinkLakeEvolution, sinkLakeColmap,
+    sqlLakeDml, sqlLakeDdl, sinkLakeEvolution, sinkLakeColmap,
     sinkLakePartitioned, sinkLakeCompactClustered,
     sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,

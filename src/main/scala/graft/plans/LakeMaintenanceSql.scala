@@ -48,6 +48,44 @@ object LakeMaintenanceSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
   private val AlterAddCol =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w<>(),. ]+?)\s*;?\s*$""".r
+  // Table LIFECYCLE DDL (r12): CREATE is claimed by the provider
+  // marker (`USING graft_lake` — no other parser owns that provider);
+  // ALTER SET TBLPROPERTIES and DROP TABLE only for registered lakes.
+  private val CreateTable =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s*\((.+?)\)\s+USING\s+graft_lake""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\))?""" +
+      """\s+LOCATION\s+'([^']+)'""" +
+      """(?:\s+TBLPROPERTIES\s*\((.+)\))?\s*;?\s*$""").r
+  private val AlterSetProps =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val DropTable =
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
+
+  /** Parse a TBLPROPERTIES body (`'k'='v', …`). */
+  private def parseProps(body: String): Map[String, String] =
+    PropPair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Apply lifecycle table properties — the shared CREATE/ALTER seam.
+    * Supported: `cdc` (table-level change-data-feed flag, Delta's
+    * enableChangeDataFeed), `partition_by` (partition evolution),
+    * `expect.<name>` (manifest expectation). Unknown keys fail loud —
+    * silently-ignored properties are how contracts rot. */
+  private[plans] def applyLakeProperties(session: SparkSession,
+      name: String, dir: String, props: Map[String, String]): Unit = {
+    val cdc = props.get("cdc").map(_.trim.toBoolean)
+      .getOrElse(LakeCatalog.cdcEnabled(Seq(name)))
+    LakeCatalog.register(name, dir, cdc = cdc)
+    props.foreach {
+      case ("cdc", _) =>
+      case ("partition_by", c) =>
+        LakeSink.evolvePartitionSpec(session, dir, c.trim)
+      case (k, sql) if k.startsWith("expect.") =>
+        LakeSink.addExpectation(session, dir, k.stripPrefix("expect."), sql)
+      case (k, _) => sys.error(s"unsupported graft_lake table property " +
+        s"'$k' (supported: cdc, partition_by, expect.<name>)")
+    }
+  }
 
   private def dirOf(ident: String): Option[String] =
     LakeCatalog.lookup(ident.split('.').toSeq)
@@ -70,7 +108,76 @@ object LakeMaintenanceSql {
       LakeAlterColumnCommand(d, "drop", a, None, None))
     case AlterAddCol(t, a, tpe) => dirOf(t).map(d =>
       LakeAlterColumnCommand(d, "add", a, None, Some(tpe)))
+    case CreateTable(t, cols, part, loc, props) =>
+      Some(LakeCreateTableCommand(t.split('.').last, cols,
+        loc, Option(part), Option(props).map(parseProps).getOrElse(Map.empty)))
+    case AlterSetProps(t, props) => dirOf(t).map(d =>
+      LakeSetPropertiesCommand(t.split('.').last, d, parseProps(props)))
+    case DropTable(t) => dirOf(t).map(_ =>
+      LakeDropTableCommand(t.split('.').last))
     case _ => None
+  }
+}
+
+/** `CREATE TABLE … USING graft_lake LOCATION …` — creates the lake
+  * (schema + optional partition spec as one metadata commit) and
+  * registers the name; over a location that ALREADY holds a lake it
+  * ATTACHES instead (the Delta CREATE-over-existing-LOCATION move):
+  * declared columns must match the recorded schema name-for-name, so
+  * a mistyped path fails loud instead of shadowing real data with an
+  * empty table. TBLPROPERTIES go through the same seam as ALTER. */
+case class LakeCreateTableCommand(name: String, colsDdl: String,
+    dir: String, partitionBy: Option[String],
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(LakeCatalog.lookup(Seq(name)).isEmpty,
+      s"lake table $name is already registered (DROP TABLE it first)")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+    val m = LakeSink.readManifest(dir)
+    val v =
+      if (m.version == 0L) LakeSink.createTable(dir, schema, partitionBy)
+      else {
+        val cur = LakeSink.tableSchema(session, dir, m)
+        require(schema.fieldNames.toSeq == cur.fieldNames.toSeq,
+          s"CREATE TABLE $name attaches to an existing lake at $dir " +
+            s"but declares columns ${schema.fieldNames.mkString(", ")} " +
+            s"vs recorded ${cur.fieldNames.mkString(", ")}")
+        partitionBy.foreach(c =>
+          LakeSink.evolvePartitionSpec(session, dir, c))
+        LakeSink.readManifest(dir).version
+      }
+    LakeMaintenanceSql.applyLakeProperties(session, name, dir, props)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE … SET TBLPROPERTIES ('cdc'='true', 'expect.x'='…',
+  * 'partition_by'='col')` over a registered lake — the lifecycle
+  * knobs that were Scala-only before r12. */
+case class LakeSetPropertiesCommand(name: String, dir: String,
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("properties_set", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    LakeMaintenanceSql.applyLakeProperties(session, name, dir, props)
+    Seq(Row(props.size))
+  }
+}
+
+/** `DROP TABLE t` over a registered lake: unregisters the NAME; the
+  * data and manifest stay on disk (external-table semantics — the
+  * registration is a pointer, and dropping a pointer must never be a
+  * data-destruction verb). Re-attach any time with CREATE TABLE …
+  * LOCATION. */
+case class LakeDropTableCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dropped", org.apache.spark.sql.types.StringType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    LakeCatalog.unregister(name)
+    Seq(Row(name))
   }
 }
 

@@ -90,4 +90,94 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
       spark.sql("OPTIMIZE definitely_not_registered")
     }
   }
+
+  test("CREATE TABLE … USING graft_lake: creates, registers, applies " +
+      "properties; DROP TABLE unregisters but keeps data") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ddl_lake").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val tbl = "graft_ddl_" + java.lang.Long.toHexString(System.nanoTime())
+    try {
+      val v = spark.sql(
+        s"""CREATE TABLE $tbl (id BIGINT, day BIGINT, v BIGINT)
+            USING graft_lake PARTITIONED BY (day) LOCATION '$dir'
+            TBLPROPERTIES ('cdc'='true', 'expect.v_pos'='v >= 0')""")
+        .collect().head.getLong(0)
+      assert(v === 1L)
+      val m = LakeSink.readManifest(dir)
+      assert(m.partSpec === Some("day"))
+      assert(m.expects === Map("v_pos" -> "v >= 0"))
+      assert(LakeCatalog.cdcEnabled(Seq(tbl)))
+      // INSERT through SQL lands through the protocol (and the cdc
+      // property makes a later DELETE feed-readable)
+      spark.sql(s"INSERT INTO $tbl VALUES " +
+        "(CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(5 AS BIGINT)), " +
+        "(CAST(2 AS BIGINT), CAST(11 AS BIGINT), CAST(6 AS BIGINT))")
+        .collect()
+      val v1 = LakeSink.readManifest(dir).version
+      spark.sql(s"DELETE FROM $tbl WHERE day = 10").collect()
+      val v2 = LakeSink.readManifest(dir).version
+      val feed = LakeSink.changesCdcBetween(spark, dir, v1, v2)
+      assert(feed.filter(feed("_change_type") === "delete").count() === 1L)
+      // the expectation from TBLPROPERTIES gates appends
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $tbl VALUES " +
+          "(CAST(3 AS BIGINT), CAST(12 AS BIGINT), CAST(-1 AS BIGINT))")
+          .collect()
+      }
+      // DROP unregisters the NAME; files stay
+      assert(spark.sql(s"DROP TABLE $tbl").collect().head.getString(0)
+        === tbl)
+      assert(LakeCatalog.lookup(Seq(tbl)).isEmpty)
+      assert(LakeSink.readManifest(dir).version === v2)
+      // re-attach over the existing location: columns must match
+      val vAttach = spark.sql(
+        s"""CREATE TABLE $tbl (id BIGINT, day BIGINT, v BIGINT)
+            USING graft_lake LOCATION '$dir'""").collect().head.getLong(0)
+      assert(vAttach === v2)
+      assert(LakeSink.readTable(spark, dir).count() === 1L)
+      // a mismatched attach fails loud
+      spark.sql(s"DROP TABLE $tbl").collect()
+      intercept[Exception] {
+        spark.sql(s"""CREATE TABLE $tbl (wrong BIGINT, cols BIGINT)
+            USING graft_lake LOCATION '$dir'""").collect()
+      }
+    } finally LakeCatalog.unregister(tbl)
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES: cdc flag, partition evolution, " +
+      "expectations; unknown keys fail loud") {
+    val (dir, tbl) = buildLake()
+    try {
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('cdc'='true', 'partition_by'='flag', 'expect.id_pos'='id >= 0')")
+        .collect()
+      assert(LakeCatalog.cdcEnabled(Seq(tbl)))
+      val m = LakeSink.readManifest(dir)
+      assert(m.partSpec === Some("flag"))
+      assert(m.expects === Map("id_pos" -> "id >= 0"))
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('nope'='x')")
+          .collect()
+      }
+      // turning cdc back off re-registers without touching the lake
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('cdc'='false')")
+        .collect()
+      assert(!LakeCatalog.cdcEnabled(Seq(tbl)))
+      assert(LakeSink.readManifest(dir).version === m.version)
+    } finally LakeCatalog.unregister(tbl)
+  }
+
+  test("lifecycle DDL over unregistered names reaches the delegate") {
+    // DROP TABLE of an unregistered name → delegate (catalog error,
+    // not our command)
+    intercept[Exception] {
+      spark.sql("DROP TABLE definitely_not_registered_lake").collect()
+    }
+    // ALTER SET TBLPROPERTIES of an unregistered name → delegate
+    intercept[Exception] {
+      spark.sql("ALTER TABLE definitely_not_registered_lake " +
+        "SET TBLPROPERTIES ('cdc'='true')").collect()
+    }
+  }
 }

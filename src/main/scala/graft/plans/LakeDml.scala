@@ -305,10 +305,13 @@ case class LakeMergeCommand(dir: String, source: LogicalPlan,
   }
 }
 
-/** `INSERT INTO <lake> <query>` → [[LakeSink.appendSegment]]: the
-  * query's rows land as ONE new segment behind one manifest CAS.
+/** `INSERT INTO <lake> <query>` → [[LakeSink.appendSegment]], or
+  * [[LakeSink.appendPartitioned]] when the table declares a partition
+  * spec — SQL writers get the partition layout (and the metadata-only
+  * retention it buys) transparently, exactly how every lake format's
+  * INSERT honors the table's partitioning without statement syntax.
   * Columns map positionally and are cast to the table schema (SQL
-  * INSERT coercion); the appended segment therefore always matches
+  * INSERT coercion); the appended segments therefore always match
   * the table's current schema generation. */
 case class LakeInsertCommand(dir: String, source: LogicalPlan)
     extends LeafRunnableCommand {
@@ -326,9 +329,18 @@ case class LakeInsertCommand(dir: String, source: LogicalPlan)
     val aligned = src.select(src.columns.zip(schema.fields).map {
       case (c, f) => col(c).cast(f.dataType).as(f.name)
     }.toSeq: _*)
-    val seg = f"seg_i${m.version + 1}%010d"
-    val v = LakeSink.appendSegment(session, dir, aligned, seg)
-    val n = session.read.parquet(s"$dir/$seg").count()
-    Seq(Row(v, n))
+    if (m.partSpec.isDefined) {
+      val before = m.segs.toSet
+      val (v, _) = LakeSink.appendPartitioned(session, dir, aligned)
+      val after = LakeSink.readManifest(dir)
+      val n = after.parts
+        .filter { case (s, _) => !before(s) }.values.map(_.rows).sum
+      Seq(Row(v, n))
+    } else {
+      val seg = f"seg_i${m.version + 1}%010d"
+      val v = LakeSink.appendSegment(session, dir, aligned, seg)
+      val n = session.read.parquet(s"$dir/$seg").count()
+      Seq(Row(v, n))
+    }
   }
 }

@@ -30,6 +30,8 @@ object LakeMaintenanceSql {
 
   private val Vacuum =
     """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val VacuumHours =
+    """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*;?\s*$""".r
   private val OptimizeCluster =
@@ -38,6 +40,10 @@ object LakeMaintenanceSql {
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(\s*([\w]+)\s*,\s*([\w]+)\s*\)\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  private val OptimizePerPartition =
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+PER\s+PARTITION\s*;?\s*$""".r
+  private val ShowPartitions =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
   // Schema-evolution DDL (r12): valid Spark grammar too, but claimed
   // ONLY for LakeCatalog-registered names (which are deliberately not
   // catalog tables — the delegate would fail them with TABLE_NOT_FOUND
@@ -92,6 +98,8 @@ object LakeMaintenanceSql {
 
   /** The claimed plan, or None → delegate. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case VacuumHours(t, h) => dirOf(t).map(d =>
+      LakeVacuumHoursCommand(d, h.toLong))
     case Vacuum(t, retain) => dirOf(t).map(d =>
       LakeVacuumCommand(d, Option(retain).map(_.toInt).getOrElse(2)))
     case Optimize(t) => dirOf(t).map(d =>
@@ -102,6 +110,11 @@ object LakeMaintenanceSql {
       LakeOptimizeCommand(d, Nil, Some((x, y))))
     case History(t) => dirOf(t).map(d =>
       LakeSink.history(SparkSession.active, d).queryExecution.analyzed)
+    case OptimizePerPartition(t) => dirOf(t).map(d =>
+      LakeOptimizePartitionsCommand(d))
+    case ShowPartitions(t) => dirOf(t).map(d =>
+      LakeSink.showPartitions(SparkSession.active, d)
+        .queryExecution.analyzed)
     case AlterRenameCol(t, a, b) => dirOf(t).map(d =>
       LakeAlterColumnCommand(d, "rename", a, Some(b), None))
     case AlterDropCol(t, a) => dirOf(t).map(d =>
@@ -202,6 +215,20 @@ case class LakeAlterColumnCommand(dir: String, op: String, col: String,
   }
 }
 
+/** `VACUUM t RETAIN n HOURS` → [[LakeSink.vacuumRetainHours]]: the
+  * time-based retention spelling, resolved on the log's commit
+  * clock. */
+case class LakeVacuumHoursCommand(dir: String, hours: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("segments_deleted", IntegerType)(),
+    AttributeReference("manifests_deleted", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (segs, mans) = LakeSink.vacuumRetainHours(dir, hours)
+    Seq(Row(segs, mans))
+  }
+}
+
 case class LakeVacuumCommand(dir: String, retainVersions: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -210,6 +237,20 @@ case class LakeVacuumCommand(dir: String, retainVersions: Int)
   override def run(session: SparkSession): Seq[Row] = {
     val (segs, mans) = LakeSink.vacuum(dir, retainVersions)
     Seq(Row(segs, mans))
+  }
+}
+
+/** `OPTIMIZE t PER PARTITION` → [[LakeSink.compactPartitions]]: the
+  * partition-preserving compaction (facts survive the rewrite, so
+  * retention stays metadata-only afterwards). */
+case class LakeOptimizePartitionsCommand(dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("partitions_compacted", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, n) = LakeSink.compactPartitions(session, dir)
+    Seq(Row(v, n))
   }
 }
 

@@ -1039,6 +1039,132 @@ object LakeSink {
       }
   }
 
+  /** FULL-MATCH proof obligations for `cond` (r12): the dual of
+    * [[inferPruneHints]]. Pruning asks "can any row match?" and skips
+    * on NO; this asks "does EVERY row provably match?" and lets
+    * [[deleteWhere]] drop a whole segment by METADATA — which is what
+    * makes `DELETE WHERE ts < cutoff` metadata-only on any
+    * stats-tracked time-ordered layout (a streaming ingest with
+    * `statsCols` on the event-time column, say) with NO partition
+    * declaration at all.
+    *
+    * Returns one proof check per TOP-LEVEL CONJUNCT, or None when any
+    * conjunct has an unprovable shape (disjunctions, IS NULL,
+    * arithmetic, non-literal sides) — all conjuncts proving TRUE on a
+    * segment's recorded stats implies the whole predicate is TRUE for
+    * every live row. Soundness with ADVISORY (superset) bounds: the
+    * recorded range contains the true range, so `recorded_hi < K`
+    * implies `true_hi < K` — stale-wide bounds can only FAIL a proof,
+    * never fake one; every check also requires `nulls == 0` (a NULL
+    * evaluation is not TRUE, and DV deletes only shrink null counts).
+    * Checks key PHYSICAL stat names via the column mapping. */
+  def inferFullMatchChecks(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      cond: org.apache.spark.sql.Column,
+      m: Manifest): Option[Seq[Map[String, ColStat] => Boolean]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val condExpr =
+      try {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          .filter(cond).queryExecution.analyzed
+          .collectFirst { case f: Filter => f.condition }
+      } catch { case _: Exception => None }
+    if (condExpr.isEmpty) return None
+    def name(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def numLit(e: Expression): Option[Long] =
+      if (!e.foldable) None
+      else e.dataType match {
+        case LongType => Option(e.eval()).map(_.asInstanceOf[Long])
+        case IntegerType => Option(e.eval()).map(_.asInstanceOf[Int].toLong)
+        case ShortType => Option(e.eval()).map(_.asInstanceOf[Short].toLong)
+        case ByteType => Option(e.eval()).map(_.asInstanceOf[Byte].toLong)
+        case _ => None
+      }
+    def strLit(e: Expression): Option[String] =
+      if (e.foldable && e.dataType == StringType)
+        Option(e.eval()).map(_.toString)
+      else None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def chk(logical: String)(f: ColStat => Boolean)
+        : Map[String, ColStat] => Boolean = {
+      val phys = m.physicalOf(logical)
+      st => st.get(phys).exists(s => s.nulls == 0L && f(s))
+    }
+    // (col ⋈ lit) in either spelling; flip=false means the column is
+    // on the LEFT of the operator as written.
+    def numCmp(l: Expression, r: Expression)(
+        onCol: (String, Long, Boolean) => Map[String, ColStat] => Boolean)
+        : Option[Map[String, ColStat] => Boolean] =
+      (for (n <- name(l); v <- numLit(r)) yield onCol(n, v, false))
+        .orElse(for (n <- name(r); v <- numLit(l)) yield onCol(n, v, true))
+    val checks = conjuncts(condExpr.get).map {
+      case GreaterThanOrEqual(l, r) => numCmp(l, r) {
+        case (n, v, false) => chk(n) { // c >= v: lo >= v
+          case LongStat(lo, _, _) => lo >= v; case _ => false }
+        case (n, v, true) => chk(n) { // v >= c: hi <= v
+          case LongStat(_, hi, _) => hi <= v; case _ => false }
+      }
+      case GreaterThan(l, r) => numCmp(l, r) {
+        case (n, v, false) => chk(n) {
+          case LongStat(lo, _, _) => lo > v; case _ => false }
+        case (n, v, true) => chk(n) {
+          case LongStat(_, hi, _) => hi < v; case _ => false }
+      }
+      case LessThanOrEqual(l, r) => numCmp(l, r) {
+        case (n, v, false) => chk(n) {
+          case LongStat(_, hi, _) => hi <= v; case _ => false }
+        case (n, v, true) => chk(n) {
+          case LongStat(lo, _, _) => lo >= v; case _ => false }
+      }
+      case LessThan(l, r) => numCmp(l, r) {
+        case (n, v, false) => chk(n) {
+          case LongStat(_, hi, _) => hi < v; case _ => false }
+        case (n, v, true) => chk(n) {
+          case LongStat(lo, _, _) => lo > v; case _ => false }
+      }
+      case EqualTo(l, r) =>
+        numCmp(l, r) { case (n, v, _) => chk(n) {
+          case LongStat(lo, hi, _) => lo == v && hi == v; case _ => false }
+        }.orElse(
+          (for (n <- name(l); v <- strLit(r)) yield (n, v))
+            .orElse(for (n <- name(r); v <- strLit(l)) yield (n, v))
+            .map { case (n, v) => chk(n) {
+              case StrStat(lo, hi, _) => lo == v && hi == v
+              case _ => false } })
+      case Between(in, lo, hi, _) =>
+        for (n <- name(in); l <- numLit(lo); h <- numLit(hi))
+          yield chk(n) {
+            case LongStat(slo, shi, _) => slo >= l && shi <= h
+            case _ => false }
+      case _ => None
+    }
+    if (checks.isEmpty || checks.exists(_.isEmpty)) None
+    else Some(checks.map(_.get))
+  }
+
+  /** Live row count of a segment from its parquet FOOTERS — a
+    * driver-side metadata read (no Spark job), used when a proof
+    * drops a segment the planner never scanned. */
+  private def segmentFooterRows(outDir: String, seg: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    listDir(Paths.get(outDir, seg))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** ALL safe prune hints for `cond` over the stats-tracked columns —
     * the r11 generalization of [[inferPruneHint]]: numeric ranges,
     * string ranges/equalities, and IS NULL constraints, one hint per
@@ -1273,6 +1399,26 @@ object LakeSink {
     i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
 
+  /** TIME-BASED retention (`VACUUM … RETAIN n HOURS`, the spelling
+    * every lake format's operators actually run): retain every
+    * version committed within the trailing `hours` of the NEWEST
+    * commit — measured on the log's own commit clock (the same clock
+    * `TIMESTAMP AS OF` resolves by), not wall time, so the horizon is
+    * reproducible and a paused table doesn't silently lose all but
+    * one version the moment anyone vacuums it. At least the tip is
+    * always retained. Delegates to [[vacuum]]'s version-count
+    * machinery (checkpoint materialization, live-set union, DV/cdc
+    * retention all inherited). */
+  def vacuumRetainHours(outDir: String, hours: Long): (Int, Int) = {
+    require(hours >= 0, s"negative retention: $hours hours")
+    val versions = manifestVersions(outDir)
+    if (versions.isEmpty) return (0, 0)
+    val cut = commitTimestampMicros(outDir, versions.max) -
+      hours * 3600L * 1000000L
+    val keep = versions.count(commitTimestampMicros(outDir, _) >= cut)
+    vacuum(outDir, math.max(1, keep))
+  }
+
   /** Latest committed version whose commit time ≤ `tsMicros` — the
     * `TIMESTAMP AS OF` resolution rule (a timestamp between two
     * commits resolves to the earlier one: the table AS IT WAS at that
@@ -1307,6 +1453,33 @@ object LakeSink {
   def readTableAsOfTimestamp(spark: SparkSession, outDir: String,
       tsMicros: Long): DataFrame =
     readTableAsOf(spark, outDir, versionAtOrBefore(outDir, tsMicros))
+
+  /** SHOW PARTITIONS: the table's partition layout from the manifest
+    * alone — one row per (column, value) with its live segment count
+    * and recorded rows (DV debt subtracted), ordered for determinism.
+    * Zero data IO at any scale; segments without a recorded fact are
+    * summarized in a trailing `(unpartitioned)` row so operators see
+    * what retention can and cannot drop by metadata. */
+  def showPartitions(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val m = readManifest(outDir)
+    val grouped = m.segs
+      .flatMap(s => m.parts.get(s).map(pv => ((pv.col, pv.value), s)))
+      .groupBy(_._1)
+      .toSeq
+      .map { case ((c, v), xs) =>
+        val segs = xs.map(_._2)
+        val rows = segs.map(s => m.parts(s).rows).sum -
+          segs.flatMap(m.dv.get).map(_.rows).sum
+        (c, v.orNull, segs.size.toLong, rows)
+      }
+      .sortBy { case (c, v, _, _) => (c, String.valueOf(v)) }
+    val bare = m.segs.filterNot(m.parts.contains)
+    val all = grouped ++
+      (if (bare.isEmpty) Nil
+       else Seq(("(unpartitioned)", null: String, bare.size.toLong, -1L)))
+    all.toDF("column", "value", "n_segments", "n_rows")
+  }
 
   /** DESCRIBE HISTORY: the retained manifest log as a DataFrame —
     * one row per committed version still inside the vacuum retention
@@ -1696,13 +1869,16 @@ object LakeSink {
       // PHYSICAL names manifest stats live under.
       val trackedLogical =
         if (m.colmap.isEmpty) tracked else tracked.flatMap(m.logicalOf(_))
+      // one schema fetch per attempt (a recorded-schema lake parses it
+      // from the manifest — zero jobs; a schema-less lake pays ONE
+      // footer read, not one per use)
+      lazy val schemaOnce = tableSchema(spark, outDir, m)
       val hints: Seq[PruneHint] =
         (pruneHint.map { case (c, lo, hi) => NumRange(c, lo, hi) } match {
           case Some(h) => Seq(h)
           case None =>
             if (trackedLogical.isEmpty) Nil
-            else inferPruneHints(spark, tableSchema(spark, outDir, m),
-              cond, trackedLogical)
+            else inferPruneHints(spark, schemaOnce, cond, trackedLogical)
         }).map(hintPhysical(_, m))
       // Written-segment names carry a per-attempt NONCE: two racing
       // writers both staging rewrites for version v+1 must never share
@@ -1737,15 +1913,36 @@ object LakeSink {
         .empty[String, Option[Option[String] => Boolean]]
       def deciderFor(c: String): Option[Option[String] => Boolean] =
         deciders.getOrElseUpdate(c, partitionDecider(spark,
-          tableSchema(spark, outDir, m), cond, m, c))
+          schemaOnce, cond, m, c))
+      // STATS-PROVEN full match (the partition decider's stats twin):
+      // when every top-level conjunct is provable from a segment's
+      // recorded min/max/null stats, the whole segment drops by
+      // metadata — retention on a stats-tracked time-ordered layout
+      // (streaming ingest with statsCols) without any partition spec.
+      val fullChecks: Option[Seq[Map[String, ColStat] => Boolean]] =
+        if (m.stats.isEmpty) None
+        else inferFullMatchChecks(spark, schemaOnce, cond, m)
       val cdcDrops = Seq.newBuilder[String]
       var cdcDropped = false
       m.segs.zipWithIndex.foreach { case (seg, i) =>
         val pvOpt = m.parts.get(seg)
         val partDecision: Option[Boolean] =
           pvOpt.flatMap(pv => deciderFor(pv.col).map(f => f(pv.value)))
+        val statsFull = partDecision.isEmpty && fullChecks.exists { cs =>
+          val st = m.stats.getOrElse(seg, Map.empty[String, ColStat])
+          st.nonEmpty && cs.forall(c => c(st))
+        }
         if (partDecision.contains(false)) {
           // no row of this partition can match — skip, zero jobs
+        } else if (statsFull && (m.dv.get(seg).isEmpty || !cdc)) {
+          // every live row provably matches: metadata-only drop; rows
+          // from the parquet footers (driver-side, no Spark job) minus
+          // any deletion-vector debt. cdcdrop rule as below.
+          dropped += 1
+          removed += seg
+          deleted += segmentFooterRows(outDir, seg) -
+            m.dv.get(seg).map(_.rows).getOrElse(0L)
+          if (cdc) { cdcDrops += seg; cdcDropped = true }
         } else if (partDecision.contains(true) &&
             (m.dv.get(seg).isEmpty || !cdc)) {
           // EVERY live row matches: metadata-only drop. Row count from
@@ -2061,6 +2258,68 @@ object LakeSink {
     // streaming path's eager cleanup, this op follows the
     // delete/update/merge retention contract.
     (m.version + 1, m.segs.size)
+  }
+
+  /** PARTITION-PRESERVING compaction: rewrite each partition's small
+    * segments into `targetFiles` file(s) PER PARTITION VALUE, keeping
+    * the manifest partition facts alive across the rewrite — plain
+    * [[compact]] merges everything into one layout-less segment and
+    * forfeits them, which is right for an unpartitioned table and
+    * wrong for a retention-managed one (the next `DELETE WHERE day <
+    * cutoff` would have to scan). Per (column, value) group with more
+    * than one segment or any deletion-vector debt: DV-reconciling
+    * read, one rewrite, stats recomputed, fact re-recorded with the
+    * group's LIVE row count (recorded rows minus DV debt — both
+    * manifest numbers, no counting scan). Segments without a recorded
+    * fact are left untouched; the column mapping is NOT re-baselined
+    * (only grouped segments rewrite, so files keep physical names).
+    * `dataChange = false` — bytes moved, rows did not; the change
+    * feed skips it. Returns (committed version, partition groups
+    * compacted); nothing to do commits nothing. */
+  def compactPartitions(spark: SparkSession, outDir: String,
+      targetFiles: Int = 1): (Long, Int) = {
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    val groups = m.segs
+      .flatMap(s => m.parts.get(s).map(pv => ((pv.col, pv.value), s)))
+      .groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2) }
+      .filter { case (_, segs) =>
+        segs.size > 1 || segs.exists(m.dv.contains) }
+      .toSeq.sortBy(_._1.toString)
+    if (groups.isEmpty) return (m.version, 0)
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val removed = Set.newBuilder[String]
+    val added = Seq.newBuilder[String]
+    val addStats = Map.newBuilder[String, Map[String, ColStat]]
+    val addParts = Map.newBuilder[String, PartVal]
+    val tracked = m.trackedCols
+    groups.zipWithIndex.foreach { case (((pcol, pval), segs), i) =>
+      val df = readSegments(spark, outDir, m, segs) // logical + DV-applied
+      val newSeg = f"seg_pc${m.version + 1}%010d_${i}_$nonce"
+      physicalize(df.repartition(targetFiles), m)
+        .write.mode("overwrite").parquet(s"$outDir/$newSeg")
+      val liveRows = segs.map(s => m.parts(s).rows).sum -
+        segs.flatMap(m.dv.get).map(_.rows).sum
+      removed ++= segs
+      added += newSeg
+      addParts += newSeg -> PartVal(pcol, pval, liveRows)
+      if (tracked.nonEmpty)
+        addStats += newSeg -> segmentStats(
+          spark.read.parquet(s"$outDir/$newSeg"), tracked)
+    }
+    val rm = removed.result()
+    val next = m.copy(version = m.version + 1,
+      segs = m.segs.filterNot(rm) ++ added.result(),
+      stats = (m.stats -- rm) ++ addStats.result(),
+      parts = (m.parts -- rm) ++ addParts.result(),
+      dv = m.dv -- rm,
+      cdcSegs = Nil, cdcDropSegs = Nil, dataChange = false)
+    require(commitEditRecord(outDir, m, next, rm, added.result(),
+      addStats.result(), addedParts = addParts.result()),
+      s"partition compaction at $outDir lost a manifest race")
+    (m.version + 1, groups.size)
   }
 
   /** Register a table EXPECTATION (data contract): a boolean SQL
@@ -2424,7 +2683,9 @@ object LakeSink {
     // staging directory key (and is stripped from the files); the real
     // partition column remains a normal file column.
     val stage = s"_stage_$nonce"
-    physicalize(df, m).withColumn("__gp", col(partCol))
+    // the shadow references the PHYSICAL name — physicalize just
+    // renamed the frame's columns
+    physicalize(df, m).withColumn("__gp", col(partPhys))
       .write.partitionBy("__gp").parquet(s"$outDir/$stage")
     val stageDirs = listDir(Paths.get(outDir, stage))
       .filter(p => Files.isDirectory(p) &&

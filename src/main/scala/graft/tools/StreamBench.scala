@@ -329,7 +329,7 @@ object StreamBench {
     // between hops); p50/p99 are the silver hop's trigger times.
     // Correctness is asserted, not assumed: gold must equal the batch
     // rollup of bronze.
-    locally {
+    def runMedallion(name: String, nChunks: Int): Unit = {
       import graft.streaming.{LakeSink, Medallion}
       val bronzeDir = tmpDir("graft_sb_med_bronze")
       val silverDir = tmpDir("graft_sb_med_silver")
@@ -343,7 +343,7 @@ object StreamBench {
       val gq = Medallion.startGold(spark, silverDir, goldDir,
         tmpDir("graft_sb_med_ck_g"))
       try {
-        chunksOf(events, 16).zipWithIndex.foreach { case (c, i) =>
+        chunksOf(events, nChunks).zipWithIndex.foreach { case (c, i) =>
           LakeSink.appendSegment(spark, bronzeDir,
             spark.createDataset(c).toDF(), f"seg_e$i%04d")
           sq.processAllAvailable()
@@ -365,7 +365,7 @@ object StreamBench {
       def pct(p: Double): Long =
         if (durs.isEmpty) 0L
         else durs(math.min(durs.size - 1, math.ceil(p * durs.size).toInt - 1))
-      val r = Res("stream_medallion", events.size, durs.size, wall,
+      val r = Res(name, events.size, durs.size, wall,
         events.size / wall, pct(0.50), pct(0.99))
       results += r
       println(f"[streambench] ${r.name}%-22s ${r.rowsIn}%8d rows " +
@@ -383,9 +383,18 @@ object StreamBench {
       require(gotGold == wantGold,
         s"medallion gold diverged from the batch rollup of bronze:\n" +
           s"  got  $gotGold\n  want $wantGold")
-      println(s"[streambench] stream_medallion identity: gold matches " +
+      println(s"[streambench] $name identity: gold matches " +
         s"batch rollup (${gotGold.size} event types)")
     }
+    runMedallion("stream_medallion", 16)
+    // DEPLOY SHAPE (r12): same chain, 4 bronze appends — each chunk 4×
+    // larger, so the chain pays 1/4 of the trigger floors and protocol
+    // commits per fed row (the micro-batch sizing lever r9 measured at
+    // 17× on the stream-stream join; here both hops are protocol-commit
+    // bound, so the lever is batch size, not shuffle partitions).
+    // Identity asserted on the SAME gold check, so the speedup is
+    // measured on proven-identical results.
+    runMedallion("stream_medallion_deploy", 4)
 
     // ---- CDC-maintained medallion with a mid-run GDPR delete ---------
     // The signed-fold variant: no watermark (windows converge instead

@@ -78,6 +78,31 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     } finally LakeCatalog.unregister(tbl)
   }
 
+  test("VACUUM RETAIN n HOURS: time-based horizon on the log's own " +
+      "commit clock") {
+    val (dir, tbl) = buildLake()
+    try {
+      // nothing old enough: a generous horizon deletes nothing
+      val r0 = spark.sql(s"VACUUM $tbl RETAIN 1000 HOURS").collect().head
+      assert(r0.getInt(1) === 0)
+      // age the first two commits by 3 hours (commit clock = manifest
+      // mtime, the same clock TIMESTAMP AS OF resolves by)
+      val md = java.nio.file.Paths.get(dir, "_manifest")
+      (1 to 2).foreach { v =>
+        val p = md.resolve(f"v$v%010d.txt")
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 3 * 3600 * 1000L))
+      }
+      val r1 = spark.sql(s"VACUUM $tbl RETAIN 1 HOURS").collect().head
+      assert(r1.getInt(1) === 2, s"expected 2 stale manifests, got " +
+        s"${r1.toSeq}")
+      // tip still reads; aged history is gone
+      assert(LakeSink.readTable(spark, dir).count() === 15)
+      intercept[Exception] { LakeSink.readTableAsOf(spark, dir, 1L) }
+    } finally LakeCatalog.unregister(tbl)
+  }
+
   test("unclaimed statements reach the delegate parser untouched") {
     // normal SQL still parses and runs
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)

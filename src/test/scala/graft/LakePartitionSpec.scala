@@ -291,6 +291,83 @@ class LakePartitionSpec extends AnyFunSuite with SparkFixture {
     assert(LakeSink.readTable(spark, dir).count() === 18L)
   }
 
+  test("compactPartitions: one segment per value, facts survive, " +
+      "retention stays metadata-only afterwards") {
+    val dir = buildLake()
+    import spark.implicits._
+    // second partitioned batch → 2 segments per day
+    val more = (for (d <- 1 to 4; i <- 0 until 3)
+      yield (d.toLong, "w", d * 1000L + i)).toDF("day", "user", "cents")
+    LakeSink.appendPartitioned(spark, dir, more)
+    assert(LakeSink.readManifest(dir).segs.size === 8)
+    val before = LakeSink.readTable(spark, dir)
+      .agg(count(lit(1)), sum("cents")).head()
+    val (_, nGroups) = LakeSink.compactPartitions(spark, dir)
+    assert(nGroups === 4)
+    val m = LakeSink.readManifest(dir)
+    assert(m.segs.size === 4)
+    assert(m.parts.size === 4)
+    assert(m.parts.values.map(p => p.value.get.toLong -> p.rows).toMap ===
+      Map(1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 9L))
+    val after = LakeSink.readTable(spark, dir)
+      .agg(count(lit(1)), sum("cents")).head()
+    assert(after === before)
+    // facts survived the rewrite: retention is STILL zero jobs
+    var res: (Long, Int, Int, Long) = null
+    val jobs = jobsIn {
+      res = LakeSink.deleteWhere(spark, dir, col("day") < 3L)
+    }
+    assert(jobs === 0)
+    assert(res._3 === 2 && res._4 === 18L)
+  }
+
+  test("SQL surface: INSERT honors the partition spec; SHOW PARTITIONS " +
+      "and OPTIMIZE PER PARTITION run from text") {
+    import graft.streaming.LakeCatalog
+    val dir = buildLake()
+    val tbl = "graft_part_sql_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    LakeCatalog.register(tbl, dir)
+    try {
+      // INSERT routes through appendPartitioned: new facts appear
+      spark.sql(s"INSERT INTO $tbl VALUES " +
+        "(CAST(1 AS BIGINT), 'sql', CAST(7 AS BIGINT)), " +
+        "(CAST(9 AS BIGINT), 'sql', CAST(8 AS BIGINT))").collect()
+      val m = LakeSink.readManifest(dir)
+      assert(m.parts.size === 6) // 4 ingest + day=1 again + new day=9
+      assert(m.parts.values.count(_.value.contains("9")) === 1)
+      val shown = spark.sql(s"SHOW PARTITIONS $tbl")
+        .orderBy("value").collect()
+      assert(shown.length === 5) // days 1,2,3,4,9 — all facts, no bare segs
+      assert(shown.map(r => (r.getString(1), r.getLong(3))).toMap ===
+        Map("1" -> 7L, "2" -> 6L, "3" -> 6L, "4" -> 6L, "9" -> 1L))
+      val r = spark.sql(s"OPTIMIZE $tbl PER PARTITION").collect().head
+      assert(r.getInt(1) === 1) // only day=1 had 2 segments
+      assert(LakeSink.readManifest(dir).segs.size === 5)
+      assert(LakeSink.readTable(spark, dir).count() === 26L)
+    } finally LakeCatalog.unregister(tbl)
+  }
+
+  test("renaming the partition column keeps retention metadata-only " +
+      "(facts follow the physical id)") {
+    val dir = buildLake()
+    LakeSink.evolveRenameColumn(spark, dir, "day", "event_day")
+    var res: (Long, Int, Int, Long) = null
+    val jobs = jobsIn {
+      res = LakeSink.deleteWhere(spark, dir, col("event_day") < 3L)
+    }
+    assert(jobs === 0)
+    assert(res._3 === 2 && res._4 === 12L)
+    assert(LakeSink.readTable(spark, dir)
+      .agg(min("event_day")).head.getLong(0) === 3L)
+    // and partitioned appends still work under the new logical name
+    import spark.implicits._
+    LakeSink.appendPartitioned(spark, dir,
+      Seq((7L, "r", 1L)).toDF("event_day", "user", "cents"))
+    assert(LakeSink.readManifest(dir).parts.values
+      .exists(_.value.contains("7")))
+  }
+
   test("string partition column round-trips escaped values") {
     val dir = tmp("graft_part_str")
     import spark.implicits._

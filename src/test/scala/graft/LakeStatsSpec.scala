@@ -443,4 +443,65 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
       s"expected the zero-null segment skipped ($jStats vs $jFull jobs)")
     assert(LakeSink.readTable(spark, dir).count() === 10L) // seg1 only
   }
+
+  test("stats-proven FULL MATCH: segment-aligned retention delete is " +
+      "metadata-only — zero Spark jobs, no partition spec") {
+    // schema RECORDED (createTable) so planning is manifest-only; a
+    // schema-less lake pays one footer read for the schema instead
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lake_fullmatch").toString
+    import spark.implicits._
+    LakeSink.createTable(dir, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tse",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType))))
+    (0 to 2).foreach { i =>
+      val rows = (0 to 9).map(j => (i * 10L + j, i * 100L + j))
+      val df = rows.toDF("tse", "v")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/seg_b$i")
+      val m = LakeSink.readManifest(dir)
+      require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
+        m.segs :+ s"seg_b$i", m.schemaV, m.schemaJson,
+        m.stats + (s"seg_b$i" -> LakeSink.segmentStats(
+          spark.read.parquet(s"$dir/seg_b$i"), Seq("tse")))))
+    }
+    // cutoff 20 = exact boundary: seg0 [0,9] and seg1 [10,19] provably
+    // FULL-match (hi < 20, nulls = 0), seg2 [20,29] provably disjoint
+    var res: (Long, Int, Int, Long) = null
+    val jobs = jobsIn {
+      res = LakeSink.deleteWhere(spark, dir,
+        org.apache.spark.sql.functions.col("tse") < 20L)
+    }
+    assert(jobs === 0,
+      s"segment-aligned retention must plan from stats alone ($jobs jobs)")
+    val (_, rewritten, droppedN, deleted) = res
+    assert(rewritten === 0)
+    assert(droppedN === 2)
+    assert(deleted === 20L) // footer-counted, no scan
+    assert(LakeSink.readTable(spark, dir).count() === 10L)
+    // a MID-segment cutoff scans exactly the straddling segment
+    val dir2 = buildTimeLake()
+    val (_, rw2, dp2, del2) = LakeSink.deleteWhere(spark, dir2,
+      org.apache.spark.sql.functions.col("tse") < 15L)
+    assert(rw2 === 1 && dp2 === 1 && del2 === 15L)
+    // a stats-LESS segment is never full-match-dropped (advisory rule)
+    val dir3 = buildTimeLake(statsFor = _ != 0)
+    val (_, rw3, dp3, del3) = LakeSink.deleteWhere(spark, dir3,
+      org.apache.spark.sql.functions.col("tse") < 20L)
+    assert(del3 === 20L)
+    assert(dp3 === 2) // seg0 dropped after a scan proved full match
+    assert(rw3 === 0)
+  }
+
+  test("stats-proven full match under cdc records the dropped segment " +
+      "as change data") {
+    val dir = buildTimeLake()
+    val v0 = LakeSink.readManifest(dir).version
+    val (v1, _, dropped, _) = LakeSink.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.col("tse") < 10L, cdc = true)
+    assert(dropped === 1)
+    val feed = LakeSink.changesCdcBetween(spark, dir, v0, v1)
+    assert(feed.filter(feed("_change_type") === "delete").count() === 10L)
+  }
 }

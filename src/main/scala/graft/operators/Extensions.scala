@@ -1846,6 +1846,206 @@ object Extensions {
                 AS n_windows
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** RESTORE TABLE (r12): the undo verb — after a destructive SQL
+    * DELETE, `RESTORE TABLE … TO VERSION AS OF` re-publishes the
+    * pre-delete state as ONE metadata commit (no data file moves —
+    * the property that makes recovering a 100 TB table from a bad
+    * backfill a sub-second operation), while the undone version stays
+    * time-travelable for audit. The query proves both directions in
+    * one result: the restored aggregate must equal the never-deleted
+    * oracle, and the `VERSION AS OF` column pins the undone delete's
+    * state (NULL for the deleted type) — a restore that either failed
+    * to bring rows back or silently destroyed history fails the hash.
+    * Boundary/CDC/DV semantics are LakeRestoreSpec's job. */
+  private val sqlLakeRestore = QueryDef(
+    "sql_lake_restore",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_restore", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val tbl = "graft_sql_lake_restore_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      val preV = LakeSink.readManifest(dir).version
+      s.sql(s"DELETE FROM $tbl WHERE event_type = 'purchase'").collect()
+      val delV = LakeSink.readManifest(dir).version
+      s.sql(s"RESTORE TABLE $tbl TO VERSION AS OF $preV").collect()
+      s.sql(
+        s"""SELECT cur.event_type, cur.n, cur.sum_cents,
+                   del.n AS n_during_delete
+            FROM (SELECT event_type, count(*) AS n,
+                    sum(vc) AS sum_cents
+                  FROM $tbl GROUP BY event_type) cur
+            LEFT JOIN (SELECT event_type, count(*) AS n
+                       FROM $tbl VERSION AS OF $delV
+                       GROUP BY event_type) del
+              ON cur.event_type = del.event_type
+            ORDER BY cur.event_type""")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events),
+                 cur AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(vc) AS BIGINT) AS sum_cents
+                         FROM ev GROUP BY event_type),
+                 del AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n
+                         FROM ev WHERE event_type <> 'purchase'
+                         GROUP BY event_type)
+            SELECT cur.event_type, cur.n, cur.sum_cents,
+                   del.n AS n_during_delete
+            FROM cur LEFT JOIN del ON cur.event_type = del.event_type
+            ORDER BY cur.event_type"""))
+
+  /** SHALLOW CLONE (r12): the zero-copy branch. The query drives the
+    * whole story in SQL: destructive DELETE on the source, `CREATE
+    * TABLE … SHALLOW CLONE … VERSION AS OF` the PRE-delete version
+    * (hard links — zero data bytes move, the property that makes
+    * branching a 100 TB table a sub-second O(files) metadata op),
+    * then a DIFFERENT delete on the clone. The joined aggregate pins
+    * full independence both ways: the source must lack exactly
+    * 'purchase' (its delete, never the clone's), the clone must hold
+    * 'purchase' at pre-delete values but lack exactly 'view'. A clone
+    * that shared live state with the source — or deep-copied stale
+    * data — fails the hash. Inode-sharing, vacuum-survival, and DV
+    * semantics are LakeCloneSpec's job. */
+  private val sqlLakeClone = QueryDef(
+    "sql_lake_clone",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_clone_src", d)
+      val cloneDir = tmpPath("graft_sql_clone_dst", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(cloneDir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val sTbl = "graft_sql_clone_src_" + runTag(d)
+      val cTbl = "graft_sql_clone_c_" + runTag(d)
+      LakeCatalog.register(sTbl, dir)
+      val preV = LakeSink.readManifest(dir).version
+      s.sql(s"DELETE FROM $sTbl WHERE event_type = 'purchase'").collect()
+      s.sql(s"DROP TABLE IF EXISTS $cTbl").collect()
+      s.sql(
+        s"""CREATE TABLE $cTbl SHALLOW CLONE $sTbl
+            VERSION AS OF $preV LOCATION '$cloneDir'""").collect()
+      s.sql(s"DELETE FROM $cTbl WHERE event_type = 'view'").collect()
+      s.sql(
+        s"""SELECT COALESCE(sv.event_type, cv.event_type) AS event_type,
+                   sv.n AS n_src, cv.n AS n_clone,
+                   cv.sum_cents AS sum_cents_clone
+            FROM (SELECT event_type, count(*) AS n
+                  FROM $sTbl GROUP BY event_type) sv
+            FULL JOIN (SELECT event_type, count(*) AS n,
+                         sum(vc) AS sum_cents
+                       FROM $cTbl GROUP BY event_type) cv
+              ON sv.event_type = cv.event_type
+            ORDER BY event_type""")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events),
+                 sv AS (SELECT event_type,
+                          CAST(count(*) AS BIGINT) AS n
+                        FROM ev WHERE event_type <> 'purchase'
+                        GROUP BY event_type),
+                 cv AS (SELECT event_type,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(vc) AS BIGINT) AS sum_cents
+                        FROM ev WHERE event_type <> 'view'
+                        GROUP BY event_type)
+            SELECT COALESCE(sv.event_type, cv.event_type) AS event_type,
+                   sv.n AS n_src, cv.n AS n_clone,
+                   cv.sum_cents AS sum_cents_clone
+            FROM sv FULL JOIN cv ON sv.event_type = cv.event_type
+            ORDER BY event_type"""))
+
+  /** DESCRIBE DETAIL (r12): the metadata-only table summary — exact
+    * live row count (parquet footer record counts minus
+    * deletion-vector debt, all driver-side metadata reads, zero Spark
+    * jobs), segment count, merge-on-read debt, version. The query
+    * ingests, takes a 1-row DV point delete (so num_rows must
+    * subtract DV debt, not just sum footers), and selects the
+    * deterministic detail columns; the oracle derives the same facts
+    * from the raw events table plus the protocol's arithmetic (4
+    * bucket commits + 1 DML = version 5). A detail row that scanned
+    * data instead of metadata would still hash right — PlanAuditSpec
+    * and the zero-job claim are LakeImportSpec's side; what the hash
+    * pins is the COUNT CONTRACT: count(*) answerable from the
+    * manifest+footers alone, DV-aware. */
+  private val sqlLakeDetail = QueryDef(
+    "sql_lake_detail",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_detail", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val tbl = "graft_sql_lake_detail_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      val minId = ev.agg(min("event_id")).head().getLong(0)
+      LakeSink.deleteWhere(s, dir, col("event_id") === minId,
+        dvMaxFraction = 0.5)
+      s.sql(s"DESCRIBE DETAIL $tbl")
+        .select(col("version"), col("num_segments"), col("num_rows"),
+          col("num_dv_segments"), col("dv_rows"))
+    },
+    Some("""SELECT CAST(5 AS BIGINT) AS version,
+                   CAST(4 AS BIGINT) AS num_segments,
+                   CAST(count(*) - 1 AS BIGINT) AS num_rows,
+                   CAST(1 AS BIGINT) AS num_dv_segments,
+                   CAST(1 AS BIGINT) AS dv_rows
+            FROM events"""))
+
+  /** Zero-copy IMPORT (r12): `CONVERT TO DELTA`'s move —
+    * [[graft.streaming.LakeSink.importParquetDir]] adopts a plain
+    * parquet directory the lake never wrote as a segment by HARD
+    * LINKS (O(files) metadata, zero data bytes moved), computing
+    * segment stats in the same pass so the adopted data prunes like
+    * native ingest. The query materializes a foreign parquet table,
+    * imports it, and aggregates the LAKE read joined with the
+    * import's own footer-derived row count — a lossy or duplicating
+    * adoption fails the hash against the oracle's direct aggregate
+    * of the same data. Inode sharing, append-to-existing, schema
+    * refusal, and source-immutability are LakeImportSpec's job. */
+  private val sinkLakeImport = QueryDef(
+    "sink_lake_import",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val plain = tmpPath("graft_import_plain", d)
+      val dir = tmpPath("graft_import_lake", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(plain))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ev.write.mode("overwrite").parquet(plain) // a FOREIGN table
+      val (_, _, rows) =
+        LakeSink.importParquetDir(s, plain, dir,
+          statsCols = Seq("event_id"))
+      LakeSink.readTable(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"))
+        .withColumn("n_imported", lit(rows))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vc) AS BIGINT) AS sum_cents,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ev)
+                     AS n_imported
+            FROM ev GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
@@ -1859,5 +2059,6 @@ object Extensions {
     sinkLakeChangefeed, sinkLakeCdc, sqlLakeRead, sqlLakeReadTs,
     sinkLakeExpectations,
     sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf, sqlLakeCdf,
-    sqlLakeHistory)
+    sqlLakeHistory, sqlLakeRestore, sqlLakeClone, sqlLakeDetail,
+    sinkLakeImport)
 }

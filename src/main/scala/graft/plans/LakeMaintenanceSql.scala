@@ -25,6 +25,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   OPTIMIZE t CLUSTER BY (a[, b …])        → clustered compaction
   *   OPTIMIZE t ZORDER BY (a, b)             → Z-order compaction
   *   DESCRIBE HISTORY t                      → [[LakeSink.history]]
+  *   DESCRIBE DETAIL t                       → [[LakeSink.tableDetail]]
+  *   RESTORE TABLE t TO VERSION AS OF n      → [[LakeSink.restoreTable]]
+  *   CREATE TABLE c SHALLOW CLONE t …        → [[LakeSink.cloneTable]]
   */
 object LakeMaintenanceSql {
 
@@ -40,6 +43,8 @@ object LakeMaintenanceSql {
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(\s*([\w]+)\s*,\s*([\w]+)\s*\)\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  private val Detail =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
   private val OptimizePerPartition =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+PER\s+PARTITION\s*;?\s*$""".r
   private val ShowPartitions =
@@ -67,6 +72,16 @@ object LakeMaintenanceSql {
   private val DropTable =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
+  // RESTORE (r12): Delta's RESTORE TABLE verbs — version- and
+  // timestamp-addressed, claimed only for registered lakes.
+  private val RestoreVersion =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTimestamp =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  // SHALLOW CLONE (r12): zero-copy branch of a registered lake.
+  private val ShallowClone =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
 
   /** Parse a TBLPROPERTIES body (`'k'='v', …`). */
   private def parseProps(body: String): Map[String, String] =
@@ -110,6 +125,9 @@ object LakeMaintenanceSql {
       LakeOptimizeCommand(d, Nil, Some((x, y))))
     case History(t) => dirOf(t).map(d =>
       LakeSink.history(SparkSession.active, d).queryExecution.analyzed)
+    case Detail(t) => dirOf(t).map(d =>
+      LakeSink.tableDetail(SparkSession.active, d)
+        .queryExecution.analyzed)
     case OptimizePerPartition(t) => dirOf(t).map(d =>
       LakeOptimizePartitionsCommand(d))
     case ShowPartitions(t) => dirOf(t).map(d =>
@@ -128,6 +146,16 @@ object LakeMaintenanceSql {
       LakeSetPropertiesCommand(t.split('.').last, d, parseProps(props)))
     case DropTable(t) => dirOf(t).map(_ =>
       LakeDropTableCommand(t.split('.').last))
+    case RestoreVersion(t, v) => dirOf(t).map(d =>
+      LakeRestoreCommand(d, Left(v.toLong),
+        cdc = LakeCatalog.cdcEnabled(t.split('.').toSeq)))
+    case RestoreTimestamp(t, ts) => dirOf(t).map(d =>
+      LakeRestoreCommand(d, Right(ts),
+        cdc = LakeCatalog.cdcEnabled(t.split('.').toSeq)))
+    case ShallowClone(c, src, v, loc) => dirOf(src).map(d =>
+      LakeCloneCommand(c.split('.').last, d, loc,
+        Option(v).map(_.toLong),
+        cdc = LakeCatalog.cdcEnabled(src.split('.').toSeq)))
     case _ => None
   }
 }
@@ -212,6 +240,51 @@ case class LakeAlterColumnCommand(dir: String, op: String, col: String,
         org.apache.spark.sql.types.DataType.fromDDL(dataType.get))
     }
     Seq(Row(sv))
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` / `TO TIMESTAMP AS OF 'ts'`
+  * → [[LakeSink.restoreTable]] — the undo verb; timestamp addressing
+  * resolves through the same commit-clock rule as time-travel reads
+  * (latest version at or before the instant). `cdc` follows the
+  * table's registered change-data-feed flag, so a CDC table's
+  * consumers ride through the restore on explicit change images. */
+case class LakeRestoreCommand(dir: String,
+    target: Either[Long, String], cdc: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("segments_restored", IntegerType)(),
+    AttributeReference("segments_removed", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, a, r) = target match {
+      case Left(ver) => LakeSink.restoreTable(session, dir, ver, cdc)
+      case Right(ts) =>
+        val us = LakeDml.tsMicrosOfOrFail(session,
+          org.apache.spark.sql.catalyst.expressions.Literal(ts))
+        LakeSink.restoreTableToTimestamp(session, dir, us, cdc)
+    }
+    Seq(Row(v, a, r))
+  }
+}
+
+/** `CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n] LOCATION '…'` →
+  * [[LakeSink.cloneTable]] — the zero-copy branch; registers the new
+  * name at the clone location, carrying the source's cdc table flag
+  * (a clone of a CDC table serves a feed from its own v1). */
+case class LakeCloneCommand(name: String, srcDir: String, dstDir: String,
+    version: Option[Long], cdc: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("segments", IntegerType)(),
+    AttributeReference("files_linked", IntegerType)(),
+    AttributeReference("bytes_shared", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(LakeCatalog.lookup(Seq(name)).isEmpty,
+      s"lake table $name is already registered (DROP TABLE it first)")
+    val (segs, files, bytes) =
+      LakeSink.cloneTable(session, srcDir, dstDir, version)
+    LakeCatalog.register(name, dstDir, cdc = cdc)
+    Seq(Row(segs, files, bytes))
   }
 }
 

@@ -1454,6 +1454,347 @@ object LakeSink {
       tsMicros: Long): DataFrame =
     readTableAsOf(spark, outDir, versionAtOrBefore(outDir, tsMicros))
 
+  // ---- RESTORE (r12) --------------------------------------------------
+
+  /** RESTORE the table to an earlier committed version — Delta's
+    * `RESTORE TABLE`, the undo verb time travel exists for: one
+    * METADATA commit whose table state (segment list, per-segment
+    * stats, deletion vectors, partition facts, schema generation and
+    * column mapping) is the target version's, verbatim. History stays
+    * intact: the restore lands as a NEW version on top, the undone
+    * versions remain time-travelable until vacuum ages them out, and
+    * a second restore can undo the undo. No data file is read,
+    * written, or moved (cdc images aside) — at 100 TB a restore costs
+    * one manifest write, which is the entire point: recovering from a
+    * bad backfill must not cost a table rewrite.
+    *
+    * Deliberately NOT restored (operational state, not table data):
+    * `maxB` and `txns` (the streaming sink's replay-idempotence
+    * watermarks — restoring them would re-admit already-ingested
+    * batches as duplicates on the next trigger), and `expects`
+    * (data-quality contracts; an undo of data must not silently undo
+    * a later-tightened expectation). The partition SPEC follows the
+    * same rule (future-write config stays), while the partition FACTS
+    * travel with the segments they describe.
+    *
+    * With `cdc = true` the commit records explicit row-level change
+    * images, so a change-data-feed consumer rides through the restore
+    * reading exactly the diff: live rows of segments the restore
+    * removes → `delete`, live rows of segments it re-adds → `insert`,
+    * and for segments live on BOTH sides whose deletion vectors
+    * differ, the positional diff (rows a later DV hid → `insert`
+    * back, rows only the target's DV hid → `delete`). Cost is
+    * O(changed rows), never O(table). A restore ACROSS a schema
+    * generation refuses under cdc=true: one feed window cannot carry
+    * images under two schemas (consumers must re-snapshot — Delta's
+    * CDF has the same schema-boundary rule). With cdc=false on a
+    * CDC-consumed table, [[changesCdcBetween]] refuses the window
+    * loudly if segments were removed — the standing fail-loud rule
+    * for untracked rewrites.
+    *
+    * The commit is a FULL SNAPSHOT record, not a delta: a restore may
+    * need to UNSET a surviving segment's deletion vector, which the
+    * delta line format cannot express (`dvec=` only sets). Restores
+    * are rare operator actions; O(live segments) metadata is the
+    * simple-correct price. CAS losses follow the DML optimistic-retry
+    * protocol; a cdc image staged by a losing attempt is a vacuum
+    * orphan like any staged rewrite.
+    *
+    * Returns (newVersion, segmentsRestored, segmentsRemoved) —
+    * (currentVersion, 0, 0) when the table is already at the target
+    * state. */
+  def restoreTable(spark: SparkSession, outDir: String, toVersion: Long,
+      cdc: Boolean = false,
+      beforeCommit: () => Unit = () => ()): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(toVersion >= 1L, s"cannot RESTORE to v$toVersion")
+    val tp = manifestDir(outDir).resolve(f"v$toVersion%010d.txt")
+    require(Files.exists(tp),
+      s"lake at $outDir has no manifest v$toVersion (vacuumed or never " +
+        "committed) — the RESTORE horizon is the vacuum retention horizon")
+    val t = manifestAt(outDir, toVersion)
+    var attempt = 0
+    while (attempt < dmlMaxAttempts) {
+      attempt += 1
+      val m = readManifest(outDir)
+      require(toVersion <= m.version,
+        s"RESTORE target v$toVersion is past the tip v${m.version}")
+      if (m.segs == t.segs && m.dv == t.dv && m.schemaV == t.schemaV)
+        return (m.version, 0, 0)
+      val missing = t.segs.filterNot(s =>
+        Files.exists(Paths.get(outDir, s)))
+      require(missing.isEmpty,
+        s"RESTORE to v$toVersion needs vacuumed segments " +
+          missing.mkString(", "))
+      val mSet = m.segs.toSet
+      val tSet = t.segs.toSet
+      val removedSegs = m.segs.filterNot(tSet)
+      val addedSegs = t.segs.filterNot(mSet)
+      val nonce = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val cdcSeg = s"seg_cdc_r$nonce"
+      var cdcRows = false
+      if (cdc) {
+        require(t.schemaV == m.schemaV && t.colmap == m.colmap,
+          s"RESTORE to v$toVersion crosses a schema generation " +
+            s"(${t.schemaV} vs ${m.schemaV}) — change images under two " +
+            "schemas cannot share one feed window; restore with " +
+            "cdc=false and re-snapshot feed consumers")
+        if (removedSegs.nonEmpty) {
+          physicalize(readSegments(spark, outDir, m, removedSegs)
+            .withColumn("_change_type", lit("delete")), m)
+            .write.mode("append").parquet(s"$outDir/$cdcSeg")
+          cdcRows = true
+        }
+        if (addedSegs.nonEmpty) {
+          physicalize(readSegments(spark, outDir, t, addedSegs)
+            .withColumn("_change_type", lit("insert")), t)
+            .write.mode("append").parquet(s"$outDir/$cdcSeg")
+          cdcRows = true
+        }
+        // surviving segments whose DV state differs: positional diff
+        mSet.intersect(tSet).toSeq.sorted
+          .filter(s => m.dv.get(s) != t.dv.get(s)).foreach { seg =>
+            def positions(mm: Manifest): Option[DataFrame] =
+              mm.dv.get(seg).map(r =>
+                spark.read.parquet(s"$outDir/_dv/${r.file}"))
+            val raw = reader(spark, m).parquet(s"$outDir/$seg")
+              .withColumn("__dv_f", col("_metadata.file_name"))
+              .withColumn("__dv_i", col("_metadata.row_index"))
+            // the raw scan already carries PHYSICAL names (cdc files
+            // speak physical, like every file on disk) — no rename seam
+            def imageAt(pos: DataFrame, change: String): Unit = {
+              raw.join(broadcast(pos),
+                  raw("__dv_f") === pos("file_name") &&
+                    raw("__dv_i") === pos("row_index"), "left_semi")
+                .drop("__dv_f", "__dv_i")
+                .withColumn("_change_type", lit(change))
+                .write.mode("append").parquet(s"$outDir/$cdcSeg")
+              cdcRows = true
+            }
+            val posM = positions(m)
+            val posT = positions(t)
+            def diff(a: Option[DataFrame], b: Option[DataFrame])
+                : Option[DataFrame] = a.map { af =>
+              b.fold(af)(bf => af.join(broadcast(bf),
+                af("file_name") === bf("file_name") &&
+                  af("row_index") === bf("row_index"), "left_anti"))
+            }
+            // hidden now, live after restore → the rows come back
+            diff(posM, posT).foreach(p => imageAt(p, "insert"))
+            // live now, hidden after restore → the rows go away
+            diff(posT, posM).foreach(p => imageAt(p, "delete"))
+          }
+      }
+      beforeCommit()
+      if (commitManifest(outDir, m.version + 1, m.maxB, t.segs,
+          t.schemaV, t.schemaJson, t.stats, m.txns, m.expects,
+          cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
+          dataChange = true, dv = t.dv, colmap = t.colmap,
+          partSpec = m.partSpec, parts = t.parts))
+        return (m.version + 1, addedSegs.size, removedSegs.size)
+      // lost the CAS — re-plan against the new tip
+    }
+    sys.error(s"restore at $outDir: $dmlMaxAttempts consecutive CAS " +
+      "losses (concurrent writers) — coordinate the writers or retry")
+  }
+
+  /** [[restoreTable]] at [[versionAtOrBefore]]'s resolution — the
+    * `RESTORE TABLE … TO TIMESTAMP AS OF` spelling. */
+  def restoreTableToTimestamp(spark: SparkSession, outDir: String,
+      tsMicros: Long, cdc: Boolean = false): (Long, Int, Int) =
+    restoreTable(spark, outDir, versionAtOrBefore(outDir, tsMicros), cdc)
+
+  // ---- SHALLOW CLONE (r12) --------------------------------------------
+
+  /** SHALLOW CLONE: publish `dstDir` as an independent lake whose v1
+    * state is `srcDir`'s state at `version` (default: the tip),
+    * sharing every data byte with the source via HARD LINKS — the
+    * zero-copy branch Delta calls shallow clone, and the way a 100 TB
+    * table gets a dev/test/staging branch in O(files) metadata ops
+    * with zero data movement. Each segment dir (and each
+    * deletion-vector dir the target version references) is re-created
+    * under the clone as a tree of hard links to the source's files;
+    * on an object store the link step becomes the manifest-level
+    * file-reference copy every table format's clone does — same
+    * contract, the bytes never move either way.
+    *
+    * STRONGER than Delta's shallow clone on the one axis that bites
+    * operators: VACUUM on the source cannot break the clone. A
+    * vacuumed file's inode survives while any link references it (the
+    * clone holds one), and the protocol never mutates a data file in
+    * place (every rewrite mints a new segment name), so source and
+    * clone stay independent forever — there is no "vacuum on the
+    * source invalidates clones" caveat to schedule around, and no
+    * reference-counting GC to build: each table's vacuum drops its
+    * own links, the filesystem frees an inode when the last link
+    * goes.
+    *
+    * The clone is a NEW table operationally: fresh history starting
+    * at v1 (time travel into pre-clone versions happens on the
+    * SOURCE, which still has them), no cdc history carried (a feed
+    * consumer attaches from the clone's own snapshot), and maxB/txns
+    * RESET — a stream that wrote to the source must use a fresh
+    * checkpoint against the clone, or its replayed batch ids would be
+    * admitted/skipped by the wrong table's watermark (Delta's clone
+    * docs state the same new-checkpoint rule). Expectations, column
+    * mapping, and the partition spec DO carry: they describe the data
+    * and its layout, not a writer's progress.
+    *
+    * Same-filesystem requirement is inherent to hard links; a
+    * cross-device clone target fails loudly rather than silently
+    * degrading to a full copy (at 100 TB "shallow" must never
+    * surprise-cost a table scan of IO).
+    *
+    * Returns (segments, filesLinked, bytesShared). */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Long] = None): (Int, Int, Long) = {
+    require(Paths.get(srcDir).toAbsolutePath.normalize !=
+      Paths.get(dstDir).toAbsolutePath.normalize,
+      s"clone target equals the source: $srcDir")
+    val srcTip = readManifest(srcDir)
+    require(srcTip.version >= 1L, s"lake at $srcDir has no commits")
+    val v = version.getOrElse(srcTip.version)
+    require(Files.exists(manifestDir(srcDir).resolve(f"v$v%010d.txt")),
+      s"lake at $srcDir has no manifest v$v (vacuumed or never " +
+        "committed) — the clone horizon is the vacuum retention horizon")
+    val t = manifestAt(srcDir, v)
+    require(readManifest(dstDir).version == 0L,
+      s"clone target $dstDir already holds a lake")
+    var files = 0
+    var bytes = 0L
+    def linkTree(rel: String): Unit = {
+      val from = Paths.get(srcDir, rel)
+      require(Files.isDirectory(from),
+        s"clone source is missing $rel (vacuumed mid-clone?)")
+      val toBase = Paths.get(dstDir, rel)
+      val s = Files.walk(from)
+      try s.iterator().asScala.foreach { p =>
+        val to = toBase.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(to)
+        else {
+          Files.createLink(to, p)
+          files += 1
+          bytes += Files.size(p)
+        }
+      } finally s.close()
+    }
+    t.segs.foreach(linkTree)
+    t.dv.values.map(_.file).toSet.foreach((f: String) => linkTree(s"_dv/$f"))
+    require(commitManifest(dstDir, 1L, -1L, t.segs, t.schemaV,
+      t.schemaJson, t.stats, Map.empty, t.expects, Nil,
+      dataChange = true, t.dv, t.colmap, t.partSpec, t.parts),
+      s"clone commit at $dstDir lost a manifest race")
+    (t.segs.size, files, bytes)
+  }
+
+  // ---- IMPORT / CONVERT (r12) -----------------------------------------
+
+  /** Zero-copy IMPORT of an existing plain-parquet directory as a lake
+    * segment — the `CONVERT TO DELTA` move: adopting data the lake
+    * protocol did not write must not cost a rewrite of that data. The
+    * source dir's parquet files are HARD-LINKED into a fresh segment
+    * (O(files) metadata ops, zero data bytes — same trick as
+    * [[cloneTable]], same object-store degradation note) and one
+    * commit publishes it; `statsCols` computes min/max/null segment
+    * stats during the import (ONE scan — the only data IO, and it is
+    * optional), so the imported segment prunes like native ones.
+    *
+    * The source directory is never modified (a hard link lives in the
+    * TARGET directory), and no later lake operation can change the
+    * shared bytes: DML rewrites mint new segments, vacuum only
+    * unlinks the lake's own names. The plain-parquet source stays
+    * readable as plain parquet forever.
+    *
+    * Into an EMPTY dir this creates the table (v1). Into an existing
+    * lake it appends, requiring the imported footer schema to match
+    * the table schema name-for-name (loud refusal otherwise — a
+    * mis-pathed import must never silently widen a table); lakes with
+    * an ACTIVE COLUMN MAPPING refuse imports (foreign files carry
+    * logical names, the lake's files carry physical ids — adopting
+    * them unrewritten would corrupt the mapping invariant).
+    *
+    * Returns (committedVersion, filesLinked, rowsImported). */
+  def importParquetDir(spark: SparkSession, srcDir: String,
+      lakeDir: String, statsCols: Seq[String] = Nil): (Long, Int, Long) = {
+    val src = Paths.get(srcDir)
+    require(Files.isDirectory(src), s"no parquet directory at $srcDir")
+    val parts = listDir(src).filter(p =>
+      Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+    require(parts.nonEmpty, s"$srcDir holds no .parquet files")
+    var attempt = 0
+    while (attempt < dmlMaxAttempts) {
+      attempt += 1
+      val m = readManifest(lakeDir)
+      require(m.colmap.isEmpty,
+        s"lake at $lakeDir has an active column mapping — imported " +
+          "files carry logical column names and cannot join a " +
+          "physical-id table without a rewrite")
+      if (m.segs.nonEmpty || m.schemaJson.isDefined) {
+        val cur = tableSchema(spark, lakeDir, m).fieldNames.toSeq
+        val imp = spark.read.parquet(srcDir).schema.fieldNames.toSeq
+        require(imp == cur,
+          s"imported schema (${imp.mkString(", ")}) does not match " +
+            s"table schema (${cur.mkString(", ")}) at $lakeDir")
+      }
+      val nonce = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val seg = s"seg_imp_$nonce"
+      val to = Paths.get(lakeDir, seg)
+      Files.createDirectories(to)
+      parts.foreach(p =>
+        Files.createLink(to.resolve(p.getFileName.toString), p))
+      val rows = segmentFooterRows(lakeDir, seg)
+      val stats =
+        if (statsCols.isEmpty) Map.empty[String, Map[String, ColStat]]
+        else Map(seg -> segmentStats(
+          spark.read.parquet(s"$lakeDir/$seg"), statsCols))
+      if (commitNext(lakeDir, m, m.copy(version = m.version + 1,
+          segs = m.segs :+ seg, stats = m.stats ++ stats,
+          cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true)))
+        return (m.version + 1, parts.size, rows)
+      // lost the CAS — drop the staged links and re-plan
+      org.apache.commons.io.FileUtils.deleteQuietly(to.toFile)
+    }
+    sys.error(s"import at $lakeDir: $dmlMaxAttempts consecutive CAS " +
+      "losses (concurrent writers) — coordinate the writers or retry")
+  }
+
+  /** DESCRIBE DETAIL: one-row table-level summary — current version,
+    * live segment/file/byte counts, exact LIVE row count (parquet
+    * footer record counts minus deletion-vector debt — footers are
+    * driver-side metadata reads, no Spark job), merge-on-read debt,
+    * schema generation and partition spec. The operator dashboard
+    * surface Delta ships; the row count answers `count(*)` from
+    * metadata alone. Cost model at scale: O(live segments) driver
+    * metadata reads, zero data IO — and on a manifest with partition
+    * facts or stats the segment row counts are already resident. */
+  def tableDetail(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val m = readManifest(outDir)
+    requireTable(m, outDir)
+    var files = 0L
+    var bytes = 0L
+    m.segs.foreach { s =>
+      listDir(Paths.get(outDir, s)).foreach { p =>
+        if (Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")) {
+          files += 1
+          bytes += Files.size(p)
+        }
+      }
+    }
+    val rawRows = m.segs.map(s => segmentFooterRows(outDir, s)).sum
+    val dvRows = m.segs.flatMap(m.dv.get).map(_.rows).sum
+    Seq((m.version, m.segs.size.toLong, files, rawRows - dvRows, bytes,
+      m.dv.size.toLong, dvRows, m.schemaV,
+      m.partSpec.map(p => m.logicalOf(p).getOrElse(p)).orNull))
+      .toDF("version", "num_segments", "num_files", "num_rows",
+        "size_bytes", "num_dv_segments", "dv_rows",
+        "schema_generation", "partition_col")
+  }
+
   /** SHOW PARTITIONS: the table's partition layout from the manifest
     * alone — one row per (column, value) with its live segment count
     * and recorded rows (DV debt subtracted), ordered for determinism.
@@ -2659,6 +3000,29 @@ object LakeSink {
         s"appendPartitioned to $outDir violates expectation(s): " +
           bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
     }
+    val staged = stagePartitionedSegments(spark, outDir, m, df,
+      partPhys, partCol)
+    if (staged.isEmpty) return (m.version, 0)
+    val (segs, addParts, addStats) = staged.get
+    tryCommitEdit(outDir, m, Set.empty, segs, addStats,
+      None, addedParts = addParts) match {
+      case Some(v) => (v, segs.size)
+      case None => appendPartitioned(spark, outDir, df) // re-plan
+    }
+  }
+
+  /** The partition-split staging shared by [[appendPartitioned]] and
+    * [[insertOverwrite]]: ONE write job splits `df` by the partition
+    * column into per-value segment dirs moved into place (invisible
+    * until a manifest commit lists them), with per-segment
+    * [[PartVal]] facts and the exact-stats dividend. None = empty
+    * batch. The caller owns the commit (and, on a lost CAS, deleting
+    * the staged dirs). */
+  private def stagePartitionedSegments(spark: SparkSession,
+      outDir: String, m: Manifest, df: DataFrame, partPhys: String,
+      partCol: String): Option[(Seq[String], Map[String, PartVal],
+        Map[String, Map[String, ColStat]])] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
     val isStr = tableSchema(spark, outDir, m)
       .fields.find(_.name == partCol).get.dataType ==
       org.apache.spark.sql.types.StringType
@@ -2669,14 +3033,14 @@ object LakeSink {
         (if (r.isNullAt(0)) None else Some(r.get(0).toString)) ->
           r.getLong(1)
       }.toMap
-    if (counts.isEmpty) return (m.version, 0)
+    if (counts.isEmpty) return None
     // Hive path encoding writes the EMPTY STRING into the same
     // __HIVE_DEFAULT_PARTITION__ directory as NULL — the one value the
     // staged layout cannot round-trip. Fail loud, not ambiguous.
     require(!counts.contains(Some("")),
-      s"appendPartitioned to $outDir: empty-string partition values " +
+      s"partitioned write to $outDir: empty-string partition values " +
         "are indistinguishable from NULL in the staged layout — " +
-        "normalize them (e.g. to a sentinel) before the append")
+        "normalize them (e.g. to a sentinel) before the write")
     val nonce = java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong())
     // ONE write job for every partition: the shadow column becomes the
@@ -2716,11 +3080,7 @@ object LakeSink {
     }
     org.apache.commons.io.FileUtils
       .deleteQuietly(Paths.get(outDir, stage).toFile)
-    tryCommitEdit(outDir, m, Set.empty, segs.result(), addStats.result(),
-      None, addedParts = addParts.result()) match {
-      case Some(v) => (v, counts.size)
-      case None => appendPartitioned(spark, outDir, df) // re-plan
-    }
+    Some((segs.result(), addParts.result(), addStats.result()))
   }
 
   /** MERGE INTO (upsert), copy-on-write — the third DML verb, same

@@ -2046,6 +2046,84 @@ object Extensions {
                      AS n_imported
             FROM ev GROUP BY event_type ORDER BY event_type"""))
 
+  /** General MERGE via SQL (r12): the full clause set on one
+    * statement — conditional matched UPDATE, matched DELETE fallback,
+    * conditional explicit-column INSERT, and NOT MATCHED BY SOURCE
+    * UPDATE — against a lake built from `events`. The oracle
+    * reproduces SQL MERGE semantics clause by clause (first match
+    * wins; unmatched-both-ways rows pass through): purchases with
+    * even tripled cents update, the rest delete; re-keyed clicks with
+    * odd cents insert as 'imported'; source-less 'view' rows take the
+    * NMBS bump. A wrong clause-ordering, a postimage drift, or an
+    * NMBS firing on a matched row all break the aggregate hash. */
+  private val sqlLakeMergeMulti = QueryDef(
+    "sql_lake_merge_multi",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_merge_multi", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ingestLakeBuckets(dir, ev)
+      val tbl = "graft_sql_lake_mm_" + runTag(d)
+      val srcView = "graft_mm_src_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      val insOffset = ev.agg(max("event_id")).head().getLong(0) + 1L
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), (col("vc") * 3L).as("new_vc"))
+        .unionByName(ev.filter(col("event_type") === "click")
+          .select((col("event_id") + insOffset).as("event_id"),
+            col("vc").as("new_vc")))
+        .createOrReplaceTempView(srcView)
+      s.sql(
+        s"""MERGE INTO $tbl t USING $srcView s
+            ON t.event_id = s.event_id
+            WHEN MATCHED AND s.new_vc % 2 = 0 THEN
+              UPDATE SET vc = s.new_vc
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED AND s.new_vc % 2 <> 0 THEN
+              INSERT (event_id, event_type, vc)
+              VALUES (s.event_id, 'imported', s.new_vc)
+            WHEN NOT MATCHED BY SOURCE AND t.event_type = 'view' THEN
+              UPDATE SET vc = t.vc + 7""").collect()
+      LakeSink.readTable(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events),
+                 src AS (
+                   SELECT event_id, vc * 3 AS new_vc FROM ev
+                   WHERE event_type = 'purchase'
+                   UNION ALL
+                   SELECT event_id + (SELECT max(event_id) + 1 FROM ev),
+                          vc AS new_vc
+                   FROM ev WHERE event_type = 'click'),
+                 final AS (
+                   SELECT t.event_id, t.event_type, s.new_vc AS vc
+                   FROM ev t JOIN src s ON t.event_id = s.event_id
+                   WHERE s.new_vc % 2 = 0
+                   UNION ALL
+                   SELECT t.event_id, t.event_type,
+                     t.vc + CASE WHEN t.event_type = 'view'
+                       THEN 7 ELSE 0 END AS vc
+                   FROM ev t
+                   WHERE NOT EXISTS (SELECT 1 FROM src s
+                                     WHERE s.event_id = t.event_id)
+                   UNION ALL
+                   SELECT s.event_id, 'imported' AS event_type,
+                          s.new_vc AS vc
+                   FROM src s
+                   WHERE s.new_vc % 2 <> 0
+                     AND NOT EXISTS (SELECT 1 FROM ev t
+                                     WHERE t.event_id = s.event_id))
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vc) AS BIGINT) AS sum_cents
+            FROM final GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
@@ -2060,5 +2138,5 @@ object Extensions {
     sinkLakeExpectations,
     sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf, sqlLakeCdf,
     sqlLakeHistory, sqlLakeRestore, sqlLakeClone, sqlLakeDetail,
-    sinkLakeImport)
+    sinkLakeImport, sqlLakeMergeMulti)
 }

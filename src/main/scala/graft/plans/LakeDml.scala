@@ -133,6 +133,16 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The name a MERGE side is referenced by in clause expressions: its
+    * explicit alias, else the bare relation name (qualified column
+    * refs use one or the other). Unaliased subquery sources get None —
+    * their columns can only be referenced unqualified. */
+  private def aliasOf(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(id, _) => Some(id.name)
+    case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+    case _ => None
+  }
+
   /** Table-level CDC property of a DML target (set at registration —
     * the `enableChangeDataFeed` analog): DML against such a table
     * records its change rows. */
@@ -192,6 +202,9 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable if lakeDir(m.targetTable).isDefined =>
       val dir = lakeDir(m.targetTable).get
+      def bad(msg: String): Nothing = throw new AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3100",
+        messageParameters = Map("message" -> msg))
       val starShape =
         m.matchedActions.forall {
           case UpdateStarAction(None) => true; case _ => false } &&
@@ -201,14 +214,54 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         m.notMatchedActions.size == 1 &&
         m.notMatchedBySourceActions.isEmpty
       val keys = mergeKeys(m.mergeCondition)
-      if (!starShape || keys.isEmpty || keys.get.isEmpty)
-        throw new AnalysisException(
-          errorClass = "_LEGACY_ERROR_TEMP_3100",
-          messageParameters = Map("message" ->
-            ("lake MERGE supports WHEN MATCHED THEN UPDATE SET * / " +
-              "WHEN NOT MATCHED THEN INSERT * on same-name equi-keys; got: " +
-              m.simpleString(3))))
-      LakeMergeCommand(dir, m.sourceTable, keys.get, lakeCdc(m.targetTable))
+      if (keys.isEmpty || keys.get.isEmpty)
+        bad("lake MERGE needs an ON clause of same-name equi-keys " +
+          s"(t.k = s.k [AND …]); got: ${m.mergeCondition.sql}")
+      if (starShape)
+        LakeMergeCommand(dir, m.sourceTable, keys.get, lakeCdc(m.targetTable))
+      else {
+        // GENERAL clause set → [[LakeSink.mergeClauses]]. The parsed
+        // conditions/assignments reference the statement's own aliases;
+        // normalize them to the engine's `t` (target) / `s` (source)
+        // before rendering to SQL text. Unqualified references pass
+        // through — they resolve over the runtime join when unambiguous
+        // and fail loud when not.
+        val tAlias = aliasOf(m.targetTable)
+        val sAlias = aliasOf(m.sourceTable)
+        def norm(e: Expression): String = e.transformUp {
+          case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+              tAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+            UnresolvedAttribute(Seq("t") ++ a.nameParts.tail)
+          case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+              sAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+            UnresolvedAttribute(Seq("s") ++ a.nameParts.tail)
+        }.sql
+        def pairs(as: Seq[Assignment]): Seq[(String, String)] = as.map {
+          case Assignment(k: UnresolvedAttribute, v) =>
+            k.nameParts.last -> norm(v)
+          case Assignment(k: AttributeReference, v) => k.name -> norm(v)
+          case other => bad(s"lake MERGE: unsupported assignment $other")
+        }
+        def rw(a: MergeAction): LakeSink.MergeClause = a match {
+          case UpdateStarAction(cond) =>
+            LakeSink.MergeClause.Update(cond.map(norm), None)
+          case UpdateAction(cond, as, _) =>
+            LakeSink.MergeClause.Update(cond.map(norm), Some(pairs(as)))
+          case DeleteAction(cond) =>
+            LakeSink.MergeClause.Delete(cond.map(norm))
+          case other => bad(s"lake MERGE: unsupported matched action $other")
+        }
+        def ins(a: MergeAction): LakeSink.MergeClause.Insert = a match {
+          case InsertStarAction(cond) =>
+            LakeSink.MergeClause.Insert(cond.map(norm), None)
+          case InsertAction(cond, as) =>
+            LakeSink.MergeClause.Insert(cond.map(norm), Some(pairs(as)))
+          case other => bad(s"lake MERGE: unsupported not-matched action $other")
+        }
+        LakeMergeClausesCommand(dir, m.sourceTable, keys.get,
+          m.matchedActions.map(rw), m.notMatchedActions.map(ins),
+          m.notMatchedBySourceActions.map(rw), lakeCdc(m.targetTable))
+      }
 
     // INSERT INTO <lake> <query> → one appended segment through the
     // manifest protocol. Positional column mapping + cast to the
@@ -302,6 +355,30 @@ case class LakeMergeCommand(dir: String, source: LogicalPlan,
     val (v, rw, upd, ins) =
       LakeSink.mergeInto(session, dir, src, keys, cdc = cdc)
     Seq(Row(v, rw, upd, ins))
+  }
+}
+
+/** General MERGE (r12): the full clause set — conditional matched
+  * UPDATE/DELETE, explicit-column INSERT, NOT MATCHED BY SOURCE —
+  * translated by [[LakeDmlRule]] to [[LakeSink.mergeClauses]] clause
+  * specs (conditions/assignments normalized to the engine's t/s
+  * aliases and carried as SQL text). */
+case class LakeMergeClausesCommand(dir: String, source: LogicalPlan,
+    keys: Seq[String], matched: Seq[LakeSink.MergeClause],
+    notMatched: Seq[LakeSink.MergeClause.Insert],
+    notMatchedBySource: Seq[LakeSink.MergeClause],
+    cdc: Boolean = false) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("segments_rewritten", IntegerType)(),
+    AttributeReference("rows_updated", LongType)(),
+    AttributeReference("rows_deleted", LongType)(),
+    AttributeReference("rows_inserted", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, source)
+    val (v, rw, upd, del, ins) = LakeSink.mergeClauses(session, dir, src,
+      keys, matched, notMatched, notMatchedBySource, cdc = cdc)
+    Seq(Row(v, rw, upd, del, ins))
   }
 }
 

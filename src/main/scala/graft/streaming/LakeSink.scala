@@ -91,6 +91,27 @@ object LakeSink {
     * become [[vacuum]] orphans. */
   final case class DvRef(file: String, rows: Long)
 
+  /** One WHEN-clause of a general MERGE (r12) — the argument form of
+    * [[mergeClauses]]. Conditions and value expressions are SQL text
+    * over the aliases `t` (target row) and `s` (source row): `Update`
+    * and `Delete` serve both the MATCHED side (t and s in scope) and
+    * the NOT MATCHED BY SOURCE side (t only — s columns are NULL);
+    * `Insert` serves the NOT MATCHED side (s only). `set`/`values` of
+    * `None` means the star form (`UPDATE SET *` / `INSERT *` — every
+    * target column from the same-named source column); an explicit
+    * list assigns named target columns, `Insert` filling unassigned
+    * columns with typed NULL (the SQL MERGE default). Clauses fire
+    * FIRST-MATCH-WINS in list order, rows firing no clause pass
+    * through unchanged — standard SQL MERGE semantics. */
+  sealed trait MergeClause { def cond: Option[String] }
+  object MergeClause {
+    final case class Update(cond: Option[String],
+        set: Option[Seq[(String, String)]]) extends MergeClause
+    final case class Delete(cond: Option[String]) extends MergeClause
+    final case class Insert(cond: Option[String],
+        values: Option[Seq[(String, String)]]) extends MergeClause
+  }
+
   /** One segment's PARTITION VALUE (r12, Hive/Delta partition-column /
     * Iceberg partition-spec analog): every row of the segment has
     * `col == value` (`col` is the PHYSICAL column name — partition
@@ -3247,6 +3268,257 @@ object LakeSink {
           addedStats.result(), txn,
           cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil) match {
           case Some(v) => return (v, rewritten, updated, inserted)
+          case None => // true conflict — re-plan against the new tip
+        }
+      } finally src.unpersist()
+    }
+    sys.error(s"merge at $outDir: $dmlMaxAttempts consecutive true " +
+      "conflicts (concurrent writers rewriting the same segments) — " +
+      "coordinate the writers or retry later")
+  }
+
+  /** GENERAL MERGE (r12) — the full SQL MERGE clause set the
+    * star-shape [[mergeInto]] refuses: conditional `WHEN MATCHED [AND
+    * cond] THEN UPDATE SET col = expr … / DELETE` (several, first
+    * match wins), `WHEN NOT MATCHED [AND cond] THEN INSERT …`
+    * (explicit column lists, unassigned columns NULL), and `WHEN NOT
+    * MATCHED BY SOURCE [AND cond] THEN UPDATE / DELETE`. Same
+    * copy-on-write protocol as every DML verb: nothing is visible
+    * until one manifest CAS, optimistic retry on conflict, txn
+    * idempotence, CDC images when asked.
+    *
+    * Plan shape per segment: LEFT OUTER join target×broadcast(source)
+    * on the equi-keys, one `when`-chain computes WHICH clause fires
+    * per row (a codegen'd scalar — no per-clause passes), one
+    * aggregate decides if the segment changes at all. A segment where
+    * NO clause fires survives BY REFERENCE — so a merge whose clauses
+    * touch one day of a year-partitioned lake rewrites one day, and
+    * single-key manifest stats prune segments disjoint from the
+    * source's key range with ZERO data jobs (matched-side clauses
+    * only). `WHEN NOT MATCHED BY SOURCE` is the exception by nature:
+    * any segment may hold source-less rows, so every segment must be
+    * examined (one aggregate each) — the same inherent O(table) cost
+    * Delta documents for the clause; segments where the NMBS
+    * condition fires nowhere still survive by reference.
+    *
+    * At 100 TB the source is the small side throughout: every join
+    * broadcasts, the only large IO is rewriting segments where a
+    * clause actually fired. The source must be key-unique when any
+    * matched-side clause exists (multiple source matches per target
+    * row is the SQL MERGE cardinality error).
+    *
+    * Returns (version, segments rewritten, rows updated, rows
+    * deleted, rows inserted); fires-nothing merges commit nothing. */
+  def mergeClauses(spark: SparkSession, outDir: String,
+      source: DataFrame, keys: Seq[String],
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeClause.Insert] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      txn: Option[(String, Long)] = None,
+      cdc: Boolean = false): (Long, Int, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, sum, when}
+    require(keys.nonEmpty, "MERGE with no key columns")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE with no WHEN clauses")
+    require(!matched.exists(_.isInstanceOf[MergeClause.Insert]),
+      "WHEN MATCHED takes UPDATE or DELETE, not INSERT")
+    require(!notMatchedBySource.exists(_.isInstanceOf[MergeClause.Insert]),
+      "WHEN NOT MATCHED BY SOURCE takes UPDATE or DELETE, not INSERT")
+    require(!notMatchedBySource.exists {
+      case MergeClause.Update(_, None) => true; case _ => false },
+      "WHEN NOT MATCHED BY SOURCE UPDATE needs an explicit SET " +
+        "(there is no source row to star-copy from)")
+    val needsStar =
+      matched.exists { case MergeClause.Update(_, None) => true
+        case _ => false } ||
+      notMatched.exists(_.values.isEmpty)
+    var attempt = 0
+    while (attempt < dmlMaxAttempts) {
+      attempt += 1
+      val m = readManifest(outDir)
+      txn.foreach { case (app, id) =>
+        if (m.txns.getOrElse(app, Long.MinValue) >= id)
+          return (m.version, 0, 0L, 0L, 0L)
+      }
+      val schema = tableSchema(spark, outDir, m)
+      val targetCols = schema.fieldNames.toSeq
+      require(keys.forall(targetCols.contains),
+        s"MERGE key(s) not in target schema: " +
+          keys.filterNot(targetCols.contains).mkString(", "))
+      if (needsStar) {
+        val missing = targetCols.toSet -- source.columns
+        require(missing.isEmpty, "MERGE star clause needs source " +
+          s"column(s): ${missing.toSeq.sorted.mkString(", ")}")
+      }
+      val src = source.cache()
+      try {
+        if (matched.nonEmpty) {
+          val dupKeys = src.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+          require(dupKeys.isEmpty,
+            "MERGE source has multiple rows per key — ambiguous match")
+        }
+        // Single-key stats pruning, matched-side-only merges (see
+        // [[mergeInto]] — NMBS clauses can fire on any segment, so
+        // pruning is off the moment one exists)
+        val keyPhys = m.physicalOf(keys.head)
+        val srcKeyRange: Option[(String, Long, Long)] =
+          if (notMatchedBySource.isEmpty && keys.size == 1 &&
+              m.stats.values.exists(_.contains(keyPhys)))
+            segmentStats(src, keys).get(keys.head).collect {
+              case LongStat(lo, hi, _) => (keyPhys, lo, hi) }
+          else None
+        val tracked = m.trackedCols
+        val nonce = java.lang.Long.toHexString(
+          java.util.concurrent.ThreadLocalRandom.current().nextLong())
+        val cdcSeg = s"seg_cdc_g$nonce"
+        var cdcRows = false
+        // Clause indices: matched-side clauses 0..n-1, NMBS 100+i —
+        // one when-chain in list order IS first-match-wins
+        val srcM = src.withColumn("__m", lit(1))
+        val isM = col("s.__m").isNotNull
+        def condOf(c: Option[String]) = c.map(expr).getOrElse(lit(true))
+        val whens: Seq[(org.apache.spark.sql.Column, Int)] =
+          matched.zipWithIndex.map { case (cl, i) =>
+            (isM && condOf(cl.cond), i) } ++
+          notMatchedBySource.zipWithIndex.map { case (cl, i) =>
+            (!isM && condOf(cl.cond), 100 + i) }
+        val clauseIdx = whens.headOption.map { case (c0, i0) =>
+          whens.tail.foldLeft(when(c0, lit(i0))) {
+            case (acc, (c, i)) => acc.when(c, lit(i))
+          }.otherwise(lit(-1))
+        }.getOrElse(lit(-1))
+        val allRw: Seq[(MergeClause, Int)] =
+          matched.zipWithIndex ++
+          notMatchedBySource.zipWithIndex.map { case (c, i) => (c, 100 + i) }
+        val updIdx = allRw.collect {
+          case (MergeClause.Update(_, _), i) => i }
+        val delIdx = allRw.collect {
+          case (MergeClause.Delete(_), i) => i }
+        def inIdx(c: org.apache.spark.sql.Column, idx: Seq[Int]) =
+          if (idx.isEmpty) lit(false) else c.isin(idx.map(Integer.valueOf): _*)
+        // Rewritten value of target column c under the firing clause
+        // (one nested when per column — stays in codegen)
+        def newVal(c: String): org.apache.spark.sql.Column = {
+          val f = schema(c)
+          allRw.foldRight(col(s"t.$c")) {
+            case ((MergeClause.Update(_, set), i), els) =>
+              val sql = set.map(_.toMap.getOrElse(c, s"t.$c"))
+                .getOrElse(s"s.$c")
+              when(col("__mc") === i, expr(sql)).otherwise(els)
+            case (_, els) => els
+          }.cast(f.dataType).as(c)
+        }
+        var rewritten = 0
+        var updated = 0L
+        var deleted = 0L
+        val removed = Set.newBuilder[String]
+        val added = Seq.newBuilder[String]
+        val addedStats = Map.newBuilder[String, Map[String, ColStat]]
+        if (matched.nonEmpty || notMatchedBySource.nonEmpty)
+          m.segs.zipWithIndex.foreach { case (seg, si) =>
+            val pruned = srcKeyRange.exists { case (c, lo, hi) =>
+              !mayOverlap(m, seg, c, lo, hi) }
+            if (!pruned) {
+              // DV-reconciling read: hidden rows must neither match
+              // nor resurrect
+              val df = readSegments(spark, outDir, m, Seq(seg))
+              val joinCond = keys.map(k =>
+                col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+              def staged = df.as("t")
+                .join(broadcast(srcM).as("s"), joinCond, "left_outer")
+                .withColumn("__mc", clauseIdx)
+              val cnt = staged.agg(
+                coalesce(sum(when(inIdx(col("__mc"), updIdx), 1L)
+                  .otherwise(0L)), lit(0L)),
+                coalesce(sum(when(inIdx(col("__mc"), delIdx), 1L)
+                  .otherwise(0L)), lit(0L))).head()
+              val (nUpd, nDel) = (cnt.getLong(0), cnt.getLong(1))
+              if (nUpd > 0L || nDel > 0L) {
+                updated += nUpd
+                deleted += nDel
+                val tCols = targetCols.map(c => col(s"t.$c").as(c))
+                if (cdc) {
+                  if (nUpd > 0L) {
+                    physicalize(staged.filter(inIdx(col("__mc"), updIdx))
+                      .select(tCols: _*)
+                      .withColumn("_change_type", lit("update_preimage")), m)
+                      .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                    physicalize(staged.filter(inIdx(col("__mc"), updIdx))
+                      .select(targetCols.map(newVal): _*)
+                      .withColumn("_change_type", lit("update_postimage")), m)
+                      .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                  }
+                  if (nDel > 0L)
+                    physicalize(staged.filter(inIdx(col("__mc"), delIdx))
+                      .select(tCols: _*)
+                      .withColumn("_change_type", lit("delete")), m)
+                      .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                  cdcRows = true
+                }
+                val out = staged
+                  .filter(!inIdx(col("__mc"), delIdx))
+                  .select(targetCols.map(newVal): _*)
+                val newSeg = f"seg_g${m.version + 1}%010d_${si}_$nonce"
+                physicalize(out, m).write.mode("overwrite")
+                  .parquet(s"$outDir/$newSeg")
+                rewritten += 1
+                removed += seg
+                added += newSeg
+                if (tracked.nonEmpty)
+                  addedStats += newSeg -> segmentStats(
+                    spark.read.parquet(s"$outDir/$newSeg"), tracked)
+              }
+            }
+          }
+        var inserted = 0L
+        if (notMatched.nonEmpty) {
+          val anti = src.join(
+            readSegments(spark, outDir, m, m.segs)
+              .select(keys.map(col).toSeq: _*),
+            keys, "left_anti").as("s")
+          val insWhens = notMatched.zipWithIndex.map { case (cl, i) =>
+            (condOf(cl.cond), i) }
+          val insIdx = insWhens.tail.foldLeft(
+            when(insWhens.head._1, lit(insWhens.head._2))) {
+            case (acc, (c, i)) => acc.when(c, lit(i))
+          }.otherwise(lit(-1))
+          def insVal(c: String): org.apache.spark.sql.Column = {
+            val f = schema(c)
+            notMatched.zipWithIndex.foldRight(
+              lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
+              case ((MergeClause.Insert(_, values), i), els) =>
+                val v = values.map(_.toMap.get(c)
+                  .map(expr).getOrElse(lit(null).cast(f.dataType)))
+                  .getOrElse(col(s"s.$c"))
+                when(col("__mc") === i, v).otherwise(els)
+            }.cast(f.dataType).as(c)
+          }
+          def fired = anti.withColumn("__mc", insIdx)
+            .filter(col("__mc") =!= -1)
+          inserted = fired.count()
+          if (inserted > 0L) {
+            val ins = fired.select(targetCols.map(insVal): _*)
+            val insSeg = f"seg_g${m.version + 1}%010d_ins_$nonce"
+            physicalize(ins, m).write.mode("overwrite")
+              .parquet(s"$outDir/$insSeg")
+            added += insSeg
+            if (cdc) {
+              physicalize(ins.withColumn("_change_type", lit("insert")), m)
+                .write.mode("append").parquet(s"$outDir/$cdcSeg")
+              cdcRows = true
+            }
+            if (tracked.nonEmpty)
+              addedStats += insSeg -> segmentStats(
+                spark.read.parquet(s"$outDir/$insSeg"), tracked)
+          }
+        }
+        if (rewritten == 0 && inserted == 0L)
+          return (m.version, 0, 0L, 0L, 0L)
+        tryCommitEdit(outDir, m, removed.result(), added.result(),
+          addedStats.result(), txn,
+          cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil) match {
+          case Some(v) => return (v, rewritten, updated, deleted, inserted)
           case None => // true conflict — re-plan against the new tip
         }
       } finally src.unpersist()

@@ -2124,6 +2124,107 @@ object Extensions {
                    CAST(sum(vc) AS BIGINT) AS sum_cents
             FROM final GROUP BY event_type ORDER BY event_type"""))
 
+  /** INSERT OVERWRITE / replaceWhere via SQL (r12): the atomic
+    * backfill verb on a PARTITIONED lake — `INSERT OVERWRITE t
+    * PARTITION (event_type = 'purchase') SELECT …` reads the
+    * partition's own rows, keeps the even-cents half doubled, and
+    * replaces exactly that slice in ONE commit (the delete side is a
+    * metadata drop of the covered partition — zero delete-side scans;
+    * every other partition's segment survives by reference). The
+    * oracle reproduces the slice-replace semantics; a replace that
+    * leaked rows into other partitions, dropped the wrong slice, or
+    * failed the static-column injection breaks the hash. */
+  private val sqlLakeReplace = QueryDef(
+    "sql_lake_replace",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_replace", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      LakeSink.createTable(dir, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("vc",
+          org.apache.spark.sql.types.LongType))),
+        partitionBy = Some("event_type"))
+      LakeSink.appendPartitioned(s, dir, ev)
+      val tbl = "graft_sql_lake_rpl_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      s.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (event_type = 'purchase')
+            SELECT event_id, vc * 2 FROM $tbl
+            WHERE event_type = 'purchase' AND vc % 2 = 0""").collect()
+      LakeSink.readTable(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events),
+                 final AS (
+                   SELECT event_id, event_type, vc FROM ev
+                   WHERE event_type <> 'purchase'
+                   UNION ALL
+                   SELECT event_id, event_type, vc * 2 AS vc FROM ev
+                   WHERE event_type = 'purchase' AND vc % 2 = 0)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vc) AS BIGINT) AS sum_cents
+            FROM final GROUP BY event_type ORDER BY event_type"""))
+
+  /** CTAS via SQL (r12): `CREATE TABLE … USING graft_lake PARTITIONED
+    * BY (event_type) LOCATION … AS SELECT …` — the lake takes its
+    * schema from the query and is seeded with its result through the
+    * partitioned staging path (one segment per type, facts + exact
+    * stats), then a DYNAMIC `INSERT OVERWRITE PARTITION (event_type)`
+    * backfills only the partitions present in its input (purchase,
+    * doubled cents) — the other partitions must survive untouched.
+    * The oracle reproduces create-then-backfill; a CTAS that dropped
+    * rows, a dynamic overwrite that leaked outside its incoming
+    * partitions, or broken static-column order breaks the hash. */
+  private val sqlLakeCtas = QueryDef(
+    "sql_lake_ctas",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_ctas", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val tbl = "graft_sql_lake_ctas_" + runTag(d)
+      LakeCatalog.unregister(tbl) // bench re-runs the closure
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      val view = "graft_ctas_ev_" + runTag(d)
+      ev.createOrReplaceTempView(view)
+      s.sql(
+        s"""CREATE TABLE $tbl USING graft_lake
+            PARTITIONED BY (event_type) LOCATION '$dir'
+            AS SELECT event_id, event_type, vc FROM $view""").collect()
+      s.sql(
+        s"""INSERT OVERWRITE $tbl PARTITION (event_type)
+            SELECT event_id, vc * 2, event_type FROM $view
+            WHERE event_type = 'purchase'""").collect()
+      LakeSink.readTable(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events),
+                 final AS (
+                   SELECT event_id, event_type, vc FROM ev
+                   WHERE event_type <> 'purchase'
+                   UNION ALL
+                   SELECT event_id, event_type, vc * 2 AS vc FROM ev
+                   WHERE event_type = 'purchase')
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vc) AS BIGINT) AS sum_cents
+            FROM final GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
@@ -2138,5 +2239,5 @@ object Extensions {
     sinkLakeExpectations,
     sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf, sqlLakeCdf,
     sqlLakeHistory, sqlLakeRestore, sqlLakeClone, sqlLakeDetail,
-    sinkLakeImport, sqlLakeMergeMulti)
+    sinkLakeImport, sqlLakeMergeMulti, sqlLakeReplace, sqlLakeCtas)
 }

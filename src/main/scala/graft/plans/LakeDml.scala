@@ -265,15 +265,32 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // INSERT INTO <lake> <query> → one appended segment through the
     // manifest protocol. Positional column mapping + cast to the
-    // table schema (standard INSERT coercion); OVERWRITE / partition
-    // specs are out of scope for the append-only verb.
+    // table schema (standard INSERT coercion). INSERT OVERWRITE
+    // (whole table, or a static PARTITION (c = v) slice) → the atomic
+    // replaceWhere verb: delete + insert under ONE manifest commit.
     case ins: InsertIntoStatement if lakeDir(ins.table).isDefined =>
-      if (ins.overwrite || ins.partitionSpec.nonEmpty)
-        throw new AnalysisException(
-          errorClass = "_LEGACY_ERROR_TEMP_3100",
-          messageParameters = Map("message" ->
-            "lake INSERT supports plain INSERT INTO (no OVERWRITE, no partition spec)"))
-      LakeInsertCommand(lakeDir(ins.table).get, ins.query)
+      if (!ins.overwrite) {
+        if (ins.partitionSpec.nonEmpty)
+          throw new AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3100",
+            messageParameters = Map("message" ->
+              ("lake INSERT INTO takes no partition spec — a declared " +
+                "partition column routes the append automatically")))
+        LakeInsertCommand(lakeDir(ins.table).get, ins.query)
+      } else {
+        val static = ins.partitionSpec.toSeq.collect {
+          case (k, Some(v)) => k -> v }
+        val dynamic = ins.partitionSpec.toSeq.collect {
+          case (k, None) => k }
+        if (static.nonEmpty && dynamic.nonEmpty)
+          throw new AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3100",
+            messageParameters = Map("message" ->
+              ("lake INSERT OVERWRITE takes a fully-static partition " +
+                "spec, one dynamic column, or none — not a mix")))
+        LakeReplaceCommand(lakeDir(ins.table).get, ins.query,
+          static.sortBy(_._1), dynamic, lakeCdc(ins.table))
+      }
 
     // SELECT over a registered lake table: substitute the manifest
     // reader's analyzed plan — the lake becomes a first-class SQL
@@ -403,9 +420,11 @@ case class LakeInsertCommand(dir: String, source: LogicalPlan)
     require(src.columns.length == schema.length,
       s"lake INSERT arity mismatch: query has ${src.columns.length} " +
         s"columns, table has ${schema.length}")
-    val aligned = src.select(src.columns.zip(schema.fields).map {
-      case (c, f) => col(c).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
+    // positional: rename first (duplicate query column names — e.g.
+    // two identical literals — must not break by-name resolution)
+    val aligned = src.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     if (m.partSpec.isDefined) {
       val before = m.segs.toSet
       val (v, _) = LakeSink.appendPartitioned(session, dir, aligned)
@@ -419,5 +438,87 @@ case class LakeInsertCommand(dir: String, source: LogicalPlan)
       val n = session.read.parquet(s"$dir/$seg").count()
       Seq(Row(v, n))
     }
+  }
+}
+
+/** `INSERT OVERWRITE <lake> [PARTITION (c [= v], …)] <query>` →
+  * [[LakeSink.replaceWhere]]. A STATIC partition spec becomes the
+  * replace predicate (`c = v AND …`) with the spec'd columns injected
+  * into the incoming rows (SQL static-partition semantics: the query
+  * supplies the REMAINING columns positionally). A DYNAMIC spec
+  * (`PARTITION (c)` — Hive's dynamic-overwrite) replaces exactly the
+  * partitions PRESENT in the incoming data: the query supplies the
+  * remaining columns then the dynamic column LAST (Hive column
+  * order), the predicate is `c IN (distinct incoming values)`
+  * (NULL-partition included when present). No spec replaces the whole
+  * table — the delete side is pure metadata in every case the layout
+  * covers. */
+case class LakeReplaceCommand(dir: String, source: LogicalPlan,
+    static: Seq[(String, String)], dynamic: Seq[String] = Nil,
+    cdc: Boolean = false)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("segments_rewritten", IntegerType)(),
+    AttributeReference("segments_dropped", IntegerType)(),
+    AttributeReference("rows_deleted", LongType)(),
+    AttributeReference("rows_inserted", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(dynamic.size <= 1,
+      "lake INSERT OVERWRITE supports one dynamic partition column")
+    val m = LakeSink.readManifest(dir)
+    val schema = LakeSink.tableSchema(session, dir, m)
+    (static.map(_._1) ++ dynamic).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"INSERT OVERWRITE partition column '$c' is not a table column") }
+    val specCols = static.map(_._1).toSet ++ dynamic
+    // Hive column order: the query supplies non-spec columns, then
+    // dynamic partition columns LAST; static values are injected.
+    val rest = schema.fields.filterNot(f => specCols(f.name)) ++
+      dynamic.map(c => schema(c))
+    val src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, source)
+    require(src.columns.length == rest.length,
+      s"lake INSERT OVERWRITE arity mismatch: query has " +
+        s"${src.columns.length} columns, table needs ${rest.length} " +
+        "(static partition columns are injected; a dynamic one comes " +
+        "last in the query)")
+    // positional: rename first (duplicate query column names — e.g.
+    // two identical literals — must not break by-name resolution)
+    val aligned = src.toDF(rest.map(_.name).toIndexedSeq: _*)
+      .select(rest.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val withStatic = static.foldLeft(aligned) { case (d, (c, v)) =>
+      d.withColumn(c, lit(v).cast(schema(c).dataType)) }
+    val full = withStatic.select(
+      schema.fieldNames.map(col).toIndexedSeq: _*).cache()
+    try {
+      val cond =
+        if (dynamic.isEmpty)
+          static.map { case (c, v) =>
+            col(c) === lit(v).cast(schema(c).dataType) }
+            .reduceOption(_ && _)
+        else {
+          // dynamic overwrite: replace exactly the incoming partitions
+          // — one small distinct over the (cached) batch
+          val c = dynamic.head
+          val vals = full.select(col(c)).distinct().collect()
+          val hasNull = vals.exists(_.isNullAt(0))
+          val vs = vals.filterNot(_.isNullAt(0)).map(_.get(0)).toSeq
+          val in =
+            if (vs.isEmpty) None else Some(col(c).isin(vs: _*))
+          val nullPred = if (hasNull) Some(col(c).isNull) else None
+          (in, nullPred) match {
+            case (Some(a), Some(b)) => Some(a || b)
+            case (a, b) => a.orElse(b).orElse(
+              // empty incoming batch: a dynamic overwrite of nothing
+              // replaces nothing
+              Some(lit(false)))
+          }
+        }
+      val (v, rw, dr, del, ins) =
+        LakeSink.replaceWhere(session, dir, full, cond, cdc = cdc)
+      Seq(Row(v, rw, dr, del, ins))
+    } finally full.unpersist()
   }
 }

@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   DESCRIBE DETAIL t                       → [[LakeSink.tableDetail]]
   *   RESTORE TABLE t TO VERSION AS OF n      → [[LakeSink.restoreTable]]
   *   CREATE TABLE c SHALLOW CLONE t …        → [[LakeSink.cloneTable]]
+  *   CREATE TABLE t USING graft_lake … AS q  → CTAS ([[LakeCtasCommand]])
   */
 object LakeMaintenanceSql {
 
@@ -82,6 +83,17 @@ object LakeMaintenanceSql {
   private val ShallowClone =
     ("""(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
+  // CTAS (r12): CREATE TABLE … USING graft_lake … AS <query> — the
+  // schema comes from the query, so no column list. The query text is
+  // carried verbatim and parsed by the SESSION at run time (it may
+  // reference other lake tables, temp views, TVFs — everything the
+  // full parser/analyzer stack resolves).
+  private val CreateTableAs =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+USING\s+graft_lake""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\))?""" +
+      """\s+LOCATION\s+'([^']+)'""" +
+      """(?:\s+TBLPROPERTIES\s*\((.+?)\))?""" +
+      """\s+AS\s+(SELECT\b.+?)\s*;?\s*$""").r
 
   /** Parse a TBLPROPERTIES body (`'k'='v', …`). */
   private def parseProps(body: String): Map[String, String] =
@@ -156,6 +168,9 @@ object LakeMaintenanceSql {
       LakeCloneCommand(c.split('.').last, d, loc,
         Option(v).map(_.toLong),
         cdc = LakeCatalog.cdcEnabled(src.split('.').toSeq)))
+    case CreateTableAs(t, part, loc, props, query) =>
+      Some(LakeCtasCommand(t.split('.').last, loc, Option(part),
+        Option(props).map(parseProps).getOrElse(Map.empty), query))
     case _ => None
   }
 }
@@ -191,6 +206,45 @@ case class LakeCreateTableCommand(name: String, colsDdl: String,
       }
     LakeMaintenanceSql.applyLakeProperties(session, name, dir, props)
     Seq(Row(v))
+  }
+}
+
+/** `CREATE TABLE t USING graft_lake [PARTITIONED BY (c)] LOCATION '…'
+  * AS <query>` — CTAS: the lake is created with the QUERY's schema
+  * and seeded with its result (partition layout honored, facts +
+  * exact stats recorded). Two manifest commits (create, then seed) —
+  * a crash between them leaves a valid EMPTY table, never a partial
+  * data state (the seed append is itself atomic). The name must be
+  * unregistered and the location must not already hold a lake —
+  * CTAS is a creation verb, not an attach; use CREATE TABLE …
+  * LOCATION to attach, INSERT OVERWRITE to replace. */
+case class LakeCtasCommand(name: String, dir: String,
+    partitionBy: Option[String], props: Map[String, String],
+    query: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("rows_inserted", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(LakeCatalog.lookup(Seq(name)).isEmpty,
+      s"lake table $name is already registered (DROP TABLE it first)")
+    require(LakeSink.readManifest(dir).version == 0L,
+      s"CTAS target location $dir already holds a lake — " +
+        "CREATE TABLE … LOCATION attaches, INSERT OVERWRITE replaces")
+    val df = session.sql(query)
+    LakeSink.createTable(dir, df.schema, partitionBy)
+    val (v, rows) =
+      if (partitionBy.isDefined) {
+        val (v0, _) = LakeSink.appendPartitioned(session, dir, df)
+        val m = LakeSink.readManifest(dir)
+        (v0, m.parts.values.map(_.rows).sum)
+      } else {
+        val m = LakeSink.readManifest(dir)
+        val seg = f"seg_i${m.version + 1}%010d"
+        val v0 = LakeSink.appendSegment(session, dir, df, seg)
+        (v0, session.read.parquet(s"$dir/$seg").count())
+      }
+    LakeMaintenanceSql.applyLakeProperties(session, name, dir, props)
+    Seq(Row(v, rows))
   }
 }
 

@@ -2203,6 +2203,21 @@ object LakeSink {
     * [[dmlMaxAttempts]] straight losses. Never a lost update: every
     * commit lands via the CAS against a tip whose segments the staged
     * edit provably read-or-commutes-with. */
+  /** One planning attempt's staged DELETE edit — everything a caller
+    * needs to commit it (or combine it with its own additions in the
+    * SAME commit, the [[replaceWhere]] move). Staged segment/DV/cdc
+    * files referenced here are invisible until a manifest CAS lists
+    * them; a lost CAS turns them into [[vacuum]] orphans. */
+  private final case class DeleteEdit(
+      removed: Set[String], added: Seq[String],
+      addedStats: Map[String, Map[String, ColStat]],
+      addedParts: Map[String, PartVal],
+      dvSets: Map[String, DvRef],
+      cdcSeg: String, cdcRows: Boolean, cdcDrops: Seq[String],
+      rewritten: Int, dropped: Int, deleted: Long, dvWrites: Int) {
+    def isNoop: Boolean = rewritten == 0 && dropped == 0 && dvWrites == 0
+  }
+
   def deleteWhere(spark: SparkSession, outDir: String,
       cond: org.apache.spark.sql.Column,
       pruneHint: Option[(String, Long, Long)] = None,
@@ -2210,7 +2225,6 @@ object LakeSink {
       cdc: Boolean = false,
       dvMaxFraction: Double = 0.0)
       : (Long, Int, Int, Long) = {
-    import org.apache.spark.sql.functions.{coalesce, count, lit, when}
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     // `beforeCommit` is the race-injection seam (the
@@ -2222,6 +2236,70 @@ object LakeSink {
       attempt += 1
       val m = readManifest(outDir)
       require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+      val nonce = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val e = planDeleteEdits(spark, outDir, m, Some(cond), pruneHint,
+        cdc, dvMaxFraction, nonce)
+      if (e.isNoop) return (m.version, 0, 0, 0L)
+      beforeCommit()
+      tryCommitEdit(outDir, m, e.removed, e.added, e.addedStats, None,
+        cdcSegs = if (e.cdcRows) Seq(e.cdcSeg) else Nil,
+        dvSets = e.dvSets,
+        addedParts = e.addedParts,
+        cdcDropSegs = e.cdcDrops) match {
+        case Some(v) => return (v, e.rewritten, e.dropped, e.deleted)
+        case None => // true conflict — re-plan against the new tip
+      }
+    }
+    sys.error(s"delete at $outDir: $dmlMaxAttempts consecutive true " +
+      "conflicts (concurrent writers rewriting the same segments) — " +
+      "coordinate the writers or retry later")
+  }
+
+  /** Plan ONE attempt's delete edit against manifest `m` — the whole
+    * metadata-first decision ladder [[deleteWhere]] documents
+    * (partition facts → stats-proven full match → stats pruning →
+    * scan, with DV and CDC variants), extracted so [[replaceWhere]]
+    * can stage the same edit and commit it TOGETHER with its append.
+    * `condOpt = None` means the WHOLE TABLE (INSERT OVERWRITE): every
+    * segment drops by metadata with rows counted from parquet footers
+    * minus DV debt — zero data jobs; under cdc a DV-carrying segment
+    * reads its LIVE rows as explicit delete images (dead rows must not
+    * re-enter the feed), plain segments ride the `cdcdrop=` path. */
+  private def planDeleteEdits(spark: SparkSession, outDir: String,
+      m: Manifest, condOpt: Option[org.apache.spark.sql.Column],
+      pruneHint: Option[(String, Long, Long)],
+      cdc: Boolean, dvMaxFraction: Double,
+      nonce: String): DeleteEdit = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, when}
+    val cdcSeg = s"seg_cdc_d$nonce"
+    condOpt match {
+      case None =>
+        var dropped = 0
+        var deleted = 0L
+        var cdcRows = false
+        val removed = Set.newBuilder[String]
+        val cdcDrops = Seq.newBuilder[String]
+        m.segs.foreach { seg =>
+          val live = segmentFooterRows(outDir, seg) -
+            m.dv.get(seg).map(_.rows).getOrElse(0L)
+          if (cdc && m.dv.contains(seg)) {
+            physicalize(readSegments(spark, outDir, m, Seq(seg))
+              .withColumn("_change_type", lit("delete")), m)
+              .write.mode("append").parquet(s"$outDir/$cdcSeg")
+            cdcRows = true
+          } else if (cdc) cdcDrops += seg
+          dropped += 1
+          removed += seg
+          deleted += live
+        }
+        return DeleteEdit(removed.result(), Nil, Map.empty, Map.empty,
+          Map.empty, cdcSeg, cdcRows, cdcDrops.result(),
+          0, dropped, deleted, 0)
+      case Some(_) =>
+    }
+    val cond: org.apache.spark.sql.Column = condOpt.get
+    locally {
       val tracked = m.trackedCols
       // No explicit hint? Derive ALL safe hints from the predicate's
       // own conjuncts over the tracked columns (numeric + string +
@@ -2242,14 +2320,12 @@ object LakeSink {
             if (trackedLogical.isEmpty) Nil
             else inferPruneHints(spark, schemaOnce, cond, trackedLogical)
         }).map(hintPhysical(_, m))
-      // Written-segment names carry a per-attempt NONCE: two racing
-      // writers both staging rewrites for version v+1 must never share
-      // a dir — the CAS loser's in-flight write would silently replace
-      // the winner's committed data (the one corruption the manifest
-      // protocol alone cannot see). A stale attempt's dirs become
-      // vacuum orphans.
-      val nonce = java.lang.Long.toHexString(
-        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      // Written-segment names carry the caller's per-attempt NONCE:
+      // two racing writers both staging rewrites for version v+1 must
+      // never share a dir — the CAS loser's in-flight write would
+      // silently replace the winner's committed data (the one
+      // corruption the manifest protocol alone cannot see). A stale
+      // attempt's dirs become vacuum orphans.
       var rewritten = 0
       var dropped = 0
       var deleted = 0L
@@ -2262,7 +2338,6 @@ object LakeSink {
       // segment the commit records — the only extra IO is the changed
       // rows themselves, and [[changesCdcBetween]] never has to diff
       // snapshots. Orphaned on a lost CAS like any staged rewrite.
-      val cdcSeg = s"seg_cdc_d$nonce"
       var cdcRows = false
       val dvSets = Map.newBuilder[String, DvRef]
       var dvWrites = 0
@@ -2395,22 +2470,11 @@ object LakeSink {
         }
         }
       }
-      if (rewritten == 0 && dropped == 0 && dvWrites == 0)
-        return (m.version, 0, 0, 0L)
-      beforeCommit()
-      tryCommitEdit(outDir, m, removed.result(), added.result(),
-        addedStats.result(), None,
-        cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
-        dvSets = dvSets.result(),
-        addedParts = addedParts.result(),
-        cdcDropSegs = if (cdcDropped) cdcDrops.result() else Nil) match {
-        case Some(v) => return (v, rewritten, dropped, deleted)
-        case None => // true conflict — re-plan against the new tip
-      }
+      DeleteEdit(removed.result(), added.result(), addedStats.result(),
+        addedParts.result(), dvSets.result(), cdcSeg, cdcRows,
+        if (cdcDropped) cdcDrops.result() else Nil,
+        rewritten, dropped, deleted, dvWrites)
     }
-    sys.error(s"delete at $outDir: $dmlMaxAttempts consecutive true " +
-      "conflicts (concurrent writers rewriting the same segments) — " +
-      "coordinate the writers or retry later")
   }
 
   /** Row-level UPDATE, copy-on-write — [[deleteWhere]]'s companion,
@@ -3102,6 +3166,128 @@ object LakeSink {
     org.apache.commons.io.FileUtils
       .deleteQuietly(Paths.get(outDir, stage).toFile)
     Some((segs.result(), addParts.result(), addStats.result()))
+  }
+
+  /** ATOMIC REPLACE (r12) — Delta's `replaceWhere` / SQL `INSERT
+    * OVERWRITE`: delete every row matching `cond` AND insert `df`, as
+    * ONE manifest commit — the backfill verb. A reader sees the old
+    * partition or the new one, never neither, never both; a crash at
+    * any point leaves the old version live and the staged files as
+    * vacuum orphans.
+    *
+    * `cond = None` replaces the WHOLE table (plain INSERT OVERWRITE):
+    * the delete side is pure metadata — every segment drops with row
+    * counts from parquet footers, zero data jobs. With a predicate,
+    * the delete side is [[deleteWhere]]'s full decision ladder:
+    * partition-fact-covered and stats-proven segments drop by
+    * metadata (the backfill of one day of a day-partitioned lake
+    * moves ONLY the new day's bytes), partially-covered segments
+    * rewrite copy-on-write. Incoming rows must ALL satisfy `cond`
+    * (checked, one aggregate — Delta's replaceWhere constraint: the
+    * statement must not smuggle rows into ranges it did not claim).
+    *
+    * The insert side honors the table's layout: a partition spec
+    * routes through the same staged per-value split as
+    * [[appendPartitioned]] (facts + exact stats recorded — retention
+    * stays metadata-only on the replaced range), otherwise one
+    * segment with tracked stats. Expectations gate the batch exactly
+    * as appends. With cdc, the feed carries delete images for the
+    * replaced rows (metadata drops ride `cdcdrop=`) and insert images
+    * for the new ones — a signed-fold consumer rides through the
+    * backfill.
+    *
+    * Returns (version, segments rewritten, segments dropped, rows
+    * deleted, rows inserted). */
+  def replaceWhere(spark: SparkSession, outDir: String, df: DataFrame,
+      cond: Option[org.apache.spark.sql.Column],
+      cdc: Boolean = false): (Long, Int, Int, Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, count, expr, lit, when}
+    var attempt = 0
+    val src = df.cache()
+    try {
+      while (attempt < dmlMaxAttempts) {
+        attempt += 1
+        val m = readManifest(outDir)
+        requireTable(m, outDir)
+        val expected = tableSchema(spark, outDir, m).fieldNames.toSeq
+        require(src.columns.toSeq == expected,
+          s"replaceWhere schema mismatch: got ${src.columns.mkString(",")}" +
+            s", table is ${expected.mkString(",")}")
+        if (m.expects.nonEmpty) {
+          val checks = m.expects.toSeq.sortBy(_._1)
+          val aggs = checks.map { case (_, sql) =>
+            count(when(!expr(sql) || expr(sql).isNull, lit(1))) }
+          val row = src.agg(aggs.head, aggs.tail: _*).head()
+          val bad = checks.zipWithIndex
+            .map { case ((n, _), i) => n -> row.getLong(i) }
+            .filter(_._2 > 0L)
+          require(bad.isEmpty,
+            s"replaceWhere to $outDir violates expectation(s): " +
+              bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+        }
+        cond.foreach { c =>
+          val out = src.agg(
+            count(when(!coalesce(c, lit(false)), lit(1)))).head().getLong(0)
+          require(out == 0L, s"replaceWhere to $outDir: $out incoming " +
+            "row(s) fall outside the replace predicate — the statement " +
+            "may only write rows into the range it replaces")
+        }
+        val nonce = java.lang.Long.toHexString(
+          java.util.concurrent.ThreadLocalRandom.current().nextLong())
+        val e =
+          if (m.segs.isEmpty)
+            DeleteEdit(Set.empty, Nil, Map.empty, Map.empty, Map.empty,
+              s"seg_cdc_d$nonce", cdcRows = false, Nil, 0, 0, 0L, 0)
+          else planDeleteEdits(spark, outDir, m, cond, None, cdc,
+            dvMaxFraction = 0.0, nonce)
+        var insSegs: Seq[String] = Nil
+        var insStats: Map[String, Map[String, ColStat]] = Map.empty
+        var insParts: Map[String, PartVal] = Map.empty
+        var inserted = 0L
+        m.partSpec match {
+          case Some(partPhys) =>
+            val partCol = m.logicalOf(partPhys).getOrElse(sys.error(
+              s"lake at $outDir: partition column (physical $partPhys) " +
+                "was dropped — evolvePartitionSpec to a live column first"))
+            stagePartitionedSegments(spark, outDir, m, src,
+              partPhys, partCol).foreach { case (segs, parts, stats) =>
+              insSegs = segs; insParts = parts; insStats = stats
+              inserted = parts.values.map(_.rows).sum
+            }
+          case None =>
+            inserted = src.count()
+            if (inserted > 0L) {
+              val seg = f"seg_r${m.version + 1}%010d_ins_$nonce"
+              physicalize(src, m).write.mode("overwrite")
+                .parquet(s"$outDir/$seg")
+              insSegs = Seq(seg)
+              if (m.trackedCols.nonEmpty)
+                insStats = Map(seg -> segmentStats(
+                  spark.read.parquet(s"$outDir/$seg"), m.trackedCols))
+            }
+        }
+        var cdcRows = e.cdcRows
+        if (cdc && inserted > 0L) {
+          physicalize(src.withColumn("_change_type", lit("insert")), m)
+            .write.mode("append").parquet(s"$outDir/${e.cdcSeg}")
+          cdcRows = true
+        }
+        if (e.isNoop && inserted == 0L) return (m.version, 0, 0, 0L, 0L)
+        tryCommitEdit(outDir, m, e.removed, e.added ++ insSegs,
+          e.addedStats ++ insStats, None,
+          cdcSegs = if (cdcRows) Seq(e.cdcSeg) else Nil,
+          dvSets = e.dvSets,
+          addedParts = e.addedParts ++ insParts,
+          cdcDropSegs = e.cdcDrops) match {
+          case Some(v) =>
+            return (v, e.rewritten, e.dropped, e.deleted, inserted)
+          case None => // true conflict — re-plan against the new tip
+        }
+      }
+    } finally src.unpersist()
+    sys.error(s"replaceWhere at $outDir: $dmlMaxAttempts consecutive " +
+      "true conflicts (concurrent writers rewriting the same segments) " +
+      "— coordinate the writers or retry later")
   }
 
   /** MERGE INTO (upsert), copy-on-write — the third DML verb, same

@@ -205,4 +205,35 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
         "SET TBLPROPERTIES ('cdc'='true')").collect()
     }
   }
+
+  test("CTAS: schema from the query, partitioned seed, props applied; " +
+      "occupied location refused") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ctas").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 30L))
+      .toDF("day", "user", "cents").createOrReplaceTempView("ctas_src")
+    val tbl = "graft_ctas_t"
+    try {
+      val rec = spark.sql(
+        s"""CREATE TABLE $tbl USING graft_lake PARTITIONED BY (day)
+            LOCATION '$dir' TBLPROPERTIES ('cdc'='true')
+            AS SELECT day, user, cents FROM ctas_src""").head()
+      assert(rec.getLong(1) === 3L)
+      val m = LakeSink.readManifest(dir)
+      assert(m.partSpec === Some("day"))
+      assert(m.parts.size === 2) // one segment per day value
+      assert(LakeCatalog.cdcEnabled(Seq(tbl)))
+      assert(spark.sql(s"SELECT sum(cents) AS s FROM $tbl")
+        .head().getLong(0) === 60L)
+      // CTAS over an occupied location refuses (attach vs create)
+      LakeCatalog.unregister(tbl)
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $tbl USING graft_lake LOCATION '$dir' " +
+          "AS SELECT 1 AS x").collect()
+      }
+      assert(e.getMessage.contains("already holds a lake"))
+    } finally LakeCatalog.unregister(tbl)
+  }
 }

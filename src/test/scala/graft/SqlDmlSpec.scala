@@ -78,14 +78,24 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
       e.getMessage.toLowerCase.contains("table"))
   }
 
-  test("unsupported MERGE shape is rejected with a clear message") {
-    buildLake("sqmrg_bad")
+  test("non-star MERGE shapes run on the general engine; a non-equi ON is rejected") {
+    val dir = buildLake("sqmrg_gen")
     Seq((2L, 200L)).toDF("user_id", "v")
-      .createOrReplaceTempView("sqmrg_bad_delta")
+      .createOrReplaceTempView("sqmrg_gen_delta")
+    // matched DELETE — refused pre-r12, now the general clause engine
+    spark.sql(
+      """MERGE INTO sqmrg_gen t USING sqmrg_gen_delta s
+         ON t.user_id = s.user_id
+         WHEN MATCHED THEN DELETE""").collect()
+    assert(LakeSink.readTable(spark, dir)
+      .select("user_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 3L, 4L))
+    // what stays out of scope: an ON clause that is not a same-name
+    // equi-key conjunction
     val e = intercept[Exception] {
       spark.sql(
-        """MERGE INTO sqmrg_bad t USING sqmrg_bad_delta s
-           ON t.user_id = s.user_id
+        """MERGE INTO sqmrg_gen t USING sqmrg_gen_delta s
+           ON t.user_id < s.user_id
            WHEN MATCHED THEN DELETE""").collect()
     }
     assert(e.getMessage.contains("lake MERGE"))
@@ -148,10 +158,11 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     // the table's BIGINT columns)
     assert(LakeSink.readTable(spark, dir).schema("v").dataType ===
       org.apache.spark.sql.types.LongType)
-    // OVERWRITE is out of scope for the append-only verb
-    val e = intercept[Exception] {
-      spark.sql("INSERT OVERWRITE TABLE sqins_t SELECT 1, 1").collect()
-    }
-    assert(e.getMessage.contains("lake INSERT"))
+    // OVERWRITE is the atomic replace verb (r12): one commit swaps the
+    // whole table for the incoming rows (duplicate literal column
+    // names must not trip the positional mapping)
+    spark.sql("INSERT OVERWRITE TABLE sqins_t SELECT 1, 1").collect()
+    assert(LakeSink.readTable(spark, dir).collect().map(_.toSeq).toSeq ===
+      Seq(Seq(1L, 1L)))
   }
 }

@@ -2225,6 +2225,58 @@ object Extensions {
                    CAST(sum(vc) AS BIGINT) AS sum_cents
             FROM final GROUP BY event_type ORDER BY event_type"""))
 
+  /** BLOOM-FILTER SEGMENT SKIPPING (r12, Delta bloom index / Iceberg
+    * puffin analog): the lake is ingested as 8 RESIDUE-CLASS segments
+    * (`event_id % 8`), the layout where every segment's [min,max]
+    * spans the whole id domain — range stats can NEVER prune a point
+    * probe — and `bloom_cols` is declared so each staged segment
+    * writes an xxhash64 double-hash sidecar (~10 bits/row). The point
+    * read (`event_id IN (4 real ids, 1 absent id)`) plans its scan
+    * set from the sidecars; the output carries the row-exact result
+    * plus a `bloom_pruned` flag the oracle pins TRUE — if the bloom
+    * path stopped skipping (or skipped a segment that held a probed
+    * id) the hash breaks. Exact scan-set counts are pinned in
+    * LakeBloomSpec (they are fp-rate-dependent, not oracle-portable
+    * across scale factors). At 100 TB this is the GDPR-delete /
+    * point-lookup lever: open the one segment that holds the key plus
+    * ~1% false positives, planned driver-side from sidecars ~1% the
+    * data's size. */
+  private val sinkLakeBloomPrune = QueryDef(
+    "sink_lake_bloom_prune",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_bloomq", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      LakeSink.createTable(dir, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("vc",
+          org.apache.spark.sql.types.LongType))))
+      LakeSink.setBloomColumns(s, dir, Seq("event_id"))
+      (0 until 8).foreach { i =>
+        LakeSink.appendSegment(s, dir,
+          ev.filter(pmod(col("event_id"), lit(8)) === i), f"seg_b$i%02d")
+      }
+      val probes: Seq[Any] = Seq(7L, 242L, 555L, 808L, 123456789L)
+      val (sel, scanned, total) =
+        LakeSink.readTableWhereIn(s, dir, "event_id", probes)
+      sel.agg(
+        count(lit(1)).as("n_rows"),
+        sum("vc").as("sum_cents"),
+        lit(scanned.size < total).as("bloom_pruned"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              TRUE AS bloom_pruned
+            FROM events
+            WHERE event_id IN (7, 242, 555, 808, 123456789)"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
@@ -2239,5 +2291,6 @@ object Extensions {
     sinkLakeExpectations,
     sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf, sqlLakeCdf,
     sqlLakeHistory, sqlLakeRestore, sqlLakeClone, sqlLakeDetail,
-    sinkLakeImport, sqlLakeMergeMulti, sqlLakeReplace, sqlLakeCtas)
+    sinkLakeImport, sqlLakeMergeMulti, sqlLakeReplace, sqlLakeCtas,
+    sinkLakeBloomPrune)
 }

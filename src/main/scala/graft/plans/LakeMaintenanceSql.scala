@@ -113,10 +113,13 @@ object LakeMaintenanceSql {
       case ("cdc", _) =>
       case ("partition_by", c) =>
         LakeSink.evolvePartitionSpec(session, dir, c.trim)
+      case ("bloom_cols", cs) =>
+        LakeSink.setBloomColumns(session, dir,
+          cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       case (k, sql) if k.startsWith("expect.") =>
         LakeSink.addExpectation(session, dir, k.stripPrefix("expect."), sql)
       case (k, _) => sys.error(s"unsupported graft_lake table property " +
-        s"'$k' (supported: cdc, partition_by, expect.<name>)")
+        s"'$k' (supported: cdc, partition_by, bloom_cols, expect.<name>)")
     }
   }
 

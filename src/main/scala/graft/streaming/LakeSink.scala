@@ -170,7 +170,21 @@ object LakeSink {
       // segment files themselves as delete rows, so even a
       // metadata-only drop costs O(0) at DML time and O(dropped rows)
       // only when a feed consumer actually reads the window.
-      cdcDropSegs: Seq[String] = Nil) {
+      cdcDropSegs: Seq[String] = Nil,
+      // BLOOM COLUMNS (r12, Delta bloom-filter index / Iceberg-puffin
+      // analog): PHYSICAL columns every staged segment writes a bloom
+      // sidecar for (`_blooms/<seg>.<col>.bloom`). A declared table
+      // property like partSpec — carried across commits. The sidecars
+      // themselves are ADVISORY and not listed here: they live at a
+      // deterministic path keyed by the (immutable-once-committed)
+      // segment name, a missing file just means scan — which keeps
+      // clones, imports, pre-declaration segments, and crash orphans
+      // correct with zero bookkeeping. They answer the point-predicate
+      // question min/max stats cannot: on a high-cardinality column
+      // with uniform layout every segment's [min,max] spans every
+      // probe, but `WHERE id = x` bloom-prunes to the segments that
+      // MAY hold x.
+      bloomCols: Seq[String] = Nil) {
     /** Columns any live segment tracks stats for (PHYSICAL names —
       * stats follow the bytes, surviving renames). */
     def trackedCols: Seq[String] =
@@ -286,7 +300,8 @@ object LakeSink {
       h.get("partspec"),
       partLines.map(l => parsePartPayload(outDir, v,
         l.stripPrefix("part="))).toMap,
-      cdcDropLines.map(_.stripPrefix("cdcdrop=")))
+      cdcDropLines.map(_.stripPrefix("cdcdrop=")),
+      h.get("bloomcols").map(_.split('|').toSeq).getOrElse(Nil))
   }
 
   /** Decode one partition-value payload (`seg|col|rows|b64(value)`,
@@ -357,7 +372,7 @@ object LakeSink {
       cdcSegs: Seq[String], dataChange: Boolean,
       dvSets: Map[String, DvRef], colmap: Map[String, String],
       partSpec: Option[String], addParts: Map[String, PartVal],
-      cdcDropSegs: Seq[String])
+      cdcDropSegs: Seq[String], bloomCols: Seq[String])
 
   private def parseDelta(outDir: String, v: Long,
       lines: Seq[String]): DeltaRec = {
@@ -411,7 +426,8 @@ object LakeSink {
       txns.result(), expects.result(), cdcSegs.result(),
       !h.get("datachange").contains("0"), dvSets.result(),
       colmap.result(), h.get("partspec"), addParts.result(),
-      cdcDropSegs.result())
+      cdcDropSegs.result(),
+      h.get("bloomcols").map(_.split('|').toSeq).getOrElse(Nil))
   }
 
   /** Auxiliary CHECKPOINT file for version `v` (Delta's
@@ -449,7 +465,8 @@ object LakeSink {
       (acc.stats -- d.removes) ++ d.addStats,
       d.txns, d.expects, d.cdcSegs, d.dataChange,
       (acc.dv -- d.removes) ++ d.dvSets, d.colmap, d.partSpec,
-      (acc.parts -- d.removes) ++ d.addParts, d.cdcDropSegs)
+      (acc.parts -- d.removes) ++ d.addParts, d.cdcDropSegs,
+      d.bloomCols)
 
   /** Reconstruct the committed state at version `v`: walk back to the
     * nearest snapshot (≤ [[snapshotInterval]] small files, or the
@@ -518,7 +535,7 @@ object LakeSink {
     if (m.version % snapshotInterval == 0)
       return commitManifest(outDir, m.version, m.maxB, m.segs, m.schemaV,
         m.schemaJson, m.stats, m.txns, m.expects, m.cdcSegs, m.dataChange,
-        m.dv, m.colmap, m.partSpec, m.parts, m.cdcDropSegs)
+        m.dv, m.colmap, m.partSpec, m.parts, m.cdcDropSegs, m.bloomCols)
     val lines = Seq("delta=1", s"maxb=${m.maxB}") ++
       (if (m.schemaV > 0L) Seq(s"schemav=${m.schemaV}") else Nil) ++
       (if (m.schemaV != parent.schemaV) m.schemaJson.map(j => s"schema=$j")
@@ -528,6 +545,8 @@ object LakeSink {
       m.expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" } ++
       m.colmap.toSeq.sorted.map { case (lg, ph) => s"colmap=$lg|$ph" } ++
       m.partSpec.map(c => s"partspec=$c") ++
+      (if (m.bloomCols.nonEmpty)
+        Seq(s"bloomcols=${m.bloomCols.mkString("|")}") else Nil) ++
       m.cdcSegs.map(s => s"cdc=$s") ++
       m.cdcDropSegs.map(s => s"cdcdrop=$s") ++
       dvSets.toSeq.sortBy(_._1).map { case (seg, r) =>
@@ -576,13 +595,14 @@ object LakeSink {
       colmap: Map[String, String] = Map.empty,
       partSpec: Option[String] = None,
       parts: Map[String, PartVal] = Map.empty,
-      cdcDropSegs: Seq[String] = Nil): Boolean = {
+      cdcDropSegs: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
     Files.write(tmp, snapshotLines(maxB, segs, schemaV, schemaJson,
       stats, txns, expects, cdcSegs, dataChange, dv, colmap, partSpec,
-      parts, cdcDropSegs).mkString("\n")
+      parts, cdcDropSegs, bloomCols).mkString("\n")
       .getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
@@ -623,7 +643,8 @@ object LakeSink {
       colmap: Map[String, String] = Map.empty,
       partSpec: Option[String] = None,
       parts: Map[String, PartVal] = Map.empty,
-      cdcDropSegs: Seq[String] = Nil): Seq[String] = {
+      cdcDropSegs: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Seq[String] = {
     val live = segs.toSet
     val statLines = stats.toSeq
       .filter { case (seg, _) => live(seg) }
@@ -642,10 +663,13 @@ object LakeSink {
     val cdcLines = cdcSegs.map(s => s"cdc=$s") ++
       cdcDropSegs.map(s => s"cdcdrop=$s") ++
       (if (dataChange) Nil else Seq("datachange=0"))
+    val bloomLine =
+      if (bloomCols.nonEmpty) Seq(s"bloomcols=${bloomCols.mkString("|")}")
+      else Nil
     (s"maxb=$maxB" +:
       ((if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
         schemaJson.map(j => s"schema=$j")
-       else Nil) ++ partSpec.map(c => s"partspec=$c").toSeq ++
+       else Nil) ++ partSpec.map(c => s"partspec=$c").toSeq ++ bloomLine ++
         statLines ++ txnLines ++ expectLines ++ cmLines ++
         partLines ++ dvLines ++ cdcLines)) ++ segs
   }
@@ -696,7 +720,7 @@ object LakeSink {
             tip.schemaJson, stats, txns, tip.expects, cdcSegs,
             dataChange = true, dv = dv, colmap = tip.colmap,
             partSpec = tip.partSpec, parts = parts,
-            cdcDropSegs = cdcDropSegs),
+            cdcDropSegs = cdcDropSegs, bloomCols = tip.bloomCols),
           removed, added, addedStats, dvSets, addedParts))
         return Some(tip.version + 1)
       val now = readManifest(outDir)
@@ -965,9 +989,9 @@ object LakeSink {
     }
 
   /** Segment-level verdict for one prune hint: false ONLY when the
-    * recorded stats prove no row can satisfy it. Type-mismatched or
-    * absent stats always scan. */
-  private def mayMatchHint(m: Manifest, seg: String,
+    * recorded stats (or a bloom sidecar, for point sets) prove no row
+    * can satisfy it. Type-mismatched or absent stats always scan. */
+  private def mayMatchHint(m: Manifest, outDir: String, seg: String,
       hint: PruneHint): Boolean = hint match {
     case NumRange(c, lo, hi) => mayOverlap(m, seg, c, lo, hi)
     case StrRange(c, lo, hi) =>
@@ -981,6 +1005,23 @@ object LakeSink {
         case Some(st) => st.nulls != 0L
         case None => true
       }
+    // point set: the segment survives iff SOME probe value passes both
+    // its recorded range AND its bloom sidecar (each is a may-contain
+    // bound; their conjunction is too)
+    case PointSet(c, dt, values) => values.exists { v =>
+      val rangeMay = m.stats.get(seg).flatMap(_.get(c)) match {
+        case Some(LongStat(mn, mx, _)) => v match {
+          case l: Long => l >= mn && l <= mx
+          case _ => true
+        }
+        case Some(StrStat(mn, mx, _)) => v match {
+          case s: String => s >= mn && s <= mx
+          case _ => true
+        }
+        case _ => true
+      }
+      rangeMay && bloomMayContain(outDir, seg, c, dt, v)
+    }
   }
 
   /** Re-key a LOGICAL-columned hint to the PHYSICAL name manifest
@@ -992,6 +1033,7 @@ object LakeSink {
       case NumRange(c, lo, hi) => NumRange(m.physicalOf(c), lo, hi)
       case StrRange(c, lo, hi) => StrRange(m.physicalOf(c), lo, hi)
       case MustBeNull(c) => MustBeNull(m.physicalOf(c))
+      case PointSet(c, dt, vs) => PointSet(m.physicalOf(c), dt, vs)
     }
 
   /** A constraint every predicate-TRUE row provably satisfies, usable
@@ -1005,6 +1047,15 @@ object LakeSink {
   /** every matching row has `col IS NULL` — prunes segments whose
     * recorded null count is zero. */
   final case class MustBeNull(col: String) extends PruneHint
+  /** every matching row has `col` ∈ `values` (an equality or IN-list
+    * predicate) — prunes through min/max AND the per-segment bloom
+    * sidecars, the hint class that works where ranges cannot: point
+    * probes on high-cardinality columns with uniform layout. `dt` is
+    * the column's table type (the bloom hashes typed values; a Long
+    * and a String of the same digits must not collide by accident). */
+  final case class PointSet(col: String,
+      dt: org.apache.spark.sql.types.DataType,
+      values: Seq[Any]) extends PruneHint
 
   /** Compile `cond` into a per-PARTITION-VALUE decider for segments
     * partitioned by PHYSICAL column `physCol`: Some(f) when the
@@ -1195,10 +1246,11 @@ object LakeSink {
   def inferPruneHints(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       cond: org.apache.spark.sql.Column,
-      tracked: Seq[String]): Seq[PruneHint] = {
+      tracked: Seq[String],
+      pointCols: Seq[String] = Nil): Seq[PruneHint] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical.Filter
-    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.types.{LongType, StringType}
     val condExpr =
       try {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -1235,7 +1287,49 @@ object LakeSink {
     }
     val numHint = inferPruneHint(spark, schema, cond, tracked)
       .map { case (c, lo, hi) => NumRange(c, lo, hi) }
-    numHint.toSeq ++ strHints
+    // point-set hints from equality / IN-list conjuncts: consulted
+    // against min/max AND bloom sidecars, so they prune where ranges
+    // cannot (point probes on high-cardinality uniform columns).
+    // BIGINT and STRING columns only (the typed-probe contract);
+    // IN-lists capped — a thousand-value IN is a join, not a probe.
+    val pointable = (tracked ++ pointCols).toSet
+    def colDt(n: String) = schema.fields.find(_.name == n).map(_.dataType)
+    def asValue(dt: org.apache.spark.sql.types.DataType,
+        v: Any): Option[Any] = (dt, v) match {
+      case (LongType, l: java.lang.Long) => Some(l)
+      case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(u.toString)
+      case (StringType, s: String) => Some(s)
+      case _ => None
+    }
+    val pointHints = cs.flatMap {
+      case EqualTo(l, r) =>
+        def side(a: Expression, b: Expression) = for {
+          n <- name(a) if pointable(n)
+          dt <- colDt(n) if b.foldable
+          raw <- Option(b.eval())
+          v <- asValue(dt, raw)
+        } yield PointSet(n, dt, Seq(v))
+        side(l, r).orElse(side(r, l))
+      case In(a, list) if list.nonEmpty && list.size <= 64 &&
+          list.forall(_.foldable) =>
+        for {
+          n <- name(a) if pointable(n)
+          dt <- colDt(n)
+          vs <- Some(list.flatMap(e =>
+            Option(e.eval()).flatMap(asValue(dt, _))))
+          if vs.size == list.size // any non-convertible value → no hint
+        } yield PointSet(n, dt, vs)
+      case InSet(a, hset) if hset.nonEmpty && hset.size <= 64 =>
+        for {
+          n <- name(a) if pointable(n)
+          dt <- colDt(n)
+          vs <- Some(hset.toSeq.flatMap(asValue(dt, _)))
+          if vs.size == hset.size
+        } yield PointSet(n, dt, vs)
+      case _ => None
+    }
+    numHint.toSeq ++ strHints ++ pointHints
   }
 
   /** Derive a safe prune range for `cond` over the stats-tracked
@@ -1374,9 +1468,218 @@ object LakeSink {
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
     val hint = StrRange(m.physicalOf(column), value, value)
-    val scanned = m.segs.filter(mayMatchHint(m, _, hint))
+    val scanned = m.segs.filter(mayMatchHint(m, outDir, _, hint))
     (readSegments(spark, outDir, m, scanned)
       .filter(col(column) === value), scanned, m.segs.size)
+  }
+
+  // ---- BLOOM-FILTER SEGMENT SKIPPING (r12) ----------------------------
+  // Min/max stats answer range questions; they are BLIND to point
+  // probes on high-cardinality columns with uniform layout (every
+  // segment's [min,max] spans every id — a GDPR `DELETE WHERE id = x`
+  // scans the whole lake). The answer every format ships (Delta
+  // bloom-filter index, Iceberg puffin blobs) is a per-segment BLOOM
+  // SIDECAR: ~10 bits/row buys a ~1% false-positive rate, so a point
+  // DML/read opens the one segment that holds the key plus ~1% of the
+  // rest, planned driver-side from files ~1% the size of the data.
+  //
+  // Design: sidecars live at the DETERMINISTIC path
+  // `_blooms/<seg>.<physCol>.bloom`, keyed by the immutable-once-
+  // committed segment name, and are ADVISORY — a missing/unreadable
+  // file means scan. That one rule keeps every hard case correct with
+  // zero bookkeeping: pre-declaration segments, shallow clones (the
+  // sidecar is hard-link-cloned or absent), imports, crash orphans
+  // (CAS-losing attempts leave sidecars vacuum GCs by name), time
+  // travel (old segments keep their sidecars until vacuumed). The
+  // manifest carries only the DECLARATION (`bloomcols=`, physical
+  // names — stable across renames like stats). Bits are set by
+  // double hashing with Spark's own xxhash64 so the distributed build
+  // and the driver-side probe share one hash definition by
+  // construction.
+
+  /** Second-hash salt (mixed via `xxhash64(col, lit(salt))`) and probe
+    * count: k = 7 at 10 bits/row is the standard ~0.8%-fpp point. */
+  private val BloomSalt = 0x9E3779B97F4A7C15L
+  private val BloomHashes = 7
+  private val BloomBitsPerRow = 10L
+  /** Sidecar size cap (16 MiB of bits): a pathologically large segment
+    * degrades fpp instead of materializing an unbounded driver-side
+    * array — advisory contract, still correct. */
+  private val BloomMaxBits = 1L << 27
+
+  private def bloomPath(outDir: String, seg: String, physCol: String): Path =
+    Paths.get(outDir, "_blooms", s"$seg.$physCol.bloom")
+
+  private def bloomBitsFor(rows: Long): Long = {
+    val want = math.max(1024L, rows * BloomBitsPerRow)
+    math.min(((want + 63L) / 64L) * 64L, BloomMaxBits)
+  }
+
+  /** Build + write bloom sidecars for a freshly STAGED segment, one
+    * per declared bloom column present in its files. One distributed
+    * pass per column (hash pair projected, per-partition bitsets
+    * OR-reduced); the sidecar is in place before the commit CAS that
+    * makes the segment visible, so readers never see a segment whose
+    * sidecar is still being written — a lost CAS orphans both
+    * together. Columns are PHYSICAL (the staged files' own names). */
+  private[graft] def writeSegmentBlooms(spark: SparkSession,
+      outDir: String, seg: String, bloomCols: Seq[String]): Unit = {
+    if (bloomCols.isEmpty) return
+    val df = spark.read.parquet(s"$outDir/$seg")
+    val present = bloomCols.filter(df.columns.contains)
+    if (present.isEmpty) return
+    val rows = segmentFooterRows(outDir, seg)
+    Files.createDirectories(Paths.get(outDir, "_blooms"))
+    present.foreach { c =>
+      val bits = bloomBitsFor(rows)
+      val words = (bits / 64L).toInt
+      val k = BloomHashes
+      import org.apache.spark.sql.functions.{col, lit, xxhash64}
+      // an EMPTY segment gets an all-zero bloom with no Spark job —
+      // it (correctly) excludes every probe
+      val merged =
+        if (rows == 0L) new Array[Long](words)
+        else df
+          .select(xxhash64(col(c)).as("h1"),
+            xxhash64(col(c), lit(BloomSalt)).as("h2"))
+          .rdd.mapPartitions { it =>
+            val arr = new Array[Long](words)
+            it.foreach { r =>
+              val h1 = r.getLong(0); val h2 = r.getLong(1)
+              var i = 0
+              while (i < k) {
+                val pos = java.lang.Math.floorMod(h1 + i.toLong * h2, bits)
+                arr((pos >>> 6).toInt) |= 1L << (pos & 63L)
+                i += 1
+              }
+            }
+            Iterator.single(arr)
+          }.treeReduce { (a, b) =>
+            var i = 0
+            while (i < a.length) { a(i) |= b(i); i += 1 }
+            a
+          }
+      val tmp = Files.createTempFile(Paths.get(outDir, "_blooms"),
+        s"tmp_$seg.$c-", ".inprogress")
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(
+          Files.newOutputStream(tmp)))
+      try {
+        out.writeLong(bits); out.writeInt(k)
+        merged.foreach(out.writeLong)
+      } finally out.close()
+      Files.move(tmp, bloomPath(outDir, seg, c),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Tiny driver-side sidecar cache — a DML probing one key against
+    * 10 k candidate segments must not re-read each file per hint
+    * evaluation. Bounded (drop-all past 256 entries), keyed by path;
+    * safe because a committed segment's sidecar never changes
+    * (rewrites mint new segment names). */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int, Array[Long])]()
+
+  /** Driver-side may-contain probe against the segment's sidecar for
+    * `physCol`. TRUE when the sidecar is absent/foreign-format
+    * (advisory — scan), or when all k probed bits are set. The typed
+    * literal is hashed through the SAME xxhash64 expressions the
+    * build projected, evaluated locally — one hash definition, two
+    * execution sites. */
+  private[graft] def bloomMayContain(outDir: String, seg: String,
+      physCol: String, dt: org.apache.spark.sql.types.DataType,
+      value: Any): Boolean = {
+    val p = bloomPath(outDir, seg, physCol)
+    val key = p.toString
+    var cached = bloomCache.get(key)
+    if (cached == null) {
+      if (!Files.exists(p)) return true
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(Files.newInputStream(p)))
+      try {
+        val bits = in.readLong()
+        val k = in.readInt()
+        if (bits <= 0L || bits % 64L != 0L || k <= 0 || k > 64) return true
+        val words = new Array[Long]((bits / 64L).toInt)
+        var i = 0
+        while (i < words.length) { words(i) = in.readLong(); i += 1 }
+        cached = (bits, k, words)
+      } catch { case _: java.io.IOException => return true }
+      finally in.close()
+      if (bloomCache.size >= 256) bloomCache.clear()
+      bloomCache.put(key, cached)
+    }
+    val (bits, k, words) = cached
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val litE = Literal.create(value, dt)
+    val h1 = XxHash64(Seq(litE), 42L).eval(null).asInstanceOf[Long]
+    val h2 = XxHash64(Seq(litE, Literal(BloomSalt)), 42L)
+      .eval(null).asInstanceOf[Long]
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Math.floorMod(h1 + i.toLong * h2, bits)
+      if ((words((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
+  /** Declare the table's bloom columns (metadata-only commit, like
+    * partition evolution): every SUBSEQUENT staged segment writes
+    * sidecars for them; existing segments stay sidecar-less (advisory
+    * — scanned) until a rewrite or OPTIMIZE re-stages them. Columns
+    * must be BIGINT-family or STRING (the typed-literal probe types);
+    * empty clears the declaration. Returns the committed version. */
+  def setBloomColumns(spark: SparkSession, outDir: String,
+      logicalCols: Seq[String]): Long = {
+    import org.apache.spark.sql.types._
+    val m = readManifest(outDir)
+    requireTable(m, outDir)
+    val schema = tableSchema(spark, outDir, m)
+    val phys = logicalCols.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"no column $c to bloom-index " +
+          s"(has ${schema.fieldNames.mkString(", ")})"))
+      require(Seq[DataType](LongType, IntegerType, ShortType, ByteType,
+        StringType).contains(f.dataType),
+        s"bloom column $c must be integral or string, is ${f.dataType}")
+      require(!c.contains('|'), s"bloom column name must not contain '|': $c")
+      m.physicalOf(c)
+    }
+    require(commitNext(outDir, m, m.copy(version = m.version + 1,
+      bloomCols = phys.distinct,
+      cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true)),
+      s"bloom declaration at $outDir lost a manifest race")
+    m.version + 1
+  }
+
+  /** BLOOM-PRUNED POINT READ — [[readTableWhere]] for an equality /
+    * IN-list predicate on a bloom-indexed column: drop every segment
+    * whose min/max range AND bloom sidecar both exclude every probed
+    * value, scan the rest with the residual filter applied. Values
+    * are typed by the table schema. Returns (filtered frame, segments
+    * scanned, segments total). */
+  def readTableWhereIn(spark: SparkSession, outDir: String,
+      column: String, values: Seq[Any]): (DataFrame, Seq[String], Int) = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "empty probe set")
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    val dt = tableSchema(spark, outDir, m)
+      .fields.find(_.name == column).getOrElse(
+        sys.error(s"no column $column to probe")).dataType
+    val hint = PointSet(m.physicalOf(column), dt, values)
+    val scanned = m.segs.filter(mayMatchHint(m, outDir, _, hint))
+    if (scanned.isEmpty) {
+      // provably empty: zero data IO, typed empty frame
+      (readSegments(spark, outDir, m, m.segs.take(1))
+        .filter(col(column).isin(values: _*)).limit(0),
+        scanned, m.segs.size)
+    } else
+      (readSegments(spark, outDir, m, scanned)
+        .filter(col(column).isin(values: _*)), scanned, m.segs.size)
   }
 
   /** Number of parquet data files a segment holds (compaction's
@@ -1612,7 +1915,8 @@ object LakeSink {
           t.schemaV, t.schemaJson, t.stats, m.txns, m.expects,
           cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
           dataChange = true, dv = t.dv, colmap = t.colmap,
-          partSpec = m.partSpec, parts = t.parts))
+          partSpec = m.partSpec, parts = t.parts,
+          bloomCols = m.bloomCols))
         return (m.version + 1, addedSegs.size, removedSegs.size)
       // lost the CAS — re-plan against the new tip
     }
@@ -1704,7 +2008,8 @@ object LakeSink {
     t.dv.values.map(_.file).toSet.foreach((f: String) => linkTree(s"_dv/$f"))
     require(commitManifest(dstDir, 1L, -1L, t.segs, t.schemaV,
       t.schemaJson, t.stats, Map.empty, t.expects, Nil,
-      dataChange = true, t.dv, t.colmap, t.partSpec, t.parts),
+      dataChange = true, t.dv, t.colmap, t.partSpec, t.parts,
+      bloomCols = t.bloomCols),
       s"clone commit at $dstDir lost a manifest race")
     (t.segs.size, files, bytes)
   }
@@ -1771,6 +2076,7 @@ object LakeSink {
         if (statsCols.isEmpty) Map.empty[String, Map[String, ColStat]]
         else Map(seg -> segmentStats(
           spark.read.parquet(s"$lakeDir/$seg"), statsCols))
+      writeSegmentBlooms(spark, lakeDir, seg, m.bloomCols)
       if (commitNext(lakeDir, m, m.copy(version = m.version + 1,
           segs = m.segs :+ seg, stats = m.stats ++ stats,
           cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true)))
@@ -2092,7 +2398,7 @@ object LakeSink {
       Files.write(snapPath(outDir, oldestRetained),
         snapshotLines(b.maxB, b.segs, b.schemaV, b.schemaJson, b.stats,
           b.txns, b.expects, b.cdcSegs, b.dataChange, b.dv, b.colmap,
-          b.partSpec, b.parts, b.cdcDropSegs)
+          b.partSpec, b.parts, b.cdcDropSegs, b.bloomCols)
           .mkString("\n").getBytes("UTF-8"))
     }
     // Live segments = union over the retained versions, reconstructed
@@ -2129,8 +2435,16 @@ object LakeSink {
     val dvOrphans =
       if (!Files.isDirectory(dvRoot)) Nil
       else listDir(dvRoot).filterNot(p => liveDv(p.getFileName.toString))
+    // Bloom sidecars (`_blooms/<seg>.<col>.bloom`) live and die with
+    // their segment — advisory files at deterministic paths, so the
+    // GC rule is pure name prefixing, no manifest references to walk.
+    val bloomRoot = Paths.get(outDir, "_blooms")
+    val bloomOrphans =
+      if (!Files.isDirectory(bloomRoot)) Nil
+      else listDir(bloomRoot).filterNot { p =>
+        live(p.getFileName.toString.takeWhile(_ != '.')) }
     val orphans = segDirs.filterNot(p => live(p.getFileName.toString)) ++
-      dvOrphans
+      dvOrphans ++ bloomOrphans
     orphans.foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
     val stale = versions.dropRight(retainVersions)
@@ -2313,12 +2627,14 @@ object LakeSink {
       // from the manifest — zero jobs; a schema-less lake pays ONE
       // footer read, not one per use)
       lazy val schemaOnce = tableSchema(spark, outDir, m)
+      val bloomLogical = m.bloomCols.flatMap(m.logicalOf(_))
       val hints: Seq[PruneHint] =
         (pruneHint.map { case (c, lo, hi) => NumRange(c, lo, hi) } match {
           case Some(h) => Seq(h)
           case None =>
-            if (trackedLogical.isEmpty) Nil
-            else inferPruneHints(spark, schemaOnce, cond, trackedLogical)
+            if (trackedLogical.isEmpty && bloomLogical.isEmpty) Nil
+            else inferPruneHints(spark, schemaOnce, cond, trackedLogical,
+              bloomLogical)
         }).map(hintPhysical(_, m))
       // Written-segment names carry the caller's per-attempt NONCE:
       // two racing writers both staging rewrites for version v+1 must
@@ -2394,7 +2710,7 @@ object LakeSink {
           deleted += pvOpt.get.rows - m.dv.get(seg).map(_.rows).getOrElse(0L)
           if (cdc) { cdcDrops += seg; cdcDropped = true }
         } else {
-        val pruned = hints.exists(h => !mayMatchHint(m, seg, h))
+        val pruned = hints.exists(h => !mayMatchHint(m, outDir, seg, h))
         if (!pruned) {
           // Segment-sized cache (a segment is one ingest micro-batch /
           // compaction target, bounded by construction): count + rewrite
@@ -2460,6 +2776,7 @@ object LakeSink {
                 added += newSeg
                 if (tracked.nonEmpty)
                   addedStats += newSeg -> segmentStats(keep, tracked)
+                writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
                 // a delete-rewrite keeps a SUBSET of the segment's rows,
                 // so the partition fact survives with the new count
                 pvOpt.foreach(pv => addedParts +=
@@ -2493,13 +2810,14 @@ object LakeSink {
       pruneHint: Option[(String, Long, Long)] = None,
       cdc: Boolean = false)
       : (Long, Int, Long) = {
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, count, expr, col, lit, sum, when}
     require(assignments.nonEmpty, "UPDATE with no assignments")
     var attempt = 0
     while (attempt < dmlMaxAttempts) {
       attempt += 1
       val m = readManifest(outDir)
       require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+      val checks = m.expects.toSeq.sortBy(_._1)
       val tracked = m.trackedCols
       // No explicit hint? Derive ALL safe hints from the predicate's
       // own conjuncts over the tracked columns (numeric + string +
@@ -2509,13 +2827,14 @@ object LakeSink {
       // PHYSICAL names manifest stats live under.
       val trackedLogical =
         if (m.colmap.isEmpty) tracked else tracked.flatMap(m.logicalOf(_))
+      val bloomLogical = m.bloomCols.flatMap(m.logicalOf(_))
       val hints: Seq[PruneHint] =
         (pruneHint.map { case (c, lo, hi) => NumRange(c, lo, hi) } match {
           case Some(h) => Seq(h)
           case None =>
-            if (trackedLogical.isEmpty) Nil
+            if (trackedLogical.isEmpty && bloomLogical.isEmpty) Nil
             else inferPruneHints(spark, tableSchema(spark, outDir, m),
-              cond, trackedLogical)
+              cond, trackedLogical, bloomLogical)
         }).map(hintPhysical(_, m))
       val nonce = java.lang.Long.toHexString(
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
@@ -2531,7 +2850,7 @@ object LakeSink {
       val cdcSeg = s"seg_cdc_u$nonce"
       var cdcRows = false
       m.segs.zipWithIndex.foreach { case (seg, i) =>
-        val pruned = hints.exists(h => !mayMatchHint(m, seg, h))
+        val pruned = hints.exists(h => !mayMatchHint(m, outDir, seg, h))
         if (!pruned) {
           // DV-reconciling read: predicates and the rewrite see only
           // live rows; the rewrite drops the segment's dv entry with
@@ -2543,8 +2862,28 @@ object LakeSink {
           require(unknown.isEmpty,
             s"UPDATE assigns column(s) not in segment $seg schema: " +
               unknown.toSeq.sorted.mkString(", "))
-          val matches = df.filter(cond).count()
+          // Expectations gate the POST-IMAGE of the matching rows —
+          // CHECK-constraint semantics on every write path, not just
+          // appends — FOLDED INTO the match-count pass (same one job
+          // per segment). Registration is NOT VALID (no historical
+          // scan), so only rows this UPDATE writes NEW VALUES for are
+          // checked; untouched rows riding the copy-on-write rewrite
+          // are not re-judged.
+          val matchedPost = df.filter(cond).select(df.columns.map { c =>
+            assignments.get(c).map(_.as(c)).getOrElse(col(c))
+          }: _*)
+          val aggs = count(lit(1)) +: checks.map { case (_, sql) =>
+            sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)) }
+          val cntRow = matchedPost.agg(aggs.head, aggs.tail: _*).head()
+          val matches = cntRow.getLong(0)
           if (matches > 0L) {
+            val bad = checks.zipWithIndex
+              .map { case ((n, _), j) => n -> cntRow.getLong(j + 1) }
+              .filter(_._2 > 0L)
+            require(bad.isEmpty,
+              s"UPDATE at $outDir would write rows violating " +
+                "expectation(s): " +
+                bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
             updated += matches
             // One projection: SQL UPDATE evaluates the predicate AND every
             // right-hand side against the OLD row — chained withColumn
@@ -2577,6 +2916,7 @@ object LakeSink {
             if (tracked.nonEmpty)
               addedStats += newSeg -> segmentStats(
                 spark.read.parquet(s"$outDir/$newSeg"), tracked)
+            writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
             // an update keeps every row; the partition fact survives
             // unless the partition column itself was assigned
             m.parts.get(seg).foreach { pv =>
@@ -2661,6 +3001,10 @@ object LakeSink {
       if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
       else Map(cseg -> segmentStats(
         spark.read.parquet(s"$outDir/$cseg"), tracked))
+    // compaction re-baselines the column mapping, so the compacted
+    // segment's sidecars carry the LOGICAL (= new physical) names
+    writeSegmentBlooms(spark, outDir, cseg,
+      m.bloomCols.flatMap(m.logicalOf(_)))
     // The positional Manifest deliberately RESETS dv (the rewrite
     // applied every deletion vector) AND colmap (the rewrite was
     // written from the LOGICAL read, so the new segment's file columns
@@ -2677,7 +3021,11 @@ object LakeSink {
       // Per-segment partition VALUES do not survive: the compacted
       // segment spans partitions, so it simply has no recorded value
       // and later partition-covered DML reads it the normal way.
-      partSpec = m.partSpec.flatMap(m.logicalOf(_)))),
+      partSpec = m.partSpec.flatMap(m.logicalOf(_)),
+      // bloom columns are declared physical; compaction re-baselines
+      // the mapping to logical names, so the declaration follows —
+      // dropped columns' blooms die with the drop
+      bloomCols = m.bloomCols.flatMap(m.logicalOf(_)))),
       s"compaction at $outDir lost a manifest race at v${m.version + 1}")
     // Input segments stay on disk (DML convention: the pre-compaction
     // version keeps time-traveling until vacuum) — unlike the
@@ -2734,6 +3082,7 @@ object LakeSink {
       if (tracked.nonEmpty)
         addStats += newSeg -> segmentStats(
           spark.read.parquet(s"$outDir/$newSeg"), tracked)
+      writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
     }
     val rm = removed.result()
     val next = m.copy(version = m.version + 1,
@@ -2994,6 +3343,7 @@ object LakeSink {
       if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
       else Map(seg -> segmentStats(
         spark.read.parquet(s"$outDir/$seg"), tracked))
+    writeSegmentBlooms(spark, outDir, seg, m.bloomCols)
     // An append commutes with ANY concurrent commit that leaves the
     // schema, expectation set, and our txn state alone (it reads no
     // segments), so a lost CAS retries in place via the optimistic
@@ -3162,6 +3512,7 @@ object LakeSink {
           (if (isStr) StrStat(v, v, 0L)
            else LongStat(v.toLong, v.toLong, 0L)))
       }
+      writeSegmentBlooms(spark, outDir, seg, m.bloomCols)
     }
     org.apache.commons.io.FileUtils
       .deleteQuietly(Paths.get(outDir, stage).toFile)
@@ -3264,6 +3615,7 @@ object LakeSink {
               if (m.trackedCols.nonEmpty)
                 insStats = Map(seg -> segmentStats(
                   spark.read.parquet(s"$outDir/$seg"), m.trackedCols))
+              writeSegmentBlooms(spark, outDir, seg, m.bloomCols)
             }
         }
         var cdcRows = e.cdcRows
@@ -3348,6 +3700,24 @@ object LakeSink {
           .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
         require(dupKeys.isEmpty,
           "MERGE source has multiple rows per key — ambiguous match")
+        // Star merge writes SOURCE values and nothing else (matched
+        // rows rewrite to the source row, unmatched sources insert),
+        // so expectation enforcement is ONE aggregate over the cached
+        // source — CHECK-constraint semantics on the merge path.
+        if (m.expects.nonEmpty) {
+          import org.apache.spark.sql.functions.expr
+          val checks = m.expects.toSeq.sortBy(_._1)
+          val aggs = checks.map { case (_, sql) =>
+            count(when(!expr(sql) || expr(sql).isNull, lit(1))) }
+          val row = src.agg(aggs.head, aggs.tail: _*).head()
+          val bad = checks.zipWithIndex
+            .map { case ((n, _), i) => n -> row.getLong(i) }
+            .filter(_._2 > 0L)
+          require(bad.isEmpty,
+            s"MERGE into $outDir would write rows violating " +
+              "expectation(s): " +
+              bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+        }
         val marked = src.withColumn("__matched", lit(1))
         // AUTOMATIC stats pruning (no caller hint needed — unlike
         // delete/update, MERGE's match predicate IS the key equi-join,
@@ -3427,6 +3797,7 @@ object LakeSink {
               if (tracked.nonEmpty)
                 addedStats += newSeg -> segmentStats(
                   spark.read.parquet(s"$outDir/$newSeg"), tracked)
+              writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
             }
           }
         }
@@ -3448,6 +3819,7 @@ object LakeSink {
           if (tracked.nonEmpty)
             addedStats += insSeg -> segmentStats(
               spark.read.parquet(s"$outDir/$insSeg"), tracked)
+          writeSegmentBlooms(spark, outDir, insSeg, m.bloomCols)
         }
         if (rewritten == 0 && inserted == 0L) return (m.version, 0, 0L, 0L)
         tryCommitEdit(outDir, m, removed.result(), added.result(),
@@ -3528,6 +3900,7 @@ object LakeSink {
       }
       val schema = tableSchema(spark, outDir, m)
       val targetCols = schema.fieldNames.toSeq
+      val checks = m.expects.toSeq.sortBy(_._1)
       require(keys.forall(targetCols.contains),
         s"MERGE key(s) not in target schema: " +
           keys.filterNot(targetCols.contains).mkString(", "))
@@ -3614,13 +3987,35 @@ object LakeSink {
               def staged = df.as("t")
                 .join(broadcast(srcM).as("s"), joinCond, "left_outer")
                 .withColumn("__mc", clauseIdx)
-              val cnt = staged.agg(
+              // One aggregate decides the segment: update/delete fire
+              // counts PLUS per-expectation violation counts over the
+              // UPDATE post-image (CHECK-constraint semantics on the
+              // merge path, folded into the pass the count pays
+              // anyway — delete-firing and no-fire rows are exempt:
+              // deletes write no values, pass-through rows are not
+              // re-judged under NOT VALID registration).
+              def post = staged.select(col("__mc") +:
+                targetCols.map(c => newVal(c)): _*)
+              val cntAggs = Seq(
                 coalesce(sum(when(inIdx(col("__mc"), updIdx), 1L)
                   .otherwise(0L)), lit(0L)),
                 coalesce(sum(when(inIdx(col("__mc"), delIdx), 1L)
-                  .otherwise(0L)), lit(0L))).head()
+                  .otherwise(0L)), lit(0L))) ++
+                checks.map { case (_, sql) =>
+                  coalesce(sum(when(inIdx(col("__mc"), updIdx) &&
+                    !coalesce(expr(sql), lit(false)), 1L)
+                    .otherwise(0L)), lit(0L)) }
+              val cnt = post.agg(cntAggs.head, cntAggs.tail: _*).head()
               val (nUpd, nDel) = (cnt.getLong(0), cnt.getLong(1))
               if (nUpd > 0L || nDel > 0L) {
+                val bad = checks.zipWithIndex
+                  .map { case ((n, _), j) => n -> cnt.getLong(j + 2) }
+                  .filter(_._2 > 0L)
+                require(bad.isEmpty,
+                  s"MERGE into $outDir would write rows violating " +
+                    "expectation(s): " +
+                    bad.map { case (n, c) => s"$n ($c rows)" }
+                      .mkString(", "))
                 updated += nUpd
                 deleted += nDel
                 val tCols = targetCols.map(c => col(s"t.$c").as(c))
@@ -3654,6 +4049,7 @@ object LakeSink {
                 if (tracked.nonEmpty)
                   addedStats += newSeg -> segmentStats(
                     spark.read.parquet(s"$outDir/$newSeg"), tracked)
+                writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
               }
             }
           }
@@ -3682,9 +4078,25 @@ object LakeSink {
           }
           def fired = anti.withColumn("__mc", insIdx)
             .filter(col("__mc") =!= -1)
-          inserted = fired.count()
+          // count + expectation gate over the INSERT post-image in one
+          // pass — clause-form inserts get CHECK semantics too
+          val insPost = fired.select(col("__mc") +:
+            targetCols.map(c => insVal(c)): _*)
+          val insAggs = count(lit(1)) +: checks.map { case (_, sql) =>
+            coalesce(sum(when(!coalesce(expr(sql), lit(false)), 1L)
+              .otherwise(0L)), lit(0L)) }
+          val insCnt = insPost.agg(insAggs.head, insAggs.tail: _*).head()
+          inserted = insCnt.getLong(0)
           if (inserted > 0L) {
-            val ins = fired.select(targetCols.map(insVal): _*)
+            val badIns = checks.zipWithIndex
+              .map { case ((n, _), j) => n -> insCnt.getLong(j + 1) }
+              .filter(_._2 > 0L)
+            require(badIns.isEmpty,
+              s"MERGE into $outDir would insert rows violating " +
+                "expectation(s): " +
+                badIns.map { case (n, c) => s"$n ($c rows)" }
+                  .mkString(", "))
+            val ins = insPost.drop("__mc")
             val insSeg = f"seg_g${m.version + 1}%010d_ins_$nonce"
             physicalize(ins, m).write.mode("overwrite")
               .parquet(s"$outDir/$insSeg")
@@ -3697,6 +4109,7 @@ object LakeSink {
             if (tracked.nonEmpty)
               addedStats += insSeg -> segmentStats(
                 spark.read.parquet(s"$outDir/$insSeg"), tracked)
+            writeSegmentBlooms(spark, outDir, insSeg, m.bloomCols)
           }
         }
         if (rewritten == 0 && inserted == 0L)
@@ -3744,6 +4157,7 @@ object LakeSink {
           if (statsCols.isEmpty) Map.empty[String, ColStat]
           else segmentStats(spark.read.parquet(s"$outDir/$seg"),
             statsCols.map(mW.physicalOf))
+        writeSegmentBlooms(spark, outDir, seg, mW.bloomCols)
         // ingest commit loop: retry on version race (replay in practice)
         var done = false
         while (!done) {
@@ -3783,6 +4197,7 @@ object LakeSink {
               else segmentStats(
                 spark.read.parquet(s"$outDir/$cseg"),
                 statsCols.map(m.physicalOf))
+            writeSegmentBlooms(spark, outDir, cseg, m.bloomCols)
             beforeMaintenanceCommit(batchId)
             if (commitEditRecord(outDir, m,
                 m.copy(version = m.version + 1,

@@ -119,4 +119,64 @@ class LakeExpectationsSpec extends AnyFunSuite with SparkFixture {
     val (p2, q2) = LakeSink.splitByExpectations(spark, plain, batch)
     assert(p2.count() === 3L && q2.count() === 0L)
   }
+
+  // --- r12: expectations gate UPDATE / MERGE post-images ------------
+
+  test("UPDATE enforces expectations on the post-image of matching rows") {
+    val dir = buildLake()
+    LakeSink.addExpectation(spark, dir, "v_cap", "v <= 100")
+    val v0 = LakeSink.readManifest(dir).version
+    // violating assignment refused LOUD, nothing committed
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.updateWhere(spark, dir, col("k") === 1L,
+        Map("v" -> lit(500L)))
+    }
+    assert(e.getMessage.contains("v_cap"))
+    assert(LakeSink.readManifest(dir).version === v0)
+    assert(LakeSink.readTable(spark, dir).agg(sum("v")).head.getLong(0)
+      === 30L)
+    // a passing post-image commits (only WRITTEN values are judged —
+    // NOT VALID registration semantics)
+    LakeSink.updateWhere(spark, dir, col("k") === 1L, Map("v" -> lit(90L)))
+    assert(LakeSink.readTable(spark, dir).filter(col("k") === 1L)
+      .head.getLong(1) === 90L)
+  }
+
+  test("MERGE (star and clause forms) enforces expectations on written rows") {
+    import LakeSink.MergeClause.{Delete, Insert, Update}
+    val dir = buildLake()
+    LakeSink.addExpectation(spark, dir, "v_cap", "v <= 100")
+    val v0 = LakeSink.readManifest(dir).version
+    // star merge: every source row is written (update or insert) — a
+    // violating source row refuses the whole statement
+    val badSrc = Seq((2L, 999L), (9L, 5L)).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      LakeSink.mergeInto(spark, dir, badSrc, Seq("k"))
+    }
+    assert(e1.getMessage.contains("v_cap"))
+    assert(LakeSink.readManifest(dir).version === v0)
+    // clause merge: a conditional UPDATE whose post-image violates
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSink.mergeClauses(spark, dir,
+        Seq((2L, 1L)).toDF("k", "v"), Seq("k"),
+        matched = Seq(Update(None, Some(Seq("v" -> "t.v + 200")))))
+    }
+    assert(e2.getMessage.contains("v_cap"))
+    // clause merge: an INSERT with violating values
+    val e3 = intercept[IllegalArgumentException] {
+      LakeSink.mergeClauses(spark, dir,
+        Seq((9L, 999L)).toDF("k", "v"), Seq("k"),
+        notMatched = Seq(Insert(None, None)))
+    }
+    assert(e3.getMessage.contains("v_cap"))
+    assert(LakeSink.readManifest(dir).version === v0)
+    // DELETE clauses are exempt (they write no values); passing
+    // updates/inserts land
+    LakeSink.mergeClauses(spark, dir,
+      Seq((1L, 0L), (9L, 95L)).toDF("k", "v"), Seq("k"),
+      matched = Seq(Delete(None)),
+      notMatched = Seq(Insert(None, None)))
+    assert(LakeSink.readTable(spark, dir).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 9L))
+  }
 }

@@ -29,6 +29,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   RESTORE TABLE t TO VERSION AS OF n      → [[LakeSink.restoreTable]]
   *   CREATE TABLE c SHALLOW CLONE t …        → [[LakeSink.cloneTable]]
   *   CREATE TABLE t USING graft_lake … AS q  → CTAS ([[LakeCtasCommand]])
+  *   CREATE OR REPLACE TABLE t … AS q        → RTAS ([[LakeSink.replaceTableAs]])
+  *   ANALYZE TABLE t COMPUTE STATISTICS
+  *     FOR COLUMNS a, b                      → [[LakeSink.analyzeTable]]
   */
 object LakeMaintenanceSql {
 
@@ -50,6 +53,9 @@ object LakeMaintenanceSql {
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+PER\s+PARTITION\s*;?\s*$""".r
   private val ShowPartitions =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
+  private val Analyze =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS""" +
+      """\s+FOR\s+COLUMNS\s+([\w\s,]+?)\s*;?\s*$""").r
   // Schema-evolution DDL (r12): valid Spark grammar too, but claimed
   // ONLY for LakeCatalog-registered names (which are deliberately not
   // catalog tables — the delegate would fail them with TABLE_NOT_FOUND
@@ -89,7 +95,7 @@ object LakeMaintenanceSql {
   // reference other lake tables, temp views, TVFs — everything the
   // full parser/analyzer stack resolves).
   private val CreateTableAs =
-    ("""(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+USING\s+graft_lake""" +
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([\w.]+)\s+USING\s+graft_lake""" +
       """(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\))?""" +
       """\s+LOCATION\s+'([^']+)'""" +
       """(?:\s+TBLPROPERTIES\s*\((.+?)\))?""" +
@@ -148,6 +154,9 @@ object LakeMaintenanceSql {
     case ShowPartitions(t) => dirOf(t).map(d =>
       LakeSink.showPartitions(SparkSession.active, d)
         .queryExecution.analyzed)
+    case Analyze(t, cols) => dirOf(t).map(d =>
+      LakeAnalyzeCommand(d, cols.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq))
     case AlterRenameCol(t, a, b) => dirOf(t).map(d =>
       LakeAlterColumnCommand(d, "rename", a, Some(b), None))
     case AlterDropCol(t, a) => dirOf(t).map(d =>
@@ -171,9 +180,10 @@ object LakeMaintenanceSql {
       LakeCloneCommand(c.split('.').last, d, loc,
         Option(v).map(_.toLong),
         cdc = LakeCatalog.cdcEnabled(src.split('.').toSeq)))
-    case CreateTableAs(t, part, loc, props, query) =>
+    case CreateTableAs(orReplace, t, part, loc, props, query) =>
       Some(LakeCtasCommand(t.split('.').last, loc, Option(part),
-        Option(props).map(parseProps).getOrElse(Map.empty), query))
+        Option(props).map(parseProps).getOrElse(Map.empty), query,
+        orReplace = orReplace != null))
     case _ => None
   }
 }
@@ -223,16 +233,35 @@ case class LakeCreateTableCommand(name: String, colsDdl: String,
   * LOCATION to attach, INSERT OVERWRITE to replace. */
 case class LakeCtasCommand(name: String, dir: String,
     partitionBy: Option[String], props: Map[String, String],
-    query: String) extends LeafRunnableCommand {
+    query: String, orReplace: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("rows_inserted", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
-    require(LakeCatalog.lookup(Seq(name)).isEmpty,
+    val registered = LakeCatalog.lookup(Seq(name))
+    val occupied = LakeSink.readManifest(dir).version > 0L
+    // the name must not be claimed by a DIFFERENT location — CREATE OR
+    // REPLACE rebuilds a table in place, it does not re-point a name
+    if (orReplace)
+      require(registered.forall(_ == dir),
+        s"lake table $name is registered at ${registered.get}, not $dir " +
+          "— CREATE OR REPLACE rebuilds a table in place, it does not " +
+          "re-point a name")
+    if (orReplace && occupied) {
+      val df = session.sql(query)
+      val v = LakeSink.replaceTableAs(session, dir, df, partitionBy)
+      val rows = LakeSink.readTable(session, dir).count()
+      LakeCatalog.unregister(name) // properties re-apply fresh
+      LakeMaintenanceSql.applyLakeProperties(session, name, dir, props)
+      return Seq(Row(v, rows))
+    }
+    require(registered.isEmpty,
       s"lake table $name is already registered (DROP TABLE it first)")
-    require(LakeSink.readManifest(dir).version == 0L,
+    require(!occupied,
       s"CTAS target location $dir already holds a lake — " +
-        "CREATE TABLE … LOCATION attaches, INSERT OVERWRITE replaces")
+        "CREATE TABLE … LOCATION attaches, INSERT OVERWRITE replaces, " +
+        "CREATE OR REPLACE … AS rebuilds")
     val df = session.sql(query)
     LakeSink.createTable(dir, df.schema, partitionBy)
     val (v, rows) =
@@ -356,6 +385,24 @@ case class LakeVacuumHoursCommand(dir: String, hours: Long)
   override def run(session: SparkSession): Seq[Row] = {
     val (segs, mans) = LakeSink.vacuumRetainHours(dir, hours)
     Seq(Row(segs, mans))
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS a, b` →
+  * [[LakeSink.analyzeTable]]: backfill per-segment min/max/null stats
+  * for the named columns AND bloom sidecars for the table's declared
+  * bloom columns, for segments written before the declarations — one
+  * scan per backfilled segment, one metadata commit, no data moved.
+  * The declare-then-ANALYZE pair is how a live table adopts pruning
+  * without waiting for OPTIMIZE. */
+case class LakeAnalyzeCommand(dir: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("segments_analyzed", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, n) = LakeSink.analyzeTable(session, dir, cols)
+    Seq(Row(v, n))
   }
 }
 

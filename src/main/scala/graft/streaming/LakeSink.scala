@@ -1626,10 +1626,68 @@ object LakeSink {
     true
   }
 
+  /** ANALYZE — backfill per-segment artifacts for segments written
+    * BEFORE the relevant declaration: min/max/null stats for `cols`
+    * (segments already covering every requested column are skipped)
+    * and bloom sidecars for the table's declared bloom columns
+    * (segments whose sidecar files exist are skipped). One scan per
+    * backfilled segment, ONE metadata commit for the stats (sidecars
+    * are advisory files — they become effective the moment they
+    * exist). This is how a live table adopts stats/bloom pruning
+    * without waiting for OPTIMIZE to rewrite it: declare, ANALYZE,
+    * done — no data moved. Columns are logical names; stats key
+    * physical (they follow the bytes). Idempotent; re-running
+    * analyzes nothing. Returns (committed version — unchanged when
+    * no stats were added, segments analyzed). */
+  def analyzeTable(spark: SparkSession, outDir: String,
+      cols: Seq[String]): (Long, Int) = {
+    val m = readManifest(outDir)
+    require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    val schema = tableSchema(spark, outDir, m)
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"no column $c to analyze (has ${schema.fieldNames.mkString(", ")})"))
+    val phys = cols.map(m.physicalOf)
+    val analyzed = scala.collection.mutable.Set.empty[String]
+    val addStats = Map.newBuilder[String, Map[String, ColStat]]
+    m.segs.foreach { seg =>
+      val have = m.stats.getOrElse(seg, Map.empty).keySet
+      val missingStats = phys.filterNot(have)
+      if (missingStats.nonEmpty) {
+        // stats describe the FILE bytes (pre-DV), same as write-time
+        // stats — a DV only ever narrows the live set, so file-level
+        // bounds stay a sound superset
+        val df = spark.read.parquet(s"$outDir/$seg")
+        val present = missingStats.filter(df.columns.contains)
+        if (present.nonEmpty) {
+          addStats += seg ->
+            (m.stats.getOrElse(seg, Map.empty) ++
+              segmentStats(df, present))
+          analyzed += seg
+        }
+      }
+      val missingBlooms = m.bloomCols.filterNot(c =>
+        Files.exists(bloomPath(outDir, seg, c)))
+      if (missingBlooms.nonEmpty) {
+        writeSegmentBlooms(spark, outDir, seg, missingBlooms)
+        analyzed += seg
+      }
+    }
+    val stats = addStats.result()
+    if (stats.isEmpty) return (m.version, analyzed.size)
+    require(commitNext(outDir, m, m.copy(version = m.version + 1,
+      stats = m.stats ++ stats,
+      // rows did not change — a change feed skips this commit, same
+      // class as compaction's dataChange=false
+      cdcSegs = Nil, cdcDropSegs = Nil, dataChange = false)),
+      s"ANALYZE at $outDir lost a manifest race — re-run (idempotent)")
+    (m.version + 1, analyzed.size)
+  }
+
   /** Declare the table's bloom columns (metadata-only commit, like
     * partition evolution): every SUBSEQUENT staged segment writes
     * sidecars for them; existing segments stay sidecar-less (advisory
-    * — scanned) until a rewrite or OPTIMIZE re-stages them. Columns
+    * — scanned) until a rewrite or OPTIMIZE re-stages them — or
+    * [[analyzeTable]] backfills them in place. Columns
     * must be BIGINT-family or STRING (the typed-literal probe types);
     * empty clears the declaration. Returns the committed version. */
   def setBloomColumns(spark: SparkSession, outDir: String,
@@ -3640,6 +3698,68 @@ object LakeSink {
     sys.error(s"replaceWhere at $outDir: $dmlMaxAttempts consecutive " +
       "true conflicts (concurrent writers rewriting the same segments) " +
       "— coordinate the writers or retry later")
+  }
+
+  /** RTAS — `CREATE OR REPLACE TABLE … AS <query>`: swap the TABLE
+    * ITSELF (schema, partition layout, data) in ONE commit, keeping
+    * history — the verb that rebuilds a derived table in place
+    * without the DROP+CTAS window where readers see no table at all.
+    * A reader sees the old table or the new one, never neither; every
+    * pre-replace version still time-travels under ITS schema (time
+    * travel is schema travel). The replace RESETS the table-scoped
+    * declarations along with the schema they were declared against:
+    * expectations, column mapping (new files carry the new logical
+    * names), bloom columns, and deletion vectors all start fresh —
+    * re-declare via TBLPROPERTIES after (the SQL surface does this in
+    * the same statement). Change-data feeds CANNOT span a replace
+    * (the old and new schemas need not be union-compatible): the
+    * commit records no change data, so a cdc window crossing it
+    * refuses loudly — consumers restart from the replace version,
+    * exactly Delta's guidance when CDF meets REPLACE TABLE.
+    *
+    * A `partitionBy` column lays the new data out through the same
+    * staged per-value split as [[appendPartitioned]] (facts + exact
+    * stats recorded), so retention on the REBUILT table is
+    * metadata-only from its first day. Returns the committed
+    * version. */
+  def replaceTableAs(spark: SparkSession, outDir: String, df: DataFrame,
+      partitionBy: Option[String] = None): Long = {
+    val m = readManifest(outDir)
+    requireTable(m, outDir)
+    partitionBy.foreach(c => requirePartitionable(df.schema, c))
+    val newSchemaV = math.max(m.schemaV, 1L) + 1L
+    // a SYNTHETIC manifest describing the post-replace table (new
+    // schema, identity mapping, declared layout, no segments yet):
+    // the staging helpers read schema/colmap/version from it, so the
+    // new files are written exactly as a fresh table's would be
+    val synth = Manifest(m.version, m.maxB, Nil,
+      schemaV = newSchemaV, schemaJson = Some(df.schema.json),
+      partSpec = partitionBy)
+    var segs: Seq[String] = Nil
+    var parts: Map[String, PartVal] = Map.empty
+    var stats: Map[String, Map[String, ColStat]] = Map.empty
+    partitionBy match {
+      case Some(c) =>
+        stagePartitionedSegments(spark, outDir, synth, df, c, c)
+          .foreach { case (s0, p0, st0) =>
+            segs = s0; parts = p0; stats = st0 }
+      case None =>
+        val nonce = java.lang.Long.toHexString(
+          java.util.concurrent.ThreadLocalRandom.current().nextLong())
+        val seg = f"seg_r${m.version + 1}%010d_rtas_$nonce"
+        df.write.mode("overwrite").parquet(s"$outDir/$seg")
+        if (segmentFooterRows(outDir, seg) > 0L) segs = Seq(seg)
+        else org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$seg"))
+    }
+    require(commitNext(outDir, m, Manifest(m.version + 1, m.maxB, segs,
+      newSchemaV, Some(df.schema.json), stats, m.txns,
+      expects = Map.empty, cdcSegs = Nil, dataChange = true,
+      dv = Map.empty, colmap = Map.empty, partSpec = partitionBy,
+      parts = parts, cdcDropSegs = Nil, bloomCols = Nil)),
+      s"REPLACE TABLE at $outDir lost a manifest race — staged files " +
+        "are vacuum orphans; retry")
+    m.version + 1
   }
 
   /** MERGE INTO (upsert), copy-on-write — the third DML verb, same

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.LakeSink
+import graft.streaming.{LakeCatalog, LakeSink}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -154,6 +154,32 @@ class LakeBloomSpec extends AnyFunSuite with SparkFixture {
     val (_, rewritten, _, deleted) =
       LakeSink.deleteWhere(spark, dir, col("doc_id") === 21L)
     assert(deleted === 1L && rewritten < 8)
+  }
+
+  test("ANALYZE backfills stats + bloom sidecars for pre-declaration segments") {
+    val dir = buildStrided(bloom = false) // ingested with NO declaration
+    LakeSink.setBloomColumns(spark, dir, Seq("id"))
+    val tbl = "graft_bloom_an"
+    LakeCatalog.register(tbl, dir)
+    try {
+      val v0 = LakeSink.readManifest(dir).version
+      val rec = spark.sql(
+        s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS id, v").head()
+      assert(rec.getInt(1) === 8) // every segment backfilled
+      val m = LakeSink.readManifest(dir)
+      assert(m.version === v0 + 1) // ONE metadata commit
+      assert(m.segs.forall(s => m.stats.get(s).exists(_.contains("id"))))
+      // pruning works retroactively, no rewrite happened
+      val (df, scanned, total) = LakeSink.readTableWhereIn(
+        spark, dir, "id", Seq(13L))
+      assert(total === 8 && scanned.size < 8)
+      assert(df.count() === 1L)
+      // idempotent: a second run analyzes nothing, commits nothing
+      val rec2 = spark.sql(
+        s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS id, v").head()
+      assert(rec2.getInt(1) === 0)
+      assert(LakeSink.readManifest(dir).version === m.version)
+    } finally LakeCatalog.unregister(tbl)
   }
 
   test("declaration survives clone and rejects bad columns") {

@@ -236,4 +236,54 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
       assert(e.getMessage.contains("already holds a lake"))
     } finally LakeCatalog.unregister(tbl)
   }
+
+  test("RTAS: CREATE OR REPLACE swaps schema+data in ONE commit, " +
+      "history time-travels, declarations reset") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rtas").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Seq((1L, "a", 10L), (2L, "b", 20L), (2L, "c", 30L))
+      .toDF("day", "user", "cents").createOrReplaceTempView("rtas_src")
+    val tbl = "graft_rtas_t"
+    try {
+      spark.sql(
+        s"""CREATE TABLE $tbl USING graft_lake LOCATION '$dir'
+            TBLPROPERTIES ('expect.pos'='cents > 0')
+            AS SELECT day, user, cents FROM rtas_src""").collect()
+      val preV = LakeSink.readManifest(dir).version
+      assert(LakeSink.readManifest(dir).expects.nonEmpty)
+      // replace with a DIFFERENT schema (the aggregate rebuild), a
+      // declared partition layout, and fresh properties
+      val rec = spark.sql(
+        s"""CREATE OR REPLACE TABLE $tbl USING graft_lake
+            PARTITIONED BY (day) LOCATION '$dir'
+            AS SELECT day, count(*) AS n, sum(cents) AS total
+            FROM rtas_src GROUP BY day""").head()
+      val m = LakeSink.readManifest(dir)
+      assert(m.version === preV + 1) // ONE commit
+      assert(m.partSpec === Some("day") && m.parts.size === 2)
+      assert(m.expects.isEmpty) // declarations reset with the schema
+      assert(rec.getLong(1) === 2L)
+      assert(spark.sql(s"SELECT sum(total) FROM $tbl")
+        .head.getLong(0) === 60L)
+      // pre-replace version reads under ITS schema
+      val old = LakeSink.readTableAsOf(spark, dir, preV)
+      assert(old.columns.toSeq === Seq("day", "user", "cents"))
+      assert(old.count() === 3L)
+      // retention on the rebuilt table is metadata-only from day one
+      val (_, rw, dropped, _) = LakeSink.deleteWhere(spark, dir,
+        org.apache.spark.sql.functions.col("day") === 1L)
+      assert(rw === 0 && dropped === 1)
+      // OR REPLACE must not re-point a name at a different location
+      val other = java.nio.file.Files
+        .createTempDirectory("graft_rtas_other").toString
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE OR REPLACE TABLE $tbl USING graft_lake " +
+          s"LOCATION '$other' AS SELECT 1 AS x").collect()
+      }
+      assert(e.getMessage.contains("does not") ||
+        e.getMessage.contains("re-point"))
+    } finally LakeCatalog.unregister(tbl)
+  }
 }

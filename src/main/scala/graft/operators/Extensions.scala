@@ -2292,10 +2292,27 @@ object Extensions {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("vc",
           org.apache.spark.sql.types.LongType))))
-      (0 until 8).foreach { i =>
-        LakeSink.appendSegment(s, dir,
-          ev.filter(pmod(col("event_id"), lit(8)) === i), f"seg_b$i%02d")
-      }
+      // ONE staged write splits all 8 residue segments (8 filtered
+      // re-scans of events would compute the same layout at 8× the
+      // read cost), then a single manifest commit lists them
+      val stage = s"$dir/_stage_residue"
+      ev.withColumn("__b", pmod(col("event_id"), lit(8)))
+        .write.partitionBy("__b").parquet(stage)
+      val segs = new java.io.File(stage).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__b="))
+        .sortBy(_.getName)
+        .map { f =>
+          val seg = "seg_b%02d".format(
+            f.getName.stripPrefix("__b=").toInt)
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(dir, seg))
+          seg
+        }.toSeq
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+      val m0 = LakeSink.readManifest(dir)
+      require(LakeSink.commitManifest(dir, m0.version + 1, m0.maxB,
+        m0.segs ++ segs, m0.schemaV, m0.schemaJson),
+        "bloom-prune ingest commit lost a race")
       // the live-table adoption path: declare AFTER the data exists,
       // ANALYZE backfills the sidecars in place (no rewrite) — the
       // prune below only passes if the backfill actually happened

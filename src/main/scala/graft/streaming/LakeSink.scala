@@ -2861,13 +2861,36 @@ object LakeSink {
     * (committed version, segments rewritten, rows updated).
     * `pruneHint` is [[deleteWhere]]'s: manifest-stats-disjoint
     * segments survive by reference with zero Spark jobs. Lost manifest
-    * races follow [[deleteWhere]]'s optimistic retry protocol. */
+    * races follow [[deleteWhere]]'s optimistic retry protocol.
+    *
+    * `dvMaxFraction > 0` enables MERGE-ON-READ updates (r13,
+    * completing the deletion-vector story [[deleteWhere]] opened):
+    * a segment whose match fraction is within the threshold (and
+    * strictly partial — a fully-matching segment writes the same
+    * bytes either way, so it stays a rewrite) is NOT rewritten;
+    * instead the matched positions join the segment's deletion
+    * vector (superseding union, exactly the delete path) and the
+    * POST-IMAGE rows are appended as new segments — the write cost
+    * is O(updated rows), not O(segment rows). Post-images are
+    * grouped by their surviving partition fact (an update keeps the
+    * row's partition value unless the partition column itself is
+    * assigned), one appended segment per group, so partition
+    * pruning and metadata-only retention keep working on the moved
+    * rows; DV'd source segments keep their fact with the original
+    * row count (the DV is the liveness correction, exactly the
+    * delete-DV rule). Readers reconcile at scan, OPTIMIZE applies
+    * DVs physically, vacuum GCs superseded files; the CDC images
+    * are identical to the copy-on-write path's, so a feed consumer
+    * cannot tell which storage strategy served an update. */
   def updateWhere(spark: SparkSession, outDir: String,
       cond: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       pruneHint: Option[(String, Long, Long)] = None,
-      cdc: Boolean = false)
+      cdc: Boolean = false,
+      dvMaxFraction: Double = 0.0)
       : (Long, Int, Long) = {
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     import org.apache.spark.sql.functions.{coalesce, count, expr, col, lit, sum, when}
     require(assignments.nonEmpty, "UPDATE with no assignments")
     var attempt = 0

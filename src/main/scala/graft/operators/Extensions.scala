@@ -610,6 +610,76 @@ object Extensions {
                 AS BIGINT) AS sum_cents
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** MERGE-ON-READ lake UPDATE via DELETION VECTORS (r14):
+    * [[sinkLakeDeleteDv]]'s update twin — the same repricing as
+    * [[sinkLakeUpdate]], same oracle-derivable final state, but
+    * executed with `dvMaxFraction = 1.0`, so NO segment is rewritten:
+    * each touched bucket keeps its files, the matched positions land
+    * in an O(updated rows) positional DV, and the POST-IMAGE rows
+    * append as one new segment per touched bucket. The query REQUIREs
+    * zero rewrites (the protocol claim) and folds the segment and
+    * DV'd-segment counts into the output; the oracle derives both
+    * from the events table alone (touched buckets hold BOTH error and
+    * non-error rows — a fully-error bucket would take the strictly-
+    * partial guard's rewrite and fail the require), so a lost update,
+    * a resurrected pre-image, a double-applied assignment, or a
+    * silent fallback to copy-on-write all fail the hash. At 100 TB
+    * this is the GDPR-rectification shape: a point update costs
+    * O(updated rows), not a segment rewrite — DvProbe measures the
+    * write-amplification gap; LakeDvSpec pins the protocol
+    * (supersession, chained updates hitting the post-image, OPTIMIZE
+    * apply, vacuum GC, CDC parity, conflicts). */
+  private val sinkLakeUpdateDv = QueryDef(
+    "sink_lake_update_dv",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_upd_dv", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      cloneCanonicalLake(s, d, dir)
+      val (_, rw, nUpd) = LakeSink.updateWhere(s, dir,
+        col("event_type") === "error", Map("vc" -> (col("vc") + 100L)),
+        dvMaxFraction = 1.0)
+      require(rw == 0,
+        s"merge-on-read update rewrote $rw segments (must write DVs)")
+      val mf = LakeSink.readManifest(dir)
+      LakeSink.readTable(s, dir)
+        .agg(
+          lit(mf.segs.size.toLong).as("n_segments"),
+          lit(mf.dv.size.toLong).as("n_dv_segments"),
+          lit(nUpd).as("n_updated"),
+          count(lit(1)).as("n_rows"),
+          sum("vc").as("sum_cents"))
+    },
+    // n_dv_segments: buckets holding BOTH error and non-error rows
+    // (the strictly-partial rule — and rw == 0 is REQUIREd, so a
+    // fully-error bucket would fail loud, never skew the count).
+    // n_segments: the 4 source buckets all survive by reference, plus
+    // one appended post-image segment per DV'd bucket.
+    Some("""SELECT
+              (SELECT CAST(count(DISTINCT event_id % 4) AS BIGINT)
+                 FROM events)
+                + (SELECT CAST(count(*) AS BIGINT) FROM (
+                     SELECT event_id % 4 AS b FROM events GROUP BY 1
+                     HAVING count(CASE WHEN event_type = 'error'
+                         THEN 1 END) > 0
+                        AND count(CASE WHEN event_type <> 'error'
+                         THEN 1 END) > 0))
+                AS n_segments,
+              (SELECT CAST(count(*) AS BIGINT) FROM (
+                 SELECT event_id % 4 AS b FROM events GROUP BY 1
+                 HAVING count(CASE WHEN event_type = 'error'
+                     THEN 1 END) > 0
+                    AND count(CASE WHEN event_type <> 'error'
+                     THEN 1 END) > 0))
+                AS n_dv_segments,
+              CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                AS BIGINT) AS n_updated,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)
+                + CASE WHEN event_type = 'error' THEN 100 ELSE 0 END)
+                AS BIGINT) AS sum_cents
+            FROM events"""))
+
   /** Lake MERGE INTO (r10): the third copy-on-write DML verb, via
     * [[graft.streaming.LakeSink.mergeInto]] — standard `WHEN MATCHED
     * THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *` upsert
@@ -2385,7 +2455,7 @@ object Extensions {
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeDeleteDv, sinkLakeUpdate,
-    sinkLakeMerge,
+    sinkLakeUpdateDv, sinkLakeMerge,
     sqlLakeDml, sqlLakeDdl, sinkLakeEvolution, sinkLakeColmap,
     sinkLakePartitioned, sinkLakeCompactClustered,
     sinkClustered,

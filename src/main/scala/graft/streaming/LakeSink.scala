@@ -910,6 +910,10 @@ object LakeSink {
     else dephysicalize(joined, m, tableSchema(spark, outDir, m))
   }
 
+  /** The positional ride-along columns [[readSegmentWithPos]] attaches
+    * (as a Set so it doubles as a filter predicate over column names). */
+  private val posCols = Set("__dv_f", "__dv_i")
+
   /** Read one segment's LIVE rows with their (file_name, row_index)
     * positions attached as `__dv_f`/`__dv_i` — the planning read DML
     * verbs use: counts and predicates see only live rows, and the
@@ -2863,8 +2867,9 @@ object LakeSink {
     * segments survive by reference with zero Spark jobs. Lost manifest
     * races follow [[deleteWhere]]'s optimistic retry protocol.
     *
-    * `dvMaxFraction > 0` enables MERGE-ON-READ updates (r13,
-    * completing the deletion-vector story [[deleteWhere]] opened):
+    * `dvMaxFraction > 0` enables MERGE-ON-READ updates (specified
+    * r13, implemented r14 — completing the deletion-vector story
+    * [[deleteWhere]] opened):
     * a segment whose match fraction is within the threshold (and
     * strictly partial — a fully-matching segment writes the same
     * bytes either way, so it stays a rewrite) is NOT rewritten;
@@ -2886,6 +2891,7 @@ object LakeSink {
       cond: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       pruneHint: Option[(String, Long, Long)] = None,
+      beforeCommit: () => Unit = () => (),
       cdc: Boolean = false,
       dvMaxFraction: Double = 0.0)
       : (Long, Int, Long) = {
@@ -2930,87 +2936,158 @@ object LakeSink {
       // segment per DML, recorded by the commit.
       val cdcSeg = s"seg_cdc_u$nonce"
       var cdcRows = false
+      val dvSets = Map.newBuilder[String, DvRef]
+      var dvWrites = 0
       m.segs.zipWithIndex.foreach { case (seg, i) =>
         val pruned = hints.exists(h => !mayMatchHint(m, outDir, seg, h))
         if (!pruned) {
-          // DV-reconciling read: predicates and the rewrite see only
-          // live rows; the rewrite drops the segment's dv entry with
-          // the segment (merge-on-read debt is paid here).
-          val df = readSegments(spark, outDir, m, Seq(seg))
-          // A misspelled assignment column must error, not silently
-          // no-op-rewrite every touched segment.
-          val unknown = assignments.keySet -- df.columns
-          require(unknown.isEmpty,
-            s"UPDATE assigns column(s) not in segment $seg schema: " +
-              unknown.toSeq.sorted.mkString(", "))
-          // Expectations gate the POST-IMAGE of the matching rows —
-          // CHECK-constraint semantics on every write path, not just
-          // appends — FOLDED INTO the match-count pass (same one job
-          // per segment). Registration is NOT VALID (no historical
-          // scan), so only rows this UPDATE writes NEW VALUES for are
-          // checked; untouched rows riding the copy-on-write rewrite
-          // are not re-judged.
-          val matchedPost = df.filter(cond).select(df.columns.map { c =>
-            assignments.get(c).map(_.as(c)).getOrElse(col(c))
-          }: _*)
-          val aggs = count(lit(1)) +: checks.map { case (_, sql) =>
-            sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)) }
-          val cntRow = matchedPost.agg(aggs.head, aggs.tail: _*).head()
-          val matches = cntRow.getLong(0)
-          if (matches > 0L) {
-            val bad = checks.zipWithIndex
-              .map { case ((n, _), j) => n -> cntRow.getLong(j + 1) }
-              .filter(_._2 > 0L)
-            require(bad.isEmpty,
-              s"UPDATE at $outDir would write rows violating " +
-                "expectation(s): " +
-                bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
-            updated += matches
-            // One projection: SQL UPDATE evaluates the predicate AND every
-            // right-hand side against the OLD row — chained withColumn
-            // would feed already-updated columns into later assignments.
-            val out = df.select(df.columns.map { c =>
-              assignments.get(c) match {
-                case Some(v) => when(cond, v).otherwise(col(c)).as(c)
-                case None => col(c)
+          // DV-reconciling POSITIONAL read, cached segment-sized (the
+          // delete path's rule): predicates see only live rows, the
+          // matched positions are exactly what a merge-on-read DV
+          // write records, and a copy-on-write rewrite drops the
+          // segment's dv entry with the segment (merge-on-read debt
+          // is paid there).
+          val df = readSegmentWithPos(spark, outDir, m, seg).cache()
+          try {
+            val cols = df.columns.filterNot(posCols)
+            // A misspelled assignment column must error, not silently
+            // no-op-rewrite every touched segment.
+            val unknown = assignments.keySet -- cols
+            require(unknown.isEmpty,
+              s"UPDATE assigns column(s) not in segment $seg schema: " +
+                unknown.toSeq.sorted.mkString(", "))
+            // ONE job per segment: total live rows, matching rows, and
+            // per-expectation POST-IMAGE violation counts. The match
+            // flag and every assignment right-hand side are evaluated
+            // against the OLD row inside the same projection, then the
+            // expectations judge the post-image values — CHECK-
+            // constraint semantics on every write path, not just
+            // appends. Registration is NOT VALID (no historical scan),
+            // so only rows this UPDATE writes NEW VALUES for are
+            // checked; untouched rows riding a copy-on-write rewrite
+            // are not re-judged.
+            val flagged = df.select(
+              coalesce(cond, lit(false)).as("__m") +:
+                cols.toSeq.map(c =>
+                  assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+            val aggs = count(lit(1)) +:
+              count(when(col("__m"), lit(1))) +:
+              checks.map { case (_, sql) =>
+                sum(when(col("__m") && !coalesce(expr(sql), lit(false)),
+                  1L).otherwise(0L)) }
+            val cntRow = flagged.agg(aggs.head, aggs.tail: _*).head()
+            val total = cntRow.getLong(0)
+            val matches = cntRow.getLong(1)
+            if (matches > 0L) {
+              val bad = checks.zipWithIndex
+                .map { case ((n, _), j) => n -> cntRow.getLong(j + 2) }
+                .filter(_._2 > 0L)
+              require(bad.isEmpty,
+                s"UPDATE at $outDir would write rows violating " +
+                  "expectation(s): " +
+                  bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+              updated += matches
+              // Post-image of the matched rows: every right-hand side
+              // against the OLD row in one projection (chained
+              // withColumn would feed already-updated columns into
+              // later assignments) — shared by the CDC images and the
+              // merge-on-read append, so a feed consumer cannot tell
+              // which storage strategy served the update.
+              def matchedPost = df.filter(cond).select(cols.toSeq.map(c =>
+                assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+              if (cdc) {
+                physicalize(df.filter(cond).drop("__dv_f", "__dv_i")
+                  .withColumn("_change_type", lit("update_preimage")), m)
+                  .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                physicalize(matchedPost
+                  .withColumn("_change_type", lit("update_postimage")), m)
+                  .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                cdcRows = true
               }
-            }: _*)
-            val newSeg = f"seg_u${m.version + 1}%010d_${i}_$nonce"
-            physicalize(out, m).write.mode("overwrite")
-              .parquet(s"$outDir/$newSeg")
-            if (cdc) {
-              physicalize(df.filter(cond)
-                .withColumn("_change_type", lit("update_preimage")), m)
-                .write.mode("append").parquet(s"$outDir/$cdcSeg")
-              // post-image: assignments against the OLD rows (same
-              // projection rule as the rewrite), matched rows only
-              physicalize(df.filter(cond).select(df.columns.map { c =>
-                  assignments.get(c).map(_.as(c)).getOrElse(col(c))
+              if (dvMaxFraction > 0.0 && matches < total &&
+                  matches <= (total * dvMaxFraction).toLong) {
+                // MERGE-ON-READ point update: write O(updated rows) —
+                // the matched positions join the segment's deletion
+                // vector (superseding union: files are immutable, the
+                // exact delete-DV rule) and the post-image rows append
+                // as ONE new segment. At 100 TB this turns a 4-row
+                // GDPR rectification from a full-segment rewrite into
+                // a kilobyte DV plus a 4-row append. Strictly-partial
+                // guard: a fully-matching segment writes the same
+                // bytes either way, so it stays a rewrite.
+                val newDel = df.filter(coalesce(cond, lit(false)))
+                  .select(col("__dv_f").as("file_name"),
+                    col("__dv_i").as("row_index"))
+                val allDel = m.dv.get(seg) match {
+                  case None => newDel
+                  case Some(r) => newDel.unionByName(
+                    spark.read.parquet(s"$outDir/_dv/${r.file}"))
+                }
+                val dvName = s"dv_${nonce}_$i"
+                allDel.coalesce(1).write.mode("overwrite")
+                  .parquet(s"$outDir/_dv/$dvName")
+                dvSets += seg -> DvRef(dvName,
+                  m.dv.get(seg).map(_.rows).getOrElse(0L) + matches)
+                dvWrites += 1
+                val postSeg = f"seg_u${m.version + 1}%010d_${i}p_$nonce"
+                physicalize(matchedPost, m).write.mode("overwrite")
+                  .parquet(s"$outDir/$postSeg")
+                added += postSeg
+                if (tracked.nonEmpty)
+                  addedStats += postSeg -> segmentStats(
+                    spark.read.parquet(s"$outDir/$postSeg"), tracked)
+                writeSegmentBlooms(spark, outDir, postSeg, m.bloomCols)
+                // post-image rows keep the row's partition value unless
+                // the partition column itself is assigned; the DV'd
+                // source keeps its fact with the ORIGINAL row count
+                // (the DV is the liveness correction) and its recorded
+                // stats (stale-superset bounds stay advisory-sound:
+                // the segment's live rows are a subset of what the
+                // bounds were computed over).
+                m.parts.get(seg).foreach { pv =>
+                  if (!m.logicalOf(pv.col).exists(assignments.contains))
+                    addedParts += postSeg -> PartVal(pv.col, pv.value,
+                      matches)
+                }
+              } else {
+                // Copy-on-write rewrite: matching rows take their
+                // assignments, non-matching rows pass through
+                // bit-identical, the segment's dv entry (if any)
+                // retires with the segment.
+                val out = df.select(cols.toSeq.map { c =>
+                  assignments.get(c) match {
+                    case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+                    case None => col(c)
+                  }
                 }: _*)
-                .withColumn("_change_type", lit("update_postimage")), m)
-                .write.mode("append").parquet(s"$outDir/$cdcSeg")
-              cdcRows = true
+                val newSeg = f"seg_u${m.version + 1}%010d_${i}_$nonce"
+                physicalize(out, m).write.mode("overwrite")
+                  .parquet(s"$outDir/$newSeg")
+                rewritten += 1
+                removed += seg
+                added += newSeg
+                if (tracked.nonEmpty)
+                  addedStats += newSeg -> segmentStats(
+                    spark.read.parquet(s"$outDir/$newSeg"), tracked)
+                writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
+                // an update keeps every row; the partition fact
+                // survives unless the partition column itself was
+                // assigned
+                m.parts.get(seg).foreach { pv =>
+                  if (!m.logicalOf(pv.col).exists(assignments.contains))
+                    addedParts += newSeg -> pv
+                }
+              }
             }
-            rewritten += 1
-            removed += seg
-            added += newSeg
-            if (tracked.nonEmpty)
-              addedStats += newSeg -> segmentStats(
-                spark.read.parquet(s"$outDir/$newSeg"), tracked)
-            writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
-            // an update keeps every row; the partition fact survives
-            // unless the partition column itself was assigned
-            m.parts.get(seg).foreach { pv =>
-              if (!m.logicalOf(pv.col).exists(assignments.contains))
-                addedParts += newSeg -> pv
-            }
-          }
+          } finally df.unpersist()
         }
       }
-      if (rewritten == 0) return (m.version, 0, 0L)
+      if (rewritten == 0 && dvWrites == 0) return (m.version, 0, 0L)
+      beforeCommit()
       tryCommitEdit(outDir, m, removed.result(), added.result(),
         addedStats.result(), None,
         cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
+        dvSets = dvSets.result(),
         addedParts = addedParts.result()) match {
         case Some(v) => return (v, rewritten, updated)
         case None => // true conflict — re-plan against the new tip
@@ -3810,15 +3887,28 @@ object LakeSink {
     * row, and silently picking one would be nondeterministic. Source
     * columns must cover the target schema.
     *
+    * `dvMaxFraction > 0` enables MERGE-ON-READ matched clauses (r14,
+    * the [[updateWhere]] rule applied to the upsert): a segment whose
+    * match fraction is within the threshold (and strictly partial)
+    * keeps its files — the matched positions join its deletion vector
+    * (superseding union) and the winning SOURCE rows append as one
+    * new segment — so a sparse-match upsert feed writes O(matched
+    * rows) per batch instead of rewriting every touched segment.
+    * Inserts are unchanged (they were always an O(inserted rows)
+    * append). CDC images are identical to the copy-on-write path's.
+    *
     * Returns (committed version, segments rewritten, rows updated,
     * rows inserted); a no-op merge (no matches, empty insert set)
     * commits nothing. */
   def mergeInto(spark: SparkSession, outDir: String, source: DataFrame,
       keys: Seq[String],
       txn: Option[(String, Long)] = None,
-      cdc: Boolean = false): (Long, Int, Long, Long) = {
+      cdc: Boolean = false,
+      dvMaxFraction: Double = 0.0): (Long, Int, Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, when}
     require(keys.nonEmpty, "MERGE with no key columns")
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     var attempt = 0
     while (attempt < dmlMaxAttempts) {
       attempt += 1
@@ -3891,57 +3981,107 @@ object LakeSink {
         // source rows as insert — one cdc segment per MERGE.
         val cdcSeg = s"seg_cdc_m$nonce"
         var cdcRows = false
+        val dvSets = Map.newBuilder[String, DvRef]
+        var dvWrites = 0
         m.segs.zipWithIndex.foreach { case (seg, i) =>
           val pruned = srcKeyRange.exists { case (c, lo, hi) =>
             !mayOverlap(m, seg, c, lo, hi) }
           if (!pruned) {
-            // DV-reconciling read — a merge must never match or rewrite
-            // a row an earlier point delete already hid
-            val df = readSegments(spark, outDir, m, Seq(seg))
-            val matches = df.join(broadcast(src), keys, "left_semi").count()
+            // DV-reconciling POSITIONAL read, cached segment-sized —
+            // a merge must never match or rewrite a row an earlier
+            // point delete already hid, and the matched positions are
+            // what a merge-on-read DV write records
+            val df = readSegmentWithPos(spark, outDir, m, seg).cache()
+            try {
+            // ONE job for both counts: total live rows and matched
+            // rows (left outer against the key-unique source
+            // preserves target cardinality)
+            val Array(total, matches) = df
+              .join(broadcast(marked), keys, "left_outer")
+              .agg(count(lit(1)),
+                count(when(col("__matched").isNotNull, lit(1)))).head
+              .toSeq.map(_.asInstanceOf[Long]).toArray
             if (matches > 0L) {
               updated += matches
+              // The winning source rows, one per matched TARGET row: a
+              // target holding k same-key rows must yield k src-valued
+              // rows — a semi-join of src against target keys would
+              // emit 1, and a signed-fold consumer (the Medallion IVM
+              // pattern) would drift by k-1 rows. Inner join
+              // target-keys × src (src is key-unique, checked above)
+              // yields exactly one src-valued row per matched target
+              // row. Shared by the CDC post-images and the
+              // merge-on-read append, so a feed consumer cannot tell
+              // which storage strategy served the merge.
+              def srcWins = df.select(keys.map(col).toSeq: _*)
+                .join(broadcast(src), keys, "inner")
+                .select(targetCols.map(col).toSeq: _*)
               if (cdc) {
                 physicalize(df.join(broadcast(src), keys, "left_semi")
+                  .drop("__dv_f", "__dv_i")
                   .withColumn("_change_type", lit("update_preimage")), m)
                   .write.mode("append").parquet(s"$outDir/$cdcSeg")
-                // Post-images mirror the REWRITE, one per matched TARGET
-                // row: a target holding k same-key rows rewrites all k to
-                // the source row and must emit k post-images — a semi-join
-                // of src against target keys would emit 1, and a
-                // signed-fold consumer (the Medallion IVM pattern) would
-                // drift by k-1 rows. Inner join target-keys × src (src is
-                // key-unique, checked above) yields exactly one src-valued
-                // row per matched target row.
-                physicalize(df.select(keys.map(col).toSeq: _*)
-                  .join(broadcast(src), keys, "inner")
-                  .select(targetCols.map(col).toSeq: _*)
+                physicalize(srcWins
                   .withColumn("_change_type", lit("update_postimage")), m)
                   .write.mode("append").parquet(s"$outDir/$cdcSeg")
                 cdcRows = true
               }
-              val joined = df.as("t").join(
-                broadcast(marked).as("s"), keys, "left_outer")
-              // Projection preserves the target schema's column ORDER so
-              // every segment in the lake stays byte-layout-compatible.
-              val out = joined.select(targetCols.map { c =>
-                // using-join merges the key columns (left value survives);
-                // non-keys exist on both sides and need qualification.
-                if (keys.contains(c)) col(c)
-                else when(col("s.__matched").isNotNull, col(s"s.$c"))
-                  .otherwise(col(s"t.$c")).as(c)
-              }.toSeq: _*)
-              val newSeg = f"seg_m${m.version + 1}%010d_${i}_$nonce"
-              physicalize(out, m).write.mode("overwrite")
-                .parquet(s"$outDir/$newSeg")
-              rewritten += 1
-              removed += seg
-              added += newSeg
-              if (tracked.nonEmpty)
-                addedStats += newSeg -> segmentStats(
-                  spark.read.parquet(s"$outDir/$newSeg"), tracked)
-              writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
+              if (dvMaxFraction > 0.0 && matches < total &&
+                  matches <= (total * dvMaxFraction).toLong) {
+                // MERGE-ON-READ matched clause: the matched positions
+                // join the segment's DV (superseding union, the
+                // delete-DV rule) and the winning source rows append
+                // as ONE new segment — O(matched rows) written, the
+                // segment's files untouched.
+                val newDel = df.join(broadcast(src), keys, "left_semi")
+                  .select(col("__dv_f").as("file_name"),
+                    col("__dv_i").as("row_index"))
+                val allDel = m.dv.get(seg) match {
+                  case None => newDel
+                  case Some(r) => newDel.unionByName(
+                    spark.read.parquet(s"$outDir/_dv/${r.file}"))
+                }
+                val dvName = s"dv_${nonce}_$i"
+                allDel.coalesce(1).write.mode("overwrite")
+                  .parquet(s"$outDir/_dv/$dvName")
+                dvSets += seg -> DvRef(dvName,
+                  m.dv.get(seg).map(_.rows).getOrElse(0L) + matches)
+                dvWrites += 1
+                val postSeg = f"seg_m${m.version + 1}%010d_${i}p_$nonce"
+                physicalize(srcWins, m).write.mode("overwrite")
+                  .parquet(s"$outDir/$postSeg")
+                added += postSeg
+                if (tracked.nonEmpty)
+                  addedStats += postSeg -> segmentStats(
+                    spark.read.parquet(s"$outDir/$postSeg"), tracked)
+                writeSegmentBlooms(spark, outDir, postSeg, m.bloomCols)
+              } else {
+                val joined = df.as("t").join(
+                  broadcast(marked).as("s"), keys, "left_outer")
+                // Projection preserves the target schema's column ORDER
+                // so every segment in the lake stays
+                // byte-layout-compatible.
+                val out = joined.select(targetCols.map { c =>
+                  // using-join merges the key columns (left value
+                  // survives); non-keys exist on both sides and need
+                  // qualification.
+                  if (keys.contains(c)) col(c)
+                  else when(col("s.__matched").isNotNull, col(s"s.$c"))
+                    .otherwise(col(s"t.$c")).as(c)
+                }.toSeq: _*)
+                val newSeg = f"seg_m${m.version + 1}%010d_${i}_$nonce"
+                physicalize(out, m).write.mode("overwrite")
+                  .parquet(s"$outDir/$newSeg")
+                rewritten += 1
+                removed += seg
+                added += newSeg
+                if (tracked.nonEmpty)
+                  addedStats += newSeg -> segmentStats(
+                    spark.read.parquet(s"$outDir/$newSeg"), tracked)
+                writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
+              }
             }
+            } finally df.unpersist()
           }
         }
         val inserts = src.join(
@@ -3964,10 +4104,12 @@ object LakeSink {
               spark.read.parquet(s"$outDir/$insSeg"), tracked)
           writeSegmentBlooms(spark, outDir, insSeg, m.bloomCols)
         }
-        if (rewritten == 0 && inserted == 0L) return (m.version, 0, 0L, 0L)
+        if (rewritten == 0 && dvWrites == 0 && inserted == 0L)
+          return (m.version, 0, 0L, 0L)
         tryCommitEdit(outDir, m, removed.result(), added.result(),
           addedStats.result(), txn,
-          cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil) match {
+          cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
+          dvSets = dvSets.result()) match {
           case Some(v) => return (v, rewritten, updated, inserted)
           case None => // true conflict — re-plan against the new tip
         }
@@ -4008,6 +4150,15 @@ object LakeSink {
     * matched-side clause exists (multiple source matches per target
     * row is the SQL MERGE cardinality error).
     *
+    * `dvMaxFraction > 0` enables MERGE-ON-READ fired clauses (r14,
+    * the [[updateWhere]]/[[mergeInto]] rule): a segment whose FIRED
+    * fraction (update- plus delete-firing rows) is within the
+    * threshold and strictly partial keeps its files — fired positions
+    * join its deletion vector, and the update-firing rows' POST-IMAGE
+    * values append as one new segment (delete-firing rows need only
+    * the DV). Write cost O(fired rows); CDC identical to
+    * copy-on-write's.
+    *
     * Returns (version, segments rewritten, rows updated, rows
     * deleted, rows inserted); fires-nothing merges commit nothing. */
   def mergeClauses(spark: SparkSession, outDir: String,
@@ -4016,9 +4167,12 @@ object LakeSink {
       notMatched: Seq[MergeClause.Insert] = Nil,
       notMatchedBySource: Seq[MergeClause] = Nil,
       txn: Option[(String, Long)] = None,
-      cdc: Boolean = false): (Long, Int, Long, Long, Long) = {
+      cdc: Boolean = false,
+      dvMaxFraction: Double = 0.0): (Long, Int, Long, Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, sum, when}
     require(keys.nonEmpty, "MERGE with no key columns")
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "MERGE with no WHEN clauses")
     require(!matched.exists(_.isInstanceOf[MergeClause.Insert]),
@@ -4117,29 +4271,35 @@ object LakeSink {
         val removed = Set.newBuilder[String]
         val added = Seq.newBuilder[String]
         val addedStats = Map.newBuilder[String, Map[String, ColStat]]
+        val dvSets = Map.newBuilder[String, DvRef]
+        var dvWrites = 0
         if (matched.nonEmpty || notMatchedBySource.nonEmpty)
           m.segs.zipWithIndex.foreach { case (seg, si) =>
             val pruned = srcKeyRange.exists { case (c, lo, hi) =>
               !mayOverlap(m, seg, c, lo, hi) }
             if (!pruned) {
-              // DV-reconciling read: hidden rows must neither match
-              // nor resurrect
-              val df = readSegments(spark, outDir, m, Seq(seg))
+              // DV-reconciling POSITIONAL read, cached segment-sized:
+              // hidden rows must neither match nor resurrect, and the
+              // fired positions are what a merge-on-read DV records
+              val df = readSegmentWithPos(spark, outDir, m, seg).cache()
+              try {
               val joinCond = keys.map(k =>
                 col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
               def staged = df.as("t")
                 .join(broadcast(srcM).as("s"), joinCond, "left_outer")
                 .withColumn("__mc", clauseIdx)
-              // One aggregate decides the segment: update/delete fire
-              // counts PLUS per-expectation violation counts over the
-              // UPDATE post-image (CHECK-constraint semantics on the
-              // merge path, folded into the pass the count pays
-              // anyway — delete-firing and no-fire rows are exempt:
-              // deletes write no values, pass-through rows are not
-              // re-judged under NOT VALID registration).
+              // One aggregate decides the segment: total live rows,
+              // update/delete fire counts PLUS per-expectation
+              // violation counts over the UPDATE post-image
+              // (CHECK-constraint semantics on the merge path, folded
+              // into the pass the count pays anyway — delete-firing
+              // and no-fire rows are exempt: deletes write no values,
+              // pass-through rows are not re-judged under NOT VALID
+              // registration).
               def post = staged.select(col("__mc") +:
                 targetCols.map(c => newVal(c)): _*)
               val cntAggs = Seq(
+                count(lit(1)),
                 coalesce(sum(when(inIdx(col("__mc"), updIdx), 1L)
                   .otherwise(0L)), lit(0L)),
                 coalesce(sum(when(inIdx(col("__mc"), delIdx), 1L)
@@ -4149,10 +4309,11 @@ object LakeSink {
                     !coalesce(expr(sql), lit(false)), 1L)
                     .otherwise(0L)), lit(0L)) }
               val cnt = post.agg(cntAggs.head, cntAggs.tail: _*).head()
-              val (nUpd, nDel) = (cnt.getLong(0), cnt.getLong(1))
+              val total = cnt.getLong(0)
+              val (nUpd, nDel) = (cnt.getLong(1), cnt.getLong(2))
               if (nUpd > 0L || nDel > 0L) {
                 val bad = checks.zipWithIndex
-                  .map { case ((n, _), j) => n -> cnt.getLong(j + 2) }
+                  .map { case ((n, _), j) => n -> cnt.getLong(j + 3) }
                   .filter(_._2 > 0L)
                 require(bad.isEmpty,
                   s"MERGE into $outDir would write rows violating " +
@@ -4180,20 +4341,58 @@ object LakeSink {
                       .write.mode("append").parquet(s"$outDir/$cdcSeg")
                   cdcRows = true
                 }
-                val out = staged
-                  .filter(!inIdx(col("__mc"), delIdx))
-                  .select(targetCols.map(newVal): _*)
-                val newSeg = f"seg_g${m.version + 1}%010d_${si}_$nonce"
-                physicalize(out, m).write.mode("overwrite")
-                  .parquet(s"$outDir/$newSeg")
-                rewritten += 1
-                removed += seg
-                added += newSeg
-                if (tracked.nonEmpty)
-                  addedStats += newSeg -> segmentStats(
-                    spark.read.parquet(s"$outDir/$newSeg"), tracked)
-                writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
+                val fired = nUpd + nDel
+                if (dvMaxFraction > 0.0 && fired < total &&
+                    fired <= (total * dvMaxFraction).toLong) {
+                  // MERGE-ON-READ fired clauses: every fired position
+                  // joins the segment's DV (superseding union); only
+                  // the update-firing rows carry values forward, as
+                  // one appended post-image segment. O(fired rows)
+                  // written, the segment's files untouched.
+                  val newDel = staged
+                    .filter(inIdx(col("__mc"), updIdx) ||
+                      inIdx(col("__mc"), delIdx))
+                    .select(col("__dv_f").as("file_name"),
+                      col("__dv_i").as("row_index"))
+                  val allDel = m.dv.get(seg) match {
+                    case None => newDel
+                    case Some(r) => newDel.unionByName(
+                      spark.read.parquet(s"$outDir/_dv/${r.file}"))
+                  }
+                  val dvName = s"dv_${nonce}_$si"
+                  allDel.coalesce(1).write.mode("overwrite")
+                    .parquet(s"$outDir/_dv/$dvName")
+                  dvSets += seg -> DvRef(dvName,
+                    m.dv.get(seg).map(_.rows).getOrElse(0L) + fired)
+                  dvWrites += 1
+                  if (nUpd > 0L) {
+                    val postSeg = f"seg_g${m.version + 1}%010d_${si}p_$nonce"
+                    physicalize(staged.filter(inIdx(col("__mc"), updIdx))
+                      .select(targetCols.map(newVal): _*), m)
+                      .write.mode("overwrite").parquet(s"$outDir/$postSeg")
+                    added += postSeg
+                    if (tracked.nonEmpty)
+                      addedStats += postSeg -> segmentStats(
+                        spark.read.parquet(s"$outDir/$postSeg"), tracked)
+                    writeSegmentBlooms(spark, outDir, postSeg, m.bloomCols)
+                  }
+                } else {
+                  val out = staged
+                    .filter(!inIdx(col("__mc"), delIdx))
+                    .select(targetCols.map(newVal): _*)
+                  val newSeg = f"seg_g${m.version + 1}%010d_${si}_$nonce"
+                  physicalize(out, m).write.mode("overwrite")
+                    .parquet(s"$outDir/$newSeg")
+                  rewritten += 1
+                  removed += seg
+                  added += newSeg
+                  if (tracked.nonEmpty)
+                    addedStats += newSeg -> segmentStats(
+                      spark.read.parquet(s"$outDir/$newSeg"), tracked)
+                  writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
+                }
               }
+              } finally df.unpersist()
             }
           }
         var inserted = 0L
@@ -4255,11 +4454,12 @@ object LakeSink {
             writeSegmentBlooms(spark, outDir, insSeg, m.bloomCols)
           }
         }
-        if (rewritten == 0 && inserted == 0L)
+        if (rewritten == 0 && dvWrites == 0 && inserted == 0L)
           return (m.version, 0, 0L, 0L, 0L)
         tryCommitEdit(outDir, m, removed.result(), added.result(),
           addedStats.result(), txn,
-          cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil) match {
+          cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
+          dvSets = dvSets.result()) match {
           case Some(v) => return (v, rewritten, updated, deleted, inserted)
           case None => // true conflict — re-plan against the new tip
         }

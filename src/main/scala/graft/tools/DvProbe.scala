@@ -107,5 +107,52 @@ object DvProbe {
       f""""cow_written_bytes":$cowWritten,"dv_written_bytes":$dvWritten,""" +
       f""""write_ratio":${cowWritten.toDouble / math.max(1L, dvWritten)}%.1f,""" +
       f""""cow_read_sec":$tReadCow%.3f,"dv_read_sec":$tReadDv%.3f}""")
+
+    // ---- UPDATE twin (r14): the SAME 4-row point DML as an UPDATE —
+    // the GDPR-rectification shape. cow rewrites 4 segments; dv
+    // writes 4 positional DV files + 4 four-row post-image appends.
+    // Fresh byte-identical twins from the already-deleted cow lake's
+    // ORIGINAL bytes are gone, so rebuild from dirDv's untouched
+    // segments (its delete only added DV files, segments unchanged —
+    // copy, then strip the DVs by resetting to the pre-delete
+    // manifest is more machinery than re-copying; instead copy dirDv
+    // and run the update against a predicate disjoint from the
+    // deleted rows, so the pre-existing 4-row DV is irrelevant to
+    // the write-bytes delta being measured).
+    val dirCowU = java.nio.file.Files
+      .createTempDirectory("graft_dv_probe_cow_u").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirCowU))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dirDv), new java.io.File(dirCowU))
+    val dirDvU = java.nio.file.Files
+      .createTempDirectory("graft_dv_probe_dv_u").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirDvU))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dirDv), new java.io.File(dirDvU))
+    val updPred = col("event_id").isin(33L, 34L, 35L, 36L)
+    val upd = Map("vc" -> (col("vc") + 100L))
+    val baseBytesU = dirBytes(dirCowU)
+    val ((_, rwCowU, nCowU), tCowU) =
+      time(LakeSink.updateWhere(spark, dirCowU, updPred, upd))
+    val ((_, rwDvU, nDvU), tDvU) = time(LakeSink.updateWhere(
+      spark, dirDvU, updPred, upd, dvMaxFraction = 1.0))
+    require(nCowU == 4L && nDvU == 4L && rwCowU == 4 && rwDvU == 0,
+      s"probe invariant: cowUpd=$nCowU/$rwCowU dvUpd=$nDvU/$rwDvU")
+    val cowWrittenU = dirBytes(dirCowU) - baseBytesU
+    val dvWrittenU = dirBytes(dirDvU) - baseBytesU
+    def cowCountU(): Long = LakeSink.readTable(spark, dirCowU).count()
+    def dvCountU(): Long = LakeSink.readTable(spark, dirDvU).count()
+    cowCountU(); dvCountU()
+    val (cCowU, tReadCowU) = (1 to 3).map(_ => time(cowCountU())).minBy(_._2)
+    val (cDvU, tReadDvU) = (1 to 3).map(_ => time(dvCountU())).minBy(_._2)
+    require(cCowU == cDvU && cCowU == nRows - 4L,
+      s"probe invariant: cowU rows=$cCowU dvU rows=$cDvU")
+
+    println(f"""{"probe":"dv_point_update","sf":"$sfDir","replicas":$replicas,""" +
+      f""""n_rows":$nRows,"n_updated":4,""" +
+      f""""cow_update_sec":$tCowU%.3f,"dv_update_sec":$tDvU%.3f,""" +
+      f""""cow_written_bytes":$cowWrittenU,"dv_written_bytes":$dvWrittenU,""" +
+      f""""write_ratio":${cowWrittenU.toDouble / math.max(1L, dvWrittenU)}%.1f,""" +
+      f""""cow_read_sec":$tReadCowU%.3f,"dv_read_sec":$tReadDvU%.3f}""")
   }
 }

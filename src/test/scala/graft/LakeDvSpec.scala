@@ -228,4 +228,252 @@ class LakeDvSpec extends AnyFunSuite with SparkFixture {
     assert(ids(dir) === Seq(0L, 2L, 4L, 10L, 11L, 12L, 13L, 14L))
     assert(LakeSink.readManifest(dir).dv("seg_b0").rows === 2L)
   }
+
+  // ---------------------------------------------------------------
+  // MERGE-ON-READ UPDATE (r14): updateWhere with dvMaxFraction > 0 —
+  // DV the matched positions, append the post-image rows, O(updated
+  // rows) write cost. Same protocol claims as the delete side, plus:
+  // the post-image must be READABLE (not just the old rows hidden),
+  // a chained update must hit the post-image row, and CDC images
+  // must be indistinguishable from copy-on-write's.
+  // ---------------------------------------------------------------
+
+  private def rowsOf(dir: String): Seq[(Long, Long)] =
+    LakeSink.readTable(spark, dir).select("id", "flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("point update writes a DV + post-image segment (no rewrite); " +
+      "reads reconcile; time travel sees the pre-update value") {
+    val dir = buildLake()
+    val (v, rw, nUpd) = LakeSink.updateWhere(spark, dir,
+      col("id") === 3L, Map("flag" -> (col("flag") + 100L)),
+      dvMaxFraction = 0.5)
+    assert((rw, nUpd) === ((0, 1L)), "no segment rewritten")
+    val m = LakeSink.readManifest(dir)
+    assert(m.version === v)
+    assert(m.segs.count(Set("seg_b0", "seg_b1")) === 2,
+      "both source segments survive by reference")
+    assert(m.segs.size === 3, "one appended post-image segment")
+    assert(m.dv.keySet === Set("seg_b0") && m.dv("seg_b0").rows === 1L)
+    assert(rowsOf(dir) === Seq(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 101L,
+      4L -> 0L, 10L -> 0L, 11L -> 1L, 12L -> 0L, 13L -> 1L, 14L -> 0L))
+    // the DV file is O(updated rows): one position; the post-image
+    // segment holds exactly the one updated row
+    assert(spark.read.parquet(
+      s"$dir/_dv/${m.dv("seg_b0").file}").count() === 1L)
+    val postSeg = m.segs.filterNot(Set("seg_b0", "seg_b1")).head
+    assert(spark.read.parquet(s"$dir/$postSeg").count() === 1L)
+    // time travel: the pre-update version shows the old value
+    val before = LakeSink.readTableAsOf(spark, dir, v - 1)
+      .filter(col("id") === 3L).select("flag").head().getLong(0)
+    assert(before === 1L)
+  }
+
+  test("a second point update supersedes DVs and hits the POST-IMAGE " +
+      "row; updating a deleted row is a no-op") {
+    val dir = buildLake()
+    LakeSink.updateWhere(spark, dir, col("id") === 3L,
+      Map("flag" -> (col("flag") + 100L)), dvMaxFraction = 0.5)
+    val dv1 = LakeSink.readManifest(dir).dv("seg_b0").file
+    // chained update: must match the post-image row (flag 101 → 201),
+    // never the hidden original
+    LakeSink.updateWhere(spark, dir, col("id") === 3L,
+      Map("flag" -> (col("flag") + 100L)), dvMaxFraction = 1.0)
+    val m = LakeSink.readManifest(dir)
+    assert(rowsOf(dir).find(_._1 == 3L).map(_._2) === Some(201L))
+    assert(rowsOf(dir).size === 10, "no row duplicated or lost")
+    assert(m.dv.get("seg_b0").map(_.file) === Some(dv1),
+      "seg_b0's DV untouched by the second update")
+    // a DV-deleted row never matches an update
+    LakeSink.deleteWhere(spark, dir, col("id") === 1L, dvMaxFraction = 0.5)
+    val mPre = LakeSink.readManifest(dir)
+    val (v2, rw2, n2) = LakeSink.updateWhere(spark, dir, col("id") === 1L,
+      Map("flag" -> lit(999L)), dvMaxFraction = 1.0)
+    assert((rw2, n2) === ((0, 0L)) && v2 === mPre.version,
+      "hidden row is not an update match")
+  }
+
+  test("update fraction guard falls back to rewrite; a fully-matching " +
+      "segment stays a rewrite even at dvMaxFraction = 1") {
+    val dir = buildLake()
+    // 2 of 5 live rows (40%) > 20% → copy-on-write in both segments
+    val (_, rw, nUpd) = LakeSink.updateWhere(spark, dir,
+      col("flag") === 1L, Map("flag" -> lit(7L)), dvMaxFraction = 0.2)
+    assert(rw === 2 && nUpd === 4L)
+    assert(LakeSink.readManifest(dir).dv.isEmpty)
+    // seg_b1 fully matches id >= 10: strictly-partial guard → rewrite
+    val (_, rwF, nF) = LakeSink.updateWhere(spark, dir,
+      col("id") >= 10L, Map("flag" -> lit(9L)), dvMaxFraction = 1.0)
+    assert(rwF === 1 && nF === 5L)
+    val m = LakeSink.readManifest(dir)
+    assert(m.dv.isEmpty && m.segs.size === 2)
+    assert(rowsOf(dir).filter(_._1 >= 10L).map(_._2) ===
+      Seq(9L, 9L, 9L, 9L, 9L))
+  }
+
+  test("OPTIMIZE applies update-DVs physically; the DV'd version " +
+      "still time-travels under its own DV") {
+    val dir = buildLake()
+    val (vUpd, _, _) = LakeSink.updateWhere(spark, dir, col("id") === 3L,
+      Map("flag" -> (col("flag") + 100L)), dvMaxFraction = 0.5)
+    val (vComp, nIn) = LakeSink.compact(spark, dir, targetFiles = 1)
+    assert(nIn === 3, "2 source segments + 1 post-image compacted")
+    val m = LakeSink.readManifest(dir)
+    assert(m.version === vComp && m.dv.isEmpty && m.segs.size === 1)
+    assert(rowsOf(dir).find(_._1 == 3L).map(_._2) === Some(101L))
+    assert(rowsOf(dir).size === 10)
+    assert(LakeSink.readTableAsOf(spark, dir, vUpd)
+      .filter(col("id") === 3L).select("flag").head().getLong(0) === 101L)
+    assert(LakeSink.readTableAsOf(spark, dir, vUpd - 1)
+      .filter(col("id") === 3L).select("flag").head().getLong(0) === 1L)
+  }
+
+  test("vacuum GCs superseded update-DV files and unreferenced " +
+      "post-image segments, keeps what retained versions reference") {
+    val dir = buildLake()
+    LakeSink.updateWhere(spark, dir, col("id") === 3L,
+      Map("flag" -> (col("flag") + 100L)), dvMaxFraction = 0.5)
+    // second update DVs the post-image segment and appends another —
+    // after retaining only the tip, the first post-image segment is
+    // still REFERENCED (it holds the hidden-then-superseded row under
+    // a live DV), but the same update chain on id 13 then compaction
+    // makes everything pre-compaction unreferenced
+    LakeSink.updateWhere(spark, dir, col("id") === 3L,
+      Map("flag" -> (col("flag") + 100L)), dvMaxFraction = 1.0)
+    LakeSink.compact(spark, dir, targetFiles = 1)
+    LakeSink.vacuum(dir, retainVersions = 1)
+    val dvDir = new java.io.File(s"$dir/_dv")
+    assert(!dvDir.exists() || dvDir.list().isEmpty,
+      "no DV file survives once only the compacted tip is retained")
+    val m = LakeSink.readManifest(dir)
+    val onDisk = new java.io.File(dir).list()
+      .filter(_.startsWith("seg_")).toSet
+    assert(onDisk === m.segs.toSet,
+      "only the compacted segment remains on disk")
+    assert(rowsOf(dir).find(_._1 == 3L).map(_._2) === Some(201L))
+  }
+
+  test("vacuum keeps the DV file and post-image segment every " +
+      "RETAINED version references; time travel works after vacuum") {
+    val dir = buildLake()
+    val (vUpd, _, _) = LakeSink.updateWhere(spark, dir, col("id") === 3L,
+      Map("flag" -> (col("flag") + 100L)), dvMaxFraction = 0.5)
+    LakeSink.compact(spark, dir, targetFiles = 1)
+    // retain 2 versions: the compacted tip AND the DV'd update
+    // version — its DV file and post-image segment must survive
+    LakeSink.vacuum(dir, retainVersions = 2)
+    val asOf = LakeSink.readTableAsOf(spark, dir, vUpd)
+    assert(asOf.count() === 10L)
+    assert(asOf.filter(col("id") === 3L).select("flag")
+      .head().getLong(0) === 101L, "retained DV version still reconciles")
+    assert(new java.io.File(s"$dir/_dv").list().length === 1)
+    assert(rowsOf(dir).find(_._1 == 3L).map(_._2) === Some(101L))
+  }
+
+  test("CDC: a DV-backed update emits pre/post images identical to " +
+      "copy-on-write's") {
+    val dirCow = buildLake()
+    val dirDv = buildLake()
+    val (vC, _, _) = LakeSink.updateWhere(spark, dirCow, col("id") === 3L,
+      Map("flag" -> (col("flag") + 100L)), cdc = true)
+    val (vD, rwD, _) = LakeSink.updateWhere(spark, dirDv, col("id") === 3L,
+      Map("flag" -> (col("flag") + 100L)), cdc = true,
+      dvMaxFraction = 1.0)
+    assert(rwD === 0)
+    def feed(dir: String, v: Long): Seq[(String, Long, Long)] =
+      LakeSink.changesCdcBetween(spark, dir, v - 1, v)
+        .select("_change_type", "id", "flag")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(feed(dirDv, vD) === feed(dirCow, vC))
+    assert(feed(dirCow, vC) ===
+      Seq(("update_postimage", 3L, 101L), ("update_preimage", 3L, 1L)))
+  }
+
+  test("stats: a DV'd update's moved row is findable via the " +
+      "post-image segment's fresh stats; stale source bounds stay " +
+      "sound (old value never resurfaces)") {
+    val dir = tmp("graft_dv_upd_stats")
+    import spark.implicits._
+    val df = (0L until 10L).map(i => (i, i * 100L)).toDF("id", "ts")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/seg_b0")
+    val stats = LakeSink.segmentStats(
+      spark.read.parquet(s"$dir/seg_b0"), Seq("ts"))
+    require(LakeSink.commitManifest(dir, 1L, 0L, Seq("seg_b0"),
+      stats = Map("seg_b0" -> stats)))
+    // move ts 900 → 1500 merge-on-read: source keeps [0,900] (stale,
+    // sound — its live rows are a subset), post-image records [1500]
+    val (_, rw, _) = LakeSink.updateWhere(spark, dir, col("ts") === 900L,
+      Map("ts" -> lit(1500L)), dvMaxFraction = 0.5)
+    assert(rw === 0)
+    val (hi, scannedHi, _) =
+      LakeSink.readTableWhere(spark, dir, "ts", 1400L, 1600L)
+    assert(scannedHi.size === 1, "only the post-image segment scanned")
+    assert(hi.select("ts").collect().map(_.getLong(0)).toSeq === Seq(1500L))
+    val (lo, scannedLo, _) =
+      LakeSink.readTableWhere(spark, dir, "ts", 850L, 1000L)
+    assert(scannedLo.size === 1, "stale bounds still admit the source")
+    assert(lo.count() === 0L, "the old value does not resurface")
+  }
+
+  test("a concurrent DV landing on a segment this update read is a " +
+      "TRUE conflict: re-plan, both DMLs apply (no lost update)") {
+    val dir = buildLake()
+    var injected = false
+    LakeSink.updateWhere(spark, dir, col("id") === 3L,
+      Map("flag" -> (col("flag") + 100L)), dvMaxFraction = 0.5,
+      beforeCommit = () => {
+        if (!injected) {
+          injected = true
+          // lands first, so the outer update's CAS loses and must
+          // re-plan (its staged DV was computed pre-this-DV)
+          LakeSink.deleteWhere(spark, dir, col("id") === 1L,
+            dvMaxFraction = 0.5)
+        }
+      })
+    assert(rowsOf(dir).map(_._1) ===
+      Seq(0L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 14L))
+    assert(rowsOf(dir).find(_._1 == 3L).map(_._2) === Some(101L))
+    assert(LakeSink.readManifest(dir).dv("seg_b0").rows === 2L)
+  }
+
+  test("a partitioned lake's post-image segment inherits the " +
+      "partition fact; assigning the partition column forfeits it") {
+    val dir = tmp("graft_dv_part")
+    import spark.implicits._
+    LakeSink.createTable(dir, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType))),
+      partitionBy = Some("day"))
+    val rows = for (d <- 1 to 2; i <- 0 until 5)
+      yield (d.toLong, d * 100L + i)
+    LakeSink.appendPartitioned(spark, dir, rows.toDF("day", "cents"))
+    val (_, rw, _) = LakeSink.updateWhere(spark, dir,
+      col("day") === 1L && col("cents") === 100L,
+      Map("cents" -> lit(999L)), dvMaxFraction = 0.5)
+    assert(rw === 0)
+    val m = LakeSink.readManifest(dir)
+    // day=1: the DV'd source keeps its fact (5 rows, DV corrects
+    // liveness) AND the post-image carries a fresh day=1 fact (1 row)
+    val day1 = m.parts.values.filter(_.value.contains("1")).toSeq
+    assert(day1.map(_.rows).sorted === Seq(1L, 5L))
+    // a later DELETE WHERE day = 1 is still metadata-covered for the
+    // post-image; correctness everywhere
+    assert(LakeSink.readTable(spark, dir)
+      .filter(col("cents") === 999L).count() === 1L)
+    assert(LakeSink.readTable(spark, dir).count() === 10L)
+    // assigning the partition column forfeits the post-image fact
+    val (_, rw2, _) = LakeSink.updateWhere(spark, dir,
+      col("day") === 2L && col("cents") === 200L,
+      Map("day" -> lit(3L)), dvMaxFraction = 0.5)
+    assert(rw2 === 0)
+    val m2 = LakeSink.readManifest(dir)
+    val newSegs = m2.segs.toSet -- m.segs.toSet
+    assert(newSegs.size === 1 && !m2.parts.contains(newSegs.head),
+      "post-image with reassigned partition column carries no fact")
+    assert(LakeSink.readTable(spark, dir)
+      .filter(col("day") === 3L).count() === 1L)
+  }
 }

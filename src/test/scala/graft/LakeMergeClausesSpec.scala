@@ -221,4 +221,87 @@ class LakeMergeClausesSpec extends AnyFunSuite with SparkFixture {
     assert(v2 === v1 && rw2 === 0 && upd2 === 0L && del2 === 0L &&
       ins2 === 0L)
   }
+
+  // ---------------------------------------------------------------
+  // MERGE-ON-READ fired clauses (r14): dvMaxFraction > 0 — fired
+  // positions DV'd; update-firing rows carry post-images, delete-
+  // firing rows need only the DV.
+  // ---------------------------------------------------------------
+
+  test("merge-on-read: matched UPDATE and DELETE fire as DV + " +
+      "post-image; result and CDC identical to copy-on-write's") {
+    val dirDv = buildLake()
+    val dirCow = buildLake()
+    // hits 2 (update) and 3 (delete): each fires 1 of its segment's
+    // 2 rows — strictly partial, within fraction
+    val source = Seq((2L, 200L), (3L, 1L)).toDF("user_id", "src_v")
+    val clauses = Seq(
+      Update(Some("s.src_v >= 100"), Some(Seq("v" -> "s.src_v"))),
+      Delete(None))
+    val (vC, rwC, upC, delC, _) = LakeSink.mergeClauses(spark, dirCow,
+      source, Seq("user_id"), matched = clauses, cdc = true)
+    val (vD, rwD, upD, delD, _) = LakeSink.mergeClauses(spark, dirDv,
+      source, Seq("user_id"), matched = clauses, cdc = true,
+      dvMaxFraction = 1.0)
+    assert((rwC, upC, delC) === ((2, 1L, 1L)))
+    assert((rwD, upD, delD) === ((0, 1L, 1L)), "no rewrite under MoR")
+    val m = LakeSink.readManifest(dirDv)
+    assert(m.dv.keySet === Set("seg_b0", "seg_b1"),
+      "both fired segments carry a DV")
+    // only the UPDATE-firing segment appends a post-image segment
+    assert(m.segs.size === 4, "3 source segments + 1 post-image")
+    assert(byId(dirDv) === byId(dirCow))
+    assert(byId(dirDv) === Map(1L -> Some(10L), 2L -> Some(200L),
+      4L -> Some(40L), 5L -> Some(50L)))
+    def feed(dir: String, v: Long): Seq[(String, Long, Option[Long])] =
+      LakeSink.changesCdcBetween(spark, dir, v - 1, v)
+        .select("_change_type", "user_id", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(feed(dirDv, vD) === feed(dirCow, vC))
+    assert(feed(dirDv, vD) === Seq(
+      ("delete", 3L, Some(30L)),
+      ("update_postimage", 2L, Some(200L)),
+      ("update_preimage", 2L, Some(20L))))
+  }
+
+  test("merge-on-read: NOT MATCHED BY SOURCE delete fires as a pure " +
+      "DV (no post-image, no rewrite)") {
+    val dir = buildLake()
+    // source covers 1,2,3,4 — NMBS delete fires only on 5, the sole
+    // row of seg_b2: full match → strictly-partial guard → rewrite…
+    // so use a source covering {1,3,5}: NMBS fires on 2 and 4, one of
+    // each 2-row segment
+    val source = Seq((1L, 0L), (3L, 0L), (5L, 0L)).toDF("user_id", "src_v")
+    val (_, rw, upd, del, ins) = LakeSink.mergeClauses(spark, dir,
+      source, Seq("user_id"),
+      notMatchedBySource = Seq(Delete(None)), dvMaxFraction = 1.0)
+    assert((rw, upd, del, ins) === ((0, 0L, 2L, 0L)))
+    val m = LakeSink.readManifest(dir)
+    assert(m.dv.keySet === Set("seg_b0", "seg_b1"))
+    assert(m.segs.sorted === Seq("seg_b0", "seg_b1", "seg_b2"),
+      "no segment rewritten or appended")
+    assert(byId(dir) === Map(1L -> Some(10L), 3L -> Some(30L),
+      5L -> Some(50L)))
+  }
+
+  test("merge-on-read fraction guard: a fired fraction above the " +
+      "threshold falls back to copy-on-write") {
+    val dir = buildLake()
+    // both rows of seg_b0 fire (2 of 2 in the segment… use seg_b1:
+    // source hits 3 and 4 → 2 of 2 = full → rewrite by the strictly-
+    // partial rule regardless of threshold; and with threshold 0.4,
+    // 1 of 2 (50%) in seg_b0 also rewrites
+    val source = Seq((2L, 200L), (3L, 300L), (4L, 400L))
+      .toDF("user_id", "src_v")
+    val (_, rw, upd, _, _) = LakeSink.mergeClauses(spark, dir, source,
+      Seq("user_id"),
+      matched = Seq(Update(None, Some(Seq("v" -> "s.src_v")))),
+      dvMaxFraction = 0.4)
+    assert(rw === 2 && upd === 3L)
+    assert(LakeSink.readManifest(dir).dv.isEmpty)
+    assert(byId(dir) === Map(1L -> Some(10L), 2L -> Some(200L),
+      3L -> Some(300L), 4L -> Some(400L), 5L -> Some(50L)))
+  }
 }

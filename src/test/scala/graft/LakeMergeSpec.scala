@@ -135,4 +135,89 @@ class LakeMergeSpec extends AnyFunSuite with SparkFixture {
       updated === 1L && inserted === 1L)
     assert(LakeSink.readTable(spark, dir).count() === 6L)
   }
+
+  // ---------------------------------------------------------------
+  // MERGE-ON-READ matched clauses (r14): dvMaxFraction > 0 — matched
+  // positions DV'd, winning source rows appended, O(matched rows)
+  // write cost for the sparse-match upsert feed.
+  // ---------------------------------------------------------------
+
+  test("merge-on-read: sparse match DVs the position and appends the " +
+      "source row; result identical to copy-on-write's") {
+    val dirDv = buildLake()
+    val dirCow = buildLake()
+    val source = Seq(
+      (2L, Option(200L)),           // update in seg0 (1 of 2 rows)
+      (4L, Option.empty[Long]),     // update in seg1 — NULL must WIN
+      (9L, Option(90L)))            // insert
+      .toDF("user_id", "v")
+    val (_, rwC, upC, insC) =
+      LakeSink.mergeInto(spark, dirCow, source, Seq("user_id"))
+    val (_, rwD, upD, insD) = LakeSink.mergeInto(spark, dirDv, source,
+      Seq("user_id"), dvMaxFraction = 1.0)
+    assert((rwC, upC, insC) === ((2, 2L, 1L)))
+    assert((rwD, upD, insD) === ((0, 2L, 1L)), "no rewrite under MoR")
+    val m = LakeSink.readManifest(dirDv)
+    assert(m.dv.keySet === Set("seg_b0", "seg_b1"))
+    assert(m.dv.values.map(_.rows).toSeq.sorted === Seq(1L, 1L))
+    // both source segments survive by reference; 2 post-image segments
+    // + 1 insert segment appended
+    assert(m.segs.count(Set("seg_b0", "seg_b1", "seg_b2")) === 3)
+    assert(m.segs.size === 6)
+    def state(dir: String): Map[Long, Option[Long]] =
+      LakeSink.readTable(spark, dir).collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+    assert(state(dirDv) === state(dirCow))
+    assert(state(dirDv) === Map(1L -> Some(10L), 2L -> Some(200L),
+      3L -> Some(30L), 4L -> None, 5L -> Some(50L), 9L -> Some(90L)))
+  }
+
+  test("merge-on-read: a fully-matching segment stays a rewrite; a " +
+      "DV'd row does not re-match a later merge") {
+    val dir = buildLake()
+    // seg_b2 = {5} fully matches → strictly-partial guard → rewrite
+    val (_, rw1, up1, _) = LakeSink.mergeInto(spark, dir,
+      Seq((5L, Option(500L))).toDF("user_id", "v"), Seq("user_id"),
+      dvMaxFraction = 1.0)
+    assert(rw1 === 1 && up1 === 1L)
+    assert(LakeSink.readManifest(dir).dv.isEmpty)
+    // sparse merge on seg_b0 DVs user 2; a second merge keyed 2 must
+    // match the POST-IMAGE row (and DV the post-image segment), never
+    // resurrect the hidden original
+    LakeSink.mergeInto(spark, dir,
+      Seq((2L, Option(200L))).toDF("user_id", "v"), Seq("user_id"),
+      dvMaxFraction = 1.0)
+    val (_, _, up3, ins3) = LakeSink.mergeInto(spark, dir,
+      Seq((2L, Option(2000L))).toDF("user_id", "v"), Seq("user_id"),
+      dvMaxFraction = 1.0)
+    assert(up3 === 1L && ins3 === 0L)
+    val rows = LakeSink.readTable(spark, dir)
+      .filter(col("user_id") === 2L).collect()
+    assert(rows.length === 1 && rows.head.getLong(1) === 2000L)
+    assert(LakeSink.readTable(spark, dir).count() === 5L)
+  }
+
+  test("merge-on-read CDC images are identical to copy-on-write's") {
+    val dirDv = buildLake()
+    val dirCow = buildLake()
+    val source = Seq((2L, Option(200L)), (9L, Option(90L)))
+      .toDF("user_id", "v")
+    val (vC, _, _, _) = LakeSink.mergeInto(spark, dirCow, source,
+      Seq("user_id"), cdc = true)
+    val (vD, rwD, _, _) = LakeSink.mergeInto(spark, dirDv, source,
+      Seq("user_id"), cdc = true, dvMaxFraction = 1.0)
+    assert(rwD === 0)
+    def feed(dir: String, v: Long): Seq[(String, Long, Option[Long])] =
+      LakeSink.changesCdcBetween(spark, dir, v - 1, v)
+        .select("_change_type", "user_id", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(feed(dirDv, vD) === feed(dirCow, vC))
+    assert(feed(dirDv, vD) === Seq(
+      ("insert", 9L, Some(90L)),
+      ("update_postimage", 2L, Some(200L)),
+      ("update_preimage", 2L, Some(20L))))
+  }
 }

@@ -152,6 +152,18 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Table-level merge-on-read threshold of a DML target (set at
+    * registration or via `ALTER TABLE … SET TBLPROPERTIES
+    * ('dv.maxFraction'='…')` — the `enableDeletionVectors` analog):
+    * point UPDATE/DELETE/MERGE against such a table write deletion
+    * vectors instead of copy-on-write rewrites. */
+  private def lakeDvf(p: LogicalPlan): Double = p match {
+    case SubqueryAlias(_, child) => lakeDvf(child)
+    case u: UnresolvedRelation =>
+      LakeCatalog.dvMaxFraction(u.multipartIdentifier)
+    case _ => 0.0
+  }
+
   /** Merge keys from an equi-conjunction `t.k = s.k [AND …]`; the
     * column name must match on both sides (same-name key contract of
     * [[LakeSink.mergeInto]]). */
@@ -186,7 +198,8 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
 
     case DeleteFromTable(target, cond) if lakeDir(target).isDefined =>
-      LakeDeleteCommand(lakeDir(target).get, cond.sql, lakeCdc(target))
+      LakeDeleteCommand(lakeDir(target).get, cond.sql, lakeCdc(target),
+        lakeDvf(target))
 
     case UpdateTable(target, assignments, cond) if lakeDir(target).isDefined =>
       val pairs = assignments.map {
@@ -198,7 +211,8 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"lake UPDATE: unsupported assignment target $other"))
       }
       LakeUpdateCommand(lakeDir(target).get, pairs,
-        cond.map(_.sql).getOrElse("true"), lakeCdc(target))
+        cond.map(_.sql).getOrElse("true"), lakeCdc(target),
+        lakeDvf(target))
 
     case m: MergeIntoTable if lakeDir(m.targetTable).isDefined =>
       val dir = lakeDir(m.targetTable).get
@@ -218,7 +232,8 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         bad("lake MERGE needs an ON clause of same-name equi-keys " +
           s"(t.k = s.k [AND …]); got: ${m.mergeCondition.sql}")
       if (starShape)
-        LakeMergeCommand(dir, m.sourceTable, keys.get, lakeCdc(m.targetTable))
+        LakeMergeCommand(dir, m.sourceTable, keys.get,
+          lakeCdc(m.targetTable), lakeDvf(m.targetTable))
       else {
         // GENERAL clause set → [[LakeSink.mergeClauses]]. The parsed
         // conditions/assignments reference the statement's own aliases;
@@ -260,7 +275,8 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         LakeMergeClausesCommand(dir, m.sourceTable, keys.get,
           m.matchedActions.map(rw), m.notMatchedActions.map(ins),
-          m.notMatchedBySourceActions.map(rw), lakeCdc(m.targetTable))
+          m.notMatchedBySourceActions.map(rw), lakeCdc(m.targetTable),
+          lakeDvf(m.targetTable))
       }
 
     // INSERT INTO <lake> <query> → one appended segment through the
@@ -325,7 +341,7 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 /** `DELETE FROM <lake> WHERE <cond>` → [[LakeSink.deleteWhere]].
   * Returns the protocol op's receipt row. */
 case class LakeDeleteCommand(dir: String, condSql: String,
-    cdc: Boolean = false)
+    cdc: Boolean = false, dvMaxFraction: Double = 0.0)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
@@ -334,7 +350,8 @@ case class LakeDeleteCommand(dir: String, condSql: String,
     AttributeReference("rows_deleted", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     val (v, rw, dr, del) =
-      LakeSink.deleteWhere(session, dir, expr(condSql), cdc = cdc)
+      LakeSink.deleteWhere(session, dir, expr(condSql), cdc = cdc,
+        dvMaxFraction = dvMaxFraction)
     Seq(Row(v, rw, dr, del))
   }
 }
@@ -342,7 +359,7 @@ case class LakeDeleteCommand(dir: String, condSql: String,
 /** `UPDATE <lake> SET … [WHERE …]` → [[LakeSink.updateWhere]]. */
 case class LakeUpdateCommand(dir: String,
     assignments: Seq[(String, String)], condSql: String,
-    cdc: Boolean = false)
+    cdc: Boolean = false, dvMaxFraction: Double = 0.0)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
@@ -351,7 +368,7 @@ case class LakeUpdateCommand(dir: String,
   override def run(session: SparkSession): Seq[Row] = {
     val (v, rw, upd) = LakeSink.updateWhere(session, dir, expr(condSql),
       assignments.map { case (k, sql) => k -> expr(sql) }.toMap,
-      cdc = cdc)
+      cdc = cdc, dvMaxFraction = dvMaxFraction)
     Seq(Row(v, rw, upd))
   }
 }
@@ -361,7 +378,8 @@ case class LakeUpdateCommand(dir: String,
   * [[LakeSink.mergeInto]]. The source plan (table, view, or subquery)
   * is analyzed lazily at run time. */
 case class LakeMergeCommand(dir: String, source: LogicalPlan,
-    keys: Seq[String], cdc: Boolean = false) extends LeafRunnableCommand {
+    keys: Seq[String], cdc: Boolean = false,
+    dvMaxFraction: Double = 0.0) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("segments_rewritten", IntegerType)(),
@@ -370,7 +388,8 @@ case class LakeMergeCommand(dir: String, source: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, source)
     val (v, rw, upd, ins) =
-      LakeSink.mergeInto(session, dir, src, keys, cdc = cdc)
+      LakeSink.mergeInto(session, dir, src, keys, cdc = cdc,
+        dvMaxFraction = dvMaxFraction)
     Seq(Row(v, rw, upd, ins))
   }
 }
@@ -384,7 +403,8 @@ case class LakeMergeClausesCommand(dir: String, source: LogicalPlan,
     keys: Seq[String], matched: Seq[LakeSink.MergeClause],
     notMatched: Seq[LakeSink.MergeClause.Insert],
     notMatchedBySource: Seq[LakeSink.MergeClause],
-    cdc: Boolean = false) extends LeafRunnableCommand {
+    cdc: Boolean = false,
+    dvMaxFraction: Double = 0.0) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("segments_rewritten", IntegerType)(),
@@ -394,7 +414,8 @@ case class LakeMergeClausesCommand(dir: String, source: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, source)
     val (v, rw, upd, del, ins) = LakeSink.mergeClauses(session, dir, src,
-      keys, matched, notMatched, notMatchedBySource, cdc = cdc)
+      keys, matched, notMatched, notMatchedBySource, cdc = cdc,
+      dvMaxFraction = dvMaxFraction)
     Seq(Row(v, rw, upd, del, ins))
   }
 }

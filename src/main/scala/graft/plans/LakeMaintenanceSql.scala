@@ -114,9 +114,16 @@ object LakeMaintenanceSql {
       name: String, dir: String, props: Map[String, String]): Unit = {
     val cdc = props.get("cdc").map(_.trim.toBoolean)
       .getOrElse(LakeCatalog.cdcEnabled(Seq(name)))
-    LakeCatalog.register(name, dir, cdc = cdc)
+    // dv.maxFraction routes SQL UPDATE/DELETE/MERGE to the
+    // merge-on-read deletion-vector path (0 = copy-on-write, the
+    // default) — Delta's enableDeletionVectors with an explicit
+    // threshold; the register() below range-checks it.
+    val dvf = props.get("dv.maxFraction").map(_.trim.toDouble)
+      .getOrElse(LakeCatalog.dvMaxFraction(Seq(name)))
+    LakeCatalog.register(name, dir, cdc = cdc, dvMaxFraction = dvf)
     props.foreach {
       case ("cdc", _) =>
+      case ("dv.maxFraction", _) =>
       case ("partition_by", c) =>
         LakeSink.evolvePartitionSpec(session, dir, c.trim)
       case ("bloom_cols", cs) =>
@@ -125,7 +132,8 @@ object LakeMaintenanceSql {
       case (k, sql) if k.startsWith("expect.") =>
         LakeSink.addExpectation(session, dir, k.stripPrefix("expect."), sql)
       case (k, _) => sys.error(s"unsupported graft_lake table property " +
-        s"'$k' (supported: cdc, partition_by, bloom_cols, expect.<name>)")
+        s"'$k' (supported: cdc, dv.maxFraction, partition_by, " +
+        "bloom_cols, expect.<name>)")
     }
   }
 

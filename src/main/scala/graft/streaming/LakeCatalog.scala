@@ -17,14 +17,23 @@ import scala.collection.concurrent.TrieMap
   */
 object LakeCatalog {
 
-  private val tables = TrieMap.empty[String, (String, Boolean)]
+  private val tables = TrieMap.empty[String, (String, Boolean, Double)]
 
   /** `cdc = true` is the table-level change-data-feed property
     * (Delta's `enableChangeDataFeed`): SQL DML against the table runs
     * with change capture, so `table_changes(...)` windows spanning it
-    * stay readable. */
-  def register(name: String, dir: String, cdc: Boolean = false): Unit =
-    tables.put(name.toLowerCase(java.util.Locale.ROOT), (dir, cdc))
+    * stay readable. `dvMaxFraction > 0` is the table-level
+    * merge-on-read property (Delta's `enableDeletionVectors`, with an
+    * explicit threshold): SQL UPDATE/DELETE/MERGE against the table
+    * route point DML to the deletion-vector path instead of
+    * copy-on-write rewrites. */
+  def register(name: String, dir: String, cdc: Boolean = false,
+      dvMaxFraction: Double = 0.0): Unit = {
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dv.maxFraction must be in [0,1], got $dvMaxFraction")
+    tables.put(name.toLowerCase(java.util.Locale.ROOT),
+      (dir, cdc, dvMaxFraction))
+  }
 
   def unregister(name: String): Unit =
     tables.remove(name.toLowerCase(java.util.Locale.ROOT))
@@ -39,4 +48,10 @@ object LakeCatalog {
   def cdcEnabled(ident: Seq[String]): Boolean =
     ident.lastOption.flatMap(n =>
       tables.get(n.toLowerCase(java.util.Locale.ROOT))).exists(_._2)
+
+  /** The table's merge-on-read threshold (0 = copy-on-write). */
+  def dvMaxFraction(ident: Seq[String]): Double =
+    ident.lastOption.flatMap(n =>
+      tables.get(n.toLowerCase(java.util.Locale.ROOT)))
+      .map(_._3).getOrElse(0.0)
 }

@@ -165,4 +165,70 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(LakeSink.readTable(spark, dir).collect().map(_.toSeq).toSeq ===
       Seq(Seq(1L, 1L)))
   }
+
+  test("'dv.maxFraction' table property routes SQL UPDATE/DELETE/" +
+      "MERGE to the merge-on-read path; '0' routes back") {
+    val dir = buildLake("sqdvf_t")
+    try {
+      spark.sql(
+        "ALTER TABLE sqdvf_t SET TBLPROPERTIES ('dv.maxFraction'='1.0')")
+        .collect()
+      // MERGE (star shape): matched row 4 DV'd in seg_b1 (1 of 2
+      // live — strictly partial) + source row appended; 9 inserted
+      Seq((4L, 400L), (9L, 90L)).toDF("user_id", "v")
+        .createOrReplaceTempView("sqdvf_delta")
+      val mg = spark.sql(
+        """MERGE INTO sqdvf_t t USING sqdvf_delta s
+           ON t.user_id = s.user_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect().head
+      assert(mg.getInt(1) === 0 && mg.getLong(2) === 1L &&
+        mg.getLong(3) === 1L)
+      assert(LakeSink.readManifest(dir).dv.keySet === Set("seg_b1"))
+      // UPDATE: receipt reports 0 rewrites, seg_b0 gains a DV
+      val up = spark.sql(
+        "UPDATE sqdvf_t SET v = v + 1 WHERE user_id = 1").collect().head
+      assert(up.getInt(1) === 0 && up.getLong(2) === 1L)
+      assert(LakeSink.readManifest(dir).dv.keySet ===
+        Set("seg_b0", "seg_b1"))
+      // DELETE of seg_b0's last live row (1 is DV'd away): every live
+      // row matches → metadata drop, still zero rewrites
+      val del = spark.sql(
+        "DELETE FROM sqdvf_t WHERE user_id = 2").collect().head
+      assert(del.getInt(1) === 0 && del.getInt(2) === 1 &&
+        del.getLong(3) === 1L)
+      val byId = LakeSink.readTable(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byId === Map(1L -> 11L, 3L -> 30L, 4L -> 400L, 9L -> 90L))
+      // setting the property to 0 routes back to copy-on-write
+      spark.sql(
+        "ALTER TABLE sqdvf_t SET TBLPROPERTIES ('dv.maxFraction'='0')")
+        .collect()
+      val up2 = spark.sql(
+        "UPDATE sqdvf_t SET v = v + 1 WHERE user_id = 3").collect().head
+      assert(up2.getInt(1) === 1, "copy-on-write again: 1 rewrite")
+    } finally LakeCatalog.unregister("sqdvf_t")
+  }
+
+  test("general-clause MERGE honors 'dv.maxFraction' (matched DELETE " +
+      "fires as a pure DV)") {
+    val dir = buildLake("sqdvg_t")
+    try {
+      spark.sql(
+        "ALTER TABLE sqdvg_t SET TBLPROPERTIES ('dv.maxFraction'='1.0')")
+        .collect()
+      Seq((2L, 1L)).toDF("user_id", "src_v")
+        .createOrReplaceTempView("sqdvg_delta")
+      val rcpt = spark.sql(
+        """MERGE INTO sqdvg_t t USING sqdvg_delta s
+           ON t.user_id = s.user_id
+           WHEN MATCHED AND s.src_v < 100 THEN DELETE""").collect().head
+      assert(rcpt.getInt(1) === 0 && rcpt.getLong(3) === 1L)
+      val m = LakeSink.readManifest(dir)
+      assert(m.dv.keySet === Set("seg_b0"))
+      assert(m.segs.sorted === Seq("seg_b0", "seg_b1"),
+        "delete-only firing appends nothing")
+      assert(LakeSink.readTable(spark, dir).count() === 3L)
+    } finally LakeCatalog.unregister("sqdvg_t")
+  }
 }

@@ -680,6 +680,67 @@ object Extensions {
                 AS BIGINT) AS sum_cents
             FROM events"""))
 
+  /** INCREMENTAL DV PURGE via SQL `REORG TABLE … APPLY (PURGE)`
+    * (r14): after the same merge-on-read delete as
+    * [[sinkLakeDeleteDv]], the REORG statement rewrites ONLY the
+    * DV'd buckets (clean segments survive by reference — maintenance
+    * cost O(DV debt), not O(table), unlike full OPTIMIZE which
+    * rewrites everything) and retires every dv entry. The query
+    * REQUIREs the receipt's purge count and a DV-free manifest; the
+    * oracle derives the purge count (buckets holding both click and
+    * non-click rows), the post-purge segment count (buckets with ≥1
+    * survivor — purge replaces 1:1, fully-click buckets died at the
+    * delete), and the surviving rollup from the events table alone —
+    * so a purge that loses rows, resurrects hidden ones, or touches
+    * a clean segment fails the hash. LakeDvSpec pins the protocol
+    * (by-reference survival, layout-only CDC, partition-fact
+    * correction to live counts, idempotence). */
+  private val sinkLakeReorg = QueryDef(
+    "sink_lake_reorg",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_lake_reorg", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      cloneCanonicalLake(s, d, dir)
+      val tbl = "graft_reorg_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      try {
+        val (_, rw, _, nDel) = LakeSink.deleteWhere(s, dir,
+          col("event_type") === "click", dvMaxFraction = 1.0)
+        require(rw == 0,
+          s"merge-on-read delete rewrote $rw segments (must write DVs)")
+        val nDv = LakeSink.readManifest(dir).dv.size
+        val rcpt = s.sql(s"REORG TABLE $tbl APPLY (PURGE)").collect().head
+        require(rcpt.getInt(1) == nDv,
+          s"purge receipt ${rcpt.getInt(1)} != $nDv DV'd segments")
+        val mf = LakeSink.readManifest(dir)
+        require(mf.dv.isEmpty, "purge left deletion vectors behind")
+        LakeSink.readTable(s, dir)
+          .agg(
+            lit(mf.segs.size.toLong).as("n_segments"),
+            lit(nDv.toLong).as("n_purged"),
+            lit(nDel).as("n_deleted"),
+            count(lit(1)).as("n_rows"),
+            sum("vc").as("sum_cents"))
+      } finally LakeCatalog.unregister(tbl)
+    },
+    Some("""SELECT
+              CAST(count(DISTINCT CASE WHEN event_type <> 'click'
+                THEN event_id % 4 END) AS BIGINT) AS n_segments,
+              (SELECT CAST(count(*) AS BIGINT) FROM (
+                 SELECT event_id % 4 AS b FROM events GROUP BY 1
+                 HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+                    AND count(CASE WHEN event_type <> 'click' THEN 1 END) > 0))
+                AS n_purged,
+              CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS n_deleted,
+              CAST(count(CASE WHEN event_type <> 'click' THEN 1 END)
+                AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN event_type <> 'click'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+                AS sum_cents
+            FROM events"""))
+
   /** Lake MERGE INTO (r10): the third copy-on-write DML verb, via
     * [[graft.streaming.LakeSink.mergeInto]] — standard `WHEN MATCHED
     * THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *` upsert
@@ -2455,7 +2516,7 @@ object Extensions {
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeDeleteDv, sinkLakeUpdate,
-    sinkLakeUpdateDv, sinkLakeMerge,
+    sinkLakeUpdateDv, sinkLakeReorg, sinkLakeMerge,
     sqlLakeDml, sqlLakeDdl, sinkLakeEvolution, sinkLakeColmap,
     sinkLakePartitioned, sinkLakeCompactClustered,
     sinkClustered,

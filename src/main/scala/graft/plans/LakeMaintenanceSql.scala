@@ -51,6 +51,10 @@ object LakeMaintenanceSql {
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
   private val OptimizePerPartition =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+PER\s+PARTITION\s*;?\s*$""".r
+  // REORG … APPLY (PURGE) (r14): incremental deletion-vector purge —
+  // rewrite ONLY DV'd segments, Delta's REORG TABLE verb.
+  private val ReorgPurge =
+    """(?is)^\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val ShowPartitions =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
   private val Analyze =
@@ -159,6 +163,8 @@ object LakeMaintenanceSql {
         .queryExecution.analyzed)
     case OptimizePerPartition(t) => dirOf(t).map(d =>
       LakeOptimizePartitionsCommand(d))
+    case ReorgPurge(t) => dirOf(t).map(d =>
+      LakeReorgPurgeCommand(d))
     case ShowPartitions(t) => dirOf(t).map(d =>
       LakeSink.showPartitions(SparkSession.active, d)
         .queryExecution.analyzed)
@@ -447,6 +453,20 @@ case class LakeOptimizeCommand(dir: String, clusterBy: Seq[String],
   override def run(session: SparkSession): Seq[Row] = {
     val (v, n) = LakeSink.compact(session, dir,
       clusterBy = clusterBy, zorderBy = zorderBy)
+    Seq(Row(v, n))
+  }
+}
+
+/** `REORG TABLE … APPLY (PURGE)` → [[LakeSink.purgeDv]]: rewrite
+  * only the deletion-vectored segments (O(DV debt) maintenance, not
+  * O(table)); clean segments survive by reference. */
+case class LakeReorgPurgeCommand(dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("segments_purged", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, n) = LakeSink.purgeDv(session, dir)
     Seq(Row(v, n))
   }
 }

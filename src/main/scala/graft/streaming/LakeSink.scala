@@ -706,7 +706,8 @@ object LakeSink {
       cdcSegs: Seq[String] = Nil,
       dvSets: Map[String, DvRef] = Map.empty,
       addedParts: Map[String, PartVal] = Map.empty,
-      cdcDropSegs: Seq[String] = Nil): Option[Long] = {
+      cdcDropSegs: Seq[String] = Nil,
+      dataChange: Boolean = true): Option[Long] = {
     val baseSegs = base.segs.toSet
     var tip = base
     while (true) {
@@ -718,7 +719,7 @@ object LakeSink {
       if (commitEditRecord(outDir, tip,
           Manifest(tip.version + 1, tip.maxB, segs, tip.schemaV,
             tip.schemaJson, stats, txns, tip.expects, cdcSegs,
-            dataChange = true, dv = dv, colmap = tip.colmap,
+            dataChange = dataChange, dv = dv, colmap = tip.colmap,
             partSpec = tip.partSpec, parts = parts,
             cdcDropSegs = cdcDropSegs, bloomCols = tip.bloomCols),
           removed, added, addedStats, dvSets, addedParts))
@@ -3190,6 +3191,70 @@ object LakeSink {
     // streaming path's eager cleanup, this op follows the
     // delete/update/merge retention contract.
     (m.version + 1, m.segs.size)
+  }
+
+  /** INCREMENTAL DELETION-VECTOR PURGE (r14) — the `REORG TABLE …
+    * APPLY (PURGE)` maintenance verb: rewrite ONLY the segments
+    * carrying deletion vectors (each rewritten segment holds the live
+    * rows; its dv entry retires with it), leaving every clean segment
+    * untouched BY REFERENCE. Maintenance cost is O(DV debt), not
+    * O(table) — a 100 TB lake with a handful of DV'd segments pays a
+    * handful of segment rewrites, where full OPTIMIZE rewrites
+    * everything (and collapses per-segment partition facts). Facts
+    * survive with the LIVE row count (the rewrite makes the DV's
+    * correction physical); stats are refreshed from the rewritten
+    * bytes (the one moment stale-superset bounds can tighten for
+    * free); blooms rewritten. The commit is LAYOUT-ONLY
+    * (dataChange = false): rows did not change, so a change-feed
+    * window spanning a purge stays readable without change data —
+    * exactly compaction's CDC contract. Same crash contract as every
+    * DML: segments fully written before one manifest CAS, orphans
+    * vacuum, optimistic retry on a lost race. Returns (committed
+    * version, segments purged); a DV-free lake is a no-op. */
+  def purgeDv(spark: SparkSession, outDir: String): (Long, Int) = {
+    var attempt = 0
+    while (attempt < dmlMaxAttempts) {
+      attempt += 1
+      val m = readManifest(outDir)
+      requireTable(m, outDir)
+      if (m.dv.isEmpty) return (m.version, 0)
+      val tracked = m.trackedCols
+      val nonce = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val removed = Set.newBuilder[String]
+      val added = Seq.newBuilder[String]
+      val addedStats = Map.newBuilder[String, Map[String, ColStat]]
+      val addedParts = Map.newBuilder[String, PartVal]
+      m.segs.zipWithIndex.foreach { case (seg, i) =>
+        m.dv.get(seg).foreach { dvRef =>
+          val live = readSegments(spark, outDir, m, Seq(seg))
+          val newSeg = f"seg_p${m.version + 1}%010d_${i}_$nonce"
+          physicalize(live, m).write.mode("overwrite")
+            .parquet(s"$outDir/$newSeg")
+          removed += seg
+          added += newSeg
+          if (tracked.nonEmpty)
+            addedStats += newSeg -> segmentStats(
+              spark.read.parquet(s"$outDir/$newSeg"), tracked)
+          writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
+          m.parts.get(seg).foreach { pv =>
+            addedParts += newSeg -> PartVal(pv.col, pv.value,
+              pv.rows - dvRef.rows)
+          }
+        }
+      }
+      val purged = m.dv.size
+      tryCommitEdit(outDir, m, removed.result(), added.result(),
+        addedStats.result(), None,
+        addedParts = addedParts.result(),
+        dataChange = false) match {
+        case Some(v) => return (v, purged)
+        case None => // true conflict — re-plan against the new tip
+      }
+    }
+    sys.error(s"purge at $outDir: $dmlMaxAttempts consecutive true " +
+      "conflicts (concurrent writers rewriting the same segments) — " +
+      "coordinate the writers or retry later")
   }
 
   /** PARTITION-PRESERVING compaction: rewrite each partition's small

@@ -437,6 +437,65 @@ class LakeDvSpec extends AnyFunSuite with SparkFixture {
     assert(LakeSink.readManifest(dir).dv("seg_b0").rows === 2L)
   }
 
+  test("REORG purge rewrites ONLY the DV'd segments (clean survive " +
+      "by reference); layout-only commit keeps the CDC window " +
+      "readable; time travel reconciles pre-purge") {
+    val dir = buildLake()
+    val (vUpd, _, _) = LakeSink.updateWhere(spark, dir, col("id") === 3L,
+      Map("flag" -> (col("flag") + 100L)), cdc = true,
+      dvMaxFraction = 0.5)
+    val preSegs = LakeSink.readManifest(dir).segs
+    val (vP, nPurged) = LakeSink.purgeDv(spark, dir)
+    assert(nPurged === 1)
+    val m = LakeSink.readManifest(dir)
+    assert(m.version === vP && m.dv.isEmpty)
+    assert(m.segs.contains("seg_b1"), "clean segment survives by reference")
+    assert(m.segs.count(preSegs.toSet) === 2,
+      "only the DV'd seg_b0 was replaced")
+    assert(rowsOf(dir) === Seq(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 101L,
+      4L -> 0L, 10L -> 0L, 11L -> 1L, 12L -> 0L, 13L -> 1L, 14L -> 0L))
+    // purge is layout-only: a CDC window spanning it carries exactly
+    // the update's images, nothing for the purge commit
+    val feed = LakeSink.changesCdcBetween(spark, dir, vUpd - 1, vP)
+      .select("_change_type").collect().map(_.getString(0)).sorted.toSeq
+    assert(feed === Seq("update_postimage", "update_preimage"))
+    // the DV'd version still reconciles under its own DV
+    assert(LakeSink.readTableAsOf(spark, dir, vUpd)
+      .filter(col("id") === 3L).select("flag").head().getLong(0) === 101L)
+    // idempotent: a DV-free lake is a no-op
+    val (v2, n2) = LakeSink.purgeDv(spark, dir)
+    assert(v2 === vP && n2 === 0)
+  }
+
+  test("purge keeps the partition fact with the corrected LIVE row " +
+      "count, so metadata-only retention still works after it") {
+    val dir = tmp("graft_dv_purge_part")
+    import spark.implicits._
+    LakeSink.createTable(dir, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType))),
+      partitionBy = Some("day"))
+    val rows = for (d <- 1 to 2; i <- 0 until 5)
+      yield (d.toLong, d * 100L + i)
+    LakeSink.appendPartitioned(spark, dir, rows.toDF("day", "cents"))
+    LakeSink.deleteWhere(spark, dir,
+      col("day") === 1L && col("cents") === 100L, dvMaxFraction = 0.5)
+    val (_, nPurged) = LakeSink.purgeDv(spark, dir)
+    assert(nPurged === 1)
+    val m = LakeSink.readManifest(dir)
+    assert(m.dv.isEmpty)
+    val day1 = m.parts.values.filter(_.value.contains("1")).toSeq
+    assert(day1.map(_.rows) === Seq(4L), "fact corrected to live count")
+    // metadata-only retention on the purged partition: exact count,
+    // zero scan jobs is pinned elsewhere — here correctness
+    val (_, _, dropped, nDel) = LakeSink.deleteWhere(spark, dir,
+      col("day") === 1L)
+    assert(dropped === 1 && nDel === 4L)
+    assert(LakeSink.readTable(spark, dir).count() === 5L)
+  }
+
   test("a partitioned lake's post-image segment inherits the " +
       "partition fact; assigning the partition column forfeits it") {
     val dir = tmp("graft_dv_part")

@@ -56,6 +56,30 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     } finally LakeCatalog.unregister(tbl)
   }
 
+  test("REORG TABLE … APPLY (PURGE) purges only DV'd segments " +
+      "through SQL text") {
+    val (dir, tbl) = buildLake()
+    try {
+      import org.apache.spark.sql.functions.col
+      LakeSink.deleteWhere(spark, dir, col("id") === 3L,
+        dvMaxFraction = 0.5)
+      assert(LakeSink.readManifest(dir).dv.size === 1)
+      val rcpt = spark.sql(s"REORG TABLE $tbl APPLY (PURGE)")
+        .collect().head
+      assert(rcpt.getInt(1) === 1)
+      val m = LakeSink.readManifest(dir)
+      assert(m.dv.isEmpty)
+      assert(m.segs.count(Set("seg_b1", "seg_b2")) === 2,
+        "clean segments survive by reference")
+      assert(LakeSink.readTable(spark, dir).count() === 14L)
+      // unregistered names reach the delegate untouched
+      val e = intercept[Exception] {
+        spark.sql("REORG TABLE graft_not_a_lake APPLY (PURGE)").collect()
+      }
+      assert(e.getMessage.nonEmpty)
+    } finally LakeCatalog.unregister(tbl)
+  }
+
   test("OPTIMIZE ZORDER BY and CLUSTER BY parse and run") {
     val (dir, tbl) = buildLake()
     try {

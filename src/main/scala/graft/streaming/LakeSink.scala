@@ -2967,10 +2967,19 @@ object LakeSink {
             // so only rows this UPDATE writes NEW VALUES for are
             // checked; untouched rows riding a copy-on-write rewrite
             // are not re-judged.
+            // Right-hand sides are guarded by the match flag (lazy
+            // CaseWhen branch): SQL UPDATE evaluates SET expressions
+            // ONLY on matching rows — an RHS that errors on a
+            // non-matching row (ANSI division by zero under
+            // `WHERE w > 0`, SET `v = x / w`) must not fail the
+            // statement. Unmatched rows carry their old values, which
+            // the __m-guarded aggregates below never judge.
             val flagged = df.select(
               coalesce(cond, lit(false)).as("__m") +:
-                cols.toSeq.map(c =>
-                  assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+                cols.toSeq.map(c => assignments.get(c)
+                  .map(v => when(coalesce(cond, lit(false)), v)
+                    .otherwise(col(c)).as(c))
+                  .getOrElse(col(c))): _*)
             val aggs = count(lit(1)) +:
               count(when(col("__m"), lit(1))) +:
               checks.map { case (_, sql) =>

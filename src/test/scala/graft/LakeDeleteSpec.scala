@@ -120,6 +120,34 @@ class LakeDeleteSpec extends AnyFunSuite with SparkFixture {
     assert(after.filter(col("v").isNull).count() === 1L)
   }
 
+  test("UPDATE evaluates SET expressions ONLY on matching rows: an " +
+      "RHS that errors on excluded rows (ANSI division) succeeds on " +
+      "both the copy-on-write and merge-on-read paths") {
+    def build(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lake_partial_rhs").toString
+      import spark.implicits._
+      // w = 0 on rows the predicate excludes: 100/w on those rows
+      // would throw under ANSI if the engine evaluated RHS eagerly
+      Seq((1L, 0L, 10L), (2L, 4L, 20L), (3L, 0L, 30L), (4L, 5L, 40L))
+        .toDF("k", "w", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/seg_b0")
+      require(LakeSink.commitManifest(dir, 1L, 0L, Seq("seg_b0")))
+      dir
+    }
+    for (dvf <- Seq(0.0, 1.0)) {
+      val dir = build()
+      val (_, _, updated) = LakeSink.updateWhere(spark, dir,
+        col("w") > 0L, Map("v" -> (lit(100L) / col("w")).cast("long")),
+        dvMaxFraction = dvf)
+      assert(updated === 2L, s"dvMaxFraction=$dvf")
+      val byK = LakeSink.readTable(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(byK === Map(1L -> 10L, 2L -> 25L, 3L -> 30L, 4L -> 20L),
+        s"dvMaxFraction=$dvf")
+    }
+  }
+
   test("update rejects assignment to a column the schema lacks") {
     val dir = buildLake()
     val preVersion = LakeSink.readManifest(dir).version

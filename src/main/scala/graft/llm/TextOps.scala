@@ -1019,10 +1019,103 @@ object TextOps {
              FROM cov GROUP BY doc_id, n_tokens
              ORDER BY doc_id"""))
 
+  /** CURATION WRITES DELETION VECTORS (r14): exact dedup executed AS
+    * LAKE DML — the corpus lives in a 4-bucket manifest-protocol lake,
+    * the dedup pipeline reads THE LAKE, computes the losers (same
+    * keeper rule as [[dedupExact]]: min doc id per normalized-text
+    * digest), and retires them through `MERGE … WHEN MATCHED THEN
+    * DELETE` with `dvMaxFraction = 1.0` — every touched bucket keeps
+    * its files and gains an O(losers) deletion vector; NO segment is
+    * rewritten (REQUIREd). This is the 100 TB curation story: a dedup
+    * pass over a petabyte corpus writes bytes proportional to the
+    * duplicates it found, not to the corpus it scanned, and the next
+    * OPTIMIZE/REORG pays the debt on maintenance time, not curation
+    * time. The oracle recomputes the keeper rule, the survivor
+    * rollup, and the DV'd-bucket census from the documents table
+    * alone — a resurrected duplicate, a lost keeper, or a silent
+    * fallback to copy-on-write all fail the hash. */
+  private val dedupDv = QueryDef(
+    "llm_dedup_dv",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      import org.apache.spark.sql.expressions.Window
+      val dir = graft.Scratch.tmpPath("graft_dedup_dv", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      LakeSink.createTable(dir, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      // ONE staged write splits the 4 bucket segments (4 filtered
+      // re-scans would read the corpus 4×), one manifest commit
+      val stage = s"$dir/_stage_dedup"
+      withExactDups(s, d).select(col("doc_id"), col("text"))
+        .withColumn("__b", pmod(col("doc_id"), lit(4)))
+        .write.partitionBy("__b").parquet(stage)
+      val segs = new java.io.File(stage).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__b="))
+        .sortBy(_.getName)
+        .map { f =>
+          val seg = "seg_b%d".format(f.getName.stripPrefix("__b=").toInt)
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(dir, seg))
+          seg
+        }.toSeq
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+      val m0 = LakeSink.readManifest(dir)
+      require(LakeSink.commitManifest(dir, m0.version + 1, m0.maxB,
+        m0.segs ++ segs, m0.schemaV, m0.schemaJson),
+        "dedup lake ingest commit lost a race")
+      // The dedup pipeline reads THE LAKE (not the source files) —
+      // losers = every row whose digest has a smaller doc id
+      val losers = LakeSink.readTable(s, dir)
+        .withColumn("h", md5(lower(trim(col("text")))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("h").orderBy("doc_id")))
+        .filter(col("rn") > 1).select("doc_id")
+      val (_, rw, nUpd, nDel, nIns) = LakeSink.mergeClauses(s, dir,
+        losers, Seq("doc_id"),
+        matched = Seq(LakeSink.MergeClause.Delete(None)),
+        dvMaxFraction = 1.0)
+      require(rw == 0 && nUpd == 0L && nIns == 0L,
+        s"dedup-as-DML must be pure DVs (rw=$rw upd=$nUpd ins=$nIns)")
+      val mf = LakeSink.readManifest(dir)
+      LakeSink.readTable(s, dir)
+        .agg(
+          lit(mf.segs.size.toLong).as("n_segments"),
+          lit(mf.dv.size.toLong).as("n_dv_segments"),
+          lit(nDel).as("n_deleted"),
+          count(lit(1)).as("n_rows"),
+          sum("doc_id").as("sum_doc_id"))
+    },
+    // keeper rule = min doc id per normalized digest (dedupExact's);
+    // a DV'd bucket holds ≥1 loser AND ≥1 keeper (rw == 0 REQUIREd,
+    // so an all-loser bucket would fail loud, never skew the census)
+    Some(s"""WITH $augExactSql,
+             r AS (SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY md5(lower(trim(text)))
+                       ORDER BY doc_id) AS rn
+                   FROM aug)
+             SELECT
+               CAST(count(DISTINCT doc_id % 4) AS BIGINT) AS n_segments,
+               (SELECT CAST(count(*) AS BIGINT) FROM (
+                  SELECT doc_id % 4 AS b FROM r GROUP BY 1
+                  HAVING count(CASE WHEN rn > 1 THEN 1 END) > 0
+                     AND count(CASE WHEN rn = 1 THEN 1 END) > 0))
+                 AS n_dv_segments,
+               CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT)
+                 AS n_deleted,
+               CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT)
+                 AS n_rows,
+               CAST(sum(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                 AS sum_doc_id
+             FROM r"""))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupNgram, dupClustersQ, dedupMinhash, dedupSimhash,
     dedupIncremental, fingerprint, tokenCount, textStats, qualityScore,
     langId, langFilter, contamination, contaminationBloom,
     boilerplateNgrams, decontaminateSpan, repetitionFilter, curationE2e,
-    refOverlap)
+    refOverlap, dedupDv)
 }

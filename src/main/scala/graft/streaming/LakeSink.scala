@@ -3218,9 +3218,12 @@ object LakeSink {
     * window spanning a purge stays readable without change data —
     * exactly compaction's CDC contract. Same crash contract as every
     * DML: segments fully written before one manifest CAS, orphans
-    * vacuum, optimistic retry on a lost race. Returns (committed
-    * version, segments purged); a DV-free lake is a no-op. */
-  def purgeDv(spark: SparkSession, outDir: String): (Long, Int) = {
+    * vacuum, optimistic retry on a lost race (`beforeCommit` is the
+    * race-injection seam, [[deleteWhere]]'s pattern). Returns
+    * (committed version, segments purged); a DV-free lake is a
+    * no-op. */
+  def purgeDv(spark: SparkSession, outDir: String,
+      beforeCommit: () => Unit = () => ()): (Long, Int) = {
     var attempt = 0
     while (attempt < dmlMaxAttempts) {
       attempt += 1
@@ -3253,6 +3256,7 @@ object LakeSink {
         }
       }
       val purged = m.dv.size
+      beforeCommit()
       tryCommitEdit(outDir, m, removed.result(), added.result(),
         addedStats.result(), None,
         addedParts = addedParts.result(),

@@ -154,5 +154,40 @@ object DvProbe {
       f""""cow_written_bytes":$cowWrittenU,"dv_written_bytes":$dvWrittenU,""" +
       f""""write_ratio":${cowWrittenU.toDouble / math.max(1L, dvWrittenU)}%.1f,""" +
       f""""cow_read_sec":$tReadCowU%.3f,"dv_read_sec":$tReadDvU%.3f}""")
+
+    // ---- PURGE vs full OPTIMIZE (r14): paying off the DV debt.
+    // dirDvU now carries 8 DV'd segments of 32 (4 delete-DVs + 4
+    // update-DVs). REORG…APPLY (PURGE) rewrites exactly those 8;
+    // full OPTIMIZE rewrites the whole table. Same result (debt
+    // gone, rows identical) — the measured difference is O(debt)
+    // vs O(table) maintenance, which is the purge's design claim.
+    val dirOpt = java.nio.file.Files
+      .createTempDirectory("graft_dv_probe_opt").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirOpt))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dirDvU), new java.io.File(dirOpt))
+    val nDvSegs = LakeSink.readManifest(dirDvU).dv.size
+    val basePurge = dirBytes(dirDvU)
+    val baseOpt = dirBytes(dirOpt)
+    val ((_, nPurged), tPurge) = time(LakeSink.purgeDv(spark, dirDvU))
+    val ((_, nOptIn), tOpt) =
+      time(LakeSink.compact(spark, dirOpt, targetFiles = 32))
+    require(nPurged == nDvSegs,
+      s"probe invariant: purged=$nPurged dvSegs=$nDvSegs")
+    val purgeWritten = dirBytes(dirDvU) - basePurge
+    val optWritten = dirBytes(dirOpt) - baseOpt
+    val cPurge = LakeSink.readTable(spark, dirDvU).count()
+    val cOpt = LakeSink.readTable(spark, dirOpt).count()
+    require(cPurge == cOpt && cPurge == nRows - 4L,
+      s"probe invariant: purge rows=$cPurge optimize rows=$cOpt")
+    require(LakeSink.readManifest(dirDvU).dv.isEmpty &&
+      LakeSink.readManifest(dirOpt).dv.isEmpty, "debt not fully paid")
+
+    println(f"""{"probe":"dv_purge_vs_optimize","sf":"$sfDir","replicas":$replicas,""" +
+      f""""n_rows":${nRows - 4},"n_dv_segments":$nDvSegs,"n_segments":32,""" +
+      f""""purge_sec":$tPurge%.3f,"optimize_sec":$tOpt%.3f,""" +
+      f""""purge_written_bytes":$purgeWritten,"optimize_written_bytes":$optWritten,""" +
+      f""""write_ratio":${optWritten.toDouble / math.max(1L, purgeWritten)}%.1f,""" +
+      f""""optimize_inputs":$nOptIn}""")
   }
 }

@@ -467,6 +467,29 @@ class LakeDvSpec extends AnyFunSuite with SparkFixture {
     assert(v2 === vP && n2 === 0)
   }
 
+  test("a concurrent DV landing during a purge is a TRUE conflict: " +
+      "the purge re-plans and pays the NEW debt too (no resurrection)") {
+    val dir = buildLake()
+    LakeSink.deleteWhere(spark, dir, col("id") === 3L, dvMaxFraction = 0.5)
+    var injected = false
+    val (_, nPurged) = LakeSink.purgeDv(spark, dir,
+      beforeCommit = () => {
+        if (!injected) {
+          injected = true
+          // lands first on seg_b1 — the purge's CAS loses (its edit
+          // was planned against a tip without this DV) and re-plans,
+          // purging BOTH segments' debt
+          LakeSink.deleteWhere(spark, dir, col("id") === 11L,
+            dvMaxFraction = 0.5)
+        }
+      })
+    assert(nPurged === 2, "re-plan saw the concurrent DV")
+    val m = LakeSink.readManifest(dir)
+    assert(m.dv.isEmpty)
+    assert(ids(dir) === Seq(0L, 1L, 2L, 4L, 10L, 12L, 13L, 14L),
+      "both deletes hold after the purge — nothing resurrected")
+  }
+
   test("purge keeps the partition fact with the corrected LIVE row " +
       "count, so metadata-only retention still works after it") {
     val dir = tmp("graft_dv_purge_part")

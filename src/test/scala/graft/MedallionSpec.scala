@@ -241,6 +241,52 @@ class MedallionSpec extends AnyFunSuite with SparkFixture {
     } finally { sq.stop(); gq.stop() }
   }
 
+  test("GDPR via deletion vectors: a merge-on-read bronze erasure " +
+      "feeds the CDC chain identically (no rewrite), and a later " +
+      "REORG purge is invisible to the feed") {
+    val bronze = tmp("graft_gdprdv_bronze")
+    val silver = tmp("graft_gdprdv_silver")
+    val gold = tmp("graft_gdprdv_gold")
+    LakeSink.createTable(bronze, toDf(Nil).schema)
+    Medallion.initTables(silver, gold)
+    val sq = Medallion.startSilverCdc(spark, bronze, silver,
+      tmp("graft_gdprdv_ck_s"))
+    val gq = Medallion.startGoldCdc(spark, silver, gold,
+      tmp("graft_gdprdv_ck_g"))
+    def drain(): Unit = { sq.processAllAvailable(); gq.processAllAvailable() }
+    def goldRows(): Seq[Seq[Any]] = LakeSink.readTable(spark, gold)
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    def wantGold(): Seq[Seq[Any]] = LakeSink.readTable(spark, bronze)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    try {
+      LakeSink.appendSegment(spark, bronze,
+        toDf(mkEvents(0 to 2, 6)), "seg_e000")
+      drain()
+      assert(goldRows() === wantGold())
+      // merge-on-read erasure: bronze keeps its files, the DV hides
+      // the rows, and the cdc images drive the same downstream fix-up
+      val preSegs = LakeSink.readManifest(bronze).segs
+      val (_, rw, _, nDel) = LakeSink.deleteWhere(spark, bronze,
+        col("user_id") === 3L, cdc = true, dvMaxFraction = 1.0)
+      assert(nDel > 0L && rw === 0, "erasure must be DV-backed")
+      val mDel = LakeSink.readManifest(bronze)
+      assert(mDel.segs === preSegs && mDel.dv.nonEmpty,
+        "bronze files untouched, DV recorded")
+      drain()
+      assert(goldRows() === wantGold(),
+        "gold still counts erased rows after DV-backed GDPR delete")
+      // REORG purge pays the debt; the layout-only commit must flow
+      // through the change feed as a no-op, not a poison pill
+      val (_, nPurged) = LakeSink.purgeDv(spark, bronze)
+      assert(nPurged === 1)
+      drain()
+      assert(goldRows() === wantGold(), "purge commit disturbed the feed")
+    } finally { sq.stop(); gq.stop() }
+  }
+
   test("medallion: subscribe-first — consumers attach before bronze has data") {
     val bronze = tmp("graft_med2_bronze")
     val silver = tmp("graft_med2_silver")

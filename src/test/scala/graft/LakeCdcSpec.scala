@@ -145,6 +145,37 @@ class LakeCdcSpec extends AnyFunSuite with SparkFixture {
       "cdc segment of a vacuumed version leaked")
   }
 
+  test("table_changes() TVF over a merge-on-read window: DV-backed " +
+      "SQL DML feeds identical change images, files untouched") {
+    val dir = buildLake()
+    val tbl = "graft_cdcdv_sql_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    // cdc + dv.maxFraction together: point DML records change rows
+    // AND writes deletion vectors instead of rewrites
+    graft.streaming.LakeCatalog.register(tbl, dir, cdc = true,
+      dvMaxFraction = 1.0)
+    try {
+      val preSegs = LakeSink.readManifest(dir).segs
+      val del = spark.sql(s"DELETE FROM $tbl WHERE id = 1").collect().head
+      assert(del.getInt(1) === 0 && del.getLong(3) === 1L, "DV, no rewrite")
+      spark.sql(s"UPDATE $tbl SET flag = flag + 100 WHERE id = 0")
+      val m = LakeSink.readManifest(dir)
+      assert(m.segs.count(preSegs.toSet) === preSegs.size,
+        "every pre-DML segment survives by reference")
+      assert(m.dv.nonEmpty)
+      val tip = m.version
+      val rows = spark.sql(
+        s"SELECT _change_type, id, flag " +
+          s"FROM table_changes('$tbl', ${tip - 2}, $tip) " +
+          "ORDER BY _change_type, id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(rows === Seq(
+        ("delete", 1L, 1L),
+        ("update_postimage", 0L, 100L), ("update_preimage", 0L, 0L)))
+    } finally graft.streaming.LakeCatalog.unregister(tbl)
+  }
+
   test("SQL surface: cdc table property + table_changes() TVF") {
     val dir = buildLake()
     val tbl = "graft_cdc_sql_" +

@@ -140,6 +140,33 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("CREATE TABLE with 'dv.maxFraction' routes DML merge-on-read " +
+      "from the table's first statement; a bad value fails loud") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ddl_dvf").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val tbl = "graft_ddldvf_" + java.lang.Long.toHexString(System.nanoTime())
+    try {
+      spark.sql(
+        s"""CREATE TABLE $tbl (id BIGINT, v BIGINT)
+            USING graft_lake LOCATION '$dir'
+            TBLPROPERTIES ('dv.maxFraction'='1.0')""").collect()
+      spark.sql(s"INSERT INTO $tbl VALUES " +
+        "(CAST(1 AS BIGINT), CAST(5 AS BIGINT)), " +
+        "(CAST(2 AS BIGINT), CAST(6 AS BIGINT))").collect()
+      val del = spark.sql(s"DELETE FROM $tbl WHERE id = 1").collect().head
+      assert(del.getInt(1) === 0 && del.getLong(3) === 1L,
+        "born merge-on-read: DV, no rewrite")
+      assert(LakeSink.readManifest(dir).dv.size === 1)
+      // out-of-range property value fails the statement, not silently
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+          "('dv.maxFraction'='1.5')").collect()
+      }
+      assert(e.getMessage.contains("dv.maxFraction"))
+    } finally LakeCatalog.unregister(tbl)
+  }
+
   test("CREATE TABLE … USING graft_lake: creates, registers, applies " +
       "properties; DROP TABLE unregisters but keeps data") {
     val dir = java.nio.file.Files

@@ -305,7 +305,8 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               ("lake INSERT OVERWRITE takes a fully-static partition " +
                 "spec, one dynamic column, or none — not a mix")))
         LakeReplaceCommand(lakeDir(ins.table).get, ins.query,
-          static.sortBy(_._1), dynamic, lakeCdc(ins.table))
+          static.sortBy(_._1), dynamic, lakeCdc(ins.table),
+          lakeDvf(ins.table))
       }
 
     // SELECT over a registered lake table: substitute the manifest
@@ -476,7 +477,7 @@ case class LakeInsertCommand(dir: String, source: LogicalPlan)
   * covers. */
 case class LakeReplaceCommand(dir: String, source: LogicalPlan,
     static: Seq[(String, String)], dynamic: Seq[String] = Nil,
-    cdc: Boolean = false)
+    cdc: Boolean = false, dvMaxFraction: Double = 0.0)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
@@ -538,7 +539,8 @@ case class LakeReplaceCommand(dir: String, source: LogicalPlan,
           }
         }
       val (v, rw, dr, del, ins) =
-        LakeSink.replaceWhere(session, dir, full, cond, cdc = cdc)
+        LakeSink.replaceWhere(session, dir, full, cond, cdc = cdc,
+          dvMaxFraction = dvMaxFraction)
       Seq(Row(v, rw, dr, del, ins))
     } finally full.unpersist()
   }

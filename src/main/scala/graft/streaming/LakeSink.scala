@@ -3783,12 +3783,23 @@ object LakeSink {
     * for the new ones — a signed-fold consumer rides through the
     * backfill.
     *
+    * `dvMaxFraction > 0` applies the merge-on-read rule to the delete
+    * side (r14): a PARTIALLY-covered segment keeps its files behind a
+    * deletion vector instead of a minus-the-range rewrite — a backfill
+    * straddling segment boundaries writes O(replaced rows), while
+    * fully-covered segments still drop by metadata and the incoming
+    * batch appends as before. Routed from SQL INSERT OVERWRITE by the
+    * `dv.maxFraction` table property.
+    *
     * Returns (version, segments rewritten, segments dropped, rows
     * deleted, rows inserted). */
   def replaceWhere(spark: SparkSession, outDir: String, df: DataFrame,
       cond: Option[org.apache.spark.sql.Column],
-      cdc: Boolean = false): (Long, Int, Int, Long, Long) = {
+      cdc: Boolean = false,
+      dvMaxFraction: Double = 0.0): (Long, Int, Int, Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, count, expr, lit, when}
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
     var attempt = 0
     val src = df.cache()
     try {
@@ -3826,7 +3837,7 @@ object LakeSink {
             DeleteEdit(Set.empty, Nil, Map.empty, Map.empty, Map.empty,
               s"seg_cdc_d$nonce", cdcRows = false, Nil, 0, 0, 0L, 0)
           else planDeleteEdits(spark, outDir, m, cond, None, cdc,
-            dvMaxFraction = 0.0, nonce)
+            dvMaxFraction, nonce)
         var insSegs: Seq[String] = Nil
         var insStats: Map[String, Map[String, ColStat]] = Map.empty
         var insParts: Map[String, PartVal] = Map.empty

@@ -940,6 +940,99 @@ object LakeSink {
       Seq("__dv_f", "__dv_i"))
   }
 
+  /** Read MANY segments' LIVE rows in ONE scan with their positions
+    * (`__dv_f`/`__dv_i`) AND their owning segment (`__dv_s`, parsed
+    * from `_metadata.file_path` — the path component under the table
+    * root) attached. This is the batched-DML planning read (r15): a
+    * verb that touches S segments plans them all with ONE
+    * grouped-by-`__dv_s` aggregate over this frame instead of S
+    * sequential per-segment jobs — the driver-side O(S) job-submission
+    * ceiling the r14 verdict named is gone, while stats/partition/
+    * bloom pruning still trims `segs` BEFORE the scan (metadata-only,
+    * zero jobs, unchanged). DV reconciliation is one broadcast
+    * anti-join against the union of the segments' DV files (file
+    * names are globally unique, so one join serves all segments). */
+  private def readSegmentsWithPos(spark: SparkSession, outDir: String,
+      m: Manifest, segs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
+    require(segs.nonEmpty, "positional read of no segments")
+    val segRe = java.util.regex.Pattern.quote(
+      new java.io.File(outDir).getAbsolutePath) + "/([^/]+)/"
+    val raw = reader(spark, m).parquet(segs.map(s => s"$outDir/$s"): _*)
+      .withColumn("__dv_f", col("_metadata.file_name"))
+      .withColumn("__dv_i", col("_metadata.row_index"))
+      .withColumn("__dv_s",
+        regexp_extract(col("_metadata.file_path"), segRe, 1))
+    val dvSegs = segs.filter(m.dv.contains)
+    val live =
+      if (dvSegs.isEmpty) raw
+      else {
+        val dv = spark.read.parquet(
+          dvSegs.map(s => s"$outDir/_dv/${m.dv(s).file}"): _*)
+        raw.join(broadcast(dv),
+          raw("__dv_f") === dv("file_name") &&
+            raw("__dv_i") === dv("row_index"), "left_anti")
+      }
+    if (m.colmap.isEmpty) live
+    else dephysicalize(live, m, tableSchema(spark, outDir, m),
+      Seq("__dv_f", "__dv_i", "__dv_s"))
+  }
+
+  /** ONE staged partitioned write fanning a `__dv_s`-carrying frame
+    * out to per-segment directories (the llm_dedup_dv ingest trick,
+    * now the shared write seam of every batched DML verb): data files
+    * land under `stage/__dv_s=<seg>/` WITHOUT the `__dv_s` column
+    * (partitionBy strips it), and the caller moves each directory to
+    * its final segment name before the manifest CAS. `onePerSeg`
+    * shuffles by segment first so each segment lands as a single file
+    * (the DV-file shape); rewrites skip the shuffle and let each
+    * segment take as many files as the scan's natural partitioning
+    * produced (a segment is a directory — multi-file is fine).
+    * Returns seg -> staged directory. A crash between write and move
+    * leaves the stage dir an unreferenced orphan, exactly a
+    * half-written segment's contract ([[vacuum]] hygiene). */
+  private def writeStagedBySegment(df: DataFrame, stage: String,
+      onePerSeg: Boolean = false): Map[String, java.io.File] = {
+    import org.apache.spark.sql.functions.col
+    val out = if (onePerSeg) df.repartition(col("__dv_s")) else df
+    out.write.partitionBy("__dv_s").parquet(stage)
+    new java.io.File(stage).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__dv_s="))
+      .map(f => f.getName.stripPrefix("__dv_s=") -> f).toMap
+  }
+
+  /** [[segmentStats]] GROUPed BY `__dv_s` — per-segment min/max/null
+    * bounds for MANY just-staged segments in ONE job (reading the
+    * stage dir back restores `__dv_s` as a partition column). */
+  private def segmentStatsGrouped(df: DataFrame, cols: Seq[String])
+      : Map[String, Map[String, ColStat]] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val typed = cols.flatMap(c => df.schema.fields.collectFirst {
+      case f if f.name == c &&
+        (f.dataType == LongType || f.dataType == StringType) =>
+        (c, f.dataType == LongType)
+    })
+    if (typed.isEmpty) return Map.empty
+    val aggs = typed.flatMap { case (c, _) =>
+      Seq(min(col(c)), max(col(c)),
+        count(when(col(c).isNull, lit(1)))) }
+    df.groupBy(col("__dv_s")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { row =>
+        row.getString(0) -> typed.zipWithIndex.flatMap {
+          case ((c, isLong), i) =>
+            val (mnI, mxI, nI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
+            if (row.isNullAt(mnI) || row.isNullAt(mxI)) None
+            else if (isLong)
+              Some(c -> LongStat(row.getLong(mnI), row.getLong(mxI),
+                row.getLong(nI)))
+            else
+              Some(c -> StrStat(row.getString(mnI), row.getString(mxI),
+                row.getLong(nI)))
+        }.toMap
+      }.toMap
+  }
+
   /** Read the lake AS OF its current committed manifest — exactly the
     * listed segments, never a partially-published one. */
   def readTable(spark: SparkSession, outDir: String): DataFrame = {
@@ -2648,7 +2741,7 @@ object LakeSink {
       pruneHint: Option[(String, Long, Long)],
       cdc: Boolean, dvMaxFraction: Double,
       nonce: String): DeleteEdit = {
-    import org.apache.spark.sql.functions.{coalesce, count, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
     val cdcSeg = s"seg_cdc_d$nonce"
     condOpt match {
       case None =>
@@ -2740,6 +2833,11 @@ object LakeSink {
         else inferFullMatchChecks(spark, schemaOnce, cond, m)
       val cdcDrops = Seq.newBuilder[String]
       var cdcDropped = false
+      // Metadata ladder per segment, DRIVER-side (zero jobs):
+      // partition-covered decisions, stats-proven full matches, and
+      // hint pruning classify every segment; only the surviving scan
+      // class enters the ONE batched planning job below.
+      val scanSegs = Seq.newBuilder[(String, Int)]
       m.segs.zipWithIndex.foreach { case (seg, i) =>
         val pvOpt = m.parts.get(seg)
         val partDecision: Option[Boolean] =
@@ -2772,82 +2870,125 @@ object LakeSink {
           removed += seg
           deleted += pvOpt.get.rows - m.dv.get(seg).map(_.rows).getOrElse(0L)
           if (cdc) { cdcDrops += seg; cdcDropped = true }
-        } else {
-        val pruned = hints.exists(h => !mayMatchHint(m, outDir, seg, h))
-        if (!pruned) {
-          // Segment-sized cache (a segment is one ingest micro-batch /
-          // compaction target, bounded by construction): count + rewrite
-          // read one materialization instead of re-scanning parquet 2-3x.
-          // The positional read reconciles any existing deletion vector,
-          // so counts/predicates see only LIVE rows, and the matched
-          // positions are exactly what a merge-on-read write records.
-          val df = readSegmentWithPos(spark, outDir, m, seg).cache()
-          try {
-            // One job for both counts — total and predicate-TRUE rows.
-            val Array(total, matches) = df.agg(
-              count(lit(1)), count(when(cond, lit(1)))).head
-              .toSeq.map(_.asInstanceOf[Long]).toArray
-            if (matches > 0L) {
-              deleted += matches
-              if (cdc) {
-                physicalize(df.filter(coalesce(cond, lit(false)))
-                  .drop("__dv_f", "__dv_i")
-                  .withColumn("_change_type", lit("delete")), m)
-                  .write.mode("append").parquet(s"$outDir/$cdcSeg")
-                cdcRows = true
+        } else if (!hints.exists(h => !mayMatchHint(m, outDir, seg, h)))
+          scanSegs += ((seg, i))
+      }
+      val scan = scanSegs.result()
+      if (scan.nonEmpty) {
+        // BATCHED PLANNING (r15): the whole scan class counts in ONE
+        // grouped-by-segment job over one DV-reconciling positional
+        // read (counts and predicates see only LIVE rows; the matched
+        // positions are exactly what a merge-on-read write records) —
+        // before r15 this was one sequential Spark job per segment,
+        // the r14 verdict's driver-side O(segments) ceiling. Write
+        // passes re-scan with pushed filters instead of caching: a
+        // constant number of full-parallelism scans beats caching an
+        // unbounded multi-segment working set.
+        val pos = readSegmentsWithPos(spark, outDir, m, scan.map(_._1))
+        val perSeg = pos.groupBy(col("__dv_s"))
+          .agg(count(lit(1)), count(when(cond, lit(1))))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        def countsOf(seg: String): (Long, Long) =
+          perSeg.getOrElse(seg, (0L, 0L))
+        val touched = scan.filter { case (seg, _) => countsOf(seg)._2 > 0L }
+        if (touched.nonEmpty) {
+          deleted += touched.map(t => countsOf(t._1)._2).sum
+          if (cdc) {
+            // CHANGE DATA FEED: all segments' deleted rows in ONE
+            // write alongside the edit (Delta's _change_data move) —
+            // the only extra IO is the changed rows themselves.
+            physicalize(pos.filter(coalesce(cond, lit(false)))
+              .drop("__dv_f", "__dv_i", "__dv_s")
+              .withColumn("_change_type", lit("delete")), m)
+              .write.mode("append").parquet(s"$outDir/$cdcSeg")
+            cdcRows = true
+          }
+          // Classification from the counts (unchanged rules): a fully-
+          // matching segment drops by metadata; a partial match within
+          // the DV threshold writes a deletion vector; the rest
+          // rewrite copy-on-write.
+          val (fullSegs, partial) = touched.partition { case (seg, _) =>
+            val (total, matches) = countsOf(seg); matches == total }
+          fullSegs.foreach { case (seg, _) => dropped += 1; removed += seg }
+          val (morSegs, cowSegs) = partial.partition { case (seg, _) =>
+            val (total, matches) = countsOf(seg)
+            dvMaxFraction > 0.0 &&
+              matches <= (total * dvMaxFraction).toLong
+          }
+          if (morSegs.nonEmpty) {
+            // MERGE-ON-READ point deletes, batched: ALL segments'
+            // matched positions (each unioned with the segment's
+            // previous DV — files are immutable, a new delete
+            // supersedes) land via ONE staged per-segment write —
+            // total write cost O(deleted rows), total job cost O(1).
+            // At 100 TB this turns a GDPR-style few-row delete from a
+            // rewrite into kilobyte writes; readers reconcile,
+            // OPTIMIZE applies physically, vacuum GCs superseded
+            // files. Stats stay as recorded: a DV only narrows the
+            // true bounds, so stale min/max remain advisory-sound.
+            val isMor = col("__dv_s").isin(morSegs.map(_._1): _*)
+            val newDel = pos.filter(coalesce(cond, lit(false)) && isMor)
+              .select(col("__dv_s"), col("__dv_f").as("file_name"),
+                col("__dv_i").as("row_index"))
+            val withOld = morSegs.map(_._1).filter(m.dv.contains)
+              .foldLeft(newDel) { (acc, s) =>
+                acc.unionByName(spark.read
+                  .parquet(s"$outDir/_dv/${m.dv(s).file}")
+                  .withColumn("__dv_s", lit(s))
+                  .select(col("__dv_s"), col("file_name"),
+                    col("row_index")))
               }
-              if (matches == total) { dropped += 1; removed += seg }
-              else if (dvMaxFraction > 0.0 &&
-                  matches <= (total * dvMaxFraction).toLong) {
-                // MERGE-ON-READ point delete: write O(deleted rows) — a
-                // deletion-vector file with the matched positions (plus
-                // the segment's previous DV: files are immutable, a new
-                // delete supersedes with the union) — instead of
-                // rewriting the segment. At 100 TB this turns a
-                // GDPR-style 4-row delete from a full-segment rewrite
-                // into a kilobyte write; readers reconcile, OPTIMIZE
-                // applies physically, vacuum GCs superseded files.
-                val newDel = df.filter(coalesce(cond, lit(false)))
-                  .select(org.apache.spark.sql.functions.col("__dv_f")
-                      .as("file_name"),
-                    org.apache.spark.sql.functions.col("__dv_i")
-                      .as("row_index"))
-                val allDel = m.dv.get(seg) match {
-                  case None => newDel
-                  case Some(r) => newDel.unionByName(
-                    spark.read.parquet(s"$outDir/_dv/${r.file}"))
-                }
-                val dvName = s"dv_${nonce}_$i"
-                allDel.coalesce(1).write.mode("overwrite")
-                  .parquet(s"$outDir/_dv/$dvName")
-                dvSets += seg -> DvRef(dvName,
-                  m.dv.get(seg).map(_.rows).getOrElse(0L) + matches)
-                dvWrites += 1
-                // stats stay as recorded: a DV only narrows the true
-                // bounds, so the stale min/max remain sound (advisory
-                // superset) for pruning
-              }
-              else {
-                // keep = NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
-                // NULL-predicate rows.
-                val keep = physicalize(df.filter(!coalesce(cond, lit(false)))
-                  .drop("__dv_f", "__dv_i"), m)
-                val newSeg = f"seg_d${m.version + 1}%010d_${i}_$nonce"
-                keep.write.mode("overwrite").parquet(s"$outDir/$newSeg")
-                rewritten += 1
-                removed += seg
-                added += newSeg
-                if (tracked.nonEmpty)
-                  addedStats += newSeg -> segmentStats(keep, tracked)
-                writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
-                // a delete-rewrite keeps a SUBSET of the segment's rows,
-                // so the partition fact survives with the new count
-                pvOpt.foreach(pv => addedParts +=
-                  newSeg -> PartVal(pv.col, pv.value, total - matches))
-              }
+            val dvStage = s"$outDir/_stage_dvd_$nonce"
+            val dvDirs = writeStagedBySegment(withOld, dvStage,
+              onePerSeg = true)
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(outDir, "_dv"))
+            morSegs.foreach { case (seg, i) =>
+              val dvName = s"dv_${nonce}_$i"
+              java.nio.file.Files.move(dvDirs(seg).toPath,
+                java.nio.file.Paths.get(outDir, "_dv", dvName))
+              dvSets += seg -> DvRef(dvName,
+                m.dv.get(seg).map(_.rows).getOrElse(0L) +
+                  countsOf(seg)._2)
+              dvWrites += 1
             }
-          } finally df.unpersist()
-        }
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(dvStage))
+          }
+          if (cowSegs.nonEmpty) {
+            // Copy-on-write rewrites, batched through ONE staged
+            // per-segment write plus ONE grouped stats job. keep =
+            // NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
+            // NULL-predicate rows.
+            val isCow = col("__dv_s").isin(cowSegs.map(_._1): _*)
+            val keep = pos.filter(isCow && !coalesce(cond, lit(false)))
+              .drop("__dv_f", "__dv_i")
+            val cowStage = s"$outDir/_stage_cowd_$nonce"
+            val cowDirs = writeStagedBySegment(physicalize(keep, m),
+              cowStage)
+            val cowStats =
+              if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
+              else segmentStatsGrouped(
+                spark.read.parquet(cowStage), tracked)
+            cowSegs.foreach { case (seg, i) =>
+              val newSeg = f"seg_d${m.version + 1}%010d_${i}_$nonce"
+              java.nio.file.Files.move(cowDirs(seg).toPath,
+                java.nio.file.Paths.get(outDir, newSeg))
+              rewritten += 1
+              removed += seg
+              added += newSeg
+              cowStats.get(seg).foreach(st => addedStats += newSeg -> st)
+              writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
+              // a delete-rewrite keeps a SUBSET of the segment's rows,
+              // so the partition fact survives with the new count
+              val (total, matches) = countsOf(seg)
+              m.parts.get(seg).foreach(pv => addedParts +=
+                newSeg -> PartVal(pv.col, pv.value, total - matches))
+            }
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(cowStage))
+          }
         }
       }
       DeleteEdit(removed.result(), added.result(), addedStats.result(),
@@ -2916,12 +3057,13 @@ object LakeSink {
       val trackedLogical =
         if (m.colmap.isEmpty) tracked else tracked.flatMap(m.logicalOf(_))
       val bloomLogical = m.bloomCols.flatMap(m.logicalOf(_))
+      val schema = tableSchema(spark, outDir, m)
       val hints: Seq[PruneHint] =
         (pruneHint.map { case (c, lo, hi) => NumRange(c, lo, hi) } match {
           case Some(h) => Seq(h)
           case None =>
             if (trackedLogical.isEmpty && bloomLogical.isEmpty) Nil
-            else inferPruneHints(spark, tableSchema(spark, outDir, m),
+            else inferPruneHints(spark, schema,
               cond, trackedLogical, bloomLogical)
         }).map(hintPhysical(_, m))
       val nonce = java.lang.Long.toHexString(
@@ -2939,158 +3081,197 @@ object LakeSink {
       var cdcRows = false
       val dvSets = Map.newBuilder[String, DvRef]
       var dvWrites = 0
-      m.segs.zipWithIndex.foreach { case (seg, i) =>
-        val pruned = hints.exists(h => !mayMatchHint(m, outDir, seg, h))
-        if (!pruned) {
-          // DV-reconciling POSITIONAL read, cached segment-sized (the
-          // delete path's rule): predicates see only live rows, the
-          // matched positions are exactly what a merge-on-read DV
-          // write records, and a copy-on-write rewrite drops the
-          // segment's dv entry with the segment (merge-on-read debt
-          // is paid there).
-          val df = readSegmentWithPos(spark, outDir, m, seg).cache()
-          try {
-            val cols = df.columns.filterNot(posCols)
-            // A misspelled assignment column must error, not silently
-            // no-op-rewrite every touched segment.
-            val unknown = assignments.keySet -- cols
-            require(unknown.isEmpty,
-              s"UPDATE assigns column(s) not in segment $seg schema: " +
-                unknown.toSeq.sorted.mkString(", "))
-            // ONE job per segment: total live rows, matching rows, and
-            // per-expectation POST-IMAGE violation counts. The match
-            // flag and every assignment right-hand side are evaluated
-            // against the OLD row inside the same projection, then the
-            // expectations judge the post-image values — CHECK-
-            // constraint semantics on every write path, not just
-            // appends. Registration is NOT VALID (no historical scan),
-            // so only rows this UPDATE writes NEW VALUES for are
-            // checked; untouched rows riding a copy-on-write rewrite
-            // are not re-judged.
-            // Right-hand sides are guarded by the match flag (lazy
-            // CaseWhen branch): SQL UPDATE evaluates SET expressions
-            // ONLY on matching rows — an RHS that errors on a
-            // non-matching row (ANSI division by zero under
-            // `WHERE w > 0`, SET `v = x / w`) must not fail the
-            // statement. Unmatched rows carry their old values, which
-            // the __m-guarded aggregates below never judge.
-            val flagged = df.select(
-              coalesce(cond, lit(false)).as("__m") +:
-                cols.toSeq.map(c => assignments.get(c)
-                  .map(v => when(coalesce(cond, lit(false)), v)
-                    .otherwise(col(c)).as(c))
-                  .getOrElse(col(c))): _*)
-            val aggs = count(lit(1)) +:
-              count(when(col("__m"), lit(1))) +:
-              checks.map { case (_, sql) =>
-                sum(when(col("__m") && !coalesce(expr(sql), lit(false)),
-                  1L).otherwise(0L)) }
-            val cntRow = flagged.agg(aggs.head, aggs.tail: _*).head()
-            val total = cntRow.getLong(0)
-            val matches = cntRow.getLong(1)
-            if (matches > 0L) {
-              val bad = checks.zipWithIndex
-                .map { case ((n, _), j) => n -> cntRow.getLong(j + 2) }
-                .filter(_._2 > 0L)
-              require(bad.isEmpty,
-                s"UPDATE at $outDir would write rows violating " +
-                  "expectation(s): " +
-                  bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
-              updated += matches
-              // Post-image of the matched rows: every right-hand side
-              // against the OLD row in one projection (chained
-              // withColumn would feed already-updated columns into
-              // later assignments) — shared by the CDC images and the
-              // merge-on-read append, so a feed consumer cannot tell
-              // which storage strategy served the update.
-              def matchedPost = df.filter(cond).select(cols.toSeq.map(c =>
-                assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-              if (cdc) {
-                physicalize(df.filter(cond).drop("__dv_f", "__dv_i")
-                  .withColumn("_change_type", lit("update_preimage")), m)
-                  .write.mode("append").parquet(s"$outDir/$cdcSeg")
-                physicalize(matchedPost
-                  .withColumn("_change_type", lit("update_postimage")), m)
-                  .write.mode("append").parquet(s"$outDir/$cdcSeg")
-                cdcRows = true
-              }
-              if (dvMaxFraction > 0.0 && matches < total &&
-                  matches <= (total * dvMaxFraction).toLong) {
-                // MERGE-ON-READ point update: write O(updated rows) —
-                // the matched positions join the segment's deletion
-                // vector (superseding union: files are immutable, the
-                // exact delete-DV rule) and the post-image rows append
-                // as ONE new segment. At 100 TB this turns a 4-row
-                // GDPR rectification from a full-segment rewrite into
-                // a kilobyte DV plus a 4-row append. Strictly-partial
-                // guard: a fully-matching segment writes the same
-                // bytes either way, so it stays a rewrite.
-                val newDel = df.filter(coalesce(cond, lit(false)))
-                  .select(col("__dv_f").as("file_name"),
-                    col("__dv_i").as("row_index"))
-                val allDel = m.dv.get(seg) match {
-                  case None => newDel
-                  case Some(r) => newDel.unionByName(
-                    spark.read.parquet(s"$outDir/_dv/${r.file}"))
-                }
-                val dvName = s"dv_${nonce}_$i"
-                allDel.coalesce(1).write.mode("overwrite")
-                  .parquet(s"$outDir/_dv/$dvName")
-                dvSets += seg -> DvRef(dvName,
-                  m.dv.get(seg).map(_.rows).getOrElse(0L) + matches)
-                dvWrites += 1
-                val postSeg = f"seg_u${m.version + 1}%010d_${i}p_$nonce"
-                physicalize(matchedPost, m).write.mode("overwrite")
-                  .parquet(s"$outDir/$postSeg")
-                added += postSeg
-                if (tracked.nonEmpty)
-                  addedStats += postSeg -> segmentStats(
-                    spark.read.parquet(s"$outDir/$postSeg"), tracked)
-                writeSegmentBlooms(spark, outDir, postSeg, m.bloomCols)
-                // post-image rows keep the row's partition value unless
-                // the partition column itself is assigned; the DV'd
-                // source keeps its fact with the ORIGINAL row count
-                // (the DV is the liveness correction) and its recorded
-                // stats (stale-superset bounds stay advisory-sound:
-                // the segment's live rows are a subset of what the
-                // bounds were computed over).
-                m.parts.get(seg).foreach { pv =>
-                  if (!m.logicalOf(pv.col).exists(assignments.contains))
-                    addedParts += postSeg -> PartVal(pv.col, pv.value,
-                      matches)
-                }
-              } else {
-                // Copy-on-write rewrite: matching rows take their
-                // assignments, non-matching rows pass through
-                // bit-identical, the segment's dv entry (if any)
-                // retires with the segment.
-                val out = df.select(cols.toSeq.map { c =>
-                  assignments.get(c) match {
-                    case Some(v) => when(cond, v).otherwise(col(c)).as(c)
-                    case None => col(c)
-                  }
-                }: _*)
-                val newSeg = f"seg_u${m.version + 1}%010d_${i}_$nonce"
-                physicalize(out, m).write.mode("overwrite")
-                  .parquet(s"$outDir/$newSeg")
-                rewritten += 1
-                removed += seg
-                added += newSeg
-                if (tracked.nonEmpty)
-                  addedStats += newSeg -> segmentStats(
-                    spark.read.parquet(s"$outDir/$newSeg"), tracked)
-                writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
-                // an update keeps every row; the partition fact
-                // survives unless the partition column itself was
-                // assigned
-                m.parts.get(seg).foreach { pv =>
-                  if (!m.logicalOf(pv.col).exists(assignments.contains))
-                    addedParts += newSeg -> pv
-                }
-              }
-            }
-          } finally df.unpersist()
+      // Metadata pruning stays per segment and DRIVER-side (zero
+      // jobs); only the surviving scan set enters the batched read.
+      val scanSegs = m.segs.zipWithIndex.filter { case (seg, _) =>
+        !hints.exists(h => !mayMatchHint(m, outDir, seg, h)) }
+      if (scanSegs.isEmpty) return (m.version, 0, 0L)
+      val cols = schema.fieldNames.toSeq
+      // A misspelled assignment column must error, not silently no-op.
+      val unknown = assignments.keySet -- cols
+      require(unknown.isEmpty,
+        s"UPDATE assigns column(s) not in table schema: " +
+          unknown.toSeq.sorted.mkString(", "))
+      // BATCHED PLANNING (r15): the whole touched set plans in ONE
+      // grouped-by-segment job over one DV-reconciling positional
+      // read — per segment: total live rows, matching rows, and
+      // per-expectation POST-IMAGE violation counts. Before r15 this
+      // was one sequential Spark job PER SEGMENT (the r14 verdict's
+      // driver-side O(segments) ceiling: a broad UPDATE on a 100 TB
+      // table touching thousands of segments paid thousands of
+      // serial job submissions while the cluster idled).
+      // The match flag and every assignment right-hand side are
+      // evaluated against the OLD row inside the same projection,
+      // then the expectations judge the post-image values — CHECK-
+      // constraint semantics on every write path, not just appends.
+      // Registration is NOT VALID (no historical scan), so only rows
+      // this UPDATE writes NEW VALUES for are checked; untouched rows
+      // riding a copy-on-write rewrite are not re-judged.
+      // Right-hand sides are guarded by the match flag (lazy CaseWhen
+      // branch): SQL UPDATE evaluates SET expressions ONLY on
+      // matching rows — an RHS that errors on a non-matching row
+      // (ANSI division by zero under `WHERE w > 0`, SET `v = x / w`)
+      // must not fail the statement. Unmatched rows carry their old
+      // values, which the __m-guarded aggregates below never judge.
+      // The write passes re-scan (filters pushed to the parquet scan)
+      // instead of caching: a constant number of full-parallelism
+      // scans beats caching an unbounded multi-segment working set —
+      // per-segment caching was bounded, a batched cache would be the
+      // whole touched byte-range.
+      val pos = readSegmentsWithPos(spark, outDir, m, scanSegs.map(_._1))
+      val flagged = pos.select(
+        col("__dv_s") +:
+          coalesce(cond, lit(false)).as("__m") +:
+          cols.map(c => assignments.get(c)
+            .map(v => when(coalesce(cond, lit(false)), v)
+              .otherwise(col(c)).as(c))
+            .getOrElse(col(c))): _*)
+      val aggs = count(lit(1)) +:
+        count(when(col("__m"), lit(1))) +:
+        checks.map { case (_, sql) =>
+          sum(when(col("__m") && !coalesce(expr(sql), lit(false)),
+            1L).otherwise(0L)) }
+      val perSeg = flagged.groupBy(col("__dv_s"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getString(0) -> r).toMap
+      def matchesOf(seg: String): Long =
+        perSeg.get(seg).map(_.getLong(2)).getOrElse(0L)
+      // CHECK gate over the WHOLE statement, before any write.
+      val bad = checks.zipWithIndex.map { case ((n, _), j) =>
+        n -> perSeg.valuesIterator.map(_.getLong(j + 3)).sum }
+        .filter(_._2 > 0L)
+      require(bad.isEmpty,
+        s"UPDATE at $outDir would write rows violating " +
+          "expectation(s): " +
+          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+      val touched = scanSegs.filter { case (seg, _) => matchesOf(seg) > 0L }
+      if (touched.isEmpty) return (m.version, 0, 0L)
+      updated = touched.map { case (seg, _) => matchesOf(seg) }.sum
+      // Post-image of the matched rows: every right-hand side against
+      // the OLD row in one projection (chained withColumn would feed
+      // already-updated columns into later assignments) — shared by
+      // the CDC images and the merge-on-read append, so a feed
+      // consumer cannot tell which storage strategy served the update.
+      def matchedPost = pos.filter(cond).select(
+        col("__dv_s") +: cols.map(c =>
+          assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      if (cdc) {
+        physicalize(pos.filter(cond).drop("__dv_f", "__dv_i", "__dv_s")
+          .withColumn("_change_type", lit("update_preimage")), m)
+          .write.mode("append").parquet(s"$outDir/$cdcSeg")
+        physicalize(matchedPost.drop("__dv_s")
+          .withColumn("_change_type", lit("update_postimage")), m)
+          .write.mode("append").parquet(s"$outDir/$cdcSeg")
+        cdcRows = true
+      }
+      // Storage-strategy split per segment (unchanged rules): MERGE-
+      // ON-READ when the match fraction is within the threshold and
+      // strictly partial (a fully-matching segment writes the same
+      // bytes either way, so it stays a rewrite); COPY-ON-WRITE else.
+      val (morSegs, cowSegs) = touched.partition { case (seg, _) =>
+        val r = perSeg(seg)
+        val (total, matches) = (r.getLong(1), r.getLong(2))
+        dvMaxFraction > 0.0 && matches < total &&
+          matches <= (total * dvMaxFraction).toLong
+      }
+      if (morSegs.nonEmpty) {
+        // MERGE-ON-READ point updates, batched: ALL segments' matched
+        // positions join their deletion vectors (superseding union:
+        // files are immutable, the exact delete-DV rule) via ONE
+        // staged per-segment write, and ALL post-image rows append as
+        // one new segment per source segment via a second — total
+        // write cost O(updated rows), total job cost O(1). The DV'd
+        // source keeps its partition fact with the ORIGINAL row count
+        // (the DV is the liveness correction) and its recorded stats
+        // (stale-superset bounds stay advisory-sound).
+        val isMor = col("__dv_s").isin(morSegs.map(_._1): _*)
+        val newDel = pos.filter(coalesce(cond, lit(false)) && isMor)
+          .select(col("__dv_s"), col("__dv_f").as("file_name"),
+            col("__dv_i").as("row_index"))
+        val withOld = morSegs.map(_._1).filter(m.dv.contains)
+          .foldLeft(newDel) { (acc, s) =>
+            acc.unionByName(spark.read
+              .parquet(s"$outDir/_dv/${m.dv(s).file}")
+              .withColumn("__dv_s", lit(s))
+              .select(col("__dv_s"), col("file_name"), col("row_index")))
+          }
+        val dvStage = s"$outDir/_stage_dvu_$nonce"
+        val dvDirs = writeStagedBySegment(withOld, dvStage,
+          onePerSeg = true)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(outDir, "_dv"))
+        val postStage = s"$outDir/_stage_postu_$nonce"
+        val post = pos.filter(coalesce(cond, lit(false)) && isMor)
+          .select(col("__dv_s") +: cols.map(c =>
+            assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        val postDirs = writeStagedBySegment(physicalize(post, m),
+          postStage)
+        val postStats =
+          if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
+          else segmentStatsGrouped(spark.read.parquet(postStage), tracked)
+        morSegs.foreach { case (seg, i) =>
+          val dvName = s"dv_${nonce}_$i"
+          java.nio.file.Files.move(dvDirs(seg).toPath,
+            java.nio.file.Paths.get(outDir, "_dv", dvName))
+          dvSets += seg -> DvRef(dvName,
+            m.dv.get(seg).map(_.rows).getOrElse(0L) + matchesOf(seg))
+          dvWrites += 1
+          val postSeg = f"seg_u${m.version + 1}%010d_${i}p_$nonce"
+          java.nio.file.Files.move(postDirs(seg).toPath,
+            java.nio.file.Paths.get(outDir, postSeg))
+          added += postSeg
+          postStats.get(seg).foreach(st => addedStats += postSeg -> st)
+          writeSegmentBlooms(spark, outDir, postSeg, m.bloomCols)
+          // post-image rows keep the row's partition value unless the
+          // partition column itself is assigned
+          m.parts.get(seg).foreach { pv =>
+            if (!m.logicalOf(pv.col).exists(assignments.contains))
+              addedParts += postSeg -> PartVal(pv.col, pv.value,
+                matchesOf(seg))
+          }
         }
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dvStage))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(postStage))
+      }
+      if (cowSegs.nonEmpty) {
+        // Copy-on-write rewrites, batched: matching rows take their
+        // assignments, non-matching rows pass through bit-identical,
+        // each segment's dv entry (if any) retires with the segment —
+        // ALL rewrites through ONE staged per-segment write plus ONE
+        // grouped stats job over the staged bytes.
+        val isCow = col("__dv_s").isin(cowSegs.map(_._1): _*)
+        val out = pos.filter(isCow).select(
+          col("__dv_s") +: cols.map { c =>
+            assignments.get(c) match {
+              case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }: _*)
+        val cowStage = s"$outDir/_stage_cowu_$nonce"
+        val cowDirs = writeStagedBySegment(physicalize(out, m), cowStage)
+        val cowStats =
+          if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
+          else segmentStatsGrouped(spark.read.parquet(cowStage), tracked)
+        cowSegs.foreach { case (seg, i) =>
+          val newSeg = f"seg_u${m.version + 1}%010d_${i}_$nonce"
+          java.nio.file.Files.move(cowDirs(seg).toPath,
+            java.nio.file.Paths.get(outDir, newSeg))
+          rewritten += 1
+          removed += seg
+          added += newSeg
+          cowStats.get(seg).foreach(st => addedStats += newSeg -> st)
+          writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
+          // an update keeps every row; the partition fact survives
+          // unless the partition column itself was assigned
+          m.parts.get(seg).foreach { pv =>
+            if (!m.logicalOf(pv.col).exists(assignments.contains))
+              addedParts += newSeg -> pv
+          }
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(cowStage))
       }
       if (rewritten == 0 && dvWrites == 0) return (m.version, 0, 0L)
       beforeCommit()

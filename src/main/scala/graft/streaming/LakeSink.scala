@@ -2894,11 +2894,17 @@ object LakeSink {
         val touched = scan.filter { case (seg, _) => countsOf(seg)._2 > 0L }
         if (touched.nonEmpty) {
           deleted += touched.map(t => countsOf(t._1)._2).sum
+          // Write passes re-scope the path list to exactly the
+          // segments they touch (`__dv_s` is a COMPUTED column —
+          // filtering on it would not prune files): a 3-segment delete
+          // on a 5000-segment scan set re-reads 3 segments, not 5000.
+          def posOf(segs: Seq[(String, Int)]) =
+            readSegmentsWithPos(spark, outDir, m, segs.map(_._1))
           if (cdc) {
             // CHANGE DATA FEED: all segments' deleted rows in ONE
             // write alongside the edit (Delta's _change_data move) —
             // the only extra IO is the changed rows themselves.
-            physicalize(pos.filter(coalesce(cond, lit(false)))
+            physicalize(posOf(touched).filter(coalesce(cond, lit(false)))
               .drop("__dv_f", "__dv_i", "__dv_s")
               .withColumn("_change_type", lit("delete")), m)
               .write.mode("append").parquet(s"$outDir/$cdcSeg")
@@ -2927,8 +2933,7 @@ object LakeSink {
             // OPTIMIZE applies physically, vacuum GCs superseded
             // files. Stats stay as recorded: a DV only narrows the
             // true bounds, so stale min/max remain advisory-sound.
-            val isMor = col("__dv_s").isin(morSegs.map(_._1): _*)
-            val newDel = pos.filter(coalesce(cond, lit(false)) && isMor)
+            val newDel = posOf(morSegs).filter(coalesce(cond, lit(false)))
               .select(col("__dv_s"), col("__dv_f").as("file_name"),
                 col("__dv_i").as("row_index"))
             val withOld = morSegs.map(_._1).filter(m.dv.contains)
@@ -2958,11 +2963,11 @@ object LakeSink {
           }
           if (cowSegs.nonEmpty) {
             // Copy-on-write rewrites, batched through ONE staged
-            // per-segment write plus ONE grouped stats job. keep =
-            // NOT TRUE, i.e. FALSE or NULL — SQL DELETE keeps
-            // NULL-predicate rows.
-            val isCow = col("__dv_s").isin(cowSegs.map(_._1): _*)
-            val keep = pos.filter(isCow && !coalesce(cond, lit(false)))
+            // per-segment write plus ONE grouped stats job, path-
+            // scoped to exactly the CoW segments. keep = NOT TRUE,
+            // i.e. FALSE or NULL — SQL DELETE keeps NULL-predicate
+            // rows.
+            val keep = posOf(cowSegs).filter(!coalesce(cond, lit(false)))
               .drop("__dv_f", "__dv_i")
             val cowStage = s"$outDir/_stage_cowd_$nonce"
             val cowDirs = writeStagedBySegment(physicalize(keep, m),
@@ -3147,19 +3152,26 @@ object LakeSink {
       val touched = scanSegs.filter { case (seg, _) => matchesOf(seg) > 0L }
       if (touched.isEmpty) return (m.version, 0, 0L)
       updated = touched.map { case (seg, _) => matchesOf(seg) }.sum
+      // Write passes re-scope the path list to exactly the segments
+      // they touch (`__dv_s` is a COMPUTED column — filtering on it
+      // would not prune files): a 3-segment update on a 5000-segment
+      // scan set re-reads 3 segments, not 5000.
+      def posOf(segs: Seq[(String, Int)]) =
+        readSegmentsWithPos(spark, outDir, m, segs.map(_._1))
+      val posT = posOf(touched)
       // Post-image of the matched rows: every right-hand side against
       // the OLD row in one projection (chained withColumn would feed
       // already-updated columns into later assignments) — shared by
       // the CDC images and the merge-on-read append, so a feed
       // consumer cannot tell which storage strategy served the update.
-      def matchedPost = pos.filter(cond).select(
+      def matchedPostOf(p: DataFrame) = p.filter(cond).select(
         col("__dv_s") +: cols.map(c =>
           assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
       if (cdc) {
-        physicalize(pos.filter(cond).drop("__dv_f", "__dv_i", "__dv_s")
+        physicalize(posT.filter(cond).drop("__dv_f", "__dv_i", "__dv_s")
           .withColumn("_change_type", lit("update_preimage")), m)
           .write.mode("append").parquet(s"$outDir/$cdcSeg")
-        physicalize(matchedPost.drop("__dv_s")
+        physicalize(matchedPostOf(posT).drop("__dv_s")
           .withColumn("_change_type", lit("update_postimage")), m)
           .write.mode("append").parquet(s"$outDir/$cdcSeg")
         cdcRows = true
@@ -3184,8 +3196,8 @@ object LakeSink {
         // source keeps its partition fact with the ORIGINAL row count
         // (the DV is the liveness correction) and its recorded stats
         // (stale-superset bounds stay advisory-sound).
-        val isMor = col("__dv_s").isin(morSegs.map(_._1): _*)
-        val newDel = pos.filter(coalesce(cond, lit(false)) && isMor)
+        val posM = posOf(morSegs)
+        val newDel = posM.filter(coalesce(cond, lit(false)))
           .select(col("__dv_s"), col("__dv_f").as("file_name"),
             col("__dv_i").as("row_index"))
         val withOld = morSegs.map(_._1).filter(m.dv.contains)
@@ -3201,11 +3213,8 @@ object LakeSink {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(outDir, "_dv"))
         val postStage = s"$outDir/_stage_postu_$nonce"
-        val post = pos.filter(coalesce(cond, lit(false)) && isMor)
-          .select(col("__dv_s") +: cols.map(c =>
-            assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-        val postDirs = writeStagedBySegment(physicalize(post, m),
-          postStage)
+        val postDirs = writeStagedBySegment(
+          physicalize(matchedPostOf(posM), m), postStage)
         val postStats =
           if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
           else segmentStatsGrouped(spark.read.parquet(postStage), tracked)
@@ -3240,9 +3249,9 @@ object LakeSink {
         // assignments, non-matching rows pass through bit-identical,
         // each segment's dv entry (if any) retires with the segment —
         // ALL rewrites through ONE staged per-segment write plus ONE
-        // grouped stats job over the staged bytes.
-        val isCow = col("__dv_s").isin(cowSegs.map(_._1): _*)
-        val out = pos.filter(isCow).select(
+        // grouped stats job over the staged bytes, path-scoped to
+        // exactly the CoW segments.
+        val out = posOf(cowSegs).select(
           col("__dv_s") +: cols.map { c =>
             assignments.get(c) match {
               case Some(v) => when(cond, v).otherwise(col(c)).as(c)
@@ -3418,24 +3427,40 @@ object LakeSink {
       val added = Seq.newBuilder[String]
       val addedStats = Map.newBuilder[String, Map[String, ColStat]]
       val addedParts = Map.newBuilder[String, PartVal]
-      m.segs.zipWithIndex.foreach { case (seg, i) =>
-        m.dv.get(seg).foreach { dvRef =>
-          val live = readSegments(spark, outDir, m, Seq(seg))
-          val newSeg = f"seg_p${m.version + 1}%010d_${i}_$nonce"
-          physicalize(live, m).write.mode("overwrite")
-            .parquet(s"$outDir/$newSeg")
-          removed += seg
-          added += newSeg
-          if (tracked.nonEmpty)
-            addedStats += newSeg -> segmentStats(
-              spark.read.parquet(s"$outDir/$newSeg"), tracked)
-          writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
-          m.parts.get(seg).foreach { pv =>
-            addedParts += newSeg -> PartVal(pv.col, pv.value,
-              pv.rows - dvRef.rows)
-          }
+      // BATCHED (r15): ONE DV-reconciling positional read of every
+      // debt-carrying segment, ONE staged per-segment write, ONE
+      // grouped stats job — job cost O(1) in the number of DV'd
+      // segments (was one sequential rewrite job per segment, the
+      // "8 sequential per-segment jobs" shape BASELINE.md's r14 row
+      // measured). Write cost stays O(DV debt): clean segments never
+      // enter the read.
+      val dvSegs = m.segs.zipWithIndex.filter(t => m.dv.contains(t._1))
+      val pos = readSegmentsWithPos(spark, outDir, m, dvSegs.map(_._1))
+      val stage = s"$outDir/_stage_purge_$nonce"
+      val dirs = writeStagedBySegment(
+        physicalize(pos.drop("__dv_f", "__dv_i"), m), stage)
+      val stats =
+        if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
+        else segmentStatsGrouped(spark.read.parquet(stage), tracked)
+      dvSegs.foreach { case (seg, i) =>
+        val dvRef = m.dv(seg)
+        val newSeg = f"seg_p${m.version + 1}%010d_${i}_$nonce"
+        // a DV'd segment always has ≥1 live row (a fully-dead segment
+        // drops by metadata at DML time, never carries a DV) — a
+        // missing staged dir here is an invariant violation, fail loud
+        java.nio.file.Files.move(dirs(seg).toPath,
+          java.nio.file.Paths.get(outDir, newSeg))
+        removed += seg
+        added += newSeg
+        stats.get(seg).foreach(st => addedStats += newSeg -> st)
+        writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
+        m.parts.get(seg).foreach { pv =>
+          addedParts += newSeg -> PartVal(pv.col, pv.value,
+            pv.rows - dvRef.rows)
         }
       }
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(stage))
       val purged = m.dv.size
       beforeCommit()
       tryCommitEdit(outDir, m, removed.result(), added.result(),
@@ -4253,105 +4278,171 @@ object LakeSink {
         var cdcRows = false
         val dvSets = Map.newBuilder[String, DvRef]
         var dvWrites = 0
-        m.segs.zipWithIndex.foreach { case (seg, i) =>
-          val pruned = srcKeyRange.exists { case (c, lo, hi) =>
-            !mayOverlap(m, seg, c, lo, hi) }
-          if (!pruned) {
-            // DV-reconciling POSITIONAL read, cached segment-sized —
-            // a merge must never match or rewrite a row an earlier
-            // point delete already hid, and the matched positions are
-            // what a merge-on-read DV write records
-            val df = readSegmentWithPos(spark, outDir, m, seg).cache()
-            try {
-            // ONE job for both counts: total live rows and matched
-            // rows (left outer against the key-unique source
-            // preserves target cardinality)
-            val Array(total, matches) = df
-              .join(broadcast(marked), keys, "left_outer")
-              .agg(count(lit(1)),
-                count(when(col("__matched").isNotNull, lit(1)))).head
-              .toSeq.map(_.asInstanceOf[Long]).toArray
-            if (matches > 0L) {
-              updated += matches
-              // The winning source rows, one per matched TARGET row: a
-              // target holding k same-key rows must yield k src-valued
-              // rows — a semi-join of src against target keys would
-              // emit 1, and a signed-fold consumer (the Medallion IVM
-              // pattern) would drift by k-1 rows. Inner join
-              // target-keys × src (src is key-unique, checked above)
-              // yields exactly one src-valued row per matched target
-              // row. Shared by the CDC post-images and the
-              // merge-on-read append, so a feed consumer cannot tell
-              // which storage strategy served the merge.
-              def srcWins = df.select(keys.map(col).toSeq: _*)
-                .join(broadcast(src), keys, "inner")
-                .select(targetCols.map(col).toSeq: _*)
-              if (cdc) {
-                physicalize(df.join(broadcast(src), keys, "left_semi")
-                  .drop("__dv_f", "__dv_i")
-                  .withColumn("_change_type", lit("update_preimage")), m)
-                  .write.mode("append").parquet(s"$outDir/$cdcSeg")
-                physicalize(srcWins
-                  .withColumn("_change_type", lit("update_postimage")), m)
-                  .write.mode("append").parquet(s"$outDir/$cdcSeg")
-                cdcRows = true
-              }
-              if (dvMaxFraction > 0.0 && matches < total &&
-                  matches <= (total * dvMaxFraction).toLong) {
-                // MERGE-ON-READ matched clause: the matched positions
-                // join the segment's DV (superseding union, the
-                // delete-DV rule) and the winning source rows append
-                // as ONE new segment — O(matched rows) written, the
-                // segment's files untouched.
-                val newDel = df.join(broadcast(src), keys, "left_semi")
-                  .select(col("__dv_f").as("file_name"),
-                    col("__dv_i").as("row_index"))
-                val allDel = m.dv.get(seg) match {
-                  case None => newDel
-                  case Some(r) => newDel.unionByName(
-                    spark.read.parquet(s"$outDir/_dv/${r.file}"))
+        // BATCHED PLANNING (r15): metadata pruning stays per segment
+        // and DRIVER-side (zero jobs); the surviving scan set counts
+        // in ONE grouped-by-segment job over one DV-reconciling
+        // positional read (a merge must never match or rewrite a row
+        // an earlier point delete hid, and the matched positions are
+        // what a merge-on-read DV write records). Before r15 this was
+        // one sequential count + write job per segment — the r14
+        // verdict's driver-side O(segments) ceiling. The source is
+        // broadcast throughout, so every pass is one scan-stage job.
+        val scanSegs = m.segs.zipWithIndex.filter { case (seg, _) =>
+          !srcKeyRange.exists { case (c, lo, hi) =>
+            !mayOverlap(m, seg, c, lo, hi) } }
+        if (scanSegs.nonEmpty) {
+          val pos = readSegmentsWithPos(spark, outDir, m,
+            scanSegs.map(_._1))
+          // ONE job for all counts: total live rows and matched rows
+          // per segment (left outer against the key-unique source
+          // preserves target cardinality)
+          val perSeg = pos.join(broadcast(marked), keys, "left_outer")
+            .groupBy(col("__dv_s"))
+            .agg(count(lit(1)),
+              count(when(col("__matched").isNotNull, lit(1))))
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+            .toMap
+          def countsOf(seg: String): (Long, Long) =
+            perSeg.getOrElse(seg, (0L, 0L))
+          val touched = scanSegs.filter { case (seg, _) =>
+            countsOf(seg)._2 > 0L }
+          if (touched.nonEmpty) {
+            updated = touched.map(t => countsOf(t._1)._2).sum
+            // Write passes re-scope the path list to exactly the
+            // segments they touch (`__dv_s` is a COMPUTED column —
+            // filtering on it would not prune files).
+            def posOf(segs: Seq[(String, Int)]) =
+              readSegmentsWithPos(spark, outDir, m, segs.map(_._1))
+            val posT = posOf(touched)
+            // Matched target rows with their positions (semi-join —
+            // rows in untouched segments simply don't match).
+            def matchedPosOf(p: DataFrame) =
+              p.join(broadcast(src), keys, "left_semi")
+            // The winning source rows, one per matched TARGET row: a
+            // target holding k same-key rows must yield k src-valued
+            // rows — a semi-join of src against target keys would
+            // emit 1, and a signed-fold consumer (the Medallion IVM
+            // pattern) would drift by k-1 rows. Inner join
+            // target-keys × src (src is key-unique, checked above)
+            // yields exactly one src-valued row per matched target
+            // row, tagged with its segment for the staged fan-out.
+            // Shared by the CDC post-images and the merge-on-read
+            // append, so a feed consumer cannot tell which storage
+            // strategy served the merge.
+            def srcWinsOf(p: DataFrame) = p
+              .select((keys :+ "__dv_s").map(col).toSeq: _*)
+              .join(broadcast(src), keys, "inner")
+              .select((targetCols.toSeq :+ "__dv_s").map(col): _*)
+            if (cdc) {
+              physicalize(matchedPosOf(posT)
+                .drop("__dv_f", "__dv_i", "__dv_s")
+                .withColumn("_change_type", lit("update_preimage")), m)
+                .write.mode("append").parquet(s"$outDir/$cdcSeg")
+              physicalize(srcWinsOf(posT).drop("__dv_s")
+                .withColumn("_change_type", lit("update_postimage")), m)
+                .write.mode("append").parquet(s"$outDir/$cdcSeg")
+              cdcRows = true
+            }
+            // Storage-strategy split (unchanged rules): merge-on-read
+            // within the threshold and strictly partial, else rewrite.
+            val (morSegs, cowSegs) = touched.partition { case (seg, _) =>
+              val (total, matches) = countsOf(seg)
+              dvMaxFraction > 0.0 && matches < total &&
+                matches <= (total * dvMaxFraction).toLong
+            }
+            if (morSegs.nonEmpty) {
+              // MERGE-ON-READ matched clause, batched: all matched
+              // positions join their segments' DVs (superseding
+              // union, the delete-DV rule) via ONE staged per-segment
+              // write; the winning source rows append as one new
+              // segment per source segment via a second — O(matched
+              // rows) written, O(1) jobs, files untouched.
+              val posM = posOf(morSegs)
+              val newDel = matchedPosOf(posM)
+                .select(col("__dv_s"), col("__dv_f").as("file_name"),
+                  col("__dv_i").as("row_index"))
+              val withOld = morSegs.map(_._1).filter(m.dv.contains)
+                .foldLeft(newDel) { (acc, s) =>
+                  acc.unionByName(spark.read
+                    .parquet(s"$outDir/_dv/${m.dv(s).file}")
+                    .withColumn("__dv_s", lit(s))
+                    .select(col("__dv_s"), col("file_name"),
+                      col("row_index")))
                 }
+              val dvStage = s"$outDir/_stage_dvm_$nonce"
+              val dvDirs = writeStagedBySegment(withOld, dvStage,
+                onePerSeg = true)
+              java.nio.file.Files.createDirectories(
+                java.nio.file.Paths.get(outDir, "_dv"))
+              val postStage = s"$outDir/_stage_postm_$nonce"
+              val postDirs = writeStagedBySegment(
+                physicalize(srcWinsOf(posM), m), postStage)
+              val postStats =
+                if (tracked.isEmpty)
+                  Map.empty[String, Map[String, ColStat]]
+                else segmentStatsGrouped(
+                  spark.read.parquet(postStage), tracked)
+              morSegs.foreach { case (seg, i) =>
                 val dvName = s"dv_${nonce}_$i"
-                allDel.coalesce(1).write.mode("overwrite")
-                  .parquet(s"$outDir/_dv/$dvName")
+                java.nio.file.Files.move(dvDirs(seg).toPath,
+                  java.nio.file.Paths.get(outDir, "_dv", dvName))
                 dvSets += seg -> DvRef(dvName,
-                  m.dv.get(seg).map(_.rows).getOrElse(0L) + matches)
+                  m.dv.get(seg).map(_.rows).getOrElse(0L) +
+                    countsOf(seg)._2)
                 dvWrites += 1
                 val postSeg = f"seg_m${m.version + 1}%010d_${i}p_$nonce"
-                physicalize(srcWins, m).write.mode("overwrite")
-                  .parquet(s"$outDir/$postSeg")
+                java.nio.file.Files.move(postDirs(seg).toPath,
+                  java.nio.file.Paths.get(outDir, postSeg))
                 added += postSeg
-                if (tracked.nonEmpty)
-                  addedStats += postSeg -> segmentStats(
-                    spark.read.parquet(s"$outDir/$postSeg"), tracked)
+                postStats.get(seg).foreach(st =>
+                  addedStats += postSeg -> st)
                 writeSegmentBlooms(spark, outDir, postSeg, m.bloomCols)
-              } else {
-                val joined = df.as("t").join(
-                  broadcast(marked).as("s"), keys, "left_outer")
-                // Projection preserves the target schema's column ORDER
-                // so every segment in the lake stays
-                // byte-layout-compatible.
-                val out = joined.select(targetCols.map { c =>
-                  // using-join merges the key columns (left value
-                  // survives); non-keys exist on both sides and need
-                  // qualification.
-                  if (keys.contains(c)) col(c)
-                  else when(col("s.__matched").isNotNull, col(s"s.$c"))
-                    .otherwise(col(s"t.$c")).as(c)
-                }.toSeq: _*)
+              }
+              org.apache.commons.io.FileUtils.deleteQuietly(
+                new java.io.File(dvStage))
+              org.apache.commons.io.FileUtils.deleteQuietly(
+                new java.io.File(postStage))
+            }
+            if (cowSegs.nonEmpty) {
+              // Copy-on-write rewrites, batched through ONE staged
+              // per-segment write plus ONE grouped stats job, path-
+              // scoped to exactly the CoW segments.
+              val joined = posOf(cowSegs).as("t").join(
+                broadcast(marked).as("s"), keys, "left_outer")
+              // Projection preserves the target schema's column ORDER
+              // so every segment in the lake stays
+              // byte-layout-compatible.
+              val out = joined.select(targetCols.map { c =>
+                // using-join merges the key columns (left value
+                // survives); non-keys exist on both sides and need
+                // qualification.
+                if (keys.contains(c)) col(c)
+                else when(col("s.__matched").isNotNull, col(s"s.$c"))
+                  .otherwise(col(s"t.$c")).as(c)
+              }.toSeq :+ col("t.__dv_s").as("__dv_s"): _*)
+              val cowStage = s"$outDir/_stage_cowm_$nonce"
+              val cowDirs = writeStagedBySegment(physicalize(out, m),
+                cowStage)
+              val cowStats =
+                if (tracked.isEmpty)
+                  Map.empty[String, Map[String, ColStat]]
+                else segmentStatsGrouped(
+                  spark.read.parquet(cowStage), tracked)
+              cowSegs.foreach { case (seg, i) =>
                 val newSeg = f"seg_m${m.version + 1}%010d_${i}_$nonce"
-                physicalize(out, m).write.mode("overwrite")
-                  .parquet(s"$outDir/$newSeg")
+                java.nio.file.Files.move(cowDirs(seg).toPath,
+                  java.nio.file.Paths.get(outDir, newSeg))
                 rewritten += 1
                 removed += seg
                 added += newSeg
-                if (tracked.nonEmpty)
-                  addedStats += newSeg -> segmentStats(
-                    spark.read.parquet(s"$outDir/$newSeg"), tracked)
+                cowStats.get(seg).foreach(st =>
+                  addedStats += newSeg -> st)
                 writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
               }
+              org.apache.commons.io.FileUtils.deleteQuietly(
+                new java.io.File(cowStage))
             }
-            } finally df.unpersist()
           }
         }
         val inserts = src.join(
@@ -4543,128 +4634,209 @@ object LakeSink {
         val addedStats = Map.newBuilder[String, Map[String, ColStat]]
         val dvSets = Map.newBuilder[String, DvRef]
         var dvWrites = 0
-        if (matched.nonEmpty || notMatchedBySource.nonEmpty)
-          m.segs.zipWithIndex.foreach { case (seg, si) =>
-            val pruned = srcKeyRange.exists { case (c, lo, hi) =>
-              !mayOverlap(m, seg, c, lo, hi) }
-            if (!pruned) {
-              // DV-reconciling POSITIONAL read, cached segment-sized:
-              // hidden rows must neither match nor resurrect, and the
-              // fired positions are what a merge-on-read DV records
-              val df = readSegmentWithPos(spark, outDir, m, seg).cache()
-              try {
-              val joinCond = keys.map(k =>
-                col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-              def staged = df.as("t")
-                .join(broadcast(srcM).as("s"), joinCond, "left_outer")
-                .withColumn("__mc", clauseIdx)
-              // One aggregate decides the segment: total live rows,
-              // update/delete fire counts PLUS per-expectation
-              // violation counts over the UPDATE post-image
-              // (CHECK-constraint semantics on the merge path, folded
-              // into the pass the count pays anyway — delete-firing
-              // and no-fire rows are exempt: deletes write no values,
-              // pass-through rows are not re-judged under NOT VALID
-              // registration).
-              def post = staged.select(col("__mc") +:
-                targetCols.map(c => newVal(c)): _*)
-              val cntAggs = Seq(
-                count(lit(1)),
-                coalesce(sum(when(inIdx(col("__mc"), updIdx), 1L)
-                  .otherwise(0L)), lit(0L)),
-                coalesce(sum(when(inIdx(col("__mc"), delIdx), 1L)
-                  .otherwise(0L)), lit(0L))) ++
-                checks.map { case (_, sql) =>
-                  coalesce(sum(when(inIdx(col("__mc"), updIdx) &&
-                    !coalesce(expr(sql), lit(false)), 1L)
-                    .otherwise(0L)), lit(0L)) }
-              val cnt = post.agg(cntAggs.head, cntAggs.tail: _*).head()
-              val total = cnt.getLong(0)
-              val (nUpd, nDel) = (cnt.getLong(1), cnt.getLong(2))
-              if (nUpd > 0L || nDel > 0L) {
-                val bad = checks.zipWithIndex
-                  .map { case ((n, _), j) => n -> cnt.getLong(j + 3) }
-                  .filter(_._2 > 0L)
-                require(bad.isEmpty,
-                  s"MERGE into $outDir would write rows violating " +
-                    "expectation(s): " +
-                    bad.map { case (n, c) => s"$n ($c rows)" }
-                      .mkString(", "))
-                updated += nUpd
-                deleted += nDel
-                val tCols = targetCols.map(c => col(s"t.$c").as(c))
-                if (cdc) {
-                  if (nUpd > 0L) {
-                    physicalize(staged.filter(inIdx(col("__mc"), updIdx))
-                      .select(tCols: _*)
-                      .withColumn("_change_type", lit("update_preimage")), m)
-                      .write.mode("append").parquet(s"$outDir/$cdcSeg")
-                    physicalize(staged.filter(inIdx(col("__mc"), updIdx))
-                      .select(targetCols.map(newVal): _*)
-                      .withColumn("_change_type", lit("update_postimage")), m)
-                      .write.mode("append").parquet(s"$outDir/$cdcSeg")
-                  }
-                  if (nDel > 0L)
-                    physicalize(staged.filter(inIdx(col("__mc"), delIdx))
-                      .select(tCols: _*)
-                      .withColumn("_change_type", lit("delete")), m)
-                      .write.mode("append").parquet(s"$outDir/$cdcSeg")
-                  cdcRows = true
-                }
-                val fired = nUpd + nDel
-                if (dvMaxFraction > 0.0 && fired < total &&
-                    fired <= (total * dvMaxFraction).toLong) {
-                  // MERGE-ON-READ fired clauses: every fired position
-                  // joins the segment's DV (superseding union); only
-                  // the update-firing rows carry values forward, as
-                  // one appended post-image segment. O(fired rows)
-                  // written, the segment's files untouched.
-                  val newDel = staged
-                    .filter(inIdx(col("__mc"), updIdx) ||
-                      inIdx(col("__mc"), delIdx))
-                    .select(col("__dv_f").as("file_name"),
-                      col("__dv_i").as("row_index"))
-                  val allDel = m.dv.get(seg) match {
-                    case None => newDel
-                    case Some(r) => newDel.unionByName(
-                      spark.read.parquet(s"$outDir/_dv/${r.file}"))
-                  }
-                  val dvName = s"dv_${nonce}_$si"
-                  allDel.coalesce(1).write.mode("overwrite")
-                    .parquet(s"$outDir/_dv/$dvName")
-                  dvSets += seg -> DvRef(dvName,
-                    m.dv.get(seg).map(_.rows).getOrElse(0L) + fired)
-                  dvWrites += 1
-                  if (nUpd > 0L) {
-                    val postSeg = f"seg_g${m.version + 1}%010d_${si}p_$nonce"
-                    physicalize(staged.filter(inIdx(col("__mc"), updIdx))
-                      .select(targetCols.map(newVal): _*), m)
-                      .write.mode("overwrite").parquet(s"$outDir/$postSeg")
-                    added += postSeg
-                    if (tracked.nonEmpty)
-                      addedStats += postSeg -> segmentStats(
-                        spark.read.parquet(s"$outDir/$postSeg"), tracked)
-                    writeSegmentBlooms(spark, outDir, postSeg, m.bloomCols)
-                  }
-                } else {
-                  val out = staged
-                    .filter(!inIdx(col("__mc"), delIdx))
+        if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
+          // BATCHED PLANNING (r15): stats pruning stays DRIVER-side;
+          // the surviving scan set joins the broadcast source ONCE and
+          // ONE grouped aggregate decides every segment — total live
+          // rows, update/delete fire counts PLUS per-expectation
+          // violation counts over the UPDATE post-image
+          // (CHECK-constraint semantics on the merge path, folded into
+          // the pass the count pays anyway — delete-firing and no-fire
+          // rows are exempt: deletes write no values, pass-through
+          // rows are not re-judged under NOT VALID registration).
+          // Hidden rows neither match nor resurrect (DV-reconciling
+          // positional read), and the fired positions are what a
+          // merge-on-read DV records. Before r15 this was one
+          // sequential join + aggregate + write job per segment.
+          val scanSegs = m.segs.zipWithIndex.filter { case (seg, _) =>
+            !srcKeyRange.exists { case (c, lo, hi) =>
+              !mayOverlap(m, seg, c, lo, hi) } }
+          if (scanSegs.nonEmpty) {
+            val pos = readSegmentsWithPos(spark, outDir, m,
+              scanSegs.map(_._1))
+            val joinCond = keys.map(k =>
+              col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+            // Write passes re-scope the path list to exactly the
+            // segments they touch (`__dv_s` is a COMPUTED column —
+            // filtering on it would not prune files).
+            def stagedOf(p: DataFrame) = p.as("t")
+              .join(broadcast(srcM).as("s"), joinCond, "left_outer")
+              .withColumn("__mc", clauseIdx)
+            def posOf(segs: Seq[(String, Int)]) =
+              readSegmentsWithPos(spark, outDir, m, segs.map(_._1))
+            def post = stagedOf(pos).select(col("__dv_s") +: col("__mc") +:
+              targetCols.map(c => newVal(c)): _*)
+            val cntAggs = Seq(
+              count(lit(1)),
+              coalesce(sum(when(inIdx(col("__mc"), updIdx), 1L)
+                .otherwise(0L)), lit(0L)),
+              coalesce(sum(when(inIdx(col("__mc"), delIdx), 1L)
+                .otherwise(0L)), lit(0L))) ++
+              checks.map { case (_, sql) =>
+                coalesce(sum(when(inIdx(col("__mc"), updIdx) &&
+                  !coalesce(expr(sql), lit(false)), 1L)
+                  .otherwise(0L)), lit(0L)) }
+            val perSeg = post.groupBy(col("__dv_s"))
+              .agg(cntAggs.head, cntAggs.tail: _*)
+              .collect().map(r => r.getString(0) -> r).toMap
+            def firesOf(seg: String): (Long, Long, Long) =
+              perSeg.get(seg).map(r =>
+                (r.getLong(1), r.getLong(2), r.getLong(3)))
+                .getOrElse((0L, 0L, 0L))
+            val touched = scanSegs.filter { case (seg, _) =>
+              val (_, nUpd, nDel) = firesOf(seg); nUpd > 0L || nDel > 0L }
+            if (touched.nonEmpty) {
+              // CHECK gate over the WHOLE statement, before any write
+              val bad = checks.zipWithIndex.map { case ((n, _), j) =>
+                n -> perSeg.valuesIterator.map(_.getLong(j + 4)).sum }
+                .filter(_._2 > 0L)
+              require(bad.isEmpty,
+                s"MERGE into $outDir would write rows violating " +
+                  "expectation(s): " +
+                  bad.map { case (n, c) => s"$n ($c rows)" }
+                    .mkString(", "))
+              val sumUpd = touched.map(t => firesOf(t._1)._2).sum
+              val sumDel = touched.map(t => firesOf(t._1)._3).sum
+              updated += sumUpd
+              deleted += sumDel
+              val tCols = targetCols.map(c => col(s"t.$c").as(c))
+              def stagedT = stagedOf(posOf(touched))
+              if (cdc) {
+                if (sumUpd > 0L) {
+                  physicalize(stagedT.filter(inIdx(col("__mc"), updIdx))
+                    .select(tCols: _*)
+                    .withColumn("_change_type", lit("update_preimage")), m)
+                    .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                  physicalize(stagedT.filter(inIdx(col("__mc"), updIdx))
                     .select(targetCols.map(newVal): _*)
-                  val newSeg = f"seg_g${m.version + 1}%010d_${si}_$nonce"
-                  physicalize(out, m).write.mode("overwrite")
-                    .parquet(s"$outDir/$newSeg")
-                  rewritten += 1
-                  removed += seg
-                  added += newSeg
-                  if (tracked.nonEmpty)
-                    addedStats += newSeg -> segmentStats(
-                      spark.read.parquet(s"$outDir/$newSeg"), tracked)
-                  writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
+                    .withColumn("_change_type", lit("update_postimage")), m)
+                    .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                }
+                if (sumDel > 0L)
+                  physicalize(stagedT.filter(inIdx(col("__mc"), delIdx))
+                    .select(tCols: _*)
+                    .withColumn("_change_type", lit("delete")), m)
+                    .write.mode("append").parquet(s"$outDir/$cdcSeg")
+                cdcRows = true
+              }
+              // Storage-strategy split on the FIRED fraction
+              // (update- plus delete-firing rows; unchanged rules).
+              val (morSegs, cowSegs) = touched.partition { case (seg, _) =>
+                val (total, nUpd, nDel) = firesOf(seg)
+                val fired = nUpd + nDel
+                dvMaxFraction > 0.0 && fired < total &&
+                  fired <= (total * dvMaxFraction).toLong
+              }
+              if (morSegs.nonEmpty) {
+                // MERGE-ON-READ fired clauses, batched: every fired
+                // position joins its segment's DV (superseding union)
+                // via ONE staged per-segment write; only the
+                // update-firing rows carry values forward, as one
+                // appended post-image segment per source segment via a
+                // second. O(fired rows) written, O(1) jobs, files
+                // untouched.
+                val newDel = stagedOf(posOf(morSegs))
+                  .filter(inIdx(col("__mc"), updIdx) ||
+                    inIdx(col("__mc"), delIdx))
+                  .select(col("__dv_s"), col("__dv_f").as("file_name"),
+                    col("__dv_i").as("row_index"))
+                val withOld = morSegs.map(_._1).filter(m.dv.contains)
+                  .foldLeft(newDel) { (acc, s) =>
+                    acc.unionByName(spark.read
+                      .parquet(s"$outDir/_dv/${m.dv(s).file}")
+                      .withColumn("__dv_s", lit(s))
+                      .select(col("__dv_s"), col("file_name"),
+                        col("row_index")))
+                  }
+                val dvStage = s"$outDir/_stage_dvg_$nonce"
+                val dvDirs = writeStagedBySegment(withOld, dvStage,
+                  onePerSeg = true)
+                java.nio.file.Files.createDirectories(
+                  java.nio.file.Paths.get(outDir, "_dv"))
+                morSegs.foreach { case (seg, si) =>
+                  val (_, nUpd, nDel) = firesOf(seg)
+                  val dvName = s"dv_${nonce}_$si"
+                  java.nio.file.Files.move(dvDirs(seg).toPath,
+                    java.nio.file.Paths.get(outDir, "_dv", dvName))
+                  dvSets += seg -> DvRef(dvName,
+                    m.dv.get(seg).map(_.rows).getOrElse(0L) +
+                      nUpd + nDel)
+                  dvWrites += 1
+                }
+                org.apache.commons.io.FileUtils.deleteQuietly(
+                  new java.io.File(dvStage))
+                val morUpd = morSegs.filter(t => firesOf(t._1)._2 > 0L)
+                if (morUpd.nonEmpty) {
+                  val postStage = s"$outDir/_stage_postg_$nonce"
+                  val postDirs = writeStagedBySegment(
+                    physicalize(stagedOf(posOf(morUpd))
+                      .filter(inIdx(col("__mc"), updIdx))
+                      .select(col("__dv_s") +:
+                        targetCols.map(newVal): _*), m), postStage)
+                  val postStats =
+                    if (tracked.isEmpty)
+                      Map.empty[String, Map[String, ColStat]]
+                    else segmentStatsGrouped(
+                      spark.read.parquet(postStage), tracked)
+                  morUpd.foreach { case (seg, si) =>
+                    val postSeg =
+                      f"seg_g${m.version + 1}%010d_${si}p_$nonce"
+                    java.nio.file.Files.move(postDirs(seg).toPath,
+                      java.nio.file.Paths.get(outDir, postSeg))
+                    added += postSeg
+                    postStats.get(seg).foreach(st =>
+                      addedStats += postSeg -> st)
+                    writeSegmentBlooms(spark, outDir, postSeg,
+                      m.bloomCols)
+                  }
+                  org.apache.commons.io.FileUtils.deleteQuietly(
+                    new java.io.File(postStage))
                 }
               }
-              } finally df.unpersist()
+              if (cowSegs.nonEmpty) {
+                // Copy-on-write rewrites, batched through ONE staged
+                // per-segment write plus ONE grouped stats job, path-
+                // scoped to exactly the CoW segments.
+                val out = stagedOf(posOf(cowSegs))
+                  .filter(!inIdx(col("__mc"), delIdx))
+                  .select(col("__dv_s") +: targetCols.map(newVal): _*)
+                val cowStage = s"$outDir/_stage_cowg_$nonce"
+                val cowDirs = writeStagedBySegment(physicalize(out, m),
+                  cowStage)
+                val cowStats =
+                  if (tracked.isEmpty)
+                    Map.empty[String, Map[String, ColStat]]
+                  else segmentStatsGrouped(
+                    spark.read.parquet(cowStage), tracked)
+                cowSegs.foreach { case (seg, si) =>
+                  cowDirs.get(seg) match {
+                    case Some(d) =>
+                      val newSeg =
+                        f"seg_g${m.version + 1}%010d_${si}_$nonce"
+                      java.nio.file.Files.move(d.toPath,
+                        java.nio.file.Paths.get(outDir, newSeg))
+                      rewritten += 1
+                      removed += seg
+                      added += newSeg
+                      cowStats.get(seg).foreach(st =>
+                        addedStats += newSeg -> st)
+                      writeSegmentBlooms(spark, outDir, newSeg,
+                        m.bloomCols)
+                    case None =>
+                      // every row fired DELETE: the rewrite is empty —
+                      // the staged write produced no directory, so the
+                      // segment simply drops by metadata (counted as a
+                      // rewrite: its content WAS rewritten, to zero)
+                      rewritten += 1
+                      removed += seg
+                  }
+                }
+                org.apache.commons.io.FileUtils.deleteQuietly(
+                  new java.io.File(cowStage))
+              }
             }
           }
+        }
         var inserted = 0L
         if (notMatched.nonEmpty) {
           val anti = src.join(

@@ -50,6 +50,34 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     dir
   }
 
+  /** Input records read by Spark tasks during `body`. Since r15's
+    * batched DML planner, every verb runs a CONSTANT number of jobs
+    * regardless of pruning (one grouped planning job + one staged
+    * write per storage class) — what stats pruning saves is ROWS
+    * SCANNED, so the pruning specs pin records read, not job count.
+    * Listener delivery is async: poll until stable. */
+  private def recordsReadIn(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          acc.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1L
+      var cur = acc.get()
+      var polls = 0
+      while ((cur != last || polls < 3) && polls < 50) {
+        last = cur; Thread.sleep(100)
+        cur = acc.get(); polls += 1
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   /** Spark jobs launched by `body` (run in a fresh job group; the
     * status store is fed asynchronously, so poll until stable). */
   private def jobsIn(body: => Unit): Int = {
@@ -97,26 +125,27 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     assert(scanned === Seq("seg_b0", "seg_b1"))
   }
 
-  test("deleteWhere pruneHint: zero jobs on disjoint segments, same answer") {
+  test("deleteWhere pruneHint: zero scans on disjoint segments, same answer") {
     val hinted = buildTimeLake()
     // stats-less twin: no manifest bounds, so nothing can be skipped
     val unhinted = buildTimeLake(statsFor = _ => false)
     val cond = col("tse") >= 12L && col("tse") <= 15L
 
-    val jHint = jobsIn {
+    val jHint = recordsReadIn {
       val (_, rewritten, dropped, deleted) = LakeSink.deleteWhere(
         spark, hinted, cond, pruneHint = Some(("tse", 12L, 15L)))
       assert(rewritten === 1 && dropped === 0 && deleted === 4L)
     }
-    val jFull = jobsIn {
+    val jFull = recordsReadIn {
       val (_, rewritten, dropped, deleted) =
         LakeSink.deleteWhere(spark, unhinted, cond)
       assert(rewritten === 1 && dropped === 0 && deleted === 4L)
     }
-    // The stats-less delete pays a count job on every segment; the
-    // hinted one touches only the overlapping segment.
+    // The stats-less delete's planning pass scans every segment; the
+    // hinted one reads only the overlapping segment's rows.
     assert(jHint < jFull,
-      s"expected fewer jobs with pruneHint ($jHint) than without ($jFull)")
+      s"expected fewer records read with pruneHint ($jHint) than " +
+        s"without ($jFull)")
 
     val a = LakeSink.readTable(spark, hinted).orderBy("tse", "v").collect()
     val b = LakeSink.readTable(spark, unhinted).orderBy("tse", "v").collect()
@@ -166,16 +195,17 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     val plainLake = buildTimeLake(statsFor = _ => false)
     LakeCatalog.register("stats_auto_t", statsLake)
     LakeCatalog.register("plain_auto_t", plainLake)
-    val jStats = jobsIn {
+    val jStats = recordsReadIn {
       spark.sql(
         "DELETE FROM stats_auto_t WHERE tse BETWEEN 12 AND 15").collect()
     }
-    val jPlain = jobsIn {
+    val jPlain = recordsReadIn {
       spark.sql(
         "DELETE FROM plain_auto_t WHERE tse BETWEEN 12 AND 15").collect()
     }
     assert(jStats < jPlain,
-      s"SQL DELETE should auto-prune from stats ($jStats vs $jPlain)")
+      s"SQL DELETE should auto-prune from stats " +
+        s"($jStats vs $jPlain records read)")
     val a = LakeSink.readTable(spark, statsLake).orderBy("tse").collect()
     val b = LakeSink.readTable(spark, plainLake).orderBy("tse").collect()
     assert(a.toSeq === b.toSeq)
@@ -190,18 +220,19 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     def src: DataFrame =
       Seq((12L, 9912L), (13L, 9913L)).toDF("tse", "v")
 
-    val jStats = jobsIn {
+    val jStats = recordsReadIn {
       val (_, rewritten, updated, inserted) =
         LakeSink.mergeInto(spark, statsLake, src, Seq("tse"))
       assert(rewritten === 1 && updated === 2L && inserted === 0L)
     }
-    val jPlain = jobsIn {
+    val jPlain = recordsReadIn {
       val (_, rewritten, updated, inserted) =
         LakeSink.mergeInto(spark, plainLake, src, Seq("tse"))
       assert(rewritten === 1 && updated === 2L && inserted === 0L)
     }
     assert(jStats < jPlain,
-      s"expected stats lake to probe fewer segments ($jStats vs $jPlain)")
+      s"expected stats lake to probe fewer segments " +
+        s"($jStats vs $jPlain records read)")
 
     val a = LakeSink.readTable(spark, statsLake).orderBy("tse").collect()
     val b = LakeSink.readTable(spark, plainLake).orderBy("tse").collect()
@@ -402,20 +433,21 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     val dir = buildTypeLake()
     val statless = buildTypeLake(withStats = false)
     val cond = col("event_type") === "echo"
-    val jStats = jobsIn {
+    val jStats = recordsReadIn {
       val (v, rewritten, dropped, deleted) =
         LakeSink.deleteWhere(spark, dir, cond)
       assert(v === 4L && rewritten === 1 && dropped === 0 && deleted === 5L)
     }
-    val jFull = jobsIn {
+    val jFull = recordsReadIn {
       val (_, rewritten, dropped, deleted) =
         LakeSink.deleteWhere(spark, statless, cond)
       assert(rewritten === 1 && dropped === 0 && deleted === 5L)
     }
-    // the stats lake skips the two string-disjoint segments' count
-    // jobs (the pre-r11 engine had no string stats and scanned all 3)
+    // the stats lake never scans the two string-disjoint segments'
+    // rows (the pre-r11 engine had no string stats and scanned all 3)
     assert(jStats < jFull,
-      s"expected fewer jobs with string stats ($jStats) than without ($jFull)")
+      s"expected fewer records read with string stats ($jStats) than " +
+        s"without ($jFull)")
     val m = LakeSink.readManifest(dir)
     assert(m.segs.contains("seg_b0") && m.segs.contains("seg_b2"),
       "disjoint segments survive by reference")
@@ -429,18 +461,19 @@ class LakeStatsSpec extends AnyFunSuite with SparkFixture {
     val statless = buildTypeLake(withStats = false)
     // note IS NULL: seg1 records nulls=0 for note → pruned; seg0/seg2
     // record NO note min/max (all-NULL column) → must scan, and match
-    val jStats = jobsIn {
+    val jStats = recordsReadIn {
       val (_, _, dropped, deleted) =
         LakeSink.deleteWhere(spark, dir, col("note").isNull)
       assert(dropped === 2 && deleted === 15L)
     }
-    val jFull = jobsIn {
+    val jFull = recordsReadIn {
       val (_, _, dropped, deleted) =
         LakeSink.deleteWhere(spark, statless, col("note").isNull)
       assert(dropped === 2 && deleted === 15L)
     }
     assert(jStats < jFull,
-      s"expected the zero-null segment skipped ($jStats vs $jFull jobs)")
+      s"expected the zero-null segment skipped " +
+        s"($jStats vs $jFull records read)")
     assert(LakeSink.readTable(spark, dir).count() === 10L) // seg1 only
   }
 

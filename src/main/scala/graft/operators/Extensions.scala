@@ -967,6 +967,81 @@ object Extensions {
                 AS sum_cents
             FROM e CROSS JOIN c"""))
 
+  /** COMPOSITE PARTITION SPEC + metadata-only retention on EITHER
+    * dimension (r15): the table declares `PARTITIONED BY (day,
+    * event_type)` at CREATE TABLE; [[graft.streaming.LakeSink
+    * .appendPartitioned]] splits the batch into one segment per
+    * (day, event_type) TUPLE in ONE write job, recording the full
+    * fact tuple per segment — so BOTH of the statements a real event
+    * lake runs are planned from the manifest alone: the composite
+    * retention `DELETE WHERE day < cutoff AND event_type = 'click'`
+    * AND the single-dimension `DELETE WHERE event_type = 'view'`
+    * (the r14 verdict's gap: with one-column facts the second
+    * dimension degraded to a stats-pruned scan). Both REQUIRE zero
+    * rewritten segments — a fact tuple that failed to cover either
+    * predicate shape fails loud, and the oracle replays day/type
+    * assignment plus both delete rules from the events table, so a
+    * wrongly-dropped or wrongly-kept tuple fails the hash. */
+  private val sinkLakePartitionedMulti = QueryDef(
+    "sink_lake_partitioned_multi",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_lake_partmulti", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      LakeSink.createTable(dir, ev.schema,
+        partitionBy = Some("day,event_type"))
+      val (_, nParts) = LakeSink.appendPartitioned(s, dir, ev)
+      val cutoff = ev.agg(min("day")).head().getLong(0) + 10L
+      val (_, rw1, dropped1, nDel1) = LakeSink.deleteWhere(s, dir,
+        col("day") < cutoff && col("event_type") === "click")
+      require(rw1 == 0,
+        "composite-covered retention delete must not rewrite any " +
+          s"segment (rewrote $rw1)")
+      val (_, rw2, dropped2, nDel2) = LakeSink.deleteWhere(s, dir,
+        col("event_type") === "view")
+      require(rw2 == 0,
+        "single-dimension delete on a composite layout must not " +
+          s"rewrite any segment (rewrote $rw2)")
+      LakeSink.readTable(s, dir).agg(
+        lit(nParts.toLong).as("n_parts"),
+        lit(dropped1.toLong).as("n_dropped"),
+        lit(nDel1).as("n_deleted"),
+        lit(dropped2.toLong).as("n_dropped2"),
+        lit(nDel2).as("n_deleted2"),
+        count(lit(1)).as("n_rows"),
+        sum("vc").as("sum_cents"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                         event_type,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+                 c AS (SELECT min(day) + 10 AS cutoff FROM e)
+            SELECT
+              CAST((SELECT count(DISTINCT day::VARCHAR || '|' ||
+                event_type) FROM e) AS BIGINT) AS n_parts,
+              CAST(count(DISTINCT CASE WHEN day < cutoff AND
+                event_type = 'click' THEN day::VARCHAR || '|' ||
+                event_type END) AS BIGINT) AS n_dropped,
+              CAST(count(CASE WHEN day < cutoff AND
+                event_type = 'click' THEN 1 END) AS BIGINT) AS n_deleted,
+              CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                THEN day::VARCHAR || '|' || event_type END) AS BIGINT)
+                AS n_dropped2,
+              CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                AS BIGINT) AS n_deleted2,
+              CAST(count(CASE WHEN NOT (day < cutoff AND
+                event_type = 'click') AND event_type <> 'view' THEN 1
+                END) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN NOT (day < cutoff AND
+                event_type = 'click') AND event_type <> 'view' THEN vc
+                END) AS BIGINT) AS sum_cents
+            FROM e CROSS JOIN c"""))
+
   private val sinkLakeColmap = QueryDef(
     "sink_lake_colmap",
     (s, d) => {
@@ -1778,12 +1853,15 @@ object Extensions {
                 CAST(0 AS BIGINT) AS n_expectations,
                 CAST(1 AS BIGINT) AS segs_added,
                 CAST(0 AS BIGINT) AS segs_removed,
+                CAST(0 AS BIGINT) AS n_dv_segments,
+                CAST(0 AS BIGINT) AS dv_rows,
                 FALSE AS is_current
               FROM (SELECT unnest(generate_series(1, (SELECT k FROM k)))
                       AS v)
               UNION ALL
               SELECT k + 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-                CAST(0 AS BIGINT), CAST(1 AS BIGINT), k, TRUE
+                CAST(0 AS BIGINT), CAST(1 AS BIGINT), k,
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE
               FROM k)
             ORDER BY version"""))
 
@@ -1817,12 +1895,15 @@ object Extensions {
                 CAST(0 AS BIGINT) AS n_expectations,
                 CAST(1 AS BIGINT) AS segs_added,
                 CAST(0 AS BIGINT) AS segs_removed,
+                CAST(0 AS BIGINT) AS n_dv_segments,
+                CAST(0 AS BIGINT) AS dv_rows,
                 FALSE AS is_current
               FROM (SELECT unnest(generate_series(1, (SELECT k FROM k)))
                       AS v)
               UNION ALL
               SELECT k + 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-                CAST(0 AS BIGINT), CAST(1 AS BIGINT), k, TRUE
+                CAST(0 AS BIGINT), CAST(1 AS BIGINT), k,
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE
               FROM k)
             ORDER BY version"""))
 
@@ -2160,13 +2241,14 @@ object Extensions {
         dvMaxFraction = 0.5)
       s.sql(s"DESCRIBE DETAIL $tbl")
         .select(col("version"), col("num_segments"), col("num_rows"),
-          col("num_dv_segments"), col("dv_rows"))
+          col("num_dv_segments"), col("dv_rows"), col("dv_debt_ppm"))
     },
     Some("""SELECT CAST(2 AS BIGINT) AS version,
                    CAST(4 AS BIGINT) AS num_segments,
                    CAST(count(*) - 1 AS BIGINT) AS num_rows,
                    CAST(1 AS BIGINT) AS num_dv_segments,
-                   CAST(1 AS BIGINT) AS dv_rows
+                   CAST(1 AS BIGINT) AS dv_rows,
+                   CAST(1000000 // count(*) AS BIGINT) AS dv_debt_ppm
             FROM events"""))
 
   /** Zero-copy IMPORT (r12): `CONVERT TO DELTA`'s move —
@@ -2287,6 +2369,79 @@ object Extensions {
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(vc) AS BIGINT) AS sum_cents
             FROM final GROUP BY event_type ORDER BY event_type"""))
+
+  /** MERGE WITH SCHEMA EVOLUTION (r15): the Spark 4 statement form —
+    * a CDC-style upsert whose source carries a column the target has
+    * never seen (`tag`). The engine auto-adds it (nullable) IN THE
+    * SAME manifest CAS as the merged rows: updated/inserted rows
+    * carry their source tag, every pre-existing row reads NULL
+    * through the applied-schema read (no file rewritten for the
+    * widening). This is the upstream-column-add case every CDC
+    * ingestion pipeline hits; without evolution the merge would
+    * either drop the column silently or force a manual DDL +
+    * re-merge window. The oracle replays the upsert and the NULL
+    * backfill from the events table alone — a lost tag, a
+    * mis-widened row, or a resurrected value fails the hash. */
+  private val sqlLakeMergeEvolve = QueryDef(
+    "sql_lake_merge_evolve",
+    (s, d) => {
+      import graft.streaming.LakeCatalog
+      import graft.streaming.LakeSink
+      val dir = tmpPath("graft_sql_merge_ev", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      cloneCanonicalLake(s, d, dir)
+      val tbl = "graft_sql_lake_ev_" + runTag(d)
+      val srcView = "graft_ev_src_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      val insOffset = ev.agg(max("event_id")).head().getLong(0) + 1L
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("event_type"),
+          (col("vc") * 3L).as("vc"), lit("upd").as("tag"))
+        .unionByName(ev.filter(col("event_type") === "click")
+          .select((col("event_id") + insOffset).as("event_id"),
+            lit("imported").as("event_type"), col("vc"),
+            lit("new").as("tag")))
+        .createOrReplaceTempView(srcView)
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING $srcView s
+            ON t.event_id = s.event_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""").collect()
+      LakeSink.readTable(s, dir)
+        .groupBy(coalesce(col("tag"), lit("(none)")).as("tag"))
+        .agg(count(lit(1)).as("n"), sum("vc").as("sum_cents"))
+        .orderBy("tag")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events),
+                 src AS (
+                   SELECT event_id, vc * 3 AS vc, 'upd' AS tag FROM ev
+                   WHERE event_type = 'purchase'
+                   UNION ALL
+                   SELECT event_id + (SELECT max(event_id) + 1 FROM ev),
+                          vc, 'new' AS tag
+                   FROM ev WHERE event_type = 'click'),
+                 final AS (
+                   SELECT s.vc, s.tag
+                   FROM ev t JOIN src s ON t.event_id = s.event_id
+                   UNION ALL
+                   SELECT t.vc, NULL AS tag
+                   FROM ev t
+                   WHERE NOT EXISTS (SELECT 1 FROM src s
+                                     WHERE s.event_id = t.event_id)
+                   UNION ALL
+                   SELECT s.vc, s.tag
+                   FROM src s
+                   WHERE NOT EXISTS (SELECT 1 FROM ev t
+                                     WHERE t.event_id = s.event_id))
+            SELECT coalesce(tag, '(none)') AS tag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vc) AS BIGINT) AS sum_cents
+            FROM final GROUP BY 1 ORDER BY tag"""))
 
   /** INSERT OVERWRITE / replaceWhere via SQL (r12): the atomic
     * backfill verb on a PARTITIONED lake — `INSERT OVERWRITE t
@@ -2518,7 +2673,8 @@ object Extensions {
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeDeleteDv, sinkLakeUpdate,
     sinkLakeUpdateDv, sinkLakeReorg, sinkLakeMerge,
     sqlLakeDml, sqlLakeDdl, sinkLakeEvolution, sinkLakeColmap,
-    sinkLakePartitioned, sinkLakeCompactClustered,
+    sinkLakePartitioned, sinkLakePartitionedMulti,
+    sinkLakeCompactClustered,
     sinkClustered,
     sinkZorder, sinkBloom, orcRoundtrip, sinkLakeStatsPrune,
     sinkLakeStatsPruneStr,
@@ -2526,6 +2682,7 @@ object Extensions {
     sinkLakeExpectations,
     sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf, sqlLakeCdf,
     sqlLakeHistory, sqlLakeRestore, sqlLakeClone, sqlLakeDetail,
-    sinkLakeImport, sqlLakeMergeMulti, sqlLakeReplace, sqlLakeCtas,
+    sinkLakeImport, sqlLakeMergeMulti, sqlLakeMergeEvolve,
+    sqlLakeReplace, sqlLakeCtas,
     sinkLakeBloomPrune, sqlLakeRtas)
 }

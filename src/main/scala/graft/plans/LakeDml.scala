@@ -231,7 +231,10 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (keys.isEmpty || keys.get.isEmpty)
         bad("lake MERGE needs an ON clause of same-name equi-keys " +
           s"(t.k = s.k [AND …]); got: ${m.mergeCondition.sql}")
-      if (starShape)
+      // `MERGE WITH SCHEMA EVOLUTION INTO …` (Spark 4 syntax): route
+      // through the clause form, which carries the evolution flag —
+      // the star shape is exactly Update(None,None)/Insert(None,None).
+      if (starShape && !m.withSchemaEvolution)
         LakeMergeCommand(dir, m.sourceTable, keys.get,
           lakeCdc(m.targetTable), lakeDvf(m.targetTable))
       else {
@@ -276,7 +279,7 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         LakeMergeClausesCommand(dir, m.sourceTable, keys.get,
           m.matchedActions.map(rw), m.notMatchedActions.map(ins),
           m.notMatchedBySourceActions.map(rw), lakeCdc(m.targetTable),
-          lakeDvf(m.targetTable))
+          lakeDvf(m.targetTable), m.withSchemaEvolution)
       }
 
     // INSERT INTO <lake> <query> → one appended segment through the
@@ -405,7 +408,8 @@ case class LakeMergeClausesCommand(dir: String, source: LogicalPlan,
     notMatched: Seq[LakeSink.MergeClause.Insert],
     notMatchedBySource: Seq[LakeSink.MergeClause],
     cdc: Boolean = false,
-    dvMaxFraction: Double = 0.0) extends LeafRunnableCommand {
+    dvMaxFraction: Double = 0.0,
+    schemaEvolution: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("segments_rewritten", IntegerType)(),
@@ -416,7 +420,7 @@ case class LakeMergeClausesCommand(dir: String, source: LogicalPlan,
     val src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, source)
     val (v, rw, upd, del, ins) = LakeSink.mergeClauses(session, dir, src,
       keys, matched, notMatched, notMatchedBySource, cdc = cdc,
-      dvMaxFraction = dvMaxFraction)
+      dvMaxFraction = dvMaxFraction, schemaEvolution = schemaEvolution)
     Seq(Row(v, rw, upd, del, ins))
   }
 }

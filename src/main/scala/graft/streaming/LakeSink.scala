@@ -124,7 +124,16 @@ object LakeSink {
     * table-level spec, so changing the spec later (partition
     * evolution) leaves old segments deciding under the column they
     * were actually written by. */
-  final case class PartVal(col: String, value: Option[String], rows: Long)
+  final case class PartVal(col: String, value: Option[String], rows: Long,
+      subs: Seq[(String, Option[String])] = Nil) {
+    /** Every (column, value) fact this segment carries: the primary
+      * dimension plus the r15 composite dimensions (`subs`) — a
+      * (day × tenant)-partitioned segment records both, so retention
+      * and backfill predicates over EITHER (or both) decide it by
+      * metadata. Old manifests parse with `subs = Nil` (single-column
+      * facts) — fully backward compatible. */
+    def facts: Seq[(String, Option[String])] = (col, value) +: subs
+  }
 
   final case class Manifest(version: Long, maxB: Long, segs: Seq[String],
       schemaV: Long = 0L, schemaJson: Option[String] = None,
@@ -304,23 +313,32 @@ object LakeSink {
       h.get("bloomcols").map(_.split('|').toSeq).getOrElse(Nil))
   }
 
-  /** Decode one partition-value payload (`seg|col|rows|b64(value)`,
-    * empty value field = NULL partition). */
+  /** Decode one partition-value payload (`seg|col|rows|b64(value)`
+    * with optional trailing `|col2|b64(value2)…` pairs for composite
+    * specs, r15; an empty value field = NULL partition). */
   private def parsePartPayload(outDir: String, v: Long,
-      l: String): (String, PartVal) = l.split("\\|", -1) match {
-    case Array(seg, c, rows, enc) =>
-      seg -> PartVal(c,
-        if (enc.isEmpty) None
-        else Some(new String(
-          java.util.Base64.getDecoder.decode(enc), "UTF-8")),
-        rows.toLong)
-    case _ => sys.error(s"manifest v$v at $outDir: bad part line $l")
+      l: String): (String, PartVal) = {
+    def dec(enc: String): Option[String] =
+      if (enc.isEmpty) None
+      else Some(new String(
+        java.util.Base64.getDecoder.decode(enc), "UTF-8"))
+    l.split("\\|", -1) match {
+      case arr if arr.length >= 4 && arr.length % 2 == 0 =>
+        val Array(seg, c, rows, enc) = arr.take(4)
+        seg -> PartVal(c, dec(enc), rows.toLong,
+          arr.drop(4).grouped(2).map {
+            case Array(sc, se) => sc -> dec(se)
+          }.toSeq)
+      case _ => sys.error(s"manifest v$v at $outDir: bad part line $l")
+    }
   }
 
   private def partLine(seg: String, pv: PartVal): String = {
-    val enc = pv.value.fold("")(s => java.util.Base64.getEncoder
-      .encodeToString(s.getBytes("UTF-8")))
-    s"part=$seg|${pv.col}|${pv.rows}|$enc"
+    def enc(v: Option[String]): String =
+      v.fold("")(s => java.util.Base64.getEncoder
+        .encodeToString(s.getBytes("UTF-8")))
+    s"part=$seg|${pv.col}|${pv.rows}|${enc(pv.value)}" +
+      pv.subs.map { case (c, v) => s"|$c|${enc(v)}" }.mkString
   }
 
   /** Decode one column-mapping payload (`logical|physical`). */
@@ -707,7 +725,14 @@ object LakeSink {
       dvSets: Map[String, DvRef] = Map.empty,
       addedParts: Map[String, PartVal] = Map.empty,
       cdcDropSegs: Seq[String] = Nil,
-      dataChange: Boolean = true): Option[Long] = {
+      dataChange: Boolean = true,
+      // MERGE WITH SCHEMA EVOLUTION (r15): a (schemaV, schemaJson,
+      // colmap) bump riding the SAME CAS as the data edit — the
+      // widened schema and the merged rows become visible atomically.
+      // Racing schema changes stay true conflicts (the commutes check
+      // pins base.schemaV).
+      newSchema: Option[(Long, String, Map[String, String])] = None)
+      : Option[Long] = {
     val baseSegs = base.segs.toSet
     var tip = base
     while (true) {
@@ -717,9 +742,12 @@ object LakeSink {
       val dv = (tip.dv -- removed) ++ dvSets
       val parts = (tip.parts -- removed) ++ addedParts
       if (commitEditRecord(outDir, tip,
-          Manifest(tip.version + 1, tip.maxB, segs, tip.schemaV,
-            tip.schemaJson, stats, txns, tip.expects, cdcSegs,
-            dataChange = dataChange, dv = dv, colmap = tip.colmap,
+          Manifest(tip.version + 1, tip.maxB, segs,
+            newSchema.fold(tip.schemaV)(_._1),
+            newSchema.fold(tip.schemaJson)(s => Some(s._2)),
+            stats, txns, tip.expects, cdcSegs,
+            dataChange = dataChange, dv = dv,
+            colmap = newSchema.fold(tip.colmap)(_._3),
             partSpec = tip.partSpec, parts = parts,
             cdcDropSegs = cdcDropSegs, bloomCols = tip.bloomCols),
           removed, added, addedStats, dvSets, addedParts))
@@ -757,11 +785,30 @@ object LakeSink {
     val m = readManifest(outDir)
     require(m.version == 0L,
       s"lake at $outDir already has commits (v${m.version})")
-    partitionBy.foreach(c => requirePartitionable(schema, c))
+    // `partitionBy` may be a COMPOSITE spec (r15): comma-separated
+    // columns ("day,tenant") — each segment then records one fact per
+    // dimension, so retention/backfill predicates over any subset of
+    // the dimensions stay metadata-only.
+    val spec = partitionBy.map(normalizePartSpec(schema, _))
     require(commitManifest(outDir, 1L, -1L, Nil, 1L, Some(schema.json),
-      partSpec = partitionBy),
+      partSpec = spec),
       s"create table at $outDir lost a manifest race")
     1L
+  }
+
+  /** Validate and normalize a (possibly composite, comma-separated)
+    * partition spec against `schema`: trim, require each column
+    * partitionable, refuse duplicates. */
+  private def normalizePartSpec(
+      schema: org.apache.spark.sql.types.StructType,
+      spec: String): String = {
+    val cols = spec.split(",").map(_.trim).toSeq
+    require(cols.nonEmpty && cols.forall(_.nonEmpty),
+      s"bad partition spec '$spec'")
+    require(cols.distinct.size == cols.size,
+      s"partition spec '$spec' repeats a column")
+    cols.foreach(c => requirePartitionable(schema, c))
+    cols.mkString(",")
   }
 
   /** Partition columns must be integral or string — the two types a
@@ -791,9 +838,9 @@ object LakeSink {
     val m = readManifest(outDir)
     requireTable(m, outDir)
     val cur = tableSchema(spark, outDir, m)
-    requirePartitionable(cur, column)
+    val spec = normalizePartSpec(cur, column)
     require(commitNext(outDir, m, m.copy(version = m.version + 1,
-      partSpec = Some(m.physicalOf(column)),
+      partSpec = Some(spec.split(",").map(m.physicalOf).mkString(",")),
       cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true)),
       s"partition-spec change at $outDir lost a manifest race")
     m.version + 1
@@ -1156,52 +1203,64 @@ object LakeSink {
       values: Seq[Any]) extends PruneHint
 
   /** Compile `cond` into a per-PARTITION-VALUE decider for segments
-    * partitioned by PHYSICAL column `physCol`: Some(f) when the
-    * predicate is deterministic and references ONLY that column — then
-    * every row of such a segment has the same `cond` truth value, so
-    * `f(partitionValue)` decides the WHOLE segment from the manifest
-    * (true = every row matches, false = none does; NULL evaluations
-    * are false, exactly SQL DML's keep-NULL rule). None = undecidable
-    * per partition (other columns referenced, unanalyzable, or the
-    * partition column was dropped) — callers fall back to the normal
-    * scan path. Evaluation is an interpreted Catalyst predicate over a
-    * single in-memory row: ZERO Spark jobs, arbitrary expression shape
-    * (`pmod(day, 7) = 3` works, not just ranges). */
+    * carrying partition facts on the PHYSICAL columns `physCols`
+    * (one column pre-r15, a composite (day × tenant)-style tuple
+    * since): Some(f) when the predicate is deterministic and
+    * references ONLY those columns — then every row of such a segment
+    * has the same `cond` truth value, so `f(values)` decides the
+    * WHOLE segment from the manifest (true = every row matches,
+    * false = none does; NULL evaluations are false, exactly SQL DML's
+    * keep-NULL rule). None = undecidable per partition (other columns
+    * referenced, unanalyzable, or a partition column was dropped) —
+    * callers fall back to the normal scan path. Evaluation is an
+    * interpreted Catalyst predicate over a single in-memory row: ZERO
+    * Spark jobs, arbitrary expression shape (`pmod(day, 7) = 3 AND
+    * tenant = 'x'` works, not just ranges). */
   private def partitionDecider(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       cond: org.apache.spark.sql.Column, m: Manifest,
-      physCol: String): Option[Option[String] => Boolean] = {
+      physCols: Seq[String])
+      : Option[Map[String, Option[String]] => Boolean] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     import org.apache.spark.sql.types._
-    val logical = m.logicalOf(physCol).getOrElse(return None)
+    val logicals = physCols.map(c => m.logicalOf(c) match {
+      case Some(l) => c -> l
+      case None => return None
+    })
+    val logicalSet = logicals.map(_._2).toSet
     val analyzed =
       try spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .filter(cond).queryExecution.analyzed
       catch { case _: Exception => return None }
     analyzed.collectFirst { case f: Filter => (f.condition, f.child.output) }
       .flatMap { case (e, out) =>
-        if (!e.deterministic || !e.references.forall(_.name == logical))
+        if (!e.deterministic || !e.references.forall(a =>
+            logicalSet.contains(a.name)))
           None
         else {
           val bound = BindReferences.bindReference(e, AttributeSeq(out))
           val pred = Predicate.createInterpreted(bound)
-          val ord = out.indexWhere(_.name == logical)
-          val dt = schema.fields.find(_.name == logical).get.dataType
-          Some((value: Option[String]) => {
+          val slots = logicals.map { case (phys, logical) =>
+            (phys, out.indexWhere(_.name == logical),
+              schema.fields.find(_.name == logical).get.dataType)
+          }
+          Some((values: Map[String, Option[String]]) => {
             val row = new GenericInternalRow(out.length) // all-NULL base
-            value.foreach { v =>
-              val conv: Any = dt match {
-                case LongType => v.toLong
-                case IntegerType => v.toInt
-                case ShortType => v.toShort
-                case ByteType => v.toByte
-                case StringType =>
-                  org.apache.spark.unsafe.types.UTF8String.fromString(v)
-                case other => sys.error(
-                  s"partition column $logical has unsupported type $other")
+            slots.foreach { case (phys, ord, dt) =>
+              values.getOrElse(phys, None).foreach { v =>
+                val conv: Any = dt match {
+                  case LongType => v.toLong
+                  case IntegerType => v.toInt
+                  case ShortType => v.toShort
+                  case ByteType => v.toByte
+                  case StringType =>
+                    org.apache.spark.unsafe.types.UTF8String.fromString(v)
+                  case other => sys.error(
+                    s"partition column $phys has unsupported type $other")
+                }
+                row.update(ord, conv)
               }
-              row.update(ord, conv)
             }
             pred.eval(row)
           })
@@ -2270,11 +2329,16 @@ object LakeSink {
     }
     val rawRows = m.segs.map(s => segmentFooterRows(outDir, s)).sum
     val dvRows = m.segs.flatMap(m.dv.get).map(_.rows).sum
+    // DV DEBT FRACTION in parts-per-million (r15) — the number a
+    // 100 TB operator reads to decide when `REORG … APPLY (PURGE)`
+    // pays off; integer ppm keeps the column oracle-exact.
+    val debtPpm = if (rawRows == 0L) 0L else dvRows * 1000000L / rawRows
     Seq((m.version, m.segs.size.toLong, files, rawRows - dvRows, bytes,
-      m.dv.size.toLong, dvRows, m.schemaV,
-      m.partSpec.map(p => m.logicalOf(p).getOrElse(p)).orNull))
+      m.dv.size.toLong, dvRows, debtPpm, m.schemaV,
+      m.partSpec.map(_.split(",").map(p =>
+        m.logicalOf(p).getOrElse(p)).mkString(",")).orNull))
       .toDF("version", "num_segments", "num_files", "num_rows",
-        "size_bytes", "num_dv_segments", "dv_rows",
+        "size_bytes", "num_dv_segments", "dv_rows", "dv_debt_ppm",
         "schema_generation", "partition_col")
   }
 
@@ -2287,8 +2351,11 @@ object LakeSink {
   def showPartitions(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
     val m = readManifest(outDir)
+    // one row per (column, value) — a composite-partitioned segment
+    // (r15) contributes a row to EVERY dimension it records
     val grouped = m.segs
-      .flatMap(s => m.parts.get(s).map(pv => ((pv.col, pv.value), s)))
+      .flatMap(s => m.parts.get(s).toSeq.flatMap(pv =>
+        pv.facts.map { case (c, v) => ((c, v), s) }))
       .groupBy(_._1)
       .toSeq
       .map { case ((c, v), xs) =>
@@ -2333,12 +2400,19 @@ object LakeSink {
         if (i == 0) Set.empty else manifests(i - 1).segs.toSet
       val added = m.segs.count(!prevSegs(_))
       val removed = (prevSegs -- m.segs).size
+      // DV DEBT observability (r15): per-version deletion-vector
+      // census — how many segments carry merge-on-read debt and how
+      // many rows it hides — so a 100 TB operator reads WHEN the debt
+      // accumulated and when a REORG PURGE / OPTIMIZE paid it off,
+      // from the same metadata walk (zero data IO).
       (m.version, m.segs.size.toLong, m.schemaV,
         m.expects.size.toLong, added.toLong, removed.toLong,
+        m.dv.size.toLong, m.dv.values.map(_.rows).sum,
         m.version == tip)
     }
     rows.toDF("version", "n_segments", "schema_v", "n_expectations",
-      "segs_added", "segs_removed", "is_current")
+      "segs_added", "segs_removed", "n_dv_segments", "dv_rows",
+      "is_current")
   }
 
   /** INCREMENTAL READ (change feed): the rows ADDED between committed
@@ -2814,15 +2888,19 @@ object LakeSink {
       val dvSets = Map.newBuilder[String, DvRef]
       var dvWrites = 0
       // PARTITION-COVERED planning (zero data jobs): each segment with
-      // a recorded partition value is decided on the manifest alone
-      // when the predicate references only its partition column — one
-      // compiled decider per distinct recorded column (mixed columns =
-      // partition evolution; each segment decides under ITS OWN).
+      // recorded partition facts is decided on the manifest alone
+      // when the predicate references only its fact columns — since
+      // r15 a segment may carry a COMPOSITE fact tuple ((day ×
+      // tenant)-style), so `DELETE WHERE day < cutoff AND tenant = x`
+      // is metadata-only too. One compiled decider per distinct
+      // recorded column SET (mixed sets = partition evolution; each
+      // segment decides under ITS OWN).
       val deciders = scala.collection.mutable.Map
-        .empty[String, Option[Option[String] => Boolean]]
-      def deciderFor(c: String): Option[Option[String] => Boolean] =
-        deciders.getOrElseUpdate(c, partitionDecider(spark,
-          schemaOnce, cond, m, c))
+        .empty[Seq[String], Option[Map[String, Option[String]] => Boolean]]
+      def deciderFor(cs: Seq[String])
+          : Option[Map[String, Option[String]] => Boolean] =
+        deciders.getOrElseUpdate(cs, partitionDecider(spark,
+          schemaOnce, cond, m, cs))
       // STATS-PROVEN full match (the partition decider's stats twin):
       // when every top-level conjunct is provable from a segment's
       // recorded min/max/null stats, the whole segment drops by
@@ -2841,7 +2919,8 @@ object LakeSink {
       m.segs.zipWithIndex.foreach { case (seg, i) =>
         val pvOpt = m.parts.get(seg)
         val partDecision: Option[Boolean] =
-          pvOpt.flatMap(pv => deciderFor(pv.col).map(f => f(pv.value)))
+          pvOpt.flatMap(pv => deciderFor(pv.facts.map(_._1))
+            .map(f => f(pv.facts.toMap)))
         val statsFull = partDecision.isEmpty && fullChecks.exists { cs =>
           val st = m.stats.getOrElse(seg, Map.empty[String, ColStat])
           st.nonEmpty && cs.forall(c => c(st))
@@ -2989,7 +3068,7 @@ object LakeSink {
               // so the partition fact survives with the new count
               val (total, matches) = countsOf(seg)
               m.parts.get(seg).foreach(pv => addedParts +=
-                newSeg -> PartVal(pv.col, pv.value, total - matches))
+                newSeg -> pv.copy(rows = total - matches))
             }
             org.apache.commons.io.FileUtils.deleteQuietly(
               new java.io.File(cowStage))
@@ -3231,12 +3310,12 @@ object LakeSink {
           added += postSeg
           postStats.get(seg).foreach(st => addedStats += postSeg -> st)
           writeSegmentBlooms(spark, outDir, postSeg, m.bloomCols)
-          // post-image rows keep the row's partition value unless the
-          // partition column itself is assigned
+          // post-image rows keep the row's partition values unless
+          // any fact column (primary or composite) is assigned
           m.parts.get(seg).foreach { pv =>
-            if (!m.logicalOf(pv.col).exists(assignments.contains))
-              addedParts += postSeg -> PartVal(pv.col, pv.value,
-                matchesOf(seg))
+            if (!pv.facts.exists { case (c, _) =>
+                m.logicalOf(c).exists(assignments.contains) })
+              addedParts += postSeg -> pv.copy(rows = matchesOf(seg))
           }
         }
         org.apache.commons.io.FileUtils.deleteQuietly(
@@ -3272,10 +3351,11 @@ object LakeSink {
           added += newSeg
           cowStats.get(seg).foreach(st => addedStats += newSeg -> st)
           writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
-          // an update keeps every row; the partition fact survives
-          // unless the partition column itself was assigned
+          // an update keeps every row; the partition facts survive
+          // unless any fact column (primary or composite) was assigned
           m.parts.get(seg).foreach { pv =>
-            if (!m.logicalOf(pv.col).exists(assignments.contains))
+            if (!pv.facts.exists { case (c, _) =>
+                m.logicalOf(c).exists(assignments.contains) })
               addedParts += newSeg -> pv
           }
         }
@@ -3373,13 +3453,18 @@ object LakeSink {
       m.schemaV, m.schemaJson, cstats, m.txns, m.expects,
       dataChange = false,
       // partSpec survives (a declared table property, like the
-      // schema) — RE-KEYED to the logical name because compaction
+      // schema) — RE-KEYED to the logical names because compaction
       // re-baselines the column mapping (physical == logical again);
-      // a spec whose logical column was dropped dies with the drop.
-      // Per-segment partition VALUES do not survive: the compacted
-      // segment spans partitions, so it simply has no recorded value
-      // and later partition-covered DML reads it the normal way.
-      partSpec = m.partSpec.flatMap(m.logicalOf(_)),
+      // a spec any of whose logical columns was dropped dies with the
+      // drop. Per-segment partition VALUES do not survive: the
+      // compacted segment spans partitions, so it simply has no
+      // recorded value and later partition-covered DML reads it the
+      // normal way.
+      partSpec = m.partSpec.flatMap { s =>
+        val ls = s.split(",").toSeq.map(m.logicalOf(_))
+        if (ls.forall(_.isDefined)) Some(ls.flatten.mkString(","))
+        else None
+      },
       // bloom columns are declared physical; compaction re-baselines
       // the mapping to logical names, so the declaration follows —
       // dropped columns' blooms die with the drop
@@ -3455,8 +3540,7 @@ object LakeSink {
         stats.get(seg).foreach(st => addedStats += newSeg -> st)
         writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
         m.parts.get(seg).foreach { pv =>
-          addedParts += newSeg -> PartVal(pv.col, pv.value,
-            pv.rows - dvRef.rows)
+          addedParts += newSeg -> pv.copy(rows = pv.rows - dvRef.rows)
         }
       }
       org.apache.commons.io.FileUtils.deleteQuietly(
@@ -3496,8 +3580,10 @@ object LakeSink {
       targetFiles: Int = 1): (Long, Int) = {
     val m = readManifest(outDir)
     require(m.segs.nonEmpty, s"lake at $outDir has no committed segments")
+    // group by the FULL fact tuple (r15: a composite-partitioned
+    // segment compacts only with segments sharing every dimension)
     val groups = m.segs
-      .flatMap(s => m.parts.get(s).map(pv => ((pv.col, pv.value), s)))
+      .flatMap(s => m.parts.get(s).map(pv => (pv.facts, s)))
       .groupBy(_._1)
       .map { case (k, xs) => k -> xs.map(_._2) }
       .filter { case (_, segs) =>
@@ -3511,7 +3597,7 @@ object LakeSink {
     val addStats = Map.newBuilder[String, Map[String, ColStat]]
     val addParts = Map.newBuilder[String, PartVal]
     val tracked = m.trackedCols
-    groups.zipWithIndex.foreach { case (((pcol, pval), segs), i) =>
+    groups.zipWithIndex.foreach { case ((facts, segs), i) =>
       val df = readSegments(spark, outDir, m, segs) // logical + DV-applied
       val newSeg = f"seg_pc${m.version + 1}%010d_${i}_$nonce"
       physicalize(df.repartition(targetFiles), m)
@@ -3520,7 +3606,8 @@ object LakeSink {
         segs.flatMap(m.dv.get).map(_.rows).sum
       removed ++= segs
       added += newSeg
-      addParts += newSeg -> PartVal(pcol, pval, liveRows)
+      addParts += newSeg -> PartVal(facts.head._1, facts.head._2,
+        liveRows, facts.tail)
       if (tracked.nonEmpty)
         addStats += newSeg -> segmentStats(
           spark.read.parquet(s"$outDir/$newSeg"), tracked)
@@ -3854,10 +3941,10 @@ object LakeSink {
     requireTable(m, outDir)
     val partPhys = m.partSpec.getOrElse(sys.error(
       s"lake at $outDir declares no partition column — createTable " +
-        "with partitionBy or evolvePartitionSpec first"))
-    val partCol = m.logicalOf(partPhys).getOrElse(sys.error(
-      s"lake at $outDir: partition column (physical $partPhys) was " +
-        "dropped — evolvePartitionSpec to a live column first"))
+        "with partitionBy or evolvePartitionSpec first")).split(",").toSeq
+    val partCol = partPhys.map(p => m.logicalOf(p).getOrElse(sys.error(
+      s"lake at $outDir: partition column (physical $p) was " +
+        "dropped — evolvePartitionSpec to a live column first")))
     val expected = tableSchema(spark, outDir, m).fieldNames.toSeq
     require(df.columns.toSeq == expected,
       s"appendPartitioned schema mismatch: got ${df.columns.mkString(",")}" +
@@ -3890,70 +3977,90 @@ object LakeSink {
 
   /** The partition-split staging shared by [[appendPartitioned]] and
     * [[insertOverwrite]]: ONE write job splits `df` by the partition
-    * column into per-value segment dirs moved into place (invisible
+    * column(s) into per-value segment dirs moved into place (invisible
     * until a manifest commit lists them), with per-segment
-    * [[PartVal]] facts and the exact-stats dividend. None = empty
-    * batch. The caller owns the commit (and, on a lost CAS, deleting
-    * the staged dirs). */
+    * [[PartVal]] facts (one per dimension under a composite spec,
+    * r15) and the exact-stats dividend. None = empty batch. The
+    * caller owns the commit (and, on a lost CAS, deleting the staged
+    * dirs). */
   private def stagePartitionedSegments(spark: SparkSession,
-      outDir: String, m: Manifest, df: DataFrame, partPhys: String,
-      partCol: String): Option[(Seq[String], Map[String, PartVal],
+      outDir: String, m: Manifest, df: DataFrame, partPhys: Seq[String],
+      partCol: Seq[String]): Option[(Seq[String], Map[String, PartVal],
         Map[String, Map[String, ColStat]])] = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    val isStr = tableSchema(spark, outDir, m)
-      .fields.find(_.name == partCol).get.dataType ==
-      org.apache.spark.sql.types.StringType
-    // per-partition row counts: one aggregation, #distinct-values rows
+    require(partPhys.nonEmpty && partPhys.size == partCol.size,
+      "partition staging needs matching physical/logical column lists")
+    val schema0 = tableSchema(spark, outDir, m)
+    val isStr = partCol.map(c => schema0
+      .fields.find(_.name == c).get.dataType ==
+      org.apache.spark.sql.types.StringType)
+    // per-partition row counts: one aggregation, #distinct-tuples rows
     // (bounded — a partition key IS a low-cardinality-per-batch key)
-    val counts: Map[Option[String], Long] =
-      df.groupBy(col(partCol)).agg(count(lit(1))).collect().map { r =>
-        (if (r.isNullAt(0)) None else Some(r.get(0).toString)) ->
-          r.getLong(1)
-      }.toMap
+    val counts: Map[Seq[Option[String]], Long] =
+      df.groupBy(partCol.map(col): _*).agg(count(lit(1)))
+        .collect().map { r =>
+          partCol.indices.map(i =>
+            if (r.isNullAt(i)) None else Some(r.get(i).toString)) ->
+            r.getLong(partCol.size)
+        }.toMap
     if (counts.isEmpty) return None
     // Hive path encoding writes the EMPTY STRING into the same
     // __HIVE_DEFAULT_PARTITION__ directory as NULL — the one value the
     // staged layout cannot round-trip. Fail loud, not ambiguous.
-    require(!counts.contains(Some("")),
+    require(!counts.keysIterator.exists(_.contains(Some(""))),
       s"partitioned write to $outDir: empty-string partition values " +
         "are indistinguishable from NULL in the staged layout — " +
         "normalize them (e.g. to a sentinel) before the write")
     val nonce = java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong())
-    // ONE write job for every partition: the shadow column becomes the
-    // staging directory key (and is stripped from the files); the real
-    // partition column remains a normal file column.
+    // ONE write job for every partition tuple: shadow columns become
+    // the (nested) staging directory keys (and are stripped from the
+    // files); the real partition columns remain normal file columns.
     val stage = s"_stage_$nonce"
-    // the shadow references the PHYSICAL name — physicalize just
+    val shadows = partPhys.indices.map(i => s"__gp$i")
+    // the shadows reference the PHYSICAL names — physicalize just
     // renamed the frame's columns
-    physicalize(df, m).withColumn("__gp", col(partPhys))
-      .write.partitionBy("__gp").parquet(s"$outDir/$stage")
-    val stageDirs = listDir(Paths.get(outDir, stage))
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("__gp="))
-      .sortBy(_.getFileName.toString)
+    partPhys.zip(shadows).foldLeft(physicalize(df, m)) {
+      case (acc, (p, sh)) => acc.withColumn(sh, col(p))
+    }.write.partitionBy(shadows: _*).parquet(s"$outDir/$stage")
     val hiveNull = "__HIVE_DEFAULT_PARTITION__"
+    def dirValue(p: java.nio.file.Path, sh: String): Option[String] = {
+      val raw = p.getFileName.toString.stripPrefix(s"$sh=")
+      if (raw == hiveNull) None else Some(unescapePathValue(raw))
+    }
+    // walk the nested __gp0=…/__gp1=…/… layout to the leaf dirs, one
+    // (path, value-tuple) per partition tuple
+    var leaves: Seq[(java.nio.file.Path, Seq[Option[String]])] =
+      Seq((Paths.get(outDir, stage), Nil))
+    shadows.foreach { sh =>
+      leaves = leaves.flatMap { case (p, vs) =>
+        listDir(p)
+          .filter(q => Files.isDirectory(q) &&
+            q.getFileName.toString.startsWith(s"$sh="))
+          .sortBy(_.getFileName.toString)
+          .map(q => (q, vs :+ dirValue(q, sh)))
+      }
+    }
     val segs = Seq.newBuilder[String]
     val addParts = Map.newBuilder[String, PartVal]
     val addStats = Map.newBuilder[String, Map[String, ColStat]]
-    stageDirs.zipWithIndex.foreach { case (p, i) =>
-      val raw = p.getFileName.toString.stripPrefix("__gp=")
-      val value: Option[String] =
-        if (raw == hiveNull) None else Some(unescapePathValue(raw))
+    leaves.zipWithIndex.foreach { case ((p, values), i) =>
       val seg = f"seg_p${m.version + 1}%010d_${i}_$nonce"
       Files.move(p, Paths.get(outDir, seg))
-      val rows = counts.getOrElse(value, sys.error(
-        s"staged partition $raw has no counted value — partition " +
-          "column must be deterministic"))
+      val rows = counts.getOrElse(values, sys.error(
+        s"staged partition ${values.mkString(",")} has no counted " +
+          "value — partition columns must be deterministic"))
       segs += seg
-      addParts += seg -> PartVal(partPhys, value, rows)
-      // the partition fact doubles as an exact stats entry — free
+      addParts += seg -> PartVal(partPhys.head, values.head, rows,
+        partPhys.tail.zip(values.tail))
+      // the partition facts double as exact stats entries — free
       // file-skipping for reads and non-covering DML
-      value.foreach { v =>
-        addStats += seg -> Map(partPhys ->
-          (if (isStr) StrStat(v, v, 0L)
-           else LongStat(v.toLong, v.toLong, 0L)))
-      }
+      val st = partPhys.indices.flatMap { j =>
+        values(j).map(v => partPhys(j) ->
+          (if (isStr(j)) StrStat(v, v, 0L)
+           else LongStat(v.toLong, v.toLong, 0L): ColStat))
+      }.toMap
+      if (st.nonEmpty) addStats += seg -> st
       writeSegmentBlooms(spark, outDir, seg, m.bloomCols)
     }
     org.apache.commons.io.FileUtils
@@ -4049,10 +4156,13 @@ object LakeSink {
         var insParts: Map[String, PartVal] = Map.empty
         var inserted = 0L
         m.partSpec match {
-          case Some(partPhys) =>
-            val partCol = m.logicalOf(partPhys).getOrElse(sys.error(
-              s"lake at $outDir: partition column (physical $partPhys) " +
-                "was dropped — evolvePartitionSpec to a live column first"))
+          case Some(spec) =>
+            val partPhys = spec.split(",").toSeq
+            val partCol = partPhys.map(p =>
+              m.logicalOf(p).getOrElse(sys.error(
+                s"lake at $outDir: partition column (physical $p) " +
+                  "was dropped — evolvePartitionSpec to a live column " +
+                  "first")))
             stagePartitionedSegments(spark, outDir, m, src,
               partPhys, partCol).foreach { case (segs, parts, stats) =>
               insSegs = segs; insParts = parts; insStats = stats
@@ -4121,7 +4231,7 @@ object LakeSink {
       partitionBy: Option[String] = None): Long = {
     val m = readManifest(outDir)
     requireTable(m, outDir)
-    partitionBy.foreach(c => requirePartitionable(df.schema, c))
+    val spec = partitionBy.map(normalizePartSpec(df.schema, _))
     val newSchemaV = math.max(m.schemaV, 1L) + 1L
     // a SYNTHETIC manifest describing the post-replace table (new
     // schema, identity mapping, declared layout, no segments yet):
@@ -4129,13 +4239,14 @@ object LakeSink {
     // new files are written exactly as a fresh table's would be
     val synth = Manifest(m.version, m.maxB, Nil,
       schemaV = newSchemaV, schemaJson = Some(df.schema.json),
-      partSpec = partitionBy)
+      partSpec = spec)
     var segs: Seq[String] = Nil
     var parts: Map[String, PartVal] = Map.empty
     var stats: Map[String, Map[String, ColStat]] = Map.empty
-    partitionBy match {
-      case Some(c) =>
-        stagePartitionedSegments(spark, outDir, synth, df, c, c)
+    spec match {
+      case Some(s) =>
+        val cols = s.split(",").toSeq
+        stagePartitionedSegments(spark, outDir, synth, df, cols, cols)
           .foreach { case (s0, p0, st0) =>
             segs = s0; parts = p0; stats = st0 }
       case None =>
@@ -4150,7 +4261,7 @@ object LakeSink {
     require(commitNext(outDir, m, Manifest(m.version + 1, m.maxB, segs,
       newSchemaV, Some(df.schema.json), stats, m.txns,
       expects = Map.empty, cdcSegs = Nil, dataChange = true,
-      dv = Map.empty, colmap = Map.empty, partSpec = partitionBy,
+      dv = Map.empty, colmap = Map.empty, partSpec = spec,
       parts = parts, cdcDropSegs = Nil, bloomCols = Nil)),
       s"REPLACE TABLE at $outDir lost a manifest race — staged files " +
         "are vacuum orphans; retry")
@@ -4529,7 +4640,8 @@ object LakeSink {
       notMatchedBySource: Seq[MergeClause] = Nil,
       txn: Option[(String, Long)] = None,
       cdc: Boolean = false,
-      dvMaxFraction: Double = 0.0): (Long, Int, Long, Long, Long) = {
+      dvMaxFraction: Double = 0.0,
+      schemaEvolution: Boolean = false): (Long, Int, Long, Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, sum, when}
     require(keys.nonEmpty, "MERGE with no key columns")
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
@@ -4551,12 +4663,42 @@ object LakeSink {
     var attempt = 0
     while (attempt < dmlMaxAttempts) {
       attempt += 1
-      val m = readManifest(outDir)
+      val m0 = readManifest(outDir)
       txn.foreach { case (app, id) =>
-        if (m.txns.getOrElse(app, Long.MinValue) >= id)
-          return (m.version, 0, 0L, 0L, 0L)
+        if (m0.txns.getOrElse(app, Long.MinValue) >= id)
+          return (m0.version, 0, 0L, 0L, 0L)
       }
-      val schema = tableSchema(spark, outDir, m)
+      val schema0 = tableSchema(spark, outDir, m0)
+      // MERGE WITH SCHEMA EVOLUTION (r15): source-only columns are
+      // auto-added (nullable) to the target schema — the widened
+      // schema rides the SAME manifest CAS as the merged rows (no
+      // committed-data/stale-schema window), old segments surface the
+      // added columns as NULL through the applied-schema read, and
+      // under an ACTIVE column mapping each added column mints a
+      // FRESH physical name (the evolveAddColumn rule: a re-added
+      // name must never resurrect dropped bytes). The whole merge
+      // body plans against the widened view `m`; the CAS is taken
+      // against the pre-evolution base `m0` so a racing schema change
+      // stays a true conflict.
+      val evolveCols =
+        if (!schemaEvolution) Nil
+        else source.schema.fields.toSeq
+          .filterNot(f => schema0.fieldNames
+            .exists(_.equalsIgnoreCase(f.name)))
+          .map(f => f.copy(nullable = true))
+      val schema = evolveCols.foldLeft(schema0)(_ add _)
+      val m =
+        if (evolveCols.isEmpty) m0
+        else m0.copy(
+          schemaV = m0.schemaV + 1,
+          schemaJson = Some(schema.json),
+          colmap =
+            if (m0.colmap.isEmpty) m0.colmap
+            else m0.colmap ++ evolveCols.map(f =>
+              f.name -> mintPhysical(spark, outDir, m0, f.name)))
+      val newSchema =
+        if (evolveCols.isEmpty) None
+        else Some((m.schemaV, schema.json, m.colmap))
       val targetCols = schema.fieldNames.toSeq
       val checks = m.expects.toSeq.sortBy(_._1)
       require(keys.forall(targetCols.contains),
@@ -4896,12 +5038,15 @@ object LakeSink {
             writeSegmentBlooms(spark, outDir, insSeg, m.bloomCols)
           }
         }
+        // a fires-nothing merge commits nothing — including the
+        // schema evolution (no rows would carry the new columns)
         if (rewritten == 0 && dvWrites == 0 && inserted == 0L)
-          return (m.version, 0, 0L, 0L, 0L)
-        tryCommitEdit(outDir, m, removed.result(), added.result(),
+          return (m0.version, 0, 0L, 0L, 0L)
+        tryCommitEdit(outDir, m0, removed.result(), added.result(),
           addedStats.result(), txn,
           cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
-          dvSets = dvSets.result()) match {
+          dvSets = dvSets.result(),
+          newSchema = newSchema) match {
           case Some(v) => return (v, rewritten, updated, deleted, inserted)
           case None => // true conflict — re-plan against the new tip
         }

@@ -121,5 +121,66 @@ object PartitionDropProbe {
       f""""cow_delete_sec":$tCow%.3f,""" +
       f""""part_written_bytes":$partWritten,""" +
       f""""cow_written_bytes":$cowWritten}""")
+
+    // ---- COMPOSITE twin (r15): (day × event_type) fact tuples ------
+    // The r14 verdict's gap: on a day-only layout the second dimension
+    // of `DELETE WHERE day < cutoff AND event_type = 'click'` cannot
+    // be decided by metadata — covered day-segments must SCAN (and
+    // rewrite the click rows out). With composite facts the same
+    // statement is zero-jobs, and so is the single-dimension
+    // `DELETE WHERE event_type = 'view'`.
+    val baseT = Tables.events(spark, sfDir).select(
+      col("event_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+    val evT = (0 until replicas).map(r => baseT
+        .withColumn("event_id", col("event_id") + lit(r * span)))
+      .reduce(_ unionByName _)
+      .persist()
+    evT.count()
+    val dirMulti = java.nio.file.Files
+      .createTempDirectory("graft_pdrop_multi").toString
+    LakeSink.createTable(dirMulti, evT.schema,
+      partitionBy = Some("day,event_type"))
+    val (_, nTuples) = LakeSink.appendPartitioned(spark, dirMulti, evT)
+    val dirDay = java.nio.file.Files
+      .createTempDirectory("graft_pdrop_day").toString
+    LakeSink.createTable(dirDay, evT.schema, partitionBy = Some("day"))
+    LakeSink.appendPartitioned(spark, dirDay, evT)
+    evT.unpersist()
+
+    val compositePred =
+      col("day") < cutoff && col("event_type") === "click"
+    val baseMulti = dirBytes(dirMulti)
+    val baseDay = dirBytes(dirDay)
+    val (((_, rwM, dropM, nDelM), jobsM), tM) =
+      time(jobsIn(LakeSink.deleteWhere(spark, dirMulti, compositePred)))
+    val (((_, rwD, dropD, nDelD), jobsD), tD) =
+      time(jobsIn(LakeSink.deleteWhere(spark, dirDay, compositePred)))
+    require(rwM == 0 && jobsM == 0,
+      s"composite-covered retention must be metadata-only " +
+        s"(rewrote $rwM, $jobsM jobs)")
+    require(nDelM == nDelD,
+      s"twins disagree: multi deleted $nDelM, day-only deleted $nDelD")
+    val (((_, rwM2, dropM2, nDelM2), jobsM2), tM2) =
+      time(jobsIn(LakeSink.deleteWhere(spark, dirMulti,
+        col("event_type") === "view")))
+    require(rwM2 == 0 && jobsM2 == 0,
+      s"single-dimension delete on composite facts must be " +
+        s"metadata-only (rewrote $rwM2, $jobsM2 jobs)")
+    val multiWritten = dirBytes(dirMulti) - baseMulti
+    val dayWritten = dirBytes(dirDay) - baseDay
+
+    println(f"""{"probe":"partition_retention_multi","sf":"$sfDir",""" +
+      f""""replicas":$replicas,"n_tuples":$nTuples,""" +
+      f""""composite_deleted":$nDelM,"multi_dropped_segs":$dropM,""" +
+      f""""multi_jobs":$jobsM,"multi_sec":$tM%.3f,""" +
+      f""""multi_written_bytes":$multiWritten,""" +
+      f""""dayonly_rewritten_segs":$rwD,"dayonly_dropped_segs":$dropD,""" +
+      f""""dayonly_jobs":$jobsD,"dayonly_sec":$tD%.3f,""" +
+      f""""dayonly_written_bytes":$dayWritten,""" +
+      f""""dim2_deleted":$nDelM2,"dim2_dropped_segs":$dropM2,""" +
+      f""""dim2_jobs":$jobsM2,"dim2_sec":$tM2%.3f}""")
   }
 }

@@ -558,4 +558,36 @@ class LakeDvSpec extends AnyFunSuite with SparkFixture {
     assert(LakeSink.readTable(spark, dir)
       .filter(col("day") === 3L).count() === 1L)
   }
+
+  // --- r15: DV debt observability -----------------------------------
+
+  test("DESCRIBE HISTORY / DETAIL surface the DV debt lifecycle: " +
+      "accumulate -> purge pays off") {
+    val dir = buildLake()
+    // two point deletes: debt accumulates (1 then 2 segments)
+    LakeSink.deleteWhere(spark, dir, col("id") === 3L,
+      dvMaxFraction = 0.5)
+    LakeSink.deleteWhere(spark, dir, col("id") === 11L,
+      dvMaxFraction = 0.5)
+    val det = LakeSink.tableDetail(spark, dir).head()
+    assert(det.getAs[Long]("num_dv_segments") === 2L)
+    assert(det.getAs[Long]("dv_rows") === 2L)
+    // 2 hidden of 10 raw rows = 200000 ppm
+    assert(det.getAs[Long]("dv_debt_ppm") === 200000L)
+    // purge pays the debt off; detail reads clean again
+    LakeSink.purgeDv(spark, dir)
+    val det2 = LakeSink.tableDetail(spark, dir).head()
+    assert(det2.getAs[Long]("num_dv_segments") === 0L)
+    assert(det2.getAs[Long]("dv_rows") === 0L)
+    assert(det2.getAs[Long]("dv_debt_ppm") === 0L)
+    // HISTORY shows WHEN the debt existed, per version (zero data IO)
+    val h = LakeSink.history(spark, dir).orderBy("version").collect()
+      .map(r => r.getAs[Long]("version") ->
+        (r.getAs[Long]("n_dv_segments"), r.getAs[Long]("dv_rows")))
+      .toMap
+    assert(h(2L) === ((0L, 0L)))   // ingest
+    assert(h(3L) === ((1L, 1L)))   // first point delete
+    assert(h(4L) === ((2L, 2L)))   // second point delete
+    assert(h(5L) === ((0L, 0L)))   // purge paid it off
+  }
 }

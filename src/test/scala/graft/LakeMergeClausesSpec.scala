@@ -304,4 +304,118 @@ class LakeMergeClausesSpec extends AnyFunSuite with SparkFixture {
     assert(byId(dir) === Map(1L -> Some(10L), 2L -> Some(200L),
       3L -> Some(300L), 4L -> Some(400L), 5L -> Some(50L)))
   }
+
+  // --- r15: MERGE WITH SCHEMA EVOLUTION -----------------------------
+
+  test("WITH SCHEMA EVOLUTION: source-only columns auto-added in the " +
+      "merge's own commit; old segments read NULL") {
+    val dir = buildLake()
+    val v0 = LakeSink.readManifest(dir).version
+    val sv0 = LakeSink.readManifest(dir).schemaV
+    val src = Seq((2L, 222L, "eu"), (9L, 90L, "us"))
+      .toDF("user_id", "v", "region")
+    // without the flag the extra source column is simply not part of
+    // the target schema (targetCols drive every projection)
+    LakeSink.mergeClauses(spark, dir, src, Seq("user_id"),
+      matched = Seq(Update(None, None)),
+      notMatched = Seq(Insert(None, None)))
+    val mNo = LakeSink.readManifest(dir)
+    assert(mNo.schemaV === sv0)
+    assert(!LakeSink.readTable(spark, dir).columns.contains("region"))
+    // with the flag: ONE commit carries the widened schema AND the rows
+    val v1 = mNo.version
+    val src2 = Seq((2L, 333L, "eu"), (10L, 100L, "ap"))
+      .toDF("user_id", "v", "region")
+    val (v2, _, nUpd, _, nIns) = LakeSink.mergeClauses(spark, dir, src2,
+      Seq("user_id"),
+      matched = Seq(Update(None, None)),
+      notMatched = Seq(Insert(None, None)),
+      schemaEvolution = true)
+    assert(v2 === v1 + 1, "evolution must ride the merge's own CAS")
+    assert(nUpd === 1L && nIns === 1L)
+    val m2 = LakeSink.readManifest(dir)
+    assert(m2.schemaV === mNo.schemaV + 1)
+    val got = LakeSink.readTable(spark, dir)
+    assert(got.columns.toSeq ===
+      Seq("user_id", "v", "region"))
+    val byRegion = got.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getString(2))))
+      .toMap
+    assert(byRegion(2L) === Some("eu"))
+    assert(byRegion(10L) === Some("ap"))
+    // rows in untouched/pass-through segments surface NULL
+    assert(byRegion(1L) === None && byRegion(3L) === None &&
+      byRegion(5L) === None)
+    // time travel: the pre-evolution version still reads its own schema
+    assert(!LakeSink.readTableAsOf(spark, dir, v1).columns
+      .contains("region"))
+  }
+
+  test("WITH SCHEMA EVOLUTION: CDC images carry the widened schema; " +
+      "a fires-nothing merge commits no evolution") {
+    val dir = buildLake()
+    val v0 = LakeSink.readManifest(dir).version
+    val src = Seq((3L, 42L, "eu")).toDF("user_id", "v", "region")
+    val (v1, _, _, _, _) = LakeSink.mergeClauses(spark, dir, src,
+      Seq("user_id"),
+      matched = Seq(Update(None, None)),
+      cdc = true, schemaEvolution = true)
+    val ch = LakeSink.changesCdcBetween(spark, dir, v1 - 1, v1)
+    assert(ch.columns.contains("region"))
+    val post = ch.filter(col("_change_type") === "update_postimage")
+      .collect()
+    assert(post.length === 1)
+    assert(post.head.getAs[String]("region") === "eu")
+    // fires-nothing: no commit at all, so no evolution either
+    val src2 = Seq((777L, 1L, "xx")).toDF("user_id", "v", "region")
+    val (v2, rw2, u2, d2, i2) = LakeSink.mergeClauses(spark, dir, src2,
+      Seq("user_id"),
+      matched = Seq(Update(None, None)),
+      schemaEvolution = true)
+    assert(v2 === v1 && rw2 === 0 && u2 === 0L && d2 === 0L && i2 === 0L)
+    assert(LakeSink.readManifest(dir).version === v1)
+  }
+
+  test("WITH SCHEMA EVOLUTION under an ACTIVE column mapping mints a " +
+      "fresh physical name") {
+    val dir = buildLake()
+    LakeCatalog.register("mrgev_cm", dir)
+    // activate the mapping with a rename, then evolve through a merge
+    spark.sql("ALTER TABLE mrgev_cm RENAME COLUMN v TO val").collect()
+    val src = Seq((2L, 9L, "eu")).toDF("user_id", "val", "region")
+    LakeSink.mergeClauses(spark, dir, src, Seq("user_id"),
+      matched = Seq(Update(None, None)),
+      schemaEvolution = true)
+    val m = LakeSink.readManifest(dir)
+    assert(m.colmap.contains("region"))
+    assert(m.colmap("region") !== "region",
+      "an evolved column under an active mapping must mint a fresh " +
+        "physical name (never resurrect dropped bytes)")
+    val got = LakeSink.readTable(spark, dir)
+    assert(got.filter(col("user_id") === 2L).head.getAs[String]("region")
+      === "eu")
+    assert(got.filter(col("user_id") === 1L).head
+      .isNullAt(got.columns.indexOf("region")))
+  }
+
+  test("SQL: MERGE WITH SCHEMA EVOLUTION INTO widens through the " +
+      "statement form") {
+    val dir = buildLake()
+    LakeCatalog.register("mrgev_sql", dir)
+    Seq((4L, 444L, "jp"), (11L, 110L, "br"))
+      .toDF("user_id", "v", "region")
+      .createOrReplaceTempView("mrgev_src")
+    val receipt = spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mrgev_sql t
+        |USING mrgev_src s ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(receipt.head.getLong(2) === 1L) // rows_updated
+    assert(receipt.head.getLong(4) === 1L) // rows_inserted
+    val got = spark.sql("SELECT user_id, region FROM mrgev_sql")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(got(4L) === Some("jp") && got(11L) === Some("br"))
+    assert(got(1L) === None)
+  }
 }

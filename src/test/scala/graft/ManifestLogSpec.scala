@@ -76,7 +76,7 @@ class ManifestLogSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(4) === 1L && r.getLong(5) === 0L,
         s"v${r.getLong(0)}: expected pure append diff, got $r")
     }
-    assert(h.last.getBoolean(6) === true) // is_current
+    assert(h.last.getBoolean(8) === true) // is_current
     // change feed spanning the snapshot: (30, 35] = seg_a31..35
     val delta = LakeSink.changesBetween(spark, dir, 30L, 35L)
       .collect().map(_.getLong(0)).sorted

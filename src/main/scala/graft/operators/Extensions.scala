@@ -741,6 +741,111 @@ object Extensions {
                 AS sum_cents
             FROM events"""))
 
+  /** STREAMING MERGE-ON-READ UPSERT INGESTION (r15, the r14 verdict's
+    * stretch #8): the CDC-apply loop a 100 TB deployment runs —
+    * [[graft.streaming.StreamOps.startUpsertSink]] tails an updates
+    * feed (itself a lake table read through `graft-lake-changefeed`,
+    * so planning a batch reads zero target data) and MERGEs each
+    * micro-batch into the canonical events lake with
+    * `dvMaxFraction = 1.0`: matched rows retire into O(matched)
+    * deletion vectors, post-images and fresh-key inserts append, and
+    * NO segment is ever rewritten — steady-state ingestion writes
+    * O(changed rows) per trigger no matter how many segments a batch
+    * grazes. The feed carries two tranches (even- then odd-id clicks,
+    * each with a repriced update and a fresh-key insert per click), so
+    * the second batch exercises DV SUPERSESSION on buckets holding
+    * clicks of both parities. The query REQUIREs zero rewrites and a
+    * non-empty DV census; the oracle recomputes the census, the
+    * receipt totals, and the final rollup from the events table alone
+    * — a silent copy-on-write fallback, a double-applied batch, a
+    * lost insert, or a resurrected pre-image all fail loud or fail
+    * the hash. Kill/replay exactly-once is UpsertStreamSpec's job;
+    * write-amplification economics are StreamBench's (stream_upsert
+    * A/B). */
+  private val sinkLakeUpsertMor = QueryDef(
+    "sink_lake_upsert_mor",
+    (s, d) => {
+      import graft.streaming.{LakeSink, StreamOps}
+      val dir = tmpPath("graft_lake_ups_mor", d)
+      val updDir = tmpPath("graft_lake_ups_feed", d)
+      val ck = tmpPath("graft_lake_ups_ck", d)
+      Seq(dir, updDir, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      cloneCanonicalLake(s, d, dir)
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      val clicks = ev.filter(col("event_type") === "click")
+      // tranche p: reprice the parity-p clicks (+10.00) and insert one
+      // synthetic row per repriced click under a fresh key
+      def tranche(p: Int): DataFrame = {
+        val c = clicks.filter(col("event_id") % 2 === p)
+        c.select(col("event_id"), col("event_type"),
+            (col("vc") + 1000L).as("vc"))
+          .unionByName(c.select(
+            (col("event_id") + 10000000L).as("event_id"),
+            lit("synthetic").as("event_type"), col("vc")))
+      }
+      LakeSink.createTable(updDir, ev.schema)
+      val rw = new java.util.concurrent.atomic.AtomicLong
+      val nUpd = new java.util.concurrent.atomic.AtomicLong
+      val nIns = new java.util.concurrent.atomic.AtomicLong
+      val q = StreamOps.startUpsertSink(
+        s.readStream.format("graft-lake-changefeed")
+          .option("path", updDir).load(),
+        dir, Seq("event_id"), ck,
+        appId = "graft-ups-mor",
+        dvMaxFraction = 1.0,
+        onBatch = (_, r, u, i) => {
+          rw.addAndGet(r.toLong); nUpd.addAndGet(u); nIns.addAndGet(i); ()
+        })
+      try {
+        (0 to 1).foreach { p =>
+          LakeSink.appendSegment(s, updDir, tranche(p), s"seg_u$p")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      require(rw.get == 0,
+        s"streaming MoR upsert rewrote ${rw.get} segments (must write DVs)")
+      val mf = LakeSink.readManifest(dir)
+      require(mf.dv.nonEmpty,
+        "streaming MoR upsert recorded no deletion vectors")
+      LakeSink.readTable(s, dir)
+        .agg(
+          lit(mf.dv.size.toLong).as("n_dv_segments"),
+          lit(mf.dv.values.map(_.rows).sum).as("dv_rows"),
+          lit(nUpd.get).as("n_updated"),
+          lit(nIns.get).as("n_inserted"),
+          count(lit(1)).as("n_rows"),
+          sum("vc").as("sum_cents"))
+    },
+    // n_dv_segments: buckets holding BOTH click and non-click rows
+    // (the strictly-partial rule; rw == 0 is REQUIREd, so an
+    // all-click bucket would fail loud, never skew the census).
+    // dv_rows: every click retired exactly once across the two
+    // batches (disjoint parities; batch 2's keys live in original
+    // buckets, not batch 1's post-image segment).
+    Some("""SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM (
+                 SELECT event_id % 4 AS b FROM events GROUP BY 1
+                 HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+                    AND count(CASE WHEN event_type <> 'click' THEN 1 END) > 0))
+                AS n_dv_segments,
+              CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS dv_rows,
+              CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS n_updated,
+              CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS n_inserted,
+              CAST(count(*) + count(CASE WHEN event_type = 'click'
+                THEN 1 END) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                + 1000 * count(CASE WHEN event_type = 'click' THEN 1 END)
+                + sum(CASE WHEN event_type = 'click'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sum_cents
+            FROM events"""))
+
   /** Lake MERGE INTO (r10): the third copy-on-write DML verb, via
     * [[graft.streaming.LakeSink.mergeInto]] — standard `WHEN MATCHED
     * THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *` upsert
@@ -2292,6 +2397,64 @@ object Extensions {
                      AS n_imported
             FROM ev GROUP BY event_type ORDER BY event_type"""))
 
+  /** COPY INTO (r15): idempotent incremental landing-zone ingestion —
+    * [[sinkLakeImport]]'s missing half (the import loads everything
+    * every call; re-running it duplicates). Three statements against
+    * the manifest's cumulative load-history ledger: the first drop (4
+    * files) loads whole, the RE-RUN loads nothing and commits nothing
+    * (version REQUIREd unchanged — the orchestrator-retry contract),
+    * and a second drop (2 files of click rows) loads only itself.
+    * At 100 TB this is THE hourly-pipeline verb: re-running `COPY
+    * INTO` over a landing prefix after any failure pays O(new files),
+    * never O(prefix), and each file's rows land exactly once. The
+    * oracle derives the file counts (fixed repartition widths), the
+    * doubled click rows, and the final rollup from events alone — a
+    * double-ingested file, a skipped fresh file, or a phantom commit
+    * all fail the hash or the REQUIREs. Ledger lifecycle (survives
+    * DELETE/OPTIMIZE/clone/RESTORE, resets on RTAS, path-keyed
+    * skip-on-rewrite) is LakeCopyIntoSpec's job. */
+  private val sinkLakeCopyInto = QueryDef(
+    "sink_lake_copy_into",
+    (s, d) => {
+      import graft.streaming.LakeSink
+      val drop1 = tmpPath("graft_cp_q_drop1", d)
+      val drop2 = tmpPath("graft_cp_q_drop2", d)
+      val dir = tmpPath("graft_cp_q_lake", d)
+      Seq(drop1, drop2, dir).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      ev.repartition(4).write.mode("overwrite").parquet(drop1)
+      ev.filter(col("event_type") === "click")
+        .repartition(2).write.mode("overwrite").parquet(drop2)
+      val (v1, load1, skip1, _) = LakeSink.copyInto(s, drop1, dir)
+      require(skip1 == 0, s"fresh drop skipped $skip1 files")
+      val (v2, load2, skip2, rows2) = LakeSink.copyInto(s, drop1, dir)
+      require(load2 == 0 && rows2 == 0L,
+        s"re-run double-ingested $load2 files ($rows2 rows)")
+      require(v2 == v1, "skip-everything re-run committed a version")
+      val (_, load3, skip3, _) = LakeSink.copyInto(s, drop2, dir)
+      require(skip3 == 0, s"second drop skipped $skip3 files")
+      LakeSink.readTable(s, dir)
+        .agg(
+          lit(load1.toLong).as("n_load1"),
+          lit(skip2.toLong).as("n_skip_rerun"),
+          lit(load3.toLong).as("n_load2"),
+          count(lit(1)).as("n_rows"),
+          sum("vc").as("sum_cents"))
+    },
+    Some("""SELECT CAST(4 AS BIGINT) AS n_load1,
+              CAST(4 AS BIGINT) AS n_skip_rerun,
+              CAST(2 AS BIGINT) AS n_load2,
+              CAST(count(*) + count(CASE WHEN event_type = 'click'
+                THEN 1 END) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                + sum(CASE WHEN event_type = 'click'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sum_cents
+            FROM events"""))
+
   /** General MERGE via SQL (r12): the full clause set on one
     * statement — conditional matched UPDATE, matched DELETE fallback,
     * conditional explicit-column INSERT, and NOT MATCHED BY SOURCE
@@ -2671,7 +2834,7 @@ object Extensions {
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
     sinkLakeMaintenance, sinkLakeDelete, sinkLakeDeleteDv, sinkLakeUpdate,
-    sinkLakeUpdateDv, sinkLakeReorg, sinkLakeMerge,
+    sinkLakeUpdateDv, sinkLakeReorg, sinkLakeUpsertMor, sinkLakeMerge,
     sqlLakeDml, sqlLakeDdl, sinkLakeEvolution, sinkLakeColmap,
     sinkLakePartitioned, sinkLakePartitionedMulti,
     sinkLakeCompactClustered,
@@ -2682,7 +2845,7 @@ object Extensions {
     sinkLakeExpectations,
     sinkLakeHistory, sinkLakeMedallion, sinkLakeCdf, sqlLakeCdf,
     sqlLakeHistory, sqlLakeRestore, sqlLakeClone, sqlLakeDetail,
-    sinkLakeImport, sqlLakeMergeMulti, sqlLakeMergeEvolve,
+    sinkLakeImport, sinkLakeCopyInto, sqlLakeMergeMulti, sqlLakeMergeEvolve,
     sqlLakeReplace, sqlLakeCtas,
     sinkLakeBloomPrune, sqlLakeRtas)
 }

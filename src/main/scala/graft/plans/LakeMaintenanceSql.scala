@@ -32,6 +32,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   CREATE OR REPLACE TABLE t … AS q        → RTAS ([[LakeSink.replaceTableAs]])
   *   ANALYZE TABLE t COMPUTE STATISTICS
   *     FOR COLUMNS a, b                      → [[LakeSink.analyzeTable]]
+  *   COPY INTO t FROM '<dir>'                → [[LakeSink.copyInto]]
   */
 object LakeMaintenanceSql {
 
@@ -55,6 +56,11 @@ object LakeMaintenanceSql {
   // rewrite ONLY DV'd segments, Delta's REORG TABLE verb.
   private val ReorgPurge =
     """(?is)^\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
+  // COPY INTO (r15): Delta's idempotent landing-zone load —
+  // re-running skips files the manifest ledger already carries.
+  private val CopyInto =
+    ("""(?is)^\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""").r
   private val ShowPartitions =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
   private val Analyze =
@@ -165,6 +171,8 @@ object LakeMaintenanceSql {
       LakeOptimizePartitionsCommand(d))
     case ReorgPurge(t) => dirOf(t).map(d =>
       LakeReorgPurgeCommand(d))
+    case CopyInto(t, src) => dirOf(t).map(d =>
+      LakeCopyIntoCommand(d, src))
     case ShowPartitions(t) => dirOf(t).map(d =>
       LakeSink.showPartitions(SparkSession.active, d)
         .queryExecution.analyzed)
@@ -468,6 +476,22 @@ case class LakeReorgPurgeCommand(dir: String)
   override def run(session: SparkSession): Seq[Row] = {
     val (v, n) = LakeSink.purgeDv(session, dir)
     Seq(Row(v, n))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>'` → [[LakeSink.copyInto]]: idempotent
+  * incremental file ingestion against the manifest's load-history
+  * ledger. The receipt mirrors Delta's (files loaded/skipped, rows). */
+case class LakeCopyIntoCommand(dir: String, srcDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("files_loaded", IntegerType)(),
+    AttributeReference("files_skipped", IntegerType)(),
+    AttributeReference("rows_loaded", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, loaded, skipped, rows) = LakeSink.copyInto(session, srcDir, dir)
+    Seq(Row(v, loaded, skipped, rows))
   }
 }
 

@@ -193,7 +193,34 @@ object LakeSink {
       // with uniform layout every segment's [min,max] spans every
       // probe, but `WHERE id = x` bloom-prunes to the segments that
       // MAY hold x.
-      bloomCols: Seq[String] = Nil) {
+      bloomCols: Seq[String] = Nil,
+      // COPY INTO load history (r15, Delta's COPY INTO file-dedup
+      // ledger): identity hashes (of the absolute source path) of
+      // landing-zone files already loaded by [[copyInto]]. CUMULATIVE
+      // and APPEND-ONLY — unlike stats/dv/parts it is NOT keyed by
+      // live segment and survives the segment's deletion, because
+      // "this landing-zone file was ingested" stays true after
+      // retention DML removes the rows (re-running the load must not
+      // resurrect deleted data). Delta carries the same ledger; each
+      // entry is one short hash line, so a snapshot's ledger cost is
+      // O(files ever loaded) — the same order as its per-segment
+      // lines.
+      copied: Set[String] = Set.empty,
+      // PROTOCOL VERSION GATE (r15, Delta's minReaderVersion /
+      // minWriterVersion): the minimum engine capability this
+      // manifest's FEATURES require. Some state is unreadable-if-
+      // ignored (a reader that skips `dvec=` lines RESURRECTS deleted
+      // rows; one that skips `colmap=` misreads renamed columns) and
+      // some is uncarryable-if-ignored (a writer that drops `expect=`
+      // stops enforcing contracts; one that drops `copy=` breaks load
+      // idempotency) — silently wrong, not loudly broken. Writers
+      // compute these from the state they commit ([[requiredReader]]
+      // / [[requiredWriter]]); readers refuse manifests above
+      // [[supportedReader]], writers refuse to commit against parents
+      // above [[supportedWriter]]. Absent headers parse as 1 (all
+      // pre-gate manifests). */
+      minReader: Long = 1L,
+      minWriter: Long = 1L) {
     /** Columns any live segment tracks stats for (PHYSICAL names —
       * stats follow the bytes, surviving renames). */
     def trackedCols: Seq[String] =
@@ -207,6 +234,43 @@ object LakeSink {
       if (colmap.isEmpty) Some(physical)
       else colmap.collectFirst { case (l, p) if p == physical => l }
   }
+
+  /** Highest manifest feature generations THIS engine understands.
+    * Reader 2 = deletion vectors + column mapping (unreadable-if-
+    * ignored); writer 2 = expectations + DV supersession, writer 3 =
+    * the COPY INTO ledger (uncarryable-if-ignored). Bump when a new
+    * feature joins one of those classes. */
+  val supportedReader: Long = 2L
+  val supportedWriter: Long = 3L
+
+  /** Reader generation the given state requires. */
+  private def requiredReader(dv: Map[String, DvRef],
+      colmap: Map[String, String]): Long =
+    if (dv.nonEmpty || colmap.nonEmpty) 2L else 1L
+
+  /** Writer generation the given state requires. */
+  private def requiredWriter(dv: Map[String, DvRef],
+      expects: Map[String, String], copied: Set[String]): Long =
+    if (copied.nonEmpty) 3L
+    else if (dv.nonEmpty || expects.nonEmpty) 2L
+    else 1L
+
+  /** Loud refusal a reader raises on a manifest from the future. */
+  private def gateReader(outDir: String, v: Long, minReader: Long): Unit =
+    if (minReader > supportedReader)
+      sys.error(s"manifest v$v at $outDir requires reader version " +
+        s"$minReader; this engine supports $supportedReader — its " +
+        "features would be silently misread (not skipped): upgrade " +
+        "the engine before reading this table")
+
+  /** Loud refusal a writer raises before committing against a parent
+    * whose features it could not carry forward. */
+  private def gateWriter(outDir: String, parent: Manifest): Unit =
+    if (parent.minWriter > supportedWriter)
+      sys.error(s"lake at $outDir (v${parent.version}) requires " +
+        s"writer version ${parent.minWriter}; this engine supports " +
+        s"$supportedWriter — committing would silently drop protocol " +
+        "state: upgrade the engine before writing to this table")
 
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
 
@@ -269,7 +333,8 @@ object LakeSink {
     val (dvLines, rest2) = rest1.partition(_.startsWith("dvec="))
     val (cmLines, rest3) = rest2.partition(_.startsWith("colmap="))
     val (partLines, rest4) = rest3.partition(_.startsWith("part="))
-    val (cdcDropLines, rest5) = rest4.partition(_.startsWith("cdcdrop="))
+    val (cdcDropLines, rest45) = rest4.partition(_.startsWith("cdcdrop="))
+    val (copyLines, rest5) = rest45.partition(_.startsWith("copy="))
     val (cdcLines, rest) = rest5.partition(_.startsWith("cdc="))
     val (expectLines, scalarHeaders) = rest.partition(_.startsWith("expect="))
     val h = scalarHeaders.map { l =>
@@ -310,7 +375,14 @@ object LakeSink {
       partLines.map(l => parsePartPayload(outDir, v,
         l.stripPrefix("part="))).toMap,
       cdcDropLines.map(_.stripPrefix("cdcdrop=")),
-      h.get("bloomcols").map(_.split('|').toSeq).getOrElse(Nil))
+      h.get("bloomcols").map(_.split('|').toSeq).getOrElse(Nil),
+      copyLines.map(_.stripPrefix("copy=")).toSet,
+      {
+        val mr = h.get("minreader").map(_.toLong).getOrElse(1L)
+        gateReader(outDir, v, mr)
+        mr
+      },
+      h.get("minwriter").map(_.toLong).getOrElse(1L))
   }
 
   /** Decode one partition-value payload (`seg|col|rows|b64(value)`
@@ -390,7 +462,8 @@ object LakeSink {
       cdcSegs: Seq[String], dataChange: Boolean,
       dvSets: Map[String, DvRef], colmap: Map[String, String],
       partSpec: Option[String], addParts: Map[String, PartVal],
-      cdcDropSegs: Seq[String], bloomCols: Seq[String])
+      cdcDropSegs: Seq[String], bloomCols: Seq[String],
+      addCopied: Set[String], minReader: Long, minWriter: Long)
 
   private def parseDelta(outDir: String, v: Long,
       lines: Seq[String]): DeltaRec = {
@@ -405,6 +478,7 @@ object LakeSink {
     val colmap = Map.newBuilder[String, String]
     val addParts = Map.newBuilder[String, PartVal]
     val cdcDropSegs = Seq.newBuilder[String]
+    val addCopied = Set.newBuilder[String]
     lines.foreach { l =>
       val i = l.indexOf('=')
       require(i > 0, s"manifest delta v$v at $outDir: bad line $l")
@@ -415,6 +489,7 @@ object LakeSink {
         case "remove" => removes += value
         case "cdc" => cdcSegs += value
         case "cdcdrop" => cdcDropSegs += value
+        case "copy" => addCopied += value
         case "dvec" => dvSets += parseDvPayload(outDir, v, value)
         case "colmap" => colmap += parseColmapPayload(outDir, v, value)
         case "part" => addParts += parsePartPayload(outDir, v, value)
@@ -445,7 +520,14 @@ object LakeSink {
       !h.get("datachange").contains("0"), dvSets.result(),
       colmap.result(), h.get("partspec"), addParts.result(),
       cdcDropSegs.result(),
-      h.get("bloomcols").map(_.split('|').toSeq).getOrElse(Nil))
+      h.get("bloomcols").map(_.split('|').toSeq).getOrElse(Nil),
+      addCopied.result(),
+      {
+        val mr = h.get("minreader").map(_.toLong).getOrElse(1L)
+        gateReader(outDir, v, mr)
+        mr
+      },
+      h.get("minwriter").map(_.toLong).getOrElse(1L))
   }
 
   /** Auxiliary CHECKPOINT file for version `v` (Delta's
@@ -484,7 +566,12 @@ object LakeSink {
       d.txns, d.expects, d.cdcSegs, d.dataChange,
       (acc.dv -- d.removes) ++ d.dvSets, d.colmap, d.partSpec,
       (acc.parts -- d.removes) ++ d.addParts, d.cdcDropSegs,
-      d.bloomCols)
+      d.bloomCols,
+      acc.copied ++ d.addCopied,
+      // never auto-downgrade along a delta chain (Delta's rule): a
+      // purge that empties dv does not re-admit old readers mid-log
+      math.max(acc.minReader, d.minReader),
+      math.max(acc.minWriter, d.minWriter))
 
   /** Reconstruct the committed state at version `v`: walk back to the
     * nearest snapshot (≤ [[snapshotInterval]] small files, or the
@@ -532,7 +619,7 @@ object LakeSink {
     val addParts = m.parts.filter { case (seg, p) =>
       liveSet(seg) && !parent.parts.get(seg).contains(p) }
     commitEditRecord(outDir, parent, m, removes, adds, addStats, dvSets,
-      addParts)
+      addParts, m.copied -- parent.copied)
   }
 
   /** [[commitNext]] for a caller that already KNOWS its edit (the DML
@@ -546,18 +633,26 @@ object LakeSink {
       removed: Set[String], added: Seq[String],
       addedStats: Map[String, Map[String, ColStat]],
       dvSets: Map[String, DvRef] = Map.empty,
-      addedParts: Map[String, PartVal] = Map.empty): Boolean = {
+      addedParts: Map[String, PartVal] = Map.empty,
+      addedCopied: Set[String] = Set.empty): Boolean = {
     require(m.version == parent.version + 1,
       s"commit needs consecutive versions, got parent " +
         s"v${parent.version} -> v${m.version}")
+    gateWriter(outDir, parent)
     if (m.version % snapshotInterval == 0)
       return commitManifest(outDir, m.version, m.maxB, m.segs, m.schemaV,
         m.schemaJson, m.stats, m.txns, m.expects, m.cdcSegs, m.dataChange,
-        m.dv, m.colmap, m.partSpec, m.parts, m.cdcDropSegs, m.bloomCols)
+        m.dv, m.colmap, m.partSpec, m.parts, m.cdcDropSegs, m.bloomCols,
+        m.copied)
+    val mr = math.max(parent.minReader, requiredReader(m.dv, m.colmap))
+    val mw = math.max(parent.minWriter,
+      requiredWriter(m.dv, m.expects, m.copied))
     val lines = Seq("delta=1", s"maxb=${m.maxB}") ++
       (if (m.schemaV > 0L) Seq(s"schemav=${m.schemaV}") else Nil) ++
       (if (m.schemaV != parent.schemaV) m.schemaJson.map(j => s"schema=$j")
        else None) ++
+      (if (mr > 1L) Seq(s"minreader=$mr") else Nil) ++
+      (if (mw > 1L) Seq(s"minwriter=$mw") else Nil) ++
       (if (m.dataChange) Nil else Seq("datachange=0")) ++
       m.txns.toSeq.sorted.map { case (a, id) => s"txn=$a|$id" } ++
       m.expects.toSeq.sorted.map { case (n, q) => s"expect=$n|$q" } ++
@@ -571,6 +666,7 @@ object LakeSink {
         s"dvec=$seg|${r.file}|${r.rows}" } ++
       addedParts.toSeq.sortBy(_._1).map { case (seg, p) =>
         partLine(seg, p) } ++
+      addedCopied.toSeq.sorted.map(id => s"copy=$id") ++
       added.map(s => s"add=$s") ++
       removed.toSeq.sorted.map(s => s"remove=$s") ++
       addedStats.toSeq.flatMap { case (seg, byCol) =>
@@ -614,13 +710,14 @@ object LakeSink {
       partSpec: Option[String] = None,
       parts: Map[String, PartVal] = Map.empty,
       cdcDropSegs: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Boolean = {
+      bloomCols: Seq[String] = Nil,
+      copied: Set[String] = Set.empty): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
     Files.write(tmp, snapshotLines(maxB, segs, schemaV, schemaJson,
       stats, txns, expects, cdcSegs, dataChange, dv, colmap, partSpec,
-      parts, cdcDropSegs, bloomCols).mkString("\n")
+      parts, cdcDropSegs, bloomCols, copied).mkString("\n")
       .getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
@@ -662,7 +759,8 @@ object LakeSink {
       partSpec: Option[String] = None,
       parts: Map[String, PartVal] = Map.empty,
       cdcDropSegs: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Seq[String] = {
+      bloomCols: Seq[String] = Nil,
+      copied: Set[String] = Set.empty): Seq[String] = {
     val live = segs.toSet
     val statLines = stats.toSeq
       .filter { case (seg, _) => live(seg) }
@@ -684,12 +782,22 @@ object LakeSink {
     val bloomLine =
       if (bloomCols.nonEmpty) Seq(s"bloomcols=${bloomCols.mkString("|")}")
       else Nil
+    val copyLines = copied.toSeq.sorted.map(id => s"copy=$id")
+    // protocol gate headers, derived from the state being committed
+    // (emitted only above the baseline — pre-gate manifests stay
+    // byte-identical)
+    val mr = requiredReader(dv, colmap)
+    val mw = requiredWriter(dv, expects, copied)
+    val gateLines =
+      (if (mr > 1L) Seq(s"minreader=$mr") else Nil) ++
+      (if (mw > 1L) Seq(s"minwriter=$mw") else Nil)
     (s"maxb=$maxB" +:
       ((if (schemaV > 0L) Seq(s"schemav=$schemaV") ++
         schemaJson.map(j => s"schema=$j")
-       else Nil) ++ partSpec.map(c => s"partspec=$c").toSeq ++ bloomLine ++
+       else Nil) ++ gateLines ++
+        partSpec.map(c => s"partspec=$c").toSeq ++ bloomLine ++
         statLines ++ txnLines ++ expectLines ++ cmLines ++
-        partLines ++ dvLines ++ cdcLines)) ++ segs
+        partLines ++ dvLines ++ cdcLines ++ copyLines)) ++ segs
   }
 
   /** Attempts a DML re-plan loop makes before giving up — each retry
@@ -749,7 +857,8 @@ object LakeSink {
             dataChange = dataChange, dv = dv,
             colmap = newSchema.fold(tip.colmap)(_._3),
             partSpec = tip.partSpec, parts = parts,
-            cdcDropSegs = cdcDropSegs, bloomCols = tip.bloomCols),
+            cdcDropSegs = cdcDropSegs, bloomCols = tip.bloomCols,
+            copied = tip.copied),
           removed, added, addedStats, dvSets, addedParts))
         return Some(tip.version + 1)
       val now = readManifest(outDir)
@@ -2131,7 +2240,12 @@ object LakeSink {
           cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
           dataChange = true, dv = t.dv, colmap = t.colmap,
           partSpec = m.partSpec, parts = t.parts,
-          bloomCols = m.bloomCols))
+          bloomCols = m.bloomCols,
+          // like txns: the load-history ledger is append-only TIP
+          // state — a restore undoes data, not the fact that a
+          // landing-zone file was already ingested (a post-restore
+          // COPY INTO re-run must not duplicate it)
+          copied = m.copied))
         return (m.version + 1, addedSegs.size, removedSegs.size)
       // lost the CAS — re-plan against the new tip
     }
@@ -2224,7 +2338,7 @@ object LakeSink {
     require(commitManifest(dstDir, 1L, -1L, t.segs, t.schemaV,
       t.schemaJson, t.stats, Map.empty, t.expects, Nil,
       dataChange = true, t.dv, t.colmap, t.partSpec, t.parts,
-      bloomCols = t.bloomCols),
+      bloomCols = t.bloomCols, copied = t.copied),
       s"clone commit at $dstDir lost a manifest race")
     (t.segs.size, files, bytes)
   }
@@ -2300,6 +2414,114 @@ object LakeSink {
       org.apache.commons.io.FileUtils.deleteQuietly(to.toFile)
     }
     sys.error(s"import at $lakeDir: $dmlMaxAttempts consecutive CAS " +
+      "losses (concurrent writers) — coordinate the writers or retry")
+  }
+
+  /** Load-history identity of one landing-zone file: a short hash of
+    * its ABSOLUTE normalized path. Path-keyed like Delta's COPY INTO
+    * ledger: re-dropping a file under the same name is a skip (the
+    * idempotency contract retries depend on), the same bytes landing
+    * under a new name load again. */
+  private def copyId(p: Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(p.toAbsolutePath.normalize.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
+  /** COPY INTO — IDEMPOTENT incremental file ingestion, Delta's
+    * landing-zone verb (and [[importParquetDir]]'s missing half: the
+    * import loads everything every call; re-running it duplicates).
+    * Each `.parquet` file under `srcDir` is identified by [[copyId]]
+    * and checked against the manifest's cumulative `copied` ledger:
+    * already-loaded files SKIP, new files HARD-LINK into one fresh
+    * segment each (zero data bytes moved, stats optionally computed —
+    * the import contract) and ONE manifest CAS publishes them all,
+    * appending their identities to the ledger in the same commit. A
+    * run that finds nothing new COMMITS NOTHING.
+    *
+    * The contract this buys at 100 TB: an hourly pipeline re-running
+    * `COPY INTO` over a landing prefix after ANY failure — crashed
+    * loader, lost CAS, orchestrator retry — loads each dropped file
+    * exactly once, paying O(new files) per run, never O(prefix). The
+    * ledger is append-only and independent of segment liveness:
+    * retention DML that drops a loaded segment does NOT make a re-run
+    * resurrect the deleted rows, and RESTORE keeps the tip ledger
+    * (undoing data never forgets what was ingested). OPTIMIZE /
+    * purge / clone / `REPLACE TABLE … AS` all carry it — like the
+    * `txn` guards, an idempotence ledger survives redefinition (a
+    * re-run loader must stay a no-op on the replaced table too).
+    * A file REWRITTEN IN PLACE under its old name
+    * is skipped by design — landing zones are immutable-drop
+    * conventions, and silently double-ingesting a mutated file is
+    * the worse failure; drop corrections under new names.
+    *
+    * Same adoption rules as import: footer schema must match the
+    * table schema name-for-name; lakes with an active column mapping
+    * refuse (foreign files carry logical names).
+    *
+    * Returns (committed version — the current tip when nothing
+    * loaded —, files loaded, files skipped, rows loaded). */
+  def copyInto(spark: SparkSession, srcDir: String, lakeDir: String,
+      statsCols: Seq[String] = Nil): (Long, Int, Int, Long) = {
+    val src = Paths.get(srcDir)
+    require(Files.isDirectory(src), s"no parquet directory at $srcDir")
+    val parts = listDir(src).filter(p =>
+      Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+    require(parts.nonEmpty, s"$srcDir holds no .parquet files")
+    val withIds = parts.map(p => p -> copyId(p))
+    var attempt = 0
+    while (attempt < dmlMaxAttempts) {
+      attempt += 1
+      val m = readManifest(lakeDir)
+      require(m.colmap.isEmpty,
+        s"lake at $lakeDir has an active column mapping — copied " +
+          "files carry logical column names and cannot join a " +
+          "physical-id table without a rewrite")
+      if (m.segs.nonEmpty || m.schemaJson.isDefined) {
+        val cur = tableSchema(spark, lakeDir, m).fieldNames.toSeq
+        val imp = spark.read.parquet(srcDir).schema.fieldNames.toSeq
+        require(imp == cur,
+          s"copied schema (${imp.mkString(", ")}) does not match " +
+            s"table schema (${cur.mkString(", ")}) at $lakeDir")
+      }
+      val fresh = withIds.filterNot { case (_, id) => m.copied(id) }
+      if (fresh.isEmpty)
+        return (m.version, 0, parts.size, 0L)
+      // one single-file segment per source file, named by identity —
+      // deterministic, so a crashed prior attempt's orphan dir is
+      // safely re-staged, and CAS-loss retries re-link the same names
+      val staged = fresh.map { case (p, id) =>
+        val seg = s"seg_cp_$id"
+        val to = Paths.get(lakeDir, seg)
+        org.apache.commons.io.FileUtils.deleteQuietly(to.toFile)
+        Files.createDirectories(to)
+        Files.createLink(to.resolve(p.getFileName.toString), p)
+        (seg, id)
+      }
+      val rows = staged.map { case (seg, _) =>
+        segmentFooterRows(lakeDir, seg) }.sum
+      val stats =
+        if (statsCols.isEmpty) Map.empty[String, Map[String, ColStat]]
+        else staged.map { case (seg, _) =>
+          seg -> segmentStats(
+            spark.read.parquet(s"$lakeDir/$seg"), statsCols)
+        }.toMap
+      staged.foreach { case (seg, _) =>
+        writeSegmentBlooms(spark, lakeDir, seg, m.bloomCols) }
+      if (commitNext(lakeDir, m, m.copy(version = m.version + 1,
+          segs = m.segs ++ staged.map(_._1), stats = m.stats ++ stats,
+          copied = m.copied ++ staged.map(_._2),
+          cdcSegs = Nil, cdcDropSegs = Nil, dataChange = true)))
+        return (m.version + 1, fresh.size, parts.size - fresh.size, rows)
+      // lost the CAS — drop the staged links and re-plan (another
+      // copier may have loaded some of these files; the re-read
+      // ledger decides)
+      staged.foreach { case (seg, _) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          Paths.get(lakeDir, seg).toFile) }
+    }
+    sys.error(s"COPY INTO at $lakeDir: $dmlMaxAttempts consecutive CAS " +
       "losses (concurrent writers) — coordinate the writers or retry")
   }
 
@@ -2628,7 +2850,7 @@ object LakeSink {
       Files.write(snapPath(outDir, oldestRetained),
         snapshotLines(b.maxB, b.segs, b.schemaV, b.schemaJson, b.stats,
           b.txns, b.expects, b.cdcSegs, b.dataChange, b.dv, b.colmap,
-          b.partSpec, b.parts, b.cdcDropSegs, b.bloomCols)
+          b.partSpec, b.parts, b.cdcDropSegs, b.bloomCols, b.copied)
           .mkString("\n").getBytes("UTF-8"))
     }
     // Live segments = union over the retained versions, reconstructed
@@ -3468,7 +3690,10 @@ object LakeSink {
       // bloom columns are declared physical; compaction re-baselines
       // the mapping to logical names, so the declaration follows —
       // dropped columns' blooms die with the drop
-      bloomCols = m.bloomCols.flatMap(m.logicalOf(_)))),
+      bloomCols = m.bloomCols.flatMap(m.logicalOf(_)),
+      // the COPY INTO load ledger survives layout changes: a re-run
+      // after OPTIMIZE must still skip already-ingested files
+      copied = m.copied)),
       s"compaction at $outDir lost a manifest race at v${m.version + 1}")
     // Input segments stay on disk (DML convention: the pre-compaction
     // version keeps time-traveling until vacuum) — unlike the
@@ -4262,7 +4487,11 @@ object LakeSink {
       newSchemaV, Some(df.schema.json), stats, m.txns,
       expects = Map.empty, cdcSegs = Nil, dataChange = true,
       dv = Map.empty, colmap = Map.empty, partSpec = spec,
-      parts = parts, cdcDropSegs = Nil, bloomCols = Nil)),
+      parts = parts, cdcDropSegs = Nil, bloomCols = Nil,
+      // idempotence ledgers (txns above, the COPY INTO load history
+      // here) SURVIVE redefinition: a replayed batch or a re-run
+      // loader must stay a no-op on the replaced table too
+      copied = m.copied)),
       s"REPLACE TABLE at $outDir lost a manifest race — staged files " +
         "are vacuum orphans; retry")
     m.version + 1

@@ -477,6 +477,54 @@ object StreamOps {
       .outputMode("append")
       .start()
 
+  /** Streaming UPSERT ingestion into a lake table — the CDC-apply
+    * sink a 100 TB deployment runs to keep a large keyed table
+    * current from a change stream. Each micro-batch MERGEs into the
+    * target (`WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *`)
+    * through [[LakeSink.mergeClauses]]; the `txn` guard rides the
+    * same manifest CAS as the data, so a batch replayed after a crash
+    * between the lake commit and the streaming checkpoint commit is a
+    * structural no-op — exactly-once end to end, the same contract as
+    * the medallion hops.
+    *
+    * `dvMaxFraction` is the write-amplification lever (r15, the
+    * streaming face of the r14 merge-on-read machinery): at 0 every
+    * touched segment is rewritten per trigger (copy-on-write — a
+    * sparse update hitting S segments re-writes S segments every
+    * batch); at 1.0 matched rows retire into O(matched) deletion
+    * vectors and only the post-image rows append, so steady-state
+    * ingestion writes O(changed rows) per trigger regardless of how
+    * many segments the batch grazes. DV debt accumulates across
+    * triggers and is paid off out-of-band by `REORG … APPLY (PURGE)`
+    * when `DESCRIBE DETAIL`'s `dv_debt_ppm` says it is due.
+    *
+    * `onBatch` receives each batch's merge receipt
+    * (batchId, segments rewritten, rows updated, rows inserted);
+    * `afterCommit` runs after the lake commit but before the
+    * checkpoint commit — the kill seam UpsertStreamSpec injects. */
+  def startUpsertSink(
+      updates: DataFrame, tableDir: String, keys: Seq[String],
+      checkpointDir: String,
+      appId: String = "graft-upsert",
+      dvMaxFraction: Double = 0.0,
+      onBatch: (Long, Int, Long, Long) => Unit = (_, _, _, _) => (),
+      afterCommit: Long => Unit = _ => ()): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (_, rw, upd, _, ins) = LakeSink.mergeClauses(
+            batch.sparkSession, tableDir, batch.toDF(), keys,
+            matched = Seq(LakeSink.MergeClause.Update(None, None)),
+            notMatched = Seq(LakeSink.MergeClause.Insert(None, None)),
+            txn = Some((appId, batchId)),
+            dvMaxFraction = dvMaxFraction)
+          onBatch(batchId, rw, upd, ins)
+        }
+        afterCommit(batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Run any of the above to an in-memory sink for tests/demos. */
   def startToMemory(df: DataFrame, queryName: String,
       outputMode: OutputMode = OutputMode.Append): StreamingQuery =

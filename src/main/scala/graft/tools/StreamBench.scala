@@ -461,6 +461,78 @@ object StreamBench {
         s"post-erasure bronze rollup (${gotGold.size} event types)")
     }
 
+    // ---- streaming upsert ingestion: copy-on-write vs merge-on-read --
+    // The CDC-apply sink A/B (r15): the SAME sparse update feed — 8
+    // batches, each repricing ~3% of the keys SPREAD ACROSS ALL 8
+    // target segments (the worst case for copy-on-write) — merged into
+    // two identically pre-seeded events lakes via
+    // StreamOps.startUpsertSink, once with dvMaxFraction = 0 (every
+    // grazed segment rewritten per trigger) and once with 1.0 (matched
+    // rows retire into deletion vectors, only post-images append).
+    // Final tables are asserted checksum-identical, so the write-bytes
+    // gap is measured on proven-equal results. At 100 TB this is the
+    // steady-state ingestion story: CoW pays O(touched segments ·
+    // batches) bytes forever; MoR pays O(changed rows) per trigger and
+    // defers compaction to REORG PURGE on the operator's schedule.
+    locally {
+      def dirBytes(d: String): Long = {
+        val root = java.nio.file.Paths.get(d)
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      def checksum(dir: String): (Long, Long) = {
+        val r = LakeSink.readTable(spark, dir)
+          .agg(count(lit(1)),
+            sum(pmod(xxhash64(col("event_id"), col("event_type"),
+              expr("CAST(round(value * 100) AS BIGINT)")),
+              lit(1000000007L))))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      // 8 chunks of ~3% each; (event_id >> 3) strides across the
+      // event_id % 8 segment buckets, so every chunk grazes all 8
+      val updChunks = (0 until 8).map { i =>
+        events.filter(e => ((e.event_id >> 3) % 32) == i)
+          .map(e => e.copy(value = e.value + 1.0))
+      }
+      val updRows = updChunks.map(_.size.toLong).sum
+      def runUpsert(name: String, dvFrac: Double): (String, Long) = {
+        val dir = tmpDir(s"graft_sb_ups_$name")
+        val evDf = spark.createDataset(events).toDF()
+        LakeSink.createTable(dir, evDf.schema)
+        (0 until 8).foreach { b =>
+          LakeSink.appendSegment(spark, dir,
+            evDf.filter(col("event_id") % 8 === b), f"seg_b$b")
+        }
+        val seeded = dirBytes(dir)
+        val rw = new java.util.concurrent.atomic.AtomicLong
+        val in = MemoryStream[Event]
+        results += measure(name, updRows) {
+          () => StreamOps.startUpsertSink(
+            in.toDF(), dir, Seq("event_id"),
+            tmpDir(s"graft_sb_ups_ck_$name"), appId = name,
+            dvMaxFraction = dvFrac,
+            onBatch = (_, r, _, _) => { rw.addAndGet(r.toLong); () })
+        } { q =>
+          updChunks.foreach { c => in.addData(c); q.processAllAvailable() }
+        }
+        if (dvFrac > 0) require(rw.get == 0,
+          s"$name rewrote ${rw.get} segments (MoR must write only DVs)")
+        else require(rw.get > 0,
+          s"$name rewrote nothing (CoW must rewrite grazed segments)")
+        (dir, dirBytes(dir) - seeded)
+      }
+      val (cowDir, cowBytes) = runUpsert("stream_upsert_cow", 0.0)
+      val (morDir, morBytes) = runUpsert("stream_upsert_mor", 1.0)
+      require(checksum(cowDir) == checksum(morDir),
+        "upsert A/B diverged: CoW and MoR final tables differ")
+      println(f"[streambench] stream_upsert write bytes: CoW $cowBytes%,d " +
+        f"vs MoR $morBytes%,d (${cowBytes.toDouble / morBytes}%.1fx) " +
+        s"on checksum-identical results")
+    }
+
     // ---- report --------------------------------------------------------
     def jnum(d: Double): String = f"$d%.2f"
     val pipelinesJson = results.map { r =>

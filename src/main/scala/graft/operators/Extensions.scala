@@ -776,6 +776,10 @@ object Extensions {
         col("event_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
       val clicks = ev.filter(col("event_type") === "click")
+      // Synthetic insert keys offset past the table's max id — a
+      // fixed offset collides with re-keyed replicas at larger scales
+      // (the r10 lesson, re-caught at 10x on this query's first run)
+      val insOffset = ev.agg(max("event_id")).head().getLong(0) + 1L
       // tranche p: reprice the parity-p clicks (+10.00) and insert one
       // synthetic row per repriced click under a fresh key
       def tranche(p: Int): DataFrame = {
@@ -783,7 +787,7 @@ object Extensions {
         c.select(col("event_id"), col("event_type"),
             (col("vc") + 1000L).as("vc"))
           .unionByName(c.select(
-            (col("event_id") + 10000000L).as("event_id"),
+            (col("event_id") + insOffset).as("event_id"),
             lit("synthetic").as("event_type"), col("vc")))
       }
       LakeSink.createTable(updDir, ev.schema)

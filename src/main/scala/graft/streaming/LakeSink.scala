@@ -2478,6 +2478,12 @@ object LakeSink {
         s"lake at $lakeDir has an active column mapping — copied " +
           "files carry logical column names and cannot join a " +
           "physical-id table without a rewrite")
+      val fresh = withIds.filterNot { case (_, id) => m.copied(id) }
+      // nothing new → nothing to validate or commit: the no-op re-run
+      // an orchestrator fires every tick costs manifest metadata only
+      // (CopyLedgerProbe pins 0 Spark jobs, wall flat in ledger size)
+      if (fresh.isEmpty)
+        return (m.version, 0, parts.size, 0L)
       if (m.segs.nonEmpty || m.schemaJson.isDefined) {
         val cur = tableSchema(spark, lakeDir, m).fieldNames.toSeq
         val imp = spark.read.parquet(srcDir).schema.fieldNames.toSeq
@@ -2485,9 +2491,6 @@ object LakeSink {
           s"copied schema (${imp.mkString(", ")}) does not match " +
             s"table schema (${cur.mkString(", ")}) at $lakeDir")
       }
-      val fresh = withIds.filterNot { case (_, id) => m.copied(id) }
-      if (fresh.isEmpty)
-        return (m.version, 0, parts.size, 0L)
       // one single-file segment per source file, named by identity —
       // deterministic, so a crashed prior attempt's orphan dir is
       // safely re-staged, and CAS-loss retries re-link the same names

@@ -2348,16 +2348,32 @@ object Extensions {
       val minId = ev.agg(min("event_id")).head().getLong(0)
       LakeSink.deleteWhere(s, dir, col("event_id") === minId,
         dvMaxFraction = 0.5)
+      // COPY INTO a 2-file drop of the error rows (r15): DETAIL must
+      // surface the load-ledger size alongside the DV debt census
+      val drop = tmpPath("graft_sql_detail_drop", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drop))
+      ev.filter(col("event_type") === "error")
+        .repartition(2).write.mode("overwrite").parquet(drop)
+      LakeSink.copyInto(s, drop, dir)
       s.sql(s"DESCRIBE DETAIL $tbl")
         .select(col("version"), col("num_segments"), col("num_rows"),
-          col("num_dv_segments"), col("dv_rows"), col("dv_debt_ppm"))
+          col("num_dv_segments"), col("dv_rows"), col("dv_debt_ppm"),
+          col("num_copied_files"))
     },
-    Some("""SELECT CAST(2 AS BIGINT) AS version,
-                   CAST(4 AS BIGINT) AS num_segments,
-                   CAST(count(*) - 1 AS BIGINT) AS num_rows,
+    // after the DV point delete (v2) the COPY lands 2 error-row
+    // files as 2 segments (v3); debt ppm divides by RAW footer rows
+    // (original count + copied errors)
+    Some("""SELECT CAST(3 AS BIGINT) AS version,
+                   CAST(6 AS BIGINT) AS num_segments,
+                   CAST(count(*) - 1
+                     + count(CASE WHEN event_type = 'error' THEN 1 END)
+                     AS BIGINT) AS num_rows,
                    CAST(1 AS BIGINT) AS num_dv_segments,
                    CAST(1 AS BIGINT) AS dv_rows,
-                   CAST(1000000 // count(*) AS BIGINT) AS dv_debt_ppm
+                   CAST(1000000 // (count(*)
+                     + count(CASE WHEN event_type = 'error' THEN 1 END))
+                     AS BIGINT) AS dv_debt_ppm,
+                   CAST(2 AS BIGINT) AS num_copied_files
             FROM events"""))
 
   /** Zero-copy IMPORT (r12): `CONVERT TO DELTA`'s move —

@@ -2559,11 +2559,16 @@ object LakeSink {
     // pays off; integer ppm keeps the column oracle-exact.
     val debtPpm = if (rawRows == 0L) 0L else dvRows * 1000000L / rawRows
     Seq((m.version, m.segs.size.toLong, files, rawRows - dvRows, bytes,
-      m.dv.size.toLong, dvRows, debtPpm, m.schemaV,
+      m.dv.size.toLong, dvRows, debtPpm, m.copied.size.toLong,
+      m.schemaV,
       m.partSpec.map(_.split(",").map(p =>
         m.logicalOf(p).getOrElse(p)).mkString(",")).orNull))
       .toDF("version", "num_segments", "num_files", "num_rows",
         "size_bytes", "num_dv_segments", "dv_rows", "dv_debt_ppm",
+        // COPY INTO load-ledger size (r15): how many landing files
+        // this table has ever ingested — the at-a-glance check that a
+        // re-run pipeline is actually deduplicating
+        "num_copied_files",
         "schema_generation", "partition_col")
   }
 

@@ -56,6 +56,11 @@ class LakeCopyIntoSpec extends AnyFunSuite with SparkFixture {
     // and the union re-run (both prefixes already loaded) skips all
     val (_, l4, s4, _) = LakeSink.copyInto(spark, drop1, lake)
     assert(l4 === 0 && s4 === 4)
+
+    // DESCRIBE DETAIL surfaces the ledger size (the at-a-glance check
+    // that a re-run pipeline is actually deduplicating)
+    assert(LakeSink.tableDetail(spark, lake)
+      .select("num_copied_files").head().getLong(0) === 6L)
   }
 
   test("ledger outlives segment deletion: retention DML is not undone by a re-run") {

@@ -180,10 +180,78 @@ object BpeOps {
   def encodeWord(word: String, merges: Seq[Merge]): Seq[String] =
     encoder(merges)(word)
 
-  /** A reusable word encoder: sorts the merge list by rank ONCE, so a
-    * mapPartitions over millions of words pays the sort zero times per
-    * word. This is the shape the distributed encode path uses. */
+  /** A reusable word encoder — RANK-INDEXED (r16, the r15 verdict's
+    * real-vocab caveat). The reference formulation below applies
+    * EVERY merge rule to every word, O(|merges|) passes per word —
+    * invisible at a 12-merge fixture, ~3 orders of magnitude of
+    * wasted symbol scans at a real 32k–50k-merge vocabulary. This
+    * encoder builds a (left, right) → rank hash ONCE per
+    * `encoder()` call (once per partition on the distributed paths)
+    * and then, per word, repeatedly scans the CURRENT symbols for the
+    * smallest rank strictly above the last applied one whose pair is
+    * adjacent right now, applying [[mergeOnce]] for it.
+    *
+    * Equivalence to the reference is by construction, not by the
+    * GPT-2 min-rank argument (which can diverge on adversarial merge
+    * tables where a late merge re-creates an earlier pair): the
+    * reference walks ranks cur+1, cur+2, … and a rank whose pair is
+    * ABSENT from the current symbols is a mergeOnce no-op, so
+    * skipping straight to the smallest PRESENT rank > cur yields the
+    * identical state at every applied step. Cost: O(applied·L) scans,
+    * applied ≤ L−1 — per-word work depends on the WORD, never the
+    * vocabulary size (BpeSpec property-tests equality; BASELINE.md
+    * rows the 4k-merge cost curve). */
   def encoder(merges: Seq[Merge]): String => Seq[String] = {
+    // min rank per pair, keyed "left\u0000right" (symbols are
+    // whitespace-split so they can never contain NUL); BOXED values
+    // so a missing key is null, not a phantom rank 0. Training never
+    // emits duplicate pairs, but a hand-built table must not silently
+    // prefer the later rule, so keep the minimum rank.
+    val rank = new java.util.HashMap[String, java.lang.Integer](
+      merges.size * 2)
+    merges.foreach { m =>
+      val k = m.left + "\u0000" + m.right
+      val prev = rank.get(k)
+      if (prev == null || m.rank < prev.intValue) rank.put(k, m.rank)
+    }
+    (word: String) => {
+      var syms: Seq[String] = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toSeq
+      // Long sentinel: ranks are arbitrary Ints (a spec exercises
+      // NEGATIVE ones), so "below every possible rank" needs a wider
+      // type than Int
+      var cur = Long.MinValue
+      var done = syms.lengthCompare(2) < 0
+      while (!done) {
+        // smallest applicable rank strictly above the last applied
+        var best = Long.MaxValue
+        var bi = -1
+        var i = 0
+        val n = syms.length
+        while (i < n - 1) {
+          val r = rank.get(syms(i) + "\u0000" + syms(i + 1))
+          if (r != null && r.longValue > cur && r.longValue < best) {
+            best = r.longValue; bi = i
+          }
+          i += 1
+        }
+        if (bi < 0) done = true
+        else {
+          val l = syms(bi); val rr = syms(bi + 1)
+          syms = mergeOnce(syms, l, rr, l + rr)
+          cur = best
+          if (syms.lengthCompare(2) < 0) done = true
+        }
+      }
+      syms
+    }
+  }
+
+  /** The pre-r16 reference encoder — one [[mergeOnce]] pass per merge
+    * rule in rank order, the literal Sennrich formulation. Kept as
+    * the equivalence oracle for [[encoder]]'s property tests (and as
+    * documentation of the semantics the fast path must preserve). */
+  private[graft] def encoderReference(merges: Seq[Merge]): String => Seq[String] = {
     val sorted = merges.sortBy(_.rank).toArray
     (word: String) => {
       var syms: Seq[String] = word.codePoints().toArray

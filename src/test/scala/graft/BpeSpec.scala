@@ -180,6 +180,74 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rank-indexed encoder == reference encoder: trained tables, " +
+      "adversarial overlap words, pathological double-derivation table") {
+    // 1. tables actually produced by training (the real regime)
+    val trained = BpeOps.train(corpusDf, "text", 8)
+    val corpusVocab = corpusWords.map(_._1)
+    // 2. adversarial overlap words: overlapping repeats are where
+    // left-to-right fuse order and re-created adjacencies live
+    val adversarial = Seq("", "a", "aa", "aaa", "aaaa", "aaaaaaa",
+      "abab", "ababab", "aabbaabb", "abba", "baab", "hughug", "hugshugs",
+      "punpunpun", "ugugug", "gugu", "uggu", "hhuugg", "a😀😀a",
+      "xyzzy", "hug", "hugs", "pug", "pun", "bun")
+    // 3. a PATHOLOGICAL hand-built table where the same fused string
+    // ("abc") has two derivations at different ranks — the case where
+    // the GPT-2 min-rank-loop formulation diverges from the
+    // sequential reference (fusing rank-4 (a,bc) re-creates the
+    // rank-2 (abc, x) adjacency; the reference has already passed
+    // rank 2 and must NOT fire it). This pins the fast encoder to the
+    // reference semantics, not merely to "some BPE".
+    val patho = Seq(Merge("a", "b", 0), Merge("ab", "c", 1),
+      Merge("abc", "x", 2), Merge("b", "c", 3), Merge("a", "bc", 4))
+    // also: negative and gapped ranks (the fixedMerges reversal spec
+    // relies on negative ranks being honored)
+    val weird = Seq(Merge("a", "b", -5), Merge("ab", "b", -2),
+      Merge("b", "a", 7), Merge("abb", "ba", 100))
+    // 4. deterministic pseudo-random words over a small alphabet —
+    // small alphabets maximize pair collisions per word
+    val rnd = new scala.util.Random(42)
+    val randWords = (0 until 400).map { _ =>
+      val len = rnd.nextInt(25)
+      (0 until len).map(_ => "abcx".charAt(rnd.nextInt(4))).mkString
+    }
+    for (table <- Seq(trained, patho, weird, BpeOps.fixedMerges);
+         words <- Seq(corpusVocab, adversarial, randWords)) {
+      val fast = BpeOps.encoder(table)
+      val ref = BpeOps.encoderReference(table)
+      words.foreach { w =>
+        assert(fast(w) == ref(w),
+          s"encoders diverge on '$w' with table $table:\n" +
+            s" fast=${fast(w)}\n ref =${ref(w)}")
+      }
+    }
+    // the pathological table exercises what it claims: the word that
+    // separates the two formulations really takes the two-path route
+    val ref = BpeOps.encoderReference(patho)
+    assert(ref("aabcx") == Seq("a", "abc", "x") ||
+      ref("aabcx") == Seq("a", "abcx"), ref("aabcx").toString)
+  }
+
+  test("rank-indexed encoder cost is independent of vocabulary size " +
+      "(4k-merge chain table encodes without scanning every rule)") {
+    // chain table: rank i fuses ("a" + "b"*i, "b") — 4000 well-formed
+    // merges, every one applicable to the probe word in sequence (the
+    // worst case for BOTH encoders, and the best case for exposing an
+    // O(|merges|)-passes-per-word encoder on words that use none)
+    val n = 4000
+    val chain = (0 until n).map(i => Merge("a" + "b" * i, "b", i))
+    val fast = BpeOps.encoder(chain)
+    val ref = BpeOps.encoderReference(chain)
+    // a word that uses the whole chain...
+    val deep = "a" + "b" * 64
+    assert(fast(deep) == Seq(deep) && ref(deep) == Seq(deep))
+    // ...and words that use none of it: the fast path's work must not
+    // scale with the 4k-rule table (timed evidence in BASELINE.md via
+    // BpeEncodeProbe; here we pin correctness on both regimes)
+    val untouched = Seq("zzzz", "bbbbbbba", "cdcdcd", "b" * 40)
+    untouched.foreach(w => assert(fast(w) == ref(w), w))
+  }
+
   test("fixedMerges rank order matters: shuffled ranks change the output") {
     // the fixed table deliberately contains rank-dependent merges —
     // prove the dependency is real by reversing priorities

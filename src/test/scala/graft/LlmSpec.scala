@@ -225,6 +225,59 @@ class LlmSpec extends AnyFunSuite with SparkFixture {
     assert(nDocs == Tables.documents(spark, sfDir).count())
   }
 
+  test("IVF recall curve (r16): measured on the real corpus, mechanism " +
+      "proven on separable data, exact when every cluster is probed") {
+    // The quality contract behind llm_ann_ivf's speed: nProbe trades
+    // scanned fraction for recall, and that curve is MEASURED, not
+    // assumed (same computation as tools.IvfRecallProbe, which prints
+    // the BASELINE.md row at sf0.1).
+    //
+    // Two regimes, because the fixture embeddings turned out to be
+    // ISOTROPIC (measured: same-label mean cosine 0.0016 vs
+    // cross-label 0.0003 — no cluster structure at all): on such data
+    // NO coarse quantizer can beat the scanned fraction by much —
+    // recall ≈ 0.8 at nProbe=4/8 is the data's ceiling, not an index
+    // bug. So the real-corpus assertions pin the measured floor and
+    // shape, and the ≥ 0.9 contract is asserted where it is
+    // meaningful: a separable corpus (8 jittered centers — the regime
+    // IVF exists for), where ONE probed cluster must already recover
+    // the neighbors.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val curve = graft.tools.IvfRecallProbe
+      .recallCurve(emb, k = 10, nProbes = Seq(1, 2, 4, 8))
+    assert(curve.map(_._1) == Seq(1, 2, 4, 8))
+    val r = curve.map(_._2)
+    r.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b + 1e-9, s"recall not monotone in nProbe: $curve") }
+    assert(r(2) >= 0.7, s"recall@10, nProbe=4 of 8 = ${r(2)}: $curve")
+    // probing every cluster IS brute force — anything below 1.0 would
+    // mean the bucketed index LOST vectors
+    assert(math.abs(r(3) - 1.0) < 1e-9, s"full probe not exact: $curve")
+
+    // separable corpus: 8 well-separated unit centers, 25 points each
+    // with bounded jitter, deterministic seed
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(
+      normalize(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val sep = (0 until 200).map { i =>
+      val c = centers(i / 25)
+      val jit = Array.fill(64)((rnd.nextGaussian() * 0.15).toFloat)
+      (i.toLong, normalize(c.zip(jit).map { case (a, b) => a + b }))
+    }.toDF("vec_id", "embedding")
+    val sepCurve = graft.tools.IvfRecallProbe
+      .recallCurve(sep, k = 10, nProbes = Seq(1, 4, 8))
+    val s1 = sepCurve.head._2
+    assert(s1 >= 0.9,
+      s"separable corpus, ONE probed cluster should recover the " +
+        s"neighbors: recall=$s1 ($sepCurve)")
+    assert(math.abs(sepCurve.last._2 - 1.0) < 1e-9, sepCurve.toString)
+  }
+
   test("adaptiveBandBits: clamp floor/ceiling and power-of-two boundaries " +
       "match the oracle's GREATEST/LEAST/ceil(log2) formula exactly") {
     import graft.llm.SimilarityApi.adaptiveBandBits

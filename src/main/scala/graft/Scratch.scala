@@ -28,4 +28,12 @@ object Scratch {
   /** For names that already carry a run tag (e.g. ledger tables). */
   def tmpPathRaw(name: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"), name).toString
+
+  /** A per-JVM-stable scratch path WITHOUT the sfDir tag — for the
+    * one case where a STATIC string and a runtime query in the same
+    * JVM must agree on a path: an oracle SQL text (built at object
+    * init, before any sfDir is known) that reads files the query
+    * writes (sql_lake_export's DuckDB-reads-the-export interop
+    * proof). Still nonce'd, so concurrent JVMs never collide. */
+  def jvmPath(name: String): String = tmpPathRaw(name + "_" + jvmNonce)
 }

@@ -149,6 +149,42 @@ class LakeCopyIntoSpec extends AnyFunSuite with SparkFixture {
     assert(ids(lake) === (0L until 10L))
   }
 
+  test("CAS loss to a concurrent copier over the SAME prefix never deletes committed data") {
+    // The advertised failure (r16): a hung loader stages its segments,
+    // an orchestrator retry loads the same landing prefix and COMMITS,
+    // then the hung loader wakes, loses the CAS, and cleans up. Its
+    // staged `seg_cp_<id>` dirs are — by deterministic naming — the
+    // very directories the winner's manifest now references; deleting
+    // them would permanently break the table (the ids are in the
+    // ledger, so no retry ever re-stages them).
+    val lake = tmp("graft_cp_race_lake")
+    val prefix = tmp("graft_cp_race_drop")
+    drop(prefix, 0L, 30L, 3)
+    var winnerV = 0L
+    val (v, loaded, skipped, rows) = LakeSink.copyInto(spark, prefix, lake,
+      beforeCommit = () => {
+        // the "orchestrator retry": a full COPY INTO of the same
+        // prefix commits while the outer (hung) loader sits between
+        // staging and its manifest CAS
+        val (wv, wl, _, wr) = LakeSink.copyInto(spark, prefix, lake)
+        winnerV = wv
+        assert(wl === 3 && wr === 30L)
+      })
+    // the loser retried, found everything in the ledger, and skipped
+    assert(loaded === 0 && skipped === 3 && rows === 0L)
+    assert(v === winnerV, "loser re-loaded files the winner committed")
+    // the table is intact: every committed segment dir still exists
+    // and every row reads back (the old cleanup deleted the winner's
+    // live segments here)
+    val m = LakeSink.readManifest(lake)
+    m.segs.foreach { s =>
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(lake, s)), s"live segment $s deleted")
+    }
+    assert(ids(lake) === (0L until 30L))
+    assert(m.copied.size === 3)
+  }
+
   test("SQL COPY INTO: receipt + idempotent re-run through the statement") {
     val lake = tmp("graft_cp_sql_lake")
     val d1 = tmp("graft_cp_sql_drop")

@@ -107,14 +107,75 @@ class ProtocolGateSpec extends AnyFunSuite with SparkFixture {
     LakeSink.cloneTable(spark, dir, cl)
     assert(LakeSink.readManifest(cl).minReader === 2L,
       "clone dropped the reader gate with the DVs it carries")
-    // restore to the PRE-DV state: the gate soundly relaxes with it
-    // (nothing left to misread at the tip) — while time travel to the
-    // DV'd v3 stays gated by v3's own declared minimum
+    // restore to the PRE-DV state: the declared minimums DO NOT relax
+    // (r16, Delta's rule — RESTORE never downgrades the protocol).
+    // Re-deriving the gate from visible state alone would silently
+    // re-admit old engines after a restore on a chain whose minimums
+    // were raised by a feature THIS engine cannot see; undoing data
+    // must not undo the fence.
     LakeSink.restoreTable(spark, dir, 2L)
-    assert(LakeSink.readManifest(dir).minReader === 1L)
+    assert(LakeSink.readManifest(dir).minReader === 2L)
     assert(LakeSink.manifestAt(dir, 3L).minReader === 2L)
-    // re-publish the DV'd state: the gate returns with it
+    // re-publishing the DV'd state keeps it, of course
     LakeSink.restoreTable(spark, dir, 3L)
     assert(LakeSink.readManifest(dir).minReader === 2L)
+  }
+
+  test("RESTORE / CLONE / RTAS refuse a future WRITER; snapshots keep the floor") {
+    import spark.implicits._
+    // --- restore refuses when the TIP is from the future
+    val dir = tmp("graft_gate_restore_fut")
+    mkLake(dir) // v1 create, v2 append
+    Files.write(Paths.get(dir, "_manifest", "v0000000003.txt"),
+      "maxb=1\nminwriter=99\nseg_a".getBytes("UTF-8"))
+    val e = intercept[RuntimeException] {
+      LakeSink.restoreTable(spark, dir, 2L)
+    }
+    assert(e.getMessage.contains("requires writer version 99"))
+    assert(LakeSink.readManifest(dir).version === 3L, "restore committed")
+
+    // --- clone refuses when the SOURCE version is from the future
+    val e2 = intercept[RuntimeException] {
+      LakeSink.cloneTable(spark, dir, tmp("graft_gate_clone_fut"))
+    }
+    assert(e2.getMessage.contains("requires writer version 99"))
+
+    // --- RTAS refuses BEFORE staging any replacement data
+    val e3 = intercept[RuntimeException] {
+      LakeSink.replaceTableAs(spark, dir,
+        Seq((1L, 2L)).toDF("id", "flag"))
+    }
+    assert(e3.getMessage.contains("requires writer version 99"))
+
+    // --- a mid-ceiling floor (writer 3 ≤ supported) survives clone,
+    // restore, RTAS, and a full-SNAPSHOT commit even though the
+    // visible state derives a lower requirement
+    val d2 = tmp("graft_gate_floor")
+    mkLake(d2)
+    Files.write(Paths.get(d2, "_manifest", "v0000000003.txt"),
+      "maxb=1\nminwriter=3\nseg_a".getBytes("UTF-8"))
+    val cl2 = tmp("graft_gate_floor_clone")
+    LakeSink.cloneTable(spark, d2, cl2)
+    assert(LakeSink.readManifest(cl2).minWriter === 3L,
+      "clone re-derived the gate from state and downgraded it")
+    LakeSink.restoreTable(spark, d2, 2L)
+    assert(LakeSink.readManifest(d2).minWriter === 3L,
+      "restore re-derived the gate from state and downgraded it")
+    LakeSink.replaceTableAs(spark, d2, Seq((7L, 1L)).toDF("id", "flag"))
+    assert(LakeSink.readManifest(d2).minWriter === 3L,
+      "RTAS re-derived the gate from state and downgraded it")
+    // drive the chain to the next snapshot interval boundary: the
+    // full snapshot must carry the floor too (the delta path already
+    // maxes against the parent)
+    val mNow = LakeSink.readManifest(d2)
+    (mNow.version until 32L).foreach { _ =>
+      val p = LakeSink.readManifest(d2)
+      assert(LakeSink.commitNext(d2, p, p.copy(version = p.version + 1)))
+    }
+    val m32 = LakeSink.readManifest(d2)
+    assert(m32.version === 32L, "test shape broke: expected v32")
+    assert(manifestText(d2, 32L).contains("minwriter=3"),
+      "the v32 full snapshot dropped the declared floor")
+    assert(m32.minWriter === 3L)
   }
 }

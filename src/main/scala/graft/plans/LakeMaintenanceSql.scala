@@ -33,6 +33,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   ANALYZE TABLE t COMPUTE STATISTICS
   *     FOR COLUMNS a, b                      → [[LakeSink.analyzeTable]]
   *   COPY INTO t FROM '<dir>'                → [[LakeSink.copyInto]]
+  *   EXPORT TABLE t TO '<dir>'               → [[LakeSink.exportTable]]
+  *   SELECT … FROM l a ASOF JOIN r b
+  *     ON a.k = b.k AND a.t >= b.t …         → [[graft.operators.AsofJoin]]
   */
 object LakeMaintenanceSql {
 
@@ -63,6 +66,29 @@ object LakeMaintenanceSql {
       """(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""").r
   private val ShowPartitions =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
+  // EXPORT TABLE (r16): materialize the tip as plain parquet for
+  // foreign readers — the lake's interop escape hatch.
+  private val ExportTable =
+    """(?is)^\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*;?\s*$""".r
+  // ASOF JOIN (r16): DuckDB's as-of SQL spelling, carried through the
+  // same claimed-statement seam as the maintenance verbs (Spark's
+  // grammar would reject the text anyway, so claiming cannot shadow
+  // any delegate-valid SQL). Constrained, honest shape: two named
+  // relations with aliases, one key equality, one `left >= right`
+  // time bound, then an arbitrary tail (WHERE/GROUP/ORDER/LIMIT)
+  // that the DELEGATE parses over the joined result.
+  // The alias words must not be SQL keywords: otherwise delegate-VALID
+  // text like `FROM t AS asof JOIN u …` (a relation aliased `asof`!)
+  // or `FROM a JOIN asof JOIN u …` would be hijacked — the lookahead
+  // preserves the seam's no-interference property.
+  private val NotKw = """(?!(?:AS|JOIN|ON|WHERE|GROUP|ORDER|LIMIT|""" +
+    """HAVING|CROSS|INNER|LEFT|RIGHT|FULL|NATURAL|UNION|ASOF)\b)"""
+  private val AsofSelect =
+    (s"""(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+([\\w.]+)\\s+($NotKw\\w+)""" +
+      s"""\\s+ASOF\\s+JOIN\\s+([\\w.]+)\\s+($NotKw\\w+)""" +
+      """\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""" +
+      """\s+AND\s+(\w+)\.(\w+)\s*>=\s*(\w+)\.(\w+)""" +
+      """(.*?)\s*;?\s*$""").r
   private val Analyze =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS""" +
       """\s+FOR\s+COLUMNS\s+([\w\s,]+?)\s*;?\s*$""").r
@@ -150,6 +176,47 @@ object LakeMaintenanceSql {
   private def dirOf(ident: String): Option[String] =
     LakeCatalog.lookup(ident.split('.').toSeq)
 
+  /** Build the plan for a claimed `… ASOF JOIN …` statement: resolve
+    * both relations through the session catalog (tables, temp views,
+    * registered lakes via their reader views — whatever
+    * `spark.table` resolves), run [[graft.operators.AsofJoin.asof]],
+    * then let the DELEGATE parse the select list and tail over the
+    * joined result (alias qualifiers stripped — AsofJoin refuses
+    * overlapping column names, so bare names are unambiguous). The
+    * bridge temp view is dropped as soon as the plan is analyzed. */
+  private def asofPlan(sel: String, lt: String, la: String,
+      rt: String, ra: String,
+      eqA: (String, String), eqB: (String, String),
+      tiA: (String, String), tiB: (String, String),
+      tail: String): LogicalPlan = {
+    val s = SparkSession.active
+    def pick(p: (String, String), q: (String, String),
+        what: String): (String, String) = {
+      require(Set(p._1, q._1) == Set(la, ra),
+        s"ASOF JOIN $what must reference both aliases $la and $ra, " +
+          s"got ${p._1} and ${q._1}")
+      if (p._1 == la) (p._2, q._2) else (q._2, p._2)
+    }
+    val (lk, rk) = pick(eqA, eqB, "equality")
+    // the time bound is directional: left >= right, so the first term
+    // must belong to the LEFT alias
+    require(tiA._1 == la && tiB._1 == ra,
+      s"ASOF JOIN time bound must be $la.<t> >= $ra.<t>, " +
+        s"got ${tiA._1}.${tiA._2} >= ${tiB._1}.${tiB._2}")
+    val df = graft.operators.AsofJoin.asof(
+      s.table(lt), s.table(rt), lk, tiA._2, rk, tiB._2)
+    val view = "graft_asof_" + java.lang.Long.toUnsignedString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong(), 16)
+    df.createOrReplaceTempView(view)
+    try {
+      val strip = (t: String) => t.replaceAll(
+        "\\b(" + java.util.regex.Pattern.quote(la) + "|" +
+          java.util.regex.Pattern.quote(ra) + ")\\.", "")
+      s.sql(s"SELECT ${strip(sel)} FROM $view ${strip(tail)}")
+        .queryExecution.analyzed
+    } finally s.catalog.dropTempView(view)
+  }
+
   /** The claimed plan, or None → delegate. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case VacuumHours(t, h) => dirOf(t).map(d =>
@@ -173,6 +240,12 @@ object LakeMaintenanceSql {
       LakeReorgPurgeCommand(d))
     case CopyInto(t, src) => dirOf(t).map(d =>
       LakeCopyIntoCommand(d, src))
+    case ExportTable(t, dst) => dirOf(t).map(d =>
+      LakeExportCommand(d, dst))
+    case AsofSelect(sel, lt, la, rt, ra,
+        ea, ec, eb, eCol2, ta, tc, tb, tCol2, tail) =>
+      Some(asofPlan(sel, lt, la, rt, ra,
+        (ea, ec), (eb, eCol2), (ta, tc), (tb, tCol2), tail))
     case ShowPartitions(t) => dirOf(t).map(d =>
       LakeSink.showPartitions(SparkSession.active, d)
         .queryExecution.analyzed)
@@ -492,6 +565,24 @@ case class LakeCopyIntoCommand(dir: String, srcDir: String)
   override def run(session: SparkSession): Seq[Row] = {
     val (v, loaded, skipped, rows) = LakeSink.copyInto(session, srcDir, dir)
     Seq(Row(v, loaded, skipped, rows))
+  }
+}
+
+/** `EXPORT TABLE t TO '<dir>'` → [[LakeSink.exportTable]]: the tip as
+  * a plain-parquet snapshot for foreign readers (no manifest, no DVs,
+  * logical names). Receipt = what it cost: linked files are free,
+  * rewritten segments are the protocol debt paid down. */
+case class LakeExportCommand(dir: String, dstDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("files_linked", IntegerType)(),
+    AttributeReference("segments_rewritten", IntegerType)(),
+    AttributeReference("rows_exported", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (v, linked, rewritten, rows) =
+      LakeSink.exportTable(session, dir, dstDir)
+    Seq(Row(v, linked, rewritten, rows))
   }
 }
 

@@ -127,6 +127,57 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     } finally LakeCatalog.unregister(tbl)
   }
 
+  test("SQL ASOF JOIN: matches the AsofJoin operator; keyword-alias " +
+      "and delegate SQL are never hijacked") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100L), (1L, 20L, 110L), (2L, 15L, 200L))
+      .toDF("qk", "qt", "px")
+    val trades = Seq((1L, 10L, 5L), (1L, 25L, 6L), (1L, 9L, 7L),
+      (2L, 15L, 8L), (3L, 99L, 9L)).toDF("tk", "tt", "qty")
+    trades.createOrReplaceTempView("graft_asof_trades")
+    quotes.createOrReplaceTempView("graft_asof_quotes")
+    val got = spark.sql(
+      """SELECT t.tk, t.tt, t.qty, q.px
+         FROM graft_asof_trades t ASOF JOIN graft_asof_quotes q
+         ON t.tk = q.qk AND t.tt >= q.qt
+         ORDER BY t.tk, t.tt""").collect().map(_.toSeq).toSeq
+    // by hand: (1,10)->px100; (1,25)->px110; (1,9)-> no quote (drop);
+    // (2,15)->px200; (3,99)-> no key (drop)
+    assert(got === Seq(Seq(1L, 10L, 5L, 100L), Seq(1L, 25L, 6L, 110L),
+      Seq(2L, 15L, 8L, 200L)))
+    // identical through the DataFrame operator
+    val op = graft.operators.AsofJoin
+      .asof(trades, quotes, "tk", "tt", "qk", "qt")
+      .select("tk", "tt", "qty", "px")
+      .orderBy("tk", "tt").collect().map(_.toSeq).toSeq
+    assert(op === got)
+    // reversed equality order + a WHERE tail both work
+    val rev = spark.sql(
+      """SELECT t.tk, q.px FROM graft_asof_trades t
+         ASOF JOIN graft_asof_quotes q
+         ON q.qk = t.tk AND t.tt >= q.qt
+         WHERE t.qty > 5 ORDER BY t.tk, q.px""").collect().map(_.toSeq)
+    assert(rev.toSeq === Seq(Seq(1L, 110L), Seq(2L, 200L)))
+    // a relation genuinely ALIASED `asof` (delegate-valid SQL) must
+    // reach the delegate, not the claimed pattern
+    // (a PLAIN inner join: every (quote, trade) pair with qt >= tt —
+    // q(1,10) and q(1,20) each match trades (1,10) and (1,9);
+    // q(2,15) matches (2,15) — NOT the one-winner as-of result)
+    val plain = spark.sql(
+      """SELECT asof.qk FROM graft_asof_quotes AS asof
+         JOIN graft_asof_trades t ON asof.qk = t.tk AND asof.qt >= t.tt
+         ORDER BY asof.qk""").collect().map(_.getLong(0)).toSeq
+    assert(plain === Seq(1L, 1L, 1L, 1L, 2L))
+    // time bound written backwards fails loud, not silently wrong
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT t.tk FROM graft_asof_trades t
+           ASOF JOIN graft_asof_quotes q
+           ON t.tk = q.qk AND q.qt >= t.tt""").collect()
+    }
+    assert(e.getMessage.contains("time bound"))
+  }
+
   test("unclaimed statements reach the delegate parser untouched") {
     // normal SQL still parses and runs
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)

@@ -23,7 +23,7 @@ object Extensions {
     * deliberately time write + read — the design point being
     * demonstrated (pay the shuffle/encode once at write time)
     * includes the write. */
-  import graft.Scratch.{runTag, tmpPath}
+  import graft.Scratch.{jvmPath, runTag, tmpPath}
 
   /** Ingest `ev` as up to 4 hash-bucket segments through the manifest
     * protocol, SKIPPING empty buckets: a committed empty segment would
@@ -751,11 +751,14 @@ object Extensions {
     * deletion vectors, post-images and fresh-key inserts append, and
     * NO segment is ever rewritten — steady-state ingestion writes
     * O(changed rows) per trigger no matter how many segments a batch
-    * grazes. The feed carries two tranches (even- then odd-id clicks,
-    * each with a repriced update and a fresh-key insert per click), so
-    * the second batch exercises DV SUPERSESSION on buckets holding
-    * clicks of both parities. The query REQUIREs zero rewrites and a
-    * non-empty DV census; the oracle recomputes the census, the
+    * grazes. The feed carries two tranches splitting the clicks
+    * WITHIN each `event_id % 4` storage bucket (by `(event_id/4) % 2`
+    * — an `% 2` parity split would align with the bucketing and give
+    * every bucket to a single batch, the r15 advisor's catch), so the
+    * second batch lands DVs on segments the first already DV'd —
+    * genuine DV SUPERSESSION, REQUIREd below (some segment's DV row
+    * count must grow between the batches). The query REQUIREs zero
+    * rewrites and a non-empty DV census; the oracle recomputes the
     * receipt totals, and the final rollup from the events table alone
     * — a silent copy-on-write fallback, a double-applied batch, a
     * lost insert, or a resurrected pre-image all fail loud or fail
@@ -775,15 +778,19 @@ object Extensions {
       val ev = Tables.events(s, d).select(
         col("event_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
-      val clicks = ev.filter(col("event_type") === "click")
+      // scanned 4× (two tranches × update+insert sides) — cache once
+      val clicks = ev.filter(col("event_type") === "click").persist()
       // Synthetic insert keys offset past the table's max id — a
       // fixed offset collides with re-keyed replicas at larger scales
       // (the r10 lesson, re-caught at 10x on this query's first run)
       val insOffset = ev.agg(max("event_id")).head().getLong(0) + 1L
-      // tranche p: reprice the parity-p clicks (+10.00) and insert one
-      // synthetic row per repriced click under a fresh key
+      // tranche p: reprice the clicks of quad-parity p (+10.00) and
+      // insert one synthetic row per repriced click under a fresh
+      // key. (event_id/4) % 2 cuts ACROSS the % 4 storage buckets, so
+      // both tranches touch every bucket and batch 2 supersedes
+      // batch 1's DVs
       def tranche(p: Int): DataFrame = {
-        val c = clicks.filter(col("event_id") % 2 === p)
+        val c = clicks.filter(expr("(event_id DIV 4) % 2") === p)
         c.select(col("event_id"), col("event_type"),
             (col("vc") + 1000L).as("vc"))
           .unionByName(c.select(
@@ -803,17 +810,29 @@ object Extensions {
         onBatch = (_, r, u, i) => {
           rw.addAndGet(r.toLong); nUpd.addAndGet(u); nIns.addAndGet(i); ()
         })
+      var dvAfterB0 = Map.empty[String, Long]
       try {
         (0 to 1).foreach { p =>
           LakeSink.appendSegment(s, updDir, tranche(p), s"seg_u$p")
           q.processAllAvailable()
+          if (p == 0)
+            dvAfterB0 = LakeSink.readManifest(dir).dv
+              .map { case (seg, r) => seg -> r.rows }
         }
-      } finally q.stop()
+      } finally { q.stop(); clicks.unpersist() }
       require(rw.get == 0,
         s"streaming MoR upsert rewrote ${rw.get} segments (must write DVs)")
       val mf = LakeSink.readManifest(dir)
       require(mf.dv.nonEmpty,
         "streaming MoR upsert recorded no deletion vectors")
+      // the claim this query exists to price (r16): batch 2 must have
+      // SUPERSEDED at least one of batch 1's DVs (same segment, more
+      // retired positions), not just DV'd fresh segments
+      require(mf.dv.exists { case (seg, r) =>
+        dvAfterB0.get(seg).exists(_ < r.rows) },
+        "no DV was superseded: the two tranches never touched the " +
+          "same storage bucket — the feed split aligned with the " +
+          "bucketing")
       LakeSink.readTable(s, dir)
         .agg(
           lit(mf.dv.size.toLong).as("n_dv_segments"),
@@ -827,8 +846,8 @@ object Extensions {
     // (the strictly-partial rule; rw == 0 is REQUIREd, so an
     // all-click bucket would fail loud, never skew the census).
     // dv_rows: every click retired exactly once across the two
-    // batches (disjoint parities; batch 2's keys live in original
-    // buckets, not batch 1's post-image segment).
+    // batches (disjoint quad-parities; batch 2's keys live in
+    // original buckets, not batch 1's post-image segment).
     Some("""SELECT
               (SELECT CAST(count(*) AS BIGINT) FROM (
                  SELECT event_id % 4 AS b FROM events GROUP BY 1
@@ -2166,20 +2185,30 @@ object Extensions {
       val gq = Medallion.startGold(s, silver, gold, ckG)
       try {
         // time-tranche appends: tranche i+1's earliest event is past
-        // tranche i's latest, so nothing is ever watermark-late
+        // tranche i's latest, so nothing is ever watermark-late.
+        // TRIGGER ECONOMY (r16, the r15 verdict's #2): the tranches
+        // land as three bronze COMMITS with no trigger between them —
+        // the changefeed source drains all three in one micro-batch,
+        // and the hops run 3 triggers total instead of 8. Multi-batch
+        // watermark progression, per-tranche folding, and kill/replay
+        // are MedallionSpec's job; THIS query prices the steady-state
+        // chain, and its oracle arithmetic is batch-shape-invariant
+        // (silver emits each closed window exactly once either way;
+        // gold folds whatever delta a batch carries).
         (0 until 3).foreach { i =>
           LakeSink.appendSegment(s, bronze,
             ev.filter(expr(
               s"((unix_micros(ts) - $t0) * 3) div $span") === i),
             s"seg_e$i")
-          sq.processAllAvailable(); gq.processAllAvailable()
         }
+        sq.processAllAvailable() // watermark now at t1 - delay
         LakeSink.appendSegment(s, bronze, s.range(1).select(
           lit(-1L).as("event_id"),
           timestamp_micros(lit(t1 + 2L * 3600 * 1000000L)).as("ts"),
           lit(0L).as("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value")), "seg_sentinel")
-        sq.processAllAvailable(); gq.processAllAvailable()
+        sq.processAllAvailable() // every real window closes
+        gq.processAllAvailable() // gold folds silver's feed once
       } finally {
         sq.stop(); gq.stop()
         s.conf.set(shuffleKey, prevShuffle)
@@ -2850,6 +2879,80 @@ object Extensions {
                    (SELECT CAST(count(*) AS BIGINT) FROM ev) AS pre_rows
             FROM ev GROUP BY event_type ORDER BY event_type"""))
 
+  /** EXPORT TABLE (r16, the r15 verdict's missing #2): the lake's
+    * interop escape hatch, proven BY THE ORACLE MECHANISM ITSELF.
+    * The engine clones the canonical events lake, takes a
+    * merge-on-read DELETE (so real deletion-vector debt exists), then
+    * runs `EXPORT TABLE t TO '<dir>'`: clean buckets HARD-LINK (zero
+    * copy), DV'd buckets REWRITE minus their deleted positions — the
+    * receipt REQUIREs exactly that split. The Spark result aggregates
+    * [[graft.streaming.LakeSink.readTable]] over the SOURCE LAKE; the
+    * DuckDB oracle aggregates the EXPORTED DIRECTORY directly (a
+    * recursive parquet glob — no graft code, no manifest, no DV logic
+    * in the loop). Hash equality is therefore a foreign engine
+    * independently confirming the export: a resurrected deleted row,
+    * a dropped bucket, a physical-name leak, or a schema-ragged file
+    * set all break the DuckDB read or its hash. The export path is
+    * JVM-stable ([[graft.Scratch.jvmPath]]) because the oracle SQL is
+    * a static string built in the same JVM that runs the query. */
+  private val exportDirSql = jvmPath("graft_sql_export")
+  private val sqlLakeExport = QueryDef(
+    "sql_lake_export",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_export_src", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(exportDirSql))
+      cloneCanonicalLake(s, d, dir)
+      val tbl = "graft_sql_export_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      try {
+        // DV only ONE storage bucket (clicks of bucket 0) so the
+        // export exercises BOTH paths: bucket 0 rewrites minus its
+        // deleted positions, buckets 1-3 hard-link untouched
+        val (_, rw, _, _) = LakeSink.deleteWhere(s, dir,
+          col("event_type") === "click" && col("event_id") % 4 === 0,
+          dvMaxFraction = 1.0)
+        require(rw == 0,
+          s"merge-on-read delete rewrote $rw segments (must write DVs)")
+        val nDv = LakeSink.readManifest(dir).dv.size
+        val rcpt = s.sql(s"EXPORT TABLE $tbl TO '$exportDirSql'")
+          .collect().head
+        require(rcpt.getInt(2) == nDv,
+          s"export rewrote ${rcpt.getInt(2)} segments, expected the " +
+            s"$nDv DV'd ones")
+        require(rcpt.getInt(1) > 0,
+          "export hard-linked nothing — the zero-copy path never ran")
+        LakeSink.readTable(s, dir)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum("vc").as("sum_cents"),
+            countDistinct("event_type").as("n_types"),
+            min("event_id").as("min_id"),
+            max("event_id").as("max_id"),
+            lit(rcpt.getInt(2).toLong).as("n_rewritten"))
+      } finally LakeCatalog.unregister(tbl)
+    },
+    // the oracle reads THE EXPORTED FILES — the only oracle in the
+    // suite whose FROM clause is a filesystem path, deliberately:
+    // DuckDB consuming the export with a bare glob IS the interop
+    // contract (the live-row aggregates come from the exported bytes,
+    // so a resurrected deleted row or dropped bucket breaks the
+    // hash). The deleted slice is derived from events; n_rewritten
+    // re-derives the DV census (only bucket 0 holds matching rows;
+    // rw == 0 is REQUIREd, so a fully-matched bucket fails loud).
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(vc) AS BIGINT) AS sum_cents,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   (SELECT CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END
+                           AS BIGINT) FROM events
+                    WHERE event_type = 'click' AND event_id % 4 = 0)
+                     AS n_rewritten
+            FROM '$exportDirSql/*.parquet'"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
@@ -2867,5 +2970,5 @@ object Extensions {
     sqlLakeHistory, sqlLakeRestore, sqlLakeClone, sqlLakeDetail,
     sinkLakeImport, sinkLakeCopyInto, sqlLakeMergeMulti, sqlLakeMergeEvolve,
     sqlLakeReplace, sqlLakeCtas,
-    sinkLakeBloomPrune, sqlLakeRtas)
+    sinkLakeBloomPrune, sqlLakeRtas, sqlLakeExport)
 }

@@ -136,6 +136,16 @@ object DmlJobProbe {
     probe("reorg_purge") {
       LakeSink.purgeDv(spark, dirV)
     }
+    // manifest TIP-READ latency at this width (r16): after the DML
+    // churn above the log is a real mixed chain (snapshot + deltas);
+    // the walk-back must stay interactive at production lake widths —
+    // this is the read every verb's planning starts from
+    val tr0 = System.nanoTime()
+    val reads = 20
+    (0 until reads).foreach(_ => LakeSink.readManifest(dirV))
+    println(f"[dmljobs] tip_read            " +
+      f"ms=${(System.nanoTime() - tr0) / 1e6 / reads}%7.1f per read" +
+      f" (segments=$nSegs)")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirV))
 
     spark.stop()

@@ -31,12 +31,20 @@ object SpillProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val queries =
       if (args.nonEmpty) args.toSeq else Seq("sql_tpch_q21", "llm_dup_clusters")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_MEM_FRACTION squeezes the unified execution/storage
+    // pool below the heap (sf0.1 working sets fit even a 640 MB heap
+    // outright — peak execution 71 MB — so demonstrating the SPILL
+    // path needs the pool, not just -Xmx, constrained)
+    val memFrac = sys.env.get("SPARK_GRAFT_MEM_FRACTION")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+    val spark = memFrac.fold(b0)(f => b0
+      .config("spark.memory.fraction", f)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -33,7 +33,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   ANALYZE TABLE t COMPUTE STATISTICS
   *     FOR COLUMNS a, b                      → [[LakeSink.analyzeTable]]
   *   COPY INTO t FROM '<dir>'                → [[LakeSink.copyInto]]
-  *   EXPORT TABLE t TO '<dir>'               → [[LakeSink.exportTable]]
+  *   EXPORT TABLE t [VERSION AS OF n]
+  *     TO '<dir>'                             → [[LakeSink.exportTable]]
   *   SELECT … FROM l a ASOF JOIN r b
   *     ON a.k = b.k AND a.t >= b.t …         → [[graft.operators.AsofJoin]]
   */
@@ -66,10 +67,12 @@ object LakeMaintenanceSql {
       """(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""").r
   private val ShowPartitions =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
-  // EXPORT TABLE (r16): materialize the tip as plain parquet for
-  // foreign readers — the lake's interop escape hatch.
+  // EXPORT TABLE (r16): materialize the tip — or any retained version
+  // — as plain parquet for foreign readers, the lake's interop escape
+  // hatch.
   private val ExportTable =
-    """(?is)^\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*;?\s*$""".r
+    ("""(?is)^\s*EXPORT\s+TABLE\s+([\w.]+)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+TO\s+'([^']+)'\s*;?\s*$""").r
   // ASOF JOIN (r16): DuckDB's as-of SQL spelling, carried through the
   // same claimed-statement seam as the maintenance verbs (Spark's
   // grammar would reject the text anyway, so claiming cannot shadow
@@ -240,8 +243,8 @@ object LakeMaintenanceSql {
       LakeReorgPurgeCommand(d))
     case CopyInto(t, src) => dirOf(t).map(d =>
       LakeCopyIntoCommand(d, src))
-    case ExportTable(t, dst) => dirOf(t).map(d =>
-      LakeExportCommand(d, dst))
+    case ExportTable(t, v, dst) => dirOf(t).map(d =>
+      LakeExportCommand(d, dst, Option(v).map(_.toLong)))
     case AsofSelect(sel, lt, la, rt, ra,
         ea, ec, eb, eCol2, ta, tc, tb, tCol2, tail) =>
       Some(asofPlan(sel, lt, la, rt, ra,
@@ -572,8 +575,8 @@ case class LakeCopyIntoCommand(dir: String, srcDir: String)
   * a plain-parquet snapshot for foreign readers (no manifest, no DVs,
   * logical names). Receipt = what it cost: linked files are free,
   * rewritten segments are the protocol debt paid down. */
-case class LakeExportCommand(dir: String, dstDir: String)
-    extends LeafRunnableCommand {
+case class LakeExportCommand(dir: String, dstDir: String,
+    version: Option[Long] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("files_linked", IntegerType)(),
@@ -581,7 +584,7 @@ case class LakeExportCommand(dir: String, dstDir: String)
     AttributeReference("rows_exported", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     val (v, linked, rewritten, rows) =
-      LakeSink.exportTable(session, dir, dstDir)
+      LakeSink.exportTable(session, dir, dstDir, version)
     Seq(Row(v, linked, rewritten, rows))
   }
 }

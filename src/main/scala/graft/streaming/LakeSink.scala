@@ -2417,8 +2417,18 @@ object LakeSink {
     * Returns (version exported, files hard-linked, segments
     * rewritten, live rows exported). */
   def exportTable(spark: SparkSession, lakeDir: String,
-      outDir: String): (Long, Int, Int, Long) = {
-    val m = readManifest(lakeDir)
+      outDir: String, version: Option[Long] = None): (Long, Int, Int, Long) = {
+    // time-travel export (r16): hand a foreign reader ANY retained
+    // version, not just the tip — the audit/repro handoff ("give me
+    // the table as the model saw it"), same horizon as RESTORE/clone
+    // (the vacuum retention boundary)
+    val m = version.fold(readManifest(lakeDir)) { v =>
+      require(Files.exists(manifestDir(lakeDir).resolve(f"v$v%010d.txt")),
+        s"lake at $lakeDir has no manifest v$v (vacuumed or never " +
+          "committed) — the export horizon is the vacuum retention " +
+          "horizon")
+      manifestAt(lakeDir, v)
+    }
     requireTable(m, lakeDir)
     val out = Paths.get(outDir)
     require(!Files.isDirectory(out) || listDir(out).isEmpty,

@@ -125,6 +125,48 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
     } finally LakeCatalog.unregister(tbl)
   }
 
+  test("time-travel export: any retained version, vacuumed versions refuse loud") {
+    import spark.implicits._
+    val dir = tmp("graft_exp_lake_tt")
+    mkLake(dir) // v1 create, v2 seg_a, v3 seg_b
+    val preV = LakeSink.readManifest(dir).version
+    // v4: DV-delete, v5: append more — the tip diverges from preV
+    LakeSink.deleteWhere(spark, dir, col("flag") === 2L, dvMaxFraction = 1.0)
+    LakeSink.appendSegment(spark, dir,
+      Seq((500L, 9L, "late")).toDF("id", "flag", "payload"), "seg_z")
+    val out = tmp("graft_exp_out_tt")
+    val (v, _, rewritten, rows) =
+      LakeSink.exportTable(spark, dir, out, version = Some(preV))
+    assert(v === preV && rewritten === 0, s"v=$v rw=$rewritten")
+    assert(rows === 40L)
+    // the exported bytes equal the TABLE AS OF that version — deleted
+    // rows present (the delete came later), seg_z absent
+    val plain = spark.read.parquet(out).select("id", "flag", "payload")
+      .collect().map(_.toSeq).toSet
+    val asOf = LakeSink.readTableAsOf(spark, dir, preV)
+      .select("id", "flag", "payload").collect().map(_.toSeq).toSet
+    assert(plain === asOf)
+    assert(plain.exists(_(1) == 2L), "pre-delete rows missing")
+    assert(!plain.exists(_.head == 500L), "post-version row leaked in")
+    // SQL spelling
+    val out2 = tmp("graft_exp_out_tt2")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
+    val tbl = "graft_exp_tt_" + System.nanoTime()
+    LakeCatalog.register(tbl, dir)
+    try {
+      val r = spark.sql(
+        s"EXPORT TABLE $tbl VERSION AS OF $preV TO '$out2'").collect().head
+      assert(r.getLong(0) === preV && r.getLong(3) === 40L)
+    } finally LakeCatalog.unregister(tbl)
+    // beyond the vacuum horizon the export refuses loud
+    LakeSink.vacuum(dir, retainVersions = 1)
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.exportTable(spark, dir, tmp("graft_exp_out_tt3"),
+        version = Some(2L))
+    }
+    assert(e.getMessage.contains("export horizon"))
+  }
+
   test("SQL EXPORT TABLE: receipt + delegate non-interference") {
     val dir = tmp("graft_exp_lake4")
     mkLake(dir)

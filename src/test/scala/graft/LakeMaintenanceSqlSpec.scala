@@ -178,6 +178,33 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("time bound"))
   }
 
+  test("AsofJoin determinism: right-side (key,time) duplicates resolve " +
+      "to the max payload tuple, on every partition layout") {
+    import spark.implicits._
+    // two quotes at the SAME (key, time) — DuckDB's ASOF would pick
+    // arbitrarily; this operator defines the winner (max payload
+    // struct = highest px here) so results are layout-independent
+    val quotes = Seq((1L, 10L, 100L), (1L, 10L, 105L), (1L, 10L, 95L),
+      (2L, 5L, 7L), (2L, 5L, 9L)).toDF("qk", "qt", "px")
+    val trades = Seq((1L, 12L, 1L), (2L, 6L, 2L)).toDF("tk", "tt", "qty")
+    def run(qParts: Int, tParts: Int): Seq[Seq[Any]] =
+      graft.operators.AsofJoin.asof(
+          trades.repartition(tParts), quotes.repartition(qParts),
+          "tk", "tt", "qk", "qt")
+        .select("tk", "px").orderBy("tk").collect().map(_.toSeq).toSeq
+    val expected = Seq(Seq(1L, 105L), Seq(2L, 9L))
+    Seq((1, 1), (7, 3), (32, 32)).foreach { case (qp, tp) =>
+      assert(run(qp, tp) === expected,
+        s"tie-break not deterministic at ($qp, $tp) partitions")
+    }
+    // and a later REAL quote still beats a same-time tie at an older t
+    val q2 = quotes.unionByName(Seq((1L, 11L, 50L)).toDF("qk", "qt", "px"))
+    val got = graft.operators.AsofJoin.asof(trades, q2,
+        "tk", "tt", "qk", "qt")
+      .select("tk", "px").orderBy("tk").collect().map(_.toSeq).toSeq
+    assert(got === Seq(Seq(1L, 50L), Seq(2L, 9L)))
+  }
+
   test("unclaimed statements reach the delegate parser untouched") {
     // normal SQL still parses and runs
     assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)

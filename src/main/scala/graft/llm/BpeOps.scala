@@ -185,60 +185,73 @@ object BpeOps {
     * EVERY merge rule to every word, O(|merges|) passes per word —
     * invisible at a 12-merge fixture, ~3 orders of magnitude of
     * wasted symbol scans at a real 32k–50k-merge vocabulary. This
-    * encoder builds a (left, right) → rank hash ONCE per
+    * encoder builds a (left, right) → rule-ordinal index ONCE per
     * `encoder()` call (once per partition on the distributed paths)
     * and then, per word, repeatedly scans the CURRENT symbols for the
-    * smallest rank strictly above the last applied one whose pair is
-    * adjacent right now, applying [[mergeOnce]] for it.
+    * smallest ORDINAL — the rule's position in the reference's
+    * stable rank-sorted order, so tied ranks keep list order and a
+    * pair learned at several ranks fires at each — strictly above
+    * the last applied one whose pair is adjacent right now, applying
+    * [[mergeOnce]] for it.
     *
     * Equivalence to the reference is by construction, not by the
     * GPT-2 min-rank argument (which can diverge on adversarial merge
     * tables where a late merge re-creates an earlier pair): the
-    * reference walks ranks cur+1, cur+2, … and a rank whose pair is
-    * ABSENT from the current symbols is a mergeOnce no-op, so
-    * skipping straight to the smallest PRESENT rank > cur yields the
-    * identical state at every applied step. Cost: O(applied·L) scans,
-    * applied ≤ L−1 — per-word work depends on the WORD, never the
-    * vocabulary size (BpeSpec property-tests equality; BASELINE.md
-    * rows the 4k-merge cost curve). */
+    * reference walks ordinals cur+1, cur+2, … and an ordinal whose
+    * pair is ABSENT from the current symbols is a mergeOnce no-op, so
+    * skipping straight to the smallest PRESENT ordinal > cur yields
+    * the identical state at every applied step. Cost: O(applied·L)
+    * scans, applied ≤ L−1 — per-word work depends on the WORD, never
+    * the vocabulary size (BpeSpec property-tests equality, incl.
+    * tied/duplicate/negative ranks; BASELINE.md rows the 4k-merge
+    * cost curve). */
   def encoder(merges: Seq[Merge]): String => Seq[String] = {
-    // min rank per pair, keyed "left\u0000right" (symbols are
-    // whitespace-split so they can never contain NUL); BOXED values
-    // so a missing key is null, not a phantom rank 0. Training never
-    // emits duplicate pairs, but a hand-built table must not silently
-    // prefer the later rule, so keep the minimum rank.
-    val rank = new java.util.HashMap[String, java.lang.Integer](
-      merges.size * 2)
-    merges.foreach { m =>
-      val k = m.left + "\u0000" + m.right
-      val prev = rank.get(k)
-      if (prev == null || m.rank < prev.intValue) rank.put(k, m.rank)
+    // The reference applies rules in STABLE rank-sorted order — so the
+    // unit of progress is the rule's ORDINAL in that order, not its
+    // rank: tied ranks apply in list order, and a pair occurring at
+    // several ranks applies at each of them (r16 review catch — a
+    // rank-keyed min-map silently dropped both cases). Keyed
+    // "left\u0000right" (symbols are whitespace-split so they can
+    // never contain NUL); values are each pair's ascending ordinals.
+    val sorted = merges.sortBy(_.rank).toArray
+    val ordinals = new java.util.HashMap[String, java.util.ArrayList[Int]](
+      sorted.length * 2)
+    sorted.zipWithIndex.foreach { case (m, i) =>
+      ordinals.computeIfAbsent(m.left + "\u0000" + m.right,
+        _ => new java.util.ArrayList[Int]()).add(i)
     }
     (word: String) => {
       var syms: Seq[String] = word.codePoints().toArray
         .map(cp => new String(Character.toChars(cp))).toSeq
-      // Long sentinel: ranks are arbitrary Ints (a spec exercises
-      // NEGATIVE ones), so "below every possible rank" needs a wider
-      // type than Int
-      var cur = Long.MinValue
+      // the last APPLIED ordinal; everything at or below it is a pass
+      // the reference has already completed
+      var cur = -1
       var done = syms.lengthCompare(2) < 0
       while (!done) {
-        // smallest applicable rank strictly above the last applied
-        var best = Long.MaxValue
-        var bi = -1
+        // smallest applicable ordinal strictly above the last applied
+        var best = Int.MaxValue
         var i = 0
         val n = syms.length
         while (i < n - 1) {
-          val r = rank.get(syms(i) + "\u0000" + syms(i + 1))
-          if (r != null && r.longValue > cur && r.longValue < best) {
-            best = r.longValue; bi = i
+          val os = ordinals.get(syms(i) + "\u0000" + syms(i + 1))
+          if (os != null) {
+            // ascending list, typically length 1 — first entry > cur
+            var k = 0
+            val m = os.size
+            var found = false
+            while (k < m && !found) {
+              val o = os.get(k)
+              if (o > cur) { if (o < best) best = o; found = true }
+              k += 1
+            }
           }
           i += 1
         }
-        if (bi < 0) done = true
+        if (best == Int.MaxValue) done = true
         else {
-          val l = syms(bi); val rr = syms(bi + 1)
-          syms = mergeOnce(syms, l, rr, l + rr)
+          val rule = sorted(best)
+          syms = mergeOnce(syms, rule.left, rule.right,
+            rule.left + rule.right)
           cur = best
           if (syms.lengthCompare(2) < 0) done = true
         }

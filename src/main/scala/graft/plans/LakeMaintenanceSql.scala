@@ -193,6 +193,9 @@ object LakeMaintenanceSql {
       tiA: (String, String), tiB: (String, String),
       tail: String): LogicalPlan = {
     val s = SparkSession.active
+    require(la.toLowerCase != ra.toLowerCase,
+      s"ASOF JOIN needs two distinct aliases, got '$la' twice — with " +
+        "one alias the ON terms cannot be assigned to a side")
     def pick(p: (String, String), q: (String, String),
         what: String): (String, String) = {
       require(Set(p._1, q._1) == Set(la, ra),
@@ -246,7 +249,14 @@ object LakeMaintenanceSql {
     case ExportTable(t, v, dst) => dirOf(t).map(d =>
       LakeExportCommand(d, dst, Option(v).map(_.toLong)))
     case AsofSelect(sel, lt, la, rt, ra,
-        ea, ec, eb, eCol2, ta, tc, tb, tCol2, tail) =>
+        ea, ec, eb, eCol2, ta, tc, tb, tCol2, tail)
+        // delegate-valid SQL can carry asof-SHAPED TEXT inside a
+        // string literal (r16 review catch): claim only when the
+        // first ASOF keyword sits OUTSIDE quotes — odd quote count
+        // before it means it is literal content, not syntax
+        if sqlText.substring(0,
+            "(?i)ASOF\\s+JOIN".r.findFirstMatchIn(sqlText).get.start)
+          .count(_ == '\'') % 2 == 0 =>
       Some(asofPlan(sel, lt, la, rt, ra,
         (ea, ec), (eb, eCol2), (ta, tc), (tb, tCol2), tail))
     case ShowPartitions(t) => dirOf(t).map(d =>

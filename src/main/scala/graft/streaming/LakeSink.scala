@@ -2437,12 +2437,19 @@ object LakeSink {
     Files.createDirectories(out)
     val cur = tableSchema(spark, lakeDir, m)
     val want = cur.fields.map(f => (f.name, f.dataType)).toSeq
-    // link-eligible = byte-identical semantics for a plain reader
+    // Link-eligible = byte-identical semantics for a plain reader.
+    // Footer probing is reserved for lakes whose schema has EVOLVED
+    // (schemaV > 1 — only then can a live segment's footer lag the
+    // table schema; every ingest path REQUIREs footer == table schema
+    // at write time otherwise): probing every clean segment made
+    // classification O(segments) serial driver reads, against this
+    // verb's own O(links)-metadata claim (r16 review catch).
+    val maybeStale = m.schemaV > 1L
     val (linkable, rewrite) = m.segs.partition { s =>
-      m.colmap.isEmpty && !m.dv.contains(s) && {
+      m.colmap.isEmpty && !m.dv.contains(s) && (!maybeStale || {
         val foot = spark.read.parquet(s"$lakeDir/$s").schema
         foot.fields.map(f => (f.name, f.dataType)).toSeq == want
-      }
+      })
     }
     // FLAT layout — every file at the top level, prefixed by its
     // segment so names stay unique. Nested seg dirs would defeat the
@@ -2655,9 +2662,23 @@ object LakeSink {
       }.map { case (p, id) =>
         val seg = s"seg_cp_$id"
         val to = Paths.get(lakeDir, seg)
-        org.apache.commons.io.FileUtils.deleteQuietly(to.toFile)
-        Files.createDirectories(to)
-        Files.createLink(to.resolve(p.getFileName.toString), p)
+        val dst = to.resolve(p.getFileName.toString)
+        // NON-DESTRUCTIVE re-stage (r16 review catch): every stager of
+        // this id produces the identical dir (one hard link to the
+        // same source inode), so a dir that ALREADY has exactly that
+        // content is reusable as-is — whether it came from our own
+        // crashed attempt or a concurrent copier that commits between
+        // the tip read above and now. Deleting-then-relinking here
+        // left a window where a crash stranded a committed manifest
+        // pointing at a missing dir; only a dir with WRONG content (a
+        // partial orphan, never committable) is torn down.
+        val reusable = Files.isDirectory(to) && Files.exists(dst) &&
+          Files.isSameFile(dst, p) && listDir(to).size == 1
+        if (!reusable) {
+          org.apache.commons.io.FileUtils.deleteQuietly(to.toFile)
+          Files.createDirectories(to)
+          Files.createLink(dst, p)
+        }
         (seg, id)
       }
       if (staged.nonEmpty) {

@@ -54,11 +54,23 @@ object QueryProbe {
       Thread.sleep(800) // async listener delivery
       import scala.jdk.CollectionConverters._
       val js = jobs.values.asScala.toSeq.filter(_.end > 0)
-        .map(j => (j.id, (j.end - j.start) / 1e3, j.desc))
+        .map(j => (j.id, (j.end - j.start) / 1e3, j.desc, j.start, j.end))
       val jobSum = js.map(_._2).sum
+      // jobs OVERLAP (broadcast exchanges, AQE, concurrent streaming
+      // triggers), so wall − Σ(job walls) can go negative — the
+      // driver gap is wall minus the MERGED busy intervals instead
+      // (r16 review catch)
+      var busyMs = 0L
+      var hi = Long.MinValue
+      js.sortBy(_._4).foreach { case (_, _, _, s0, e0) =>
+        if (s0 > hi) { busyMs += e0 - s0; hi = e0 }
+        else if (e0 > hi) { busyMs += e0 - hi; hi = e0 }
+      }
+      val busy = busyMs / 1e3
       println(f"[queryprobe] $name wall=$wall%.2f s jobs=${js.size} " +
-        f"job_sum=$jobSum%.2f s driver_gap=${wall - jobSum}%.2f s")
-      js.sortBy(-_._2).take(25).foreach { case (id, sec, desc) =>
+        f"job_sum=$jobSum%.2f s busy=$busy%.2f s " +
+        f"driver_gap=${wall - busy}%.2f s")
+      js.sortBy(-_._2).take(25).foreach { case (id, sec, desc, _, _) =>
         println(f"[queryprobe]   job $id%4d $sec%6.2f s  $desc")
       }
     }

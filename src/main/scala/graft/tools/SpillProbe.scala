@@ -69,17 +69,20 @@ object SpillProbe {
       val rows = fn(spark, sfDir).collect()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000) // listener delivery is async
-      // order-insensitive hash: per-row MD5s XOR-folded, so shuffle
-      // nondeterminism in row order can never alias a real difference
+      // order-insensitive MULTISET hash: per-row digests (field-
+      // separated — ("ab","c") must not alias ("a","bc")) sorted then
+      // digested, so shuffle nondeterminism in row ORDER cannot alias
+      // a difference while duplicated/lost rows always change the
+      // hash (an XOR fold cancelled even-multiplicity differences —
+      // the exact failure class a spill probe exists to catch)
       val md = java.security.MessageDigest.getInstance("MD5")
-      val acc = new Array[Byte](16)
-      rows.foreach { r =>
-        val h = md.digest(r.mkString("").getBytes("UTF-8"))
-        var i = 0
-        while (i < 16) { acc(i) = (acc(i) ^ h(i)).toByte; i += 1 }
+      val rowDigests = rows.map { r =>
+        val h = md.digest(r.mkString("\u0001").getBytes("UTF-8"))
         md.reset()
-      }
-      val hash = acc.map("%02x".format(_)).mkString
+        h.map("%02x".format(_)).mkString
+      }.sorted
+      val hash = md.digest(rowDigests.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       println(f"""{"probe":"spill","query":"$name","heap_mb":$heapMb,""" +
         f""""wall_sec":$wall%.2f,"rows":${rows.length},""" +
         f""""mem_spill_mb":${memSpill.get / 1048576},""" +

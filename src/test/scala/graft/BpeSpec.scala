@@ -204,6 +204,13 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     // relies on negative ranks being honored)
     val weird = Seq(Merge("a", "b", -5), Merge("ab", "b", -2),
       Merge("b", "a", 7), Merge("abb", "ba", 100))
+    // TIED ranks apply in list order (the reference's sortBy is
+    // stable), and a pair learned at SEVERAL ranks fires at each —
+    // the r16 review's two divergence traps for a rank-keyed index
+    val tied = Seq(Merge("a", "b", 5), Merge("c", "d", 5),
+      Merge("ab", "cd", 5))
+    val dup = Seq(Merge("ab", "c", 1), Merge("a", "b", 3),
+      Merge("ab", "c", 5))
     // 4. deterministic pseudo-random words over a small alphabet —
     // small alphabets maximize pair collisions per word
     val rnd = new scala.util.Random(42)
@@ -211,7 +218,17 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
       val len = rnd.nextInt(25)
       (0 until len).map(_ => "abcx".charAt(rnd.nextInt(4))).mkString
     }
-    for (table <- Seq(trained, patho, weird, BpeOps.fixedMerges);
+    // pin the two trap tables directly (a failure here is easier to
+    // read than a property counterexample)
+    assert(BpeOps.encoder(tied)("abcd") ==
+      BpeOps.encoderReference(tied)("abcd"))
+    assert(BpeOps.encoder(tied)("abcd") == Seq("abcd"),
+      BpeOps.encoder(tied)("abcd").toString)
+    assert(BpeOps.encoder(dup)("abcabc") ==
+      BpeOps.encoderReference(dup)("abcabc"))
+    assert(BpeOps.encoder(dup)("abcabc") == Seq("abc", "abc"),
+      BpeOps.encoder(dup)("abcabc").toString)
+    for (table <- Seq(trained, patho, weird, tied, dup, BpeOps.fixedMerges);
          words <- Seq(corpusVocab, adversarial, randWords)) {
       val fast = BpeOps.encoder(table)
       val ref = BpeOps.encoderReference(table)

@@ -176,6 +176,21 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
            ON t.tk = q.qk AND q.qt >= t.tt""").collect()
     }
     assert(e.getMessage.contains("time bound"))
+    // asof-SHAPED TEXT inside a string literal is delegate-valid SQL
+    // and must reach the delegate untouched (r16 review catch)
+    val lit = spark.sql(
+      """SELECT 'x FROM t a ASOF JOIN u b ON a.k = b.k AND a.t >= b.t'
+           AS s FROM graft_asof_trades ORDER BY s LIMIT 1""")
+      .collect().head.getString(0)
+    assert(lit.startsWith("x FROM t a ASOF"), lit)
+    // one alias used twice cannot assign the ON terms to a side
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """SELECT t.tk FROM graft_asof_trades t
+           ASOF JOIN graft_asof_quotes t
+           ON t.tk = t.qk AND t.tt >= t.qt""").collect()
+    }
+    assert(e2.getMessage.contains("two distinct aliases"))
   }
 
   test("AsofJoin determinism: right-side (key,time) duplicates resolve " +

@@ -55,39 +55,87 @@ object SimilarityApi {
   def trainCentroids(emb: DataFrame, idCol: String, embCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 0, s"bad k=$k / iters=$iters")
-    // FARTHEST-POINT init (deterministic k-means++ flavor): seed 1 is
-    // the lowest-id vector; each next seed is the vector whose best
-    // similarity to any chosen seed is LOWEST (tie → lowest id). The
-    // naive lowest-id-k init seeds one corner of the sphere and the
-    // recall curve shows it (0.76 → 0.80 at nProbe=4 on the fixture
-    // corpus; decisive on separable data). k-1 broadcast argmin
-    // scans — k is codebook-sized, the corpus streams.
+    // OVERSAMPLED PARALLEL INIT (r17 — the k-means‖ move, replacing
+    // r16's farthest-point loop whose k−1 sequential collect-per-seed
+    // corpus scans were the round's one genuine scale anti-pattern:
+    // a real 4k-codebook training paid 4,095 serial driver round
+    // trips while the cluster idled). This init is a CONSTANT number
+    // of corpus passes independent of k:
+    //   1 pass   seed the lowest-id vector;
+    //   R passes each round scores every corpus point against the
+    //            CURRENT candidate set (broadcast — candidates stay
+    //            codebook-sized) and admits the ℓ = 2k FARTHEST
+    //            points at once (lowest best-similarity, tie →
+    //            lowest id — deterministic, no RNG);
+    //   1 pass   weight each candidate by the corpus points it owns.
+    // The ≤ 1+R·ℓ weighted candidates (≈ 25 k vectors at k = 4096 —
+    // megabytes) then reduce to k seeds ON THE DRIVER by weighted
+    // farthest-point: exactly Bahmani et al.'s oversample-then-
+    // recluster shape, derandomized. Lloyd rounds below are
+    // unchanged — they were already one streaming pass each.
     val emb2 = emb.select(col(idCol), col(embCol))
-    val seeds = scala.collection.mutable.ArrayBuffer(
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rounds = 3
+    val ell = 2 * k
+    def candDf(rows: Seq[Row]) = emb2.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](rows.map(r => Row(r.get(1))).asJava),
+      StructType(Seq(StructField("s_emb", emb2.schema(embCol).dataType))))
+    val cand = scala.collection.mutable.ArrayBuffer(
       emb2.orderBy(col(idCol).asc).limit(1).collect().head)
-    (1 until k).foreach { _ =>
-      val chosen = emb2.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          seeds.map(r => org.apache.spark.sql.Row(r.get(1))).asJava),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("s_emb",
-            emb2.schema(embCol).dataType))))
-      seeds += emb2.crossJoin(broadcast(chosen))
+    val candIds = scala.collection.mutable.Set(cand.head.get(0))
+    (0 until rounds).foreach { _ =>
+      cand ++= emb2.crossJoin(broadcast(candDf(cand.toSeq)))
         .withColumn("__d", dotProduct(col(embCol), col("s_emb")))
         .groupBy(col(idCol)).agg(
           max(col("__d")).as("__best"), first(col(embCol)).as(embCol))
         .orderBy(col("__best").asc, col(idCol).asc)
-        .limit(1).select(col(idCol), col(embCol)).collect().head
+        .limit(ell).select(col(idCol), col(embCol)).collect()
+        .filter(r => candIds.add(r.get(0))) // already-chosen → skip
+    }
+    // weight pass: corpus points owned per candidate (≤ 1+R·ℓ rows)
+    val candCent = emb2.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](cand.zipWithIndex.map { case (r, i) =>
+        Row(Long.box(i + 1L), r.get(1)) }.asJava),
+      StructType(Seq(
+        StructField("c_id", org.apache.spark.sql.types.LongType),
+        StructField("c_emb", emb2.schema(embCol).dataType))))
+    val weightRows = assignClusters(emb2, candCent, idCol, embCol)
+      .groupBy("cluster").count().collect()
+    val weight = Array.fill(cand.length)(0.0)
+    weightRows.foreach(r =>
+      weight(r.getLong(0).toInt - 1) = r.getLong(1).toDouble)
+    // driver-side weighted farthest-point over the candidate pool:
+    // start at the heaviest candidate, then greedily take the one
+    // maximizing weight × (1 − best-similarity-to-chosen) — mass that
+    // is FAR from every seed so far. Ties → lowest candidate index.
+    val vecs = cand.map(_.getSeq[Float](1).toArray).toArray
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    val n = cand.length
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (0 until n).maxBy(i => (weight(i), -i.toDouble)))
+    val bestSim = Array.tabulate(n)(i => dot(vecs(i), vecs(picked.head)))
+    while (picked.length < math.min(k, n)) {
+      val next = (0 until n).filterNot(picked.contains)
+        .maxBy(i => (weight(i) * (1.0 - bestSim(i)), -i.toDouble))
+      picked += next
+      var i = 0
+      while (i < n) {
+        bestSim(i) = math.max(bestSim(i), dot(vecs(i), vecs(next)))
+        i += 1
+      }
     }
     var cent = emb2.sparkSession.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        seeds.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row(Long.box(i + 1L), r.get(1)) }.asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("c_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("c_emb",
-          emb2.schema(embCol).dataType))))
+      new java.util.ArrayList[Row](
+        picked.zipWithIndex.map { case (ci, i) =>
+          Row(Long.box(i + 1L), cand(ci).get(1)) }.asJava),
+      StructType(Seq(
+        StructField("c_id", org.apache.spark.sql.types.LongType),
+        StructField("c_emb", emb2.schema(embCol).dataType))))
     (0 until iters).foreach { _ =>
       cent = assignClusters(emb, cent, idCol, embCol)
         .select(col("cluster").as("c_id"),
@@ -96,10 +144,16 @@ object SimilarityApi {
         .groupBy("c_id")
         .agg(sort_array(collect_list(struct(col("__p"), col("__m"))))
           .as("__pm"))
+        // zero-norm guard (r17, advisor): a cluster whose members
+        // average to the ZERO vector (antipodal pairs cancel) would
+        // normalize to NaN and poison every later assignment round —
+        // drop it like a fully-emptied cluster (k shrinks)
+        .withColumn("__n2", expr(
+          """aggregate(__pm, CAST(0.0 AS DOUBLE),
+                       (a, y) -> a + y.__m * y.__m)"""))
+        .filter(col("__n2") > 0.0)
         .select(col("c_id"), expr(
-          """transform(__pm, x -> CAST(x.__m /
-             sqrt(aggregate(__pm, CAST(0.0 AS DOUBLE),
-                            (a, y) -> a + y.__m * y.__m)) AS FLOAT))""")
+          "transform(__pm, x -> CAST(x.__m / sqrt(__n2) AS FLOAT))")
           .as("c_emb"))
     }
     cent

@@ -242,11 +242,17 @@ object Analytic {
       Tables.orders(s, d).groupBy("o_custkey", "o_orderdate")
         .agg(max("o_orderkey").as("o_orderkey"))
         .createOrReplaceTempView(oView)
-      s.sql(
+      // drop the bridge views once analysis has resolved them into the
+      // plan (r17, advisor: every other query cleans its scratch
+      // catalog state; these two leaked — bounded, but untidy)
+      try s.sql(
         s"""SELECT e.event_id, e.user_id, o.o_orderkey
             FROM $eView e ASOF JOIN $oView o
             ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id""")
+      finally {
+        s.catalog.dropTempView(eView); s.catalog.dropTempView(oView)
+      }
     },
     Some("""WITH o AS (
               SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
@@ -254,6 +260,48 @@ object Analytic {
             SELECT e.event_id, e.user_id, o.o_orderkey
             FROM events e
             ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id"""))
+
+  /** LEFT-outer as-of join through the SQL surface (r17 — the r16
+    * verdict's missing #3: DuckDB supports `ASOF LEFT JOIN`, the
+    * claimed grammar did not). Unmatched left rows survive with the
+    * right side NULL — pinned against DuckDB's native `ASOF LEFT
+    * JOIN` on the same text. The orders side is restricted to EVEN
+    * custkeys so unmatched events provably exist (every odd-user
+    * event must come back NULL-extended; the inner spelling would
+    * drop them), and deduplicated to one row per (custkey, orderdate)
+    * so the as-of winner is unique. Same shared
+    * [[graft.operators.AsofJoin]] operator underneath — one shuffle,
+    * no range join. */
+  private val sqlAsofLeft = QueryDef(
+    "sql_asof_left",
+    (s, d) => {
+      val eView = "graft_asofl_e_" + graft.Scratch.runTag(d)
+      val oView = "graft_asofl_o_" + graft.Scratch.runTag(d)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView(eView)
+      Tables.orders(s, d).filter(col("o_custkey") % 2 === 0)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+        .createOrReplaceTempView(oView)
+      try s.sql(
+        s"""SELECT e.event_id, e.user_id, o.o_orderkey
+            FROM $eView e ASOF LEFT JOIN $oView o
+            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id""")
+      finally {
+        s.catalog.dropTempView(eView); s.catalog.dropTempView(oView)
+      }
+    },
+    Some("""WITH o AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+              FROM orders WHERE o_custkey % 2 = 0
+              GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, o.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id"""))
 
   /** Value-based RANGE frame: per-customer sum of all orders within
@@ -397,6 +445,6 @@ object Analytic {
 
   val defs: Seq[QueryDef] = Seq(
     winRank, winLagLead, winRunning, winMovingAvg, winNtilePct,
-    topkPerGroup, joinAsof, sqlAsof, winRangeFrame, winIgnoreNulls,
-    winFirstLast, winCumeNth, aggMode)
+    topkPerGroup, joinAsof, sqlAsof, sqlAsofLeft, winRangeFrame,
+    winIgnoreNulls, winFirstLast, winCumeNth, aggMode)
 }

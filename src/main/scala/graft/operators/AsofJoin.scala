@@ -8,9 +8,17 @@ import org.apache.spark.sql.functions._
   * `join_asof` query; promoted so the SQL-text `ASOF JOIN` surface
   * and the DataFrame path share one implementation).
   *
-  * Semantics (DuckDB's `ASOF JOIN`, inner): each left row matches the
+  * Semantics (DuckDB's `ASOF JOIN`): each left row matches the
   * single right row with the same key and the LATEST right time
-  * `<=` the left time; left rows with no earlier right row drop.
+  * `<=` the left time; left rows with no earlier right row DROP
+  * under `inner = true` (DuckDB `ASOF JOIN`) and SURVIVE with every
+  * right column NULL under `inner = false` (DuckDB `ASOF LEFT
+  * JOIN`) — r17, the r16 verdict's missing #3. NULL handling follows
+  * SQL comparison semantics on both variants: a NULL key never
+  * equals anything and a NULL time never satisfies `>=`, so
+  * NULL-keyed/timed right rows match nothing and NULL-keyed/timed
+  * left rows are unmatched (dropped when inner, NULL-extended when
+  * left).
   *
   * Plan shape — the scalable UNION TRICK, not a range join: tag both
   * sides, union, ONE shuffle on the key, sort within key by
@@ -28,13 +36,15 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** Inner as-of join; output = every left column, then every right
-    * column (the matched row's values). Column name sets must be
-    * disjoint — the SQL surface strips alias qualifiers, so a shared
-    * name would be ambiguous. */
+  /** As-of join (inner by default, left-outer with `inner = false`);
+    * output = every left column, then every right column (the matched
+    * row's values, or NULLs for unmatched left rows under the outer
+    * variant). Column name sets must be disjoint — the SQL surface
+    * strips alias qualifiers, so a shared name would be ambiguous. */
   def asof(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String,
+      inner: Boolean = true): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"as-of join requires disjoint column names; shared: " +
@@ -54,11 +64,21 @@ object AsofJoin {
       struct(lCols.map(col): _*).as("__asof_l"),
       lit(null).cast(rType).as("__asof_r"))
     val lType = l.schema("__asof_l").dataType
-    val r = right.select(
-      col(rightKey).as("__asof_k"), col(rightTime).as("__asof_t"),
-      lit(0).as("__asof_side"),
-      lit(null).cast(lType).as("__asof_l"),
-      struct(rCols.map(col): _*).as("__asof_r"))
+    // NULL-keyed/timed right rows can never match under SQL comparison
+    // semantics (NULL = x and t >= NULL are both non-TRUE), so they
+    // leave the union before the window: otherwise the null-key
+    // partition would hand them to null-keyed LEFT rows via
+    // last(ignoreNulls) — a match SQL forbids. Null-keyed/timed left
+    // rows need no filter: nulls sort FIRST within the partition, so
+    // no right row precedes them and their match is NULL (dropped when
+    // inner, NULL-extended when left) — exactly the SQL outcome.
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__asof_k"), col(rightTime).as("__asof_t"),
+        lit(0).as("__asof_side"),
+        lit(null).cast(lType).as("__asof_l"),
+        struct(rCols.map(col): _*).as("__asof_r"))
     // rows first by time, right-before-left at equal time (<= match),
     // equal-right-(key,time) ties by payload → the max tuple is LAST
     // in the frame and wins deterministically
@@ -66,11 +86,12 @@ object AsofJoin {
       .orderBy(col("__asof_t").asc, col("__asof_side").asc,
         col("__asof_r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l.unionByName(r)
+    val leftOnly = l.unionByName(r)
       .withColumn("__asof_m",
         last(col("__asof_r"), ignoreNulls = true).over(w))
       .filter(col("__asof_side") === 1)
-      .filter(col("__asof_m").isNotNull) // inner semantics
+    val matched = // inner drops unmatched; left keeps them NULL-extended
+      if (inner) leftOnly.filter(col("__asof_m").isNotNull) else leftOnly
     matched.select(
       lCols.map(c => matched("__asof_l").getField(c).as(c)) ++
         rCols.map(c => matched("__asof_m").getField(c).as(c)): _*)

@@ -2953,6 +2953,139 @@ object Extensions {
                      AS n_rewritten
             FROM '$exportDirSql/*.parquet'"""))
 
+  /** PARTITIONED EXPORT (r17, the r16 verdict's #3): `EXPORT TABLE …
+    * PARTITIONED BY (event_type)` emits the standard Hive `k=v/`
+    * layout, and the DuckDB oracle reads it back with
+    * `hive_partitioning=1` AND FILTERS ON THE PARTITION COLUMN — a
+    * foreign engine independently proving both the layout (partition
+    * values live in directory names, never repeated inside files) and
+    * its prunability (DuckDB's hive filter only sees rows whose DIR
+    * says click). The receipt REQUIREs the rewrite-everything
+    * contract (0 links — re-bucketing by value is data movement by
+    * definition, done as ONE distributed partitionBy job) and the
+    * n_dirs column pins that every partition value became a
+    * directory. Export path is JVM-stable ([[graft.Scratch.jvmPath]])
+    * because the oracle SQL is a static string built in this JVM;
+    * the query deleteQuietly+rewrites it each run (bench re-runs the
+    * closure). */
+  private val exportPartDirSql = jvmPath("graft_sql_export_part")
+  private val sqlLakeExportPart = QueryDef(
+    "sql_lake_export_part",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_export_part_src", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(exportPartDirSql))
+      cloneCanonicalLake(s, d, dir)
+      val tbl = "graft_sql_export_part_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      try {
+        val nSegs = LakeSink.readManifest(dir).segs.size
+        val rcpt = s.sql(s"EXPORT TABLE $tbl TO '$exportPartDirSql' " +
+          "PARTITIONED BY (event_type)").collect().head
+        require(rcpt.getInt(1) == 0 && rcpt.getInt(2) == nSegs,
+          s"partitioned export must rewrite everything: linked " +
+            s"${rcpt.getInt(1)}, rewrote ${rcpt.getInt(2)} of $nSegs")
+        val nDirs = new java.io.File(exportPartDirSql).listFiles()
+          .count(f => f.isDirectory &&
+            f.getName.startsWith("event_type="))
+        LakeSink.readTable(s, dir)
+          .filter(col("event_type") === "click")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum("vc").as("sum_cents"),
+            min("event_id").as("min_id"),
+            max("event_id").as("max_id"),
+            lit(nDirs.toLong).as("n_dirs"))
+      } finally LakeCatalog.unregister(tbl)
+    },
+    // the oracle reads the EXPORTED k=v DIRECTORIES with DuckDB's
+    // hive_partitioning and filters on the partition column — the
+    // pruning interop IS the check; n_dirs re-derives the partition
+    // count from the source events
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(vc) AS BIGINT) AS sum_cents,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+                    FROM events) AS n_dirs
+            FROM read_parquet('$exportPartDirSql/*/*.parquet',
+                              hive_partitioning=1)
+            WHERE event_type = 'click'"""))
+
+  /** INCREMENTAL EXPORT (r17, the r16 verdict's #4): a full export of
+    * version `a`, an append commit, then `EXPORT TABLE … SINCE
+    * VERSION a` appending ONLY the new segment's files into the same
+    * directory — O(changed segments), the refresh verb a foreign copy
+    * of a 100 TB lake needs (a full re-export is O(table)). The
+    * DuckDB oracle reads the COMBINED directory with a bare glob and
+    * must reproduce the TIP's aggregates exactly — a dropped delta,
+    * a double-exported base segment, or a stale file all break the
+    * hash. Receipts REQUIRE the scale contract: the delta run links
+    * (clean append ⇒ zero rewrites) and touches only the new
+    * segment; delta_rows carries the receipt's row count, re-derived
+    * by the oracle from the synthetic slice. The append-only guards
+    * (base segment removed/DV'd/schema evolved ⇒ loud refusal) are
+    * spec-pinned in LakeExportSpec. */
+  private val exportIncrDirSql = jvmPath("graft_sql_export_incr")
+  private val sqlLakeExportIncr = QueryDef(
+    "sql_lake_export_incr",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_export_incr_src", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(exportIncrDirSql))
+      cloneCanonicalLake(s, d, dir)
+      val tbl = "graft_sql_export_incr_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      try {
+        val a = LakeSink.readManifest(dir).version
+        val r1 = s.sql(s"EXPORT TABLE $tbl TO '$exportIncrDirSql'")
+          .collect().head
+        require(r1.getInt(1) > 0 && r1.getInt(2) == 0,
+          s"base export of a clean clone must pure-link, got " +
+            s"${r1.getInt(1)} links / ${r1.getInt(2)} rewrites")
+        // the appended slice is DERIVED FROM EVENTS so the oracle can
+        // re-derive it: one new key per event_id % 1000 == 0
+        LakeSink.appendSegment(s, dir,
+          LakeSink.readTable(s, dir)
+            .filter(col("event_id") % 1000 === 0)
+            .select((col("event_id") + 10000000L).as("event_id"),
+              lit("synthetic").as("event_type"), col("vc")),
+          "seg_incr_" + runTag(d))
+        val r2 = s.sql(
+          s"EXPORT TABLE $tbl TO '$exportIncrDirSql' SINCE VERSION $a")
+          .collect().head
+        require(r2.getInt(2) == 0 && r2.getInt(1) > 0,
+          s"delta export of a clean append must pure-link, got " +
+            s"${r2.getInt(1)} links / ${r2.getInt(2)} rewrites")
+        LakeSink.readTable(s, dir)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum("vc").as("sum_cents"),
+            countDistinct("event_type").as("n_types"),
+            max("event_id").as("max_id"),
+            lit(r2.getLong(3)).as("delta_rows"))
+      } finally LakeCatalog.unregister(tbl)
+    },
+    // bare-glob read of the COMBINED directory == the tip's state
+    Some(s"""WITH ev AS (SELECT event_id, event_type,
+                           CAST(round(value * 100) AS BIGINT) AS vc
+                         FROM events),
+                 tip AS (SELECT event_id, event_type, vc FROM ev
+                         UNION ALL
+                         SELECT event_id + 10000000, 'synthetic', vc
+                         FROM ev WHERE event_id % 1000 = 0)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(vc) AS BIGINT) AS sum_cents,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ev
+                    WHERE event_id % 1000 = 0) AS delta_rows
+            FROM '$exportIncrDirSql/*.parquet'"""))
+
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
     fnFuzzy, aggArrayCollect, unpivotStack, sinkCompacted,
@@ -2970,5 +3103,6 @@ object Extensions {
     sqlLakeHistory, sqlLakeRestore, sqlLakeClone, sqlLakeDetail,
     sinkLakeImport, sinkLakeCopyInto, sqlLakeMergeMulti, sqlLakeMergeEvolve,
     sqlLakeReplace, sqlLakeCtas,
-    sinkLakeBloomPrune, sqlLakeRtas, sqlLakeExport)
+    sinkLakeBloomPrune, sqlLakeRtas, sqlLakeExport, sqlLakeExportPart,
+    sqlLakeExportIncr)
 }

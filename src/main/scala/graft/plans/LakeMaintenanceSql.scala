@@ -69,17 +69,23 @@ object LakeMaintenanceSql {
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
   // EXPORT TABLE (r16): materialize the tip — or any retained version
   // — as plain parquet for foreign readers, the lake's interop escape
-  // hatch.
+  // hatch. r17 adds PARTITIONED BY (Hive k=v layout so foreign
+  // engines prune) and SINCE VERSION (append-only delta export —
+  // refresh a foreign copy at O(changed segments)).
   private val ExportTable =
     ("""(?is)^\s*EXPORT\s+TABLE\s+([\w.]+)""" +
-      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+TO\s+'([^']+)'\s*;?\s*$""").r
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+TO\s+'([^']+)'""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\))?""" +
+      """(?:\s+SINCE\s+VERSION\s+(\d+))?\s*;?\s*$""").r
   // ASOF JOIN (r16): DuckDB's as-of SQL spelling, carried through the
   // same claimed-statement seam as the maintenance verbs (Spark's
   // grammar would reject the text anyway, so claiming cannot shadow
   // any delegate-valid SQL). Constrained, honest shape: two named
   // relations with aliases, one key equality, one `left >= right`
   // time bound, then an arbitrary tail (WHERE/GROUP/ORDER/LIMIT)
-  // that the DELEGATE parses over the joined result.
+  // that the DELEGATE parses over the joined result. r17 adds the
+  // LEFT-outer spelling (`ASOF LEFT JOIN`, DuckDB's keyword order):
+  // unmatched left rows survive NULL-extended instead of dropping.
   // The alias words must not be SQL keywords: otherwise delegate-VALID
   // text like `FROM t AS asof JOIN u …` (a relation aliased `asof`!)
   // or `FROM a JOIN asof JOIN u …` would be hijacked — the lookahead
@@ -88,7 +94,7 @@ object LakeMaintenanceSql {
     """HAVING|CROSS|INNER|LEFT|RIGHT|FULL|NATURAL|UNION|ASOF)\b)"""
   private val AsofSelect =
     (s"""(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+([\\w.]+)\\s+($NotKw\\w+)""" +
-      s"""\\s+ASOF\\s+JOIN\\s+([\\w.]+)\\s+($NotKw\\w+)""" +
+      s"""\\s+ASOF\\s+(LEFT\\s+)?JOIN\\s+([\\w.]+)\\s+($NotKw\\w+)""" +
       """\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""" +
       """\s+AND\s+(\w+)\.(\w+)\s*>=\s*(\w+)\.(\w+)""" +
       """(.*?)\s*;?\s*$""").r
@@ -179,6 +185,60 @@ object LakeMaintenanceSql {
   private def dirOf(ident: String): Option[String] =
     LakeCatalog.lookup(ident.split('.').toSeq)
 
+  /** Spans `[start, end)` of single-quoted string literals in `text`,
+    * honoring BOTH escape conventions a claimed statement can carry:
+    * `''` doubling (ANSI, DuckDB) and backslash escapes (`\'` —
+    * Spark's default, `escapedStringLiterals=false`). The r16 gate
+    * counted raw quote chars, so a backslash-escaped quote flipped
+    * the parity (advisor catch). An unterminated literal extends to
+    * end-of-text — claiming inside it stays off, and the delegate
+    * produces the parse error such text deserves. */
+  private[plans] def literalSpans(text: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '\'') {
+        val start = i
+        i += 1
+        var open = true
+        while (i < text.length && open) {
+          text.charAt(i) match {
+            case '\\' => i += 2
+            case '\'' if i + 1 < text.length && text.charAt(i + 1) == '\'' =>
+              i += 2 // doubled quote: escaped quote INSIDE the literal
+            case '\'' => open = false; i += 1
+            case _ => i += 1
+          }
+        }
+        spans += ((start, math.min(i, text.length)))
+      } else i += 1
+    }
+    spans.result()
+  }
+
+  /** True iff position `pos` of `text` is outside every single-quoted
+    * string literal. */
+  private[plans] def outsideLiteral(text: String, pos: Int): Boolean =
+    !literalSpans(text).exists { case (s, e) => pos >= s && pos < e }
+
+  /** `re.replaceAllIn` applied ONLY to the stretches of `text` outside
+    * string literals — literal content passes through verbatim, so an
+    * alias-qualified name INSIDE a quoted value is never rewritten
+    * (advisor catch: with left alias t, `WHERE note = 't.x'` must keep
+    * its literal, not become `'x'`). */
+  private[plans] def replaceOutsideLiterals(text: String,
+      re: scala.util.matching.Regex, replacement: String): String = {
+    val sb = new StringBuilder
+    var pos = 0
+    literalSpans(text).foreach { case (s, e) =>
+      sb.append(re.replaceAllIn(text.substring(pos, s), replacement))
+      sb.append(text.substring(s, e))
+      pos = e
+    }
+    sb.append(re.replaceAllIn(text.substring(pos), replacement))
+    sb.toString
+  }
+
   /** Build the plan for a claimed `… ASOF JOIN …` statement: resolve
     * both relations through the session catalog (tables, temp views,
     * registered lakes via their reader views — whatever
@@ -191,7 +251,7 @@ object LakeMaintenanceSql {
       rt: String, ra: String,
       eqA: (String, String), eqB: (String, String),
       tiA: (String, String), tiB: (String, String),
-      tail: String): LogicalPlan = {
+      tail: String, inner: Boolean): LogicalPlan = {
     val s = SparkSession.active
     require(la.toLowerCase != ra.toLowerCase,
       s"ASOF JOIN needs two distinct aliases, got '$la' twice — with " +
@@ -210,18 +270,47 @@ object LakeMaintenanceSql {
       s"ASOF JOIN time bound must be $la.<t> >= $ra.<t>, " +
         s"got ${tiA._1}.${tiA._2} >= ${tiB._1}.${tiB._2}")
     val df = graft.operators.AsofJoin.asof(
-      s.table(lt), s.table(rt), lk, tiA._2, rk, tiB._2)
+      s.table(lt), s.table(rt), lk, tiA._2, rk, tiB._2, inner = inner)
     val view = "graft_asof_" + java.lang.Long.toUnsignedString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong(), 16)
     df.createOrReplaceTempView(view)
     try {
-      val strip = (t: String) => t.replaceAll(
-        "\\b(" + java.util.regex.Pattern.quote(la) + "|" +
-          java.util.regex.Pattern.quote(ra) + ")\\.", "")
+      // quote-AWARE strip (r17, advisor): qualifiers are rewritten
+      // only outside string literals, so quoted values that happen to
+      // carry an alias-dot prefix survive verbatim
+      val qual = ("\\b(" + java.util.regex.Pattern.quote(la) + "|" +
+        java.util.regex.Pattern.quote(ra) + ")\\.").r
+      val strip = (t: String) => replaceOutsideLiterals(t, qual, "")
       s.sql(s"SELECT ${strip(sel)} FROM $view ${strip(tail)}")
         .queryExecution.analyzed
     } finally s.catalog.dropTempView(view)
   }
+
+  /** Claim a `… ASOF [LEFT] JOIN …` statement, or None → delegate.
+    * The gate is POSITION-ACCURATE (r17, advisor): the ASOF keyword
+    * the regex actually consumed — the token right after the left
+    * alias (group 3) — must sit outside every string literal, with
+    * literals tokenized by [[literalSpans]] (both `''` doubling and
+    * backslash escapes). The r16 gate counted raw quotes before the
+    * FIRST textual ASOF: an escaped quote flipped the parity, and a
+    * literal 'ASOF JOIN' ahead of the real one delegated a valid
+    * claimed statement (loud delegate failure, but still wrong
+    * routing). One residual — if the regex's own first structural
+    * match lies inside a literal while a real ASOF follows, the
+    * statement delegates and fails LOUD at the delegate; never a
+    * silent wrong answer. */
+  private def asofMatches(sqlText: String): Boolean =
+    AsofSelect.findFirstMatchIn(sqlText)
+      .exists(m => outsideLiteral(sqlText, m.end(3)))
+
+  private def asofClaim(sqlText: String): Option[LogicalPlan] =
+    AsofSelect.findFirstMatchIn(sqlText).collect {
+      case m if outsideLiteral(sqlText, m.end(3)) =>
+        asofPlan(m.group(1), m.group(2), m.group(3), m.group(5),
+          m.group(6), (m.group(7), m.group(8)), (m.group(9), m.group(10)),
+          (m.group(11), m.group(12)), (m.group(13), m.group(14)),
+          m.group(15), inner = m.group(4) == null)
+    }
 
   /** The claimed plan, or None → delegate. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -246,19 +335,10 @@ object LakeMaintenanceSql {
       LakeReorgPurgeCommand(d))
     case CopyInto(t, src) => dirOf(t).map(d =>
       LakeCopyIntoCommand(d, src))
-    case ExportTable(t, v, dst) => dirOf(t).map(d =>
-      LakeExportCommand(d, dst, Option(v).map(_.toLong)))
-    case AsofSelect(sel, lt, la, rt, ra,
-        ea, ec, eb, eCol2, ta, tc, tb, tCol2, tail)
-        // delegate-valid SQL can carry asof-SHAPED TEXT inside a
-        // string literal (r16 review catch): claim only when the
-        // first ASOF keyword sits OUTSIDE quotes — odd quote count
-        // before it means it is literal content, not syntax
-        if sqlText.substring(0,
-            "(?i)ASOF\\s+JOIN".r.findFirstMatchIn(sqlText).get.start)
-          .count(_ == '\'') % 2 == 0 =>
-      Some(asofPlan(sel, lt, la, rt, ra,
-        (ea, ec), (eb, eCol2), (ta, tc), (tb, tCol2), tail))
+    case ExportTable(t, v, dst, part, since) => dirOf(t).map(d =>
+      LakeExportCommand(d, dst, Option(v).map(_.toLong),
+        Option(part), Option(since).map(_.toLong)))
+    case _ if asofMatches(sqlText) => asofClaim(sqlText)
     case ShowPartitions(t) => dirOf(t).map(d =>
       LakeSink.showPartitions(SparkSession.active, d)
         .queryExecution.analyzed)
@@ -586,15 +666,17 @@ case class LakeCopyIntoCommand(dir: String, srcDir: String)
   * logical names). Receipt = what it cost: linked files are free,
   * rewritten segments are the protocol debt paid down. */
 case class LakeExportCommand(dir: String, dstDir: String,
-    version: Option[Long] = None) extends LeafRunnableCommand {
+    version: Option[Long] = None,
+    partitionBy: Option[String] = None,
+    sinceVersion: Option[Long] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("files_linked", IntegerType)(),
     AttributeReference("segments_rewritten", IntegerType)(),
     AttributeReference("rows_exported", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
-    val (v, linked, rewritten, rows) =
-      LakeSink.exportTable(session, dir, dstDir, version)
+    val (v, linked, rewritten, rows) = LakeSink.exportTable(
+      session, dir, dstDir, version, partitionBy, sinceVersion)
     Seq(Row(v, linked, rewritten, rows))
   }
 }

@@ -220,7 +220,22 @@ object LakeSink {
       // above [[supportedWriter]]. Absent headers parse as 1 (all
       // pre-gate manifests). */
       minReader: Long = 1L,
-      minWriter: Long = 1L) {
+      minWriter: Long = 1L,
+      // PER-SEGMENT ROW COUNTS (r17, the r16 verdict's #7): physical
+      // rows each live segment holds, recorded once at segment-commit
+      // time (Delta's AddFile numRecords / Iceberg's record_count).
+      // ADVISORY like stats — a missing entry falls back to the
+      // segment's parquet footers, so legacy manifests, foreign
+      // writers, and readers that skip `segrows=` lines all stay
+      // correct (no protocol-gate bump). What it buys: receipts and
+      // row-count answers (EXPORT, DESCRIBE DETAIL) become O(manifest)
+      // instead of O(segments) serial driver footer opens — at
+      // thousands of segments the footer walk contradicted EXPORT's
+      // own O(links)-metadata claim.
+      segRows: Map[String, Long] = Map.empty) {
+    /** Physical rows in a live segment: the manifest's recorded count,
+      * or -1 when unrecorded (caller falls back to footer reads). */
+    def rowsOf(seg: String): Long = segRows.getOrElse(seg, -1L)
     /** Columns any live segment tracks stats for (PHYSICAL names —
       * stats follow the bytes, surviving renames). */
     def trackedCols: Seq[String] =
@@ -334,7 +349,8 @@ object LakeSink {
     val (cmLines, rest3) = rest2.partition(_.startsWith("colmap="))
     val (partLines, rest4) = rest3.partition(_.startsWith("part="))
     val (cdcDropLines, rest45) = rest4.partition(_.startsWith("cdcdrop="))
-    val (copyLines, rest5) = rest45.partition(_.startsWith("copy="))
+    val (rowsLines, rest46) = rest45.partition(_.startsWith("segrows="))
+    val (copyLines, rest5) = rest46.partition(_.startsWith("copy="))
     val (cdcLines, rest) = rest5.partition(_.startsWith("cdc="))
     val (expectLines, scalarHeaders) = rest.partition(_.startsWith("expect="))
     val h = scalarHeaders.map { l =>
@@ -382,7 +398,16 @@ object LakeSink {
         gateReader(outDir, v, mr)
         mr
       },
-      h.get("minwriter").map(_.toLong).getOrElse(1L))
+      h.get("minwriter").map(_.toLong).getOrElse(1L),
+      rowsLines.map(l => parseSegRowsPayload(outDir, v,
+        l.stripPrefix("segrows="))).toMap)
+  }
+
+  /** Decode one segment-rows payload (`seg|rows`). */
+  private def parseSegRowsPayload(outDir: String, v: Long,
+      l: String): (String, Long) = l.split('|') match {
+    case Array(seg, rows) => seg -> rows.toLong
+    case _ => sys.error(s"manifest v$v at $outDir: bad segrows line $l")
   }
 
   /** Decode one partition-value payload (`seg|col|rows|b64(value)`
@@ -463,7 +488,8 @@ object LakeSink {
       dvSets: Map[String, DvRef], colmap: Map[String, String],
       partSpec: Option[String], addParts: Map[String, PartVal],
       cdcDropSegs: Seq[String], bloomCols: Seq[String],
-      addCopied: Set[String], minReader: Long, minWriter: Long)
+      addCopied: Set[String], minReader: Long, minWriter: Long,
+      addRows: Map[String, Long])
 
   private def parseDelta(outDir: String, v: Long,
       lines: Seq[String]): DeltaRec = {
@@ -479,6 +505,7 @@ object LakeSink {
     val addParts = Map.newBuilder[String, PartVal]
     val cdcDropSegs = Seq.newBuilder[String]
     val addCopied = Set.newBuilder[String]
+    val addRows = Map.newBuilder[String, Long]
     lines.foreach { l =>
       val i = l.indexOf('=')
       require(i > 0, s"manifest delta v$v at $outDir: bad line $l")
@@ -493,6 +520,7 @@ object LakeSink {
         case "dvec" => dvSets += parseDvPayload(outDir, v, value)
         case "colmap" => colmap += parseColmapPayload(outDir, v, value)
         case "part" => addParts += parsePartPayload(outDir, v, value)
+        case "segrows" => addRows += parseSegRowsPayload(outDir, v, value)
         case "stats" =>
           statLines += parseStatPayload(outDir, v, value, isStr = false)
         case "strstats" =>
@@ -527,7 +555,8 @@ object LakeSink {
         gateReader(outDir, v, mr)
         mr
       },
-      h.get("minwriter").map(_.toLong).getOrElse(1L))
+      h.get("minwriter").map(_.toLong).getOrElse(1L),
+      addRows.result())
   }
 
   /** Auxiliary CHECKPOINT file for version `v` (Delta's
@@ -571,7 +600,8 @@ object LakeSink {
       // never auto-downgrade along a delta chain (Delta's rule): a
       // purge that empties dv does not re-admit old readers mid-log
       math.max(acc.minReader, d.minReader),
-      math.max(acc.minWriter, d.minWriter))
+      math.max(acc.minWriter, d.minWriter),
+      (acc.segRows -- d.removes) ++ d.addRows)
 
   /** Reconstruct the committed state at version `v`: walk back to the
     * nearest snapshot (≤ [[snapshotInterval]] small files, or the
@@ -642,6 +672,25 @@ object LakeSink {
     val mr = math.max(parent.minReader, requiredReader(m.dv, m.colmap))
     val mw = math.max(parent.minWriter,
       requiredWriter(m.dv, m.expects, m.copied))
+    // SEGMENT ROW COUNTS (r17): record each ADDED segment's physical
+    // row count once, here — the one gate every committed segment
+    // passes through. Priority: a count the caller already carries
+    // (m.segRows), then the partition fact's count (partitioned
+    // appends already counted), then one footer read of the segment
+    // just written (O(its files) — the same order as the write
+    // itself; a later EXPORT/DETAIL over thousands of segments then
+    // reads the manifest instead of thousands of footers). Advisory:
+    // a segment whose directory is not readable here (external
+    // tooling committing names it never materialized) simply records
+    // nothing and readers fall back to footers.
+    val rowsForAdded: Map[String, Long] = added.flatMap { s =>
+      m.segRows.get(s).orElse(m.parts.get(s).map(_.rows))
+        .orElse(try Some(segmentFooterRows(outDir, s))
+                catch { case _: Exception => None })
+        .map(s -> _)
+    }.toMap
+    val mRows = m.copy(segRows =
+      (m.segRows -- removed) ++ rowsForAdded)
     if (m.version % snapshotInterval == 0)
       // the snapshot must carry the parent's declared minimums too
       // (r16): a full snapshot that re-derived them from state alone
@@ -651,7 +700,8 @@ object LakeSink {
       return commitManifest(outDir, m.version, m.maxB, m.segs, m.schemaV,
         m.schemaJson, m.stats, m.txns, m.expects, m.cdcSegs, m.dataChange,
         m.dv, m.colmap, m.partSpec, m.parts, m.cdcDropSegs, m.bloomCols,
-        m.copied, minReaderFloor = mr, minWriterFloor = mw)
+        m.copied, minReaderFloor = mr, minWriterFloor = mw,
+        segRows = mRows.segRows)
     val lines = Seq("delta=1", s"maxb=${m.maxB}") ++
       (if (m.schemaV > 0L) Seq(s"schemav=${m.schemaV}") else Nil) ++
       (if (m.schemaV != parent.schemaV) m.schemaJson.map(j => s"schema=$j")
@@ -672,6 +722,8 @@ object LakeSink {
       addedParts.toSeq.sortBy(_._1).map { case (seg, p) =>
         partLine(seg, p) } ++
       addedCopied.toSeq.sorted.map(id => s"copy=$id") ++
+      rowsForAdded.toSeq.sortBy(_._1).map { case (seg, n) =>
+        s"segrows=$seg|$n" } ++
       added.map(s => s"add=$s") ++
       removed.toSeq.sorted.map(s => s"remove=$s") ++
       addedStats.toSeq.flatMap { case (seg, byCol) =>
@@ -718,14 +770,15 @@ object LakeSink {
       bloomCols: Seq[String] = Nil,
       copied: Set[String] = Set.empty,
       minReaderFloor: Long = 1L,
-      minWriterFloor: Long = 1L): Boolean = {
+      minWriterFloor: Long = 1L,
+      segRows: Map[String, Long] = Map.empty): Boolean = {
     val md = manifestDir(outDir)
     Files.createDirectories(md)
     val tmp = Files.createTempFile(md, s"tmp_v$v-", ".inprogress")
     Files.write(tmp, snapshotLines(maxB, segs, schemaV, schemaJson,
       stats, txns, expects, cdcSegs, dataChange, dv, colmap, partSpec,
       parts, cdcDropSegs, bloomCols, copied,
-      minReaderFloor, minWriterFloor).mkString("\n")
+      minReaderFloor, minWriterFloor, segRows).mkString("\n")
       .getBytes("UTF-8"))
     try {
       Files.createLink(md.resolve(f"v$v%010d.txt"), tmp)
@@ -770,7 +823,8 @@ object LakeSink {
       bloomCols: Seq[String] = Nil,
       copied: Set[String] = Set.empty,
       minReaderFloor: Long = 1L,
-      minWriterFloor: Long = 1L): Seq[String] = {
+      minWriterFloor: Long = 1L,
+      segRows: Map[String, Long] = Map.empty): Seq[String] = {
     val live = segs.toSet
     val statLines = stats.toSeq
       .filter { case (seg, _) => live(seg) }
@@ -786,6 +840,8 @@ object LakeSink {
       colmap.toSeq.sorted.map { case (lg, ph) => s"colmap=$lg|$ph" }
     val partLines = parts.toSeq.filter { case (seg, _) => live(seg) }
       .sortBy(_._1).map { case (seg, p) => partLine(seg, p) }
+    val rowsLines = segRows.toSeq.filter { case (seg, _) => live(seg) }
+      .sortBy(_._1).map { case (seg, n) => s"segrows=$seg|$n" }
     val cdcLines = cdcSegs.map(s => s"cdc=$s") ++
       cdcDropSegs.map(s => s"cdcdrop=$s") ++
       (if (dataChange) Nil else Seq("datachange=0"))
@@ -810,7 +866,7 @@ object LakeSink {
        else Nil) ++ gateLines ++
         partSpec.map(c => s"partspec=$c").toSeq ++ bloomLine ++
         statLines ++ txnLines ++ expectLines ++ cmLines ++
-        partLines ++ dvLines ++ cdcLines ++ copyLines)) ++ segs
+        partLines ++ rowsLines ++ dvLines ++ cdcLines ++ copyLines)) ++ segs
   }
 
   /** Attempts a DML re-plan loop makes before giving up — each retry
@@ -2268,7 +2324,8 @@ object LakeSink {
           // HIGHEST declared minimums seen on the chain — undoing
           // data must not re-admit writers the tip had fenced out
           minReaderFloor = math.max(m.minReader, t.minReader),
-          minWriterFloor = math.max(m.minWriter, t.minWriter)))
+          minWriterFloor = math.max(m.minWriter, t.minWriter),
+          segRows = t.segRows))
         return (m.version + 1, addedSegs.size, removedSegs.size)
       // lost the CAS — re-plan against the new tip
     }
@@ -2370,7 +2427,8 @@ object LakeSink {
       // the clone's v1 inherits the source version's declared
       // minimums (r16 never-downgrade) — branching must not re-admit
       // writers the source had fenced out
-      minReaderFloor = t.minReader, minWriterFloor = t.minWriter),
+      minReaderFloor = t.minReader, minWriterFloor = t.minWriter,
+      segRows = t.segRows),
       s"clone commit at $dstDir lost a manifest race")
     (t.segs.size, files, bytes)
   }
@@ -2414,10 +2472,39 @@ object LakeSink {
     * inherent; on an object store the link step becomes a server-side
     * copy of the clean segments' objects.
     *
+    * PARTITIONED export (r17, the r16 verdict's #3): `partitionBy`
+    * emits the standard Hive `col=value/` layout instead of the flat
+    * one, so foreign engines PRUNE on the partition column (DuckDB
+    * `hive_partitioning=1`, Spark/Trino natively). Always a rewrite —
+    * deliberately: re-bucketing by value is inherently data movement
+    * (the source layout is segment-oriented), and a uniform layout
+    * (partition values in DIRECTORY NAMES only, never repeated inside
+    * files) is what every foreign reader agrees on; linking
+    * partition-fact segments would mix files-with-column into a
+    * layout whose other files lack it. Cost: O(table bytes) in ONE
+    * distributed job — the same scan/shuffle any engine pays to
+    * re-partition.
+    *
+    * INCREMENTAL export (r17, #4): `sinceVersion = Some(a)` exports
+    * ONLY the segments versions a+1..target added, APPENDING to a
+    * target that already holds the version-a export — so refreshing a
+    * foreign copy costs O(changed segments), not O(table). Sound only
+    * when the window is APPEND-ONLY; anything an append-only delta
+    * cannot represent in a dead-copy directory refuses LOUD: a
+    * removed/rewritten base segment (compaction, DML), a DV change on
+    * a base segment (new deletions), schema evolution, or a column-
+    * mapping change. The combined directory then equals
+    * `readTableAsOf(target)` exactly. The caller owns the combined-
+    * directory contract (same layout both runs; the target holding
+    * exactly the version-a export).
+    *
     * Returns (version exported, files hard-linked, segments
-    * rewritten, live rows exported). */
+    * rewritten, live rows exported — the DELTA's rows when
+    * incremental). */
   def exportTable(spark: SparkSession, lakeDir: String,
-      outDir: String, version: Option[Long] = None): (Long, Int, Int, Long) = {
+      outDir: String, version: Option[Long] = None,
+      partitionBy: Option[String] = None,
+      sinceVersion: Option[Long] = None): (Long, Int, Int, Long) = {
     // time-travel export (r16): hand a foreign reader ANY retained
     // version, not just the tip — the audit/repro handoff ("give me
     // the table as the model saw it"), same horizon as RESTORE/clone
@@ -2430,12 +2517,65 @@ object LakeSink {
       manifestAt(lakeDir, v)
     }
     requireTable(m, lakeDir)
+    // incremental: the exported segment set narrows to the window's
+    // additions, behind the append-only guards
+    val expSegs: Seq[String] = sinceVersion match {
+      case None => m.segs
+      case Some(a) =>
+        require(a < m.version,
+          s"SINCE VERSION $a is not below the export version " +
+            s"${m.version} — nothing can be incremental about it")
+        val base = manifestAt(lakeDir, a)
+        val liveNow = m.segs.toSet
+        val gone = base.segs.filterNot(liveNow)
+        require(gone.isEmpty,
+          s"versions ${a + 1}..${m.version} are not append-only: " +
+            s"${gone.size} base segment(s) were removed or rewritten " +
+            s"(${gone.take(3).mkString(", ")}…) — a dead-copy " +
+            "directory cannot represent removals; run a full export")
+        base.segs.foreach { s =>
+          require(m.dv.get(s) == base.dv.get(s),
+            s"segment $s changed its deletion vector after v$a — new " +
+              "deletions cannot be represented by appended files; " +
+              "run a full export")
+        }
+        require(m.schemaV == base.schemaV,
+          s"schema evolved in the window (v${base.schemaV} → " +
+            s"v${m.schemaV}) — the combined directory would be " +
+            "schema-ragged; run a full export")
+        require(m.colmap == base.colmap,
+          "column mapping changed in the window; run a full export")
+        m.segs.filterNot(base.segs.toSet)
+    }
     val out = Paths.get(outDir)
-    require(!Files.isDirectory(out) || listDir(out).isEmpty,
-      s"export target $outDir already holds files — exports never " +
-        "merge; clean the target or pick a fresh one")
+    // a FULL export never merges into leftovers; an INCREMENTAL one
+    // exists to append to the prior export
+    if (sinceVersion.isEmpty)
+      require(!Files.isDirectory(out) || listDir(out).isEmpty,
+        s"export target $outDir already holds files — exports never " +
+          "merge; clean the target or pick a fresh one")
     Files.createDirectories(out)
     val cur = tableSchema(spark, lakeDir, m)
+    val dvRows = expSegs.flatMap(m.dv.get).map(_.rows).sum
+    val rows = expSegs.map(s =>
+      m.segRows.getOrElse(s, segmentFooterRows(lakeDir, s))).sum - dvRows
+    partitionBy.foreach { pcol =>
+      require(cur.fieldNames.contains(pcol),
+        s"PARTITIONED BY ($pcol): no such column in " +
+          cur.fieldNames.mkString(", "))
+      if (expSegs.nonEmpty) {
+        val dataCols = cur.fieldNames.filterNot(_ == pcol)
+        readSegments(spark, lakeDir, m, expSegs)
+          .select((dataCols :+ pcol).map(org.apache.spark.sql
+            .functions.col).toSeq: _*)
+          .write.mode("append").partitionBy(pcol).parquet(out.toString)
+      }
+      require(listDir(out).exists(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(pcol + "=")) ||
+          expSegs.isEmpty,
+        s"partitioned export produced no $pcol= directories")
+      return (m.version, 0, expSegs.size, rows)
+    }
     val want = cur.fields.map(f => (f.name, f.dataType)).toSeq
     // Link-eligible = byte-identical semantics for a plain reader.
     // Footer probing is reserved for lakes whose schema has EVOLVED
@@ -2445,7 +2585,7 @@ object LakeSink {
     // classification O(segments) serial driver reads, against this
     // verb's own O(links)-metadata claim (r16 review catch).
     val maybeStale = m.schemaV > 1L
-    val (linkable, rewrite) = m.segs.partition { s =>
+    val (linkable, rewrite) = expSegs.partition { s =>
       m.colmap.isEmpty && !m.dv.contains(s) && (!maybeStale || {
         val foot = spark.read.parquet(s"$lakeDir/$s").schema
         foot.fields.map(f => (f.name, f.dataType)).toSeq == want
@@ -2489,8 +2629,10 @@ object LakeSink {
       }
       org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }
-    val rows = m.segs.map(s => segmentFooterRows(lakeDir, s)).sum -
-      m.segs.flatMap(m.dv.get).map(_.rows).sum
+    // receipt row count from MANIFEST-carried segment counts (r17 —
+    // the r16 verdict's #7: serial footer opens were O(segments) per
+    // export, against the verb's own O(links)-metadata claim); only
+    // segments a legacy manifest never counted fall back to footers
     (m.version, files, rewrite.size, rows)
   }
 
@@ -3057,7 +3199,7 @@ object LakeSink {
           // checkpoints carry the chain's declared minimums (r16):
           // reconstruction resets at a .snap, so dropping them here
           // would downgrade every later version's gate
-          b.minReader, b.minWriter)
+          b.minReader, b.minWriter, b.segRows)
           .mkString("\n").getBytes("UTF-8"))
     }
     // Live segments = union over the retained versions, reconstructed
@@ -5082,7 +5224,7 @@ object LakeSink {
       cdc: Boolean = false,
       dvMaxFraction: Double = 0.0,
       schemaEvolution: Boolean = false): (Long, Int, Long, Long, Long) = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, sum, when}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_set, count, expr, lit, struct, sum, when}
     require(keys.nonEmpty, "MERGE with no key columns")
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0,1], got $dvMaxFraction")
@@ -5216,6 +5358,11 @@ object LakeSink {
         val addedStats = Map.newBuilder[String, Map[String, ColStat]]
         val dvSets = Map.newBuilder[String, DvRef]
         var dvWrites = 0
+        // Some(⋯) once a census pass has OBSERVED every possible match
+        // (scanned segments + stats-disproved ones): the insert side
+        // then needs no second corpus scan. None = no census ran
+        // (insert-only merge) → the insert side scans as before.
+        var matchedKeys: Option[Seq[Row]] = None
         if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
           // BATCHED PLANNING (r15): stats pruning stays DRIVER-side;
           // the surviving scan set joins the broadcast source ONCE and
@@ -5233,6 +5380,10 @@ object LakeSink {
           val scanSegs = m.segs.zipWithIndex.filter { case (seg, _) =>
             !srcKeyRange.exists { case (c, lo, hi) =>
               !mayOverlap(m, seg, c, lo, hi) } }
+          if (scanSegs.isEmpty)
+            // every segment stats-disproved the source key range ⇒
+            // provably zero matches — the insert side knows it too
+            matchedKeys = Some(Nil)
           if (scanSegs.nonEmpty) {
             val pos = readSegmentsWithPos(spark, outDir, m,
               scanSegs.map(_._1))
@@ -5246,8 +5397,19 @@ object LakeSink {
               .withColumn("__mc", clauseIdx)
             def posOf(segs: Seq[(String, Int)]) =
               readSegmentsWithPos(spark, outDir, m, segs.map(_._1))
-            def post = stagedOf(pos).select(col("__dv_s") +: col("__mc") +:
+            def post = stagedOf(pos).select(col("__dv_s") +:
+              col("__mc") +: isM.as("__isM") +:
+              struct(keys.map(k => col(s"t.$k")): _*).as("__k") +:
               targetCols.map(c => newVal(c)): _*)
+            // the census ALSO collects the MATCHED source keys (r17):
+            // the insert side then anti-joins source×keys instead of
+            // re-scanning every segment's key column — one full-corpus
+            // pass per MERGE saved, and the insert census plans over
+            // two broadcast-small relations instead of the whole
+            // table. Bounded by construction: distinct matched keys ≤
+            // source keys, and the source is the broadcast-small side
+            // of every MERGE. Collected via the target-side values
+            // (== the source keys wherever a match fired).
             val cntAggs = Seq(
               count(lit(1)),
               coalesce(sum(when(inIdx(col("__mc"), updIdx), 1L)
@@ -5257,10 +5419,13 @@ object LakeSink {
               checks.map { case (_, sql) =>
                 coalesce(sum(when(inIdx(col("__mc"), updIdx) &&
                   !coalesce(expr(sql), lit(false)), 1L)
-                  .otherwise(0L)), lit(0L)) }
+                  .otherwise(0L)), lit(0L)) } :+
+              collect_set(when(col("__isM"), col("__k")))
             val perSeg = post.groupBy(col("__dv_s"))
               .agg(cntAggs.head, cntAggs.tail: _*)
               .collect().map(r => r.getString(0) -> r).toMap
+            matchedKeys = Some(perSeg.valuesIterator
+              .flatMap(_.getSeq[Row](4 + checks.size)).toSet.toSeq)
             def firesOf(seg: String): (Long, Long, Long) =
               perSeg.get(seg).map(r =>
                 (r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -5421,10 +5586,29 @@ object LakeSink {
         }
         var inserted = 0L
         if (notMatched.nonEmpty) {
-          val anti = src.join(
-            readSegments(spark, outDir, m, m.segs)
-              .select(keys.map(col).toSeq: _*),
-            keys, "left_anti").as("s")
+          // insert candidates = source rows with no target match. When
+          // a census pass ran it already observed every matched key
+          // (r17), so anti-join the source against THAT driver-bounded
+          // set — broadcast-small × broadcast-small — instead of
+          // re-scanning every segment's key column: one full-corpus
+          // pass per MERGE gone, and the insert census's Catalyst plan
+          // collapses to two local relations (the per-action plan
+          // floor this query's QueryProbe profile is made of).
+          // NULL-keyed source rows behave identically on both routes:
+          // NULL never equals, so they stay insert candidates.
+          val anti = matchedKeys match {
+            case Some(Nil) => src.as("s")
+            case Some(mk) =>
+              val keySchema = org.apache.spark.sql.types.StructType(
+                keys.map(k => schema(schema.fieldIndex(k))))
+              val mkDf = spark.createDataFrame(
+                new java.util.ArrayList[Row](mk.asJava), keySchema)
+              src.join(broadcast(mkDf), keys, "left_anti").as("s")
+            case None => src.join(
+              readSegments(spark, outDir, m, m.segs)
+                .select(keys.map(col).toSeq: _*),
+              keys, "left_anti").as("s")
+          }
           val insWhens = notMatched.zipWithIndex.map { case (cl, i) =>
             (condOf(cl.cond), i) }
           val insIdx = insWhens.tail.foldLeft(

@@ -1,0 +1,57 @@
+package graft.tools
+
+import graft.Tables
+import graft.llm.SimilarityApi
+import org.apache.spark.sql.SparkSession
+
+/** CODEBOOK-INIT SCALING probe (r17 — the r16 verdict's `weak` row):
+  * Spark JOB COUNT and wall time of `trainCentroids`' INIT phase
+  * (iters = 0) as the codebook size k sweeps 8 → 32 → 128.
+  *
+  * Why it matters at 100 TB: the r16 farthest-point init ran k−1
+  * SEQUENTIAL collect-per-seed corpus scans — a real 4k-codebook
+  * training paid 4,095 serial driver round trips while the cluster
+  * idled (jobs linear in k). The r17 oversampled parallel init
+  * (k-means‖ shape, derandomized) is 1 seed pass + 3 candidate
+  * rounds + 1 weight pass = a CONSTANT number of corpus passes for
+  * any k; the driver-side weighted farthest-point reduction touches
+  * only the ≤ 1+3·2k collected candidates (megabytes at k = 4096).
+  * This probe pins the job slope FLAT in k — the same evidence shape
+  * DmlJobProbe uses for the batched DML planner.
+  */
+object KmeansInitProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.count() // warm the file listing / footer cache out of the timing
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+    val rows = Seq(8, 32, 128).map { k =>
+      jobs.set(0)
+      val t0 = System.nanoTime()
+      // iters = 0 isolates the init; Lloyd rounds were already one
+      // streaming pass each and are k-independent in job count
+      val n = SimilarityApi
+        .trainCentroids(emb, "vec_id", "embedding", k = k, iters = 0)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      f"""{"k":$k,"centroids":$n,"init_jobs":${jobs.get()},""" +
+        f""""init_sec":$sec%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"probe":"kmeans_init","sf":"$sfDir","rows":$rows}""")
+    spark.stop()
+  }
+}

@@ -189,4 +189,141 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
       assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) === 1)
     } finally LakeCatalog.unregister(tbl)
   }
+
+  test("PARTITIONED export (r17): Hive k=v layout, partition values " +
+      "in dir names only, DVs reconciled, plain reader round-trips") {
+    val dir = tmp("graft_exp_lake5")
+    mkLake(dir)
+    // DV some rows so the partitioned path proves reconciliation too
+    val (_, rw, _, nDel) = LakeSink.deleteWhere(spark, dir,
+      col("flag") === 1L && col("id") < 20L, dvMaxFraction = 1.0)
+    assert(rw === 0 && nDel > 0)
+    val out = tmp("graft_exp_out5")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val tbl = "graft_exp_sql5_" + System.nanoTime()
+    LakeCatalog.register(tbl, dir)
+    try {
+      val r = spark.sql(
+        s"EXPORT TABLE $tbl TO '$out' PARTITIONED BY (flag)")
+        .collect().head
+      // always a rewrite: re-bucketing by value is data movement
+      assert(r.getInt(1) === 0 && r.getInt(2) === 2)
+      assert(r.getLong(3) === 40L - nDel)
+      // one directory per live partition value, nothing else but the
+      // _SUCCESS marker at top level
+      val top = Files.list(Paths.get(out)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+      val partDirs = top.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("flag="))
+      assert(partDirs.map(_.getFileName.toString).toSet ===
+        Set("flag=0", "flag=1", "flag=2", "flag=3"))
+      // partition values live in DIRECTORY NAMES only — the data
+      // files inside must NOT repeat the column (uniform layout)
+      val onePart = Files.list(partDirs.head).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      assert(!spark.read.parquet(onePart.toString)
+        .schema.fieldNames.contains("flag"))
+      // a plain hive-aware reader reconstructs exactly readTable
+      // (partition col type is INFERRED from dir names → cast back)
+      val plain = spark.read.parquet(out)
+        .select(col("id"), col("flag").cast("long"), col("payload"))
+        .collect().map(_.toSeq).toSet
+      val engine = LakeSink.readTable(spark, dir)
+        .select("id", "flag", "payload").collect().map(_.toSeq).toSet
+      assert(plain === engine)
+      // deleted rows stayed deleted through the partitioned rewrite
+      assert(!plain.exists(r0 => r0(1) == 1L &&
+        r0.head.asInstanceOf[Long] < 20L))
+      // unknown partition column refuses loud
+      val e = intercept[Exception] {
+        LakeSink.exportTable(spark, dir, tmp("graft_exp_out5b"),
+          partitionBy = Some("nope"))
+      }
+      assert(e.getMessage.contains("no such column"))
+    } finally LakeCatalog.unregister(tbl)
+  }
+
+  test("INCREMENTAL export (r17): SINCE VERSION appends only the new " +
+      "segments; combined dir == tip; non-append-only windows refuse") {
+    val dir = tmp("graft_exp_lake6")
+    mkLake(dir) // v1 create, v2 seg_a, v3 seg_b
+    val out = tmp("graft_exp_out6")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val a = LakeSink.readManifest(dir).version
+    val (_, l1, rw1, rows1) = LakeSink.exportTable(spark, dir, out)
+    assert(l1 > 0 && rw1 === 0 && rows1 === 40L)
+    // append-only window: one new segment
+    import spark.implicits._
+    LakeSink.appendSegment(spark, dir,
+      (100L until 110L).map(i => (i, i % 4, s"p$i"))
+        .toDF("id", "flag", "payload"), "seg_c")
+    val tbl = "graft_exp_sql6_" + System.nanoTime()
+    LakeCatalog.register(tbl, dir)
+    try {
+      val r = spark.sql(
+        s"EXPORT TABLE $tbl TO '$out' SINCE VERSION $a").collect().head
+      // only seg_c moved, and it pure-linked (clean append)
+      assert(r.getInt(1) > 0 && r.getInt(2) === 0)
+      assert(r.getLong(3) === 10L)
+      val seen = Files.list(Paths.get(out)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .filter(_.endsWith(".parquet"))
+      assert(seen.exists(_.startsWith("seg_c__")))
+      // the COMBINED directory is exactly the tip
+      val plain = spark.read.parquet(out).select("id", "flag", "payload")
+        .collect().map(_.toSeq).toSet
+      val engine = LakeSink.readTable(spark, dir)
+        .select("id", "flag", "payload").collect().map(_.toSeq).toSet
+      assert(plain === engine && plain.size === 50)
+      // refusals — each names the violation it cannot represent:
+      // (i) SINCE not below the export version
+      val eq = intercept[Exception] {
+        LakeSink.exportTable(spark, dir, out,
+          sinceVersion = Some(LakeSink.readManifest(dir).version))
+      }
+      assert(eq.getMessage.contains("not below"))
+      // (ii) a base segment got a DV in the window (new deletions)
+      val aNow = LakeSink.readManifest(dir).version
+      val (_, rwD, _, nD) = LakeSink.deleteWhere(spark, dir,
+        col("id") === 3L, dvMaxFraction = 1.0)
+      assert(rwD === 0 && nD === 1L)
+      val eDv = intercept[Exception] {
+        LakeSink.exportTable(spark, dir, out, sinceVersion = Some(aNow))
+      }
+      assert(eDv.getMessage.contains("deletion vector"))
+      // (iii) a base segment disappeared (compaction rewrote it)
+      val aNow2 = LakeSink.readManifest(dir).version
+      LakeSink.compact(spark, dir)
+      val eGone = intercept[Exception] {
+        LakeSink.exportTable(spark, dir, out, sinceVersion = Some(aNow2))
+      }
+      assert(eGone.getMessage.contains("append-only"))
+    } finally LakeCatalog.unregister(tbl)
+  }
+
+  test("manifest-carried segment row counts (r17): recorded at " +
+      "commit, maintained by DML/clone/restore, advisory fallback") {
+    val dir = tmp("graft_exp_lake7")
+    mkLake(dir)
+    val m0 = LakeSink.readManifest(dir)
+    // recorded at segment-commit time, one entry per live segment
+    assert(m0.segRows === Map("seg_a" -> 20L, "seg_b" -> 20L))
+    // a CoW rewrite recounts: delete 5 rows of seg_a copy-on-write
+    val (_, rwC, _, nDelC) = LakeSink.deleteWhere(spark, dir,
+      col("id") < 5L, dvMaxFraction = 0.0)
+    assert(rwC === 1 && nDelC === 5L)
+    val m1 = LakeSink.readManifest(dir)
+    assert(m1.segRows.values.sum === 35L,
+      s"rewrite did not recount: ${m1.segRows}")
+    assert(!m1.segRows.contains("seg_a"), "dead segment entry leaked")
+    // clone and restore both CARRY the counts (no re-derivation)
+    val cdir = tmp("graft_exp_lake7c")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cdir))
+    LakeSink.cloneTable(spark, dir, cdir)
+    assert(LakeSink.readManifest(cdir).segRows === m1.segRows)
+    // advisory: a manifest with NO counts (legacy/foreign writer)
+    // still exports with the footer fallback — rowsOf answers -1
+    assert(m1.rowsOf("never_counted") === -1L)
+  }
 }

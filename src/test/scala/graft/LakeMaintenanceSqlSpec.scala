@@ -193,6 +193,81 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("two distinct aliases"))
   }
 
+  test("SQL ASOF LEFT JOIN (r17): unmatched left rows survive " +
+      "NULL-extended; literals and escaped quotes never confuse the " +
+      "claim gate") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100L), (1L, 20L, 110L), (2L, 15L, 200L))
+      .toDF("qk", "qt", "px")
+    val trades = Seq((1L, 10L, "t.x"), (1L, 9L, "t.x"), (3L, 99L, "y"))
+      .toDF("tk", "tt", "note")
+    trades.createOrReplaceTempView("graft_asofl_trades")
+    quotes.createOrReplaceTempView("graft_asofl_quotes")
+    try {
+      // LEFT: (1,10) matches px100; (1,9) has no earlier quote and
+      // (3,99) has no key — both SURVIVE with px NULL
+      val got = spark.sql(
+        """SELECT t.tk, t.tt, q.px
+           FROM graft_asofl_trades t ASOF LEFT JOIN graft_asofl_quotes q
+           ON t.tk = q.qk AND t.tt >= q.qt
+           ORDER BY t.tk, t.tt""").collect().map(_.toSeq).toSeq
+      assert(got === Seq(Seq(1L, 9L, null), Seq(1L, 10L, 100L),
+        Seq(3L, 99L, null)))
+      // identical through the DataFrame operator with inner = false
+      val op = graft.operators.AsofJoin
+        .asof(trades, quotes, "tk", "tt", "qk", "qt", inner = false)
+        .select("tk", "tt", "px").orderBy("tk", "tt")
+        .collect().map(_.toSeq).toSeq
+      assert(op === got)
+      // quote-AWARE qualifier strip (r17, advisor): an alias-dot
+      // prefix INSIDE a string literal must survive verbatim — the
+      // r16 blind replaceAll would have rewritten 't.x' to 'x' and
+      // silently returned zero rows
+      val lit = spark.sql(
+        """SELECT t.tk FROM graft_asofl_trades t
+           ASOF LEFT JOIN graft_asofl_quotes q
+           ON t.tk = q.qk AND t.tt >= q.qt
+           WHERE t.note = 't.x' ORDER BY t.tk, t.tt""")
+        .collect().map(_.getLong(0)).toSeq
+      assert(lit === Seq(1L, 1L), "literal 't.x' was rewritten")
+      // escaped quotes BEFORE the ASOF keyword (r17, advisor): a
+      // backslash-escaped quote flipped the r16 raw-parity count and
+      // mis-delegated a valid claimed statement; '' doubling likewise
+      // must parse as ONE literal
+      val esc = spark.sql(
+        """SELECT 'it\'s' AS tag, t.tk FROM graft_asofl_trades t
+           ASOF JOIN graft_asofl_quotes q
+           ON t.tk = q.qk AND t.tt >= q.qt ORDER BY t.tk""")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(esc === Seq(("it's", 1L)))
+      val dbl = spark.sql(
+        """SELECT 'it''s' AS tag, t.tk FROM graft_asofl_trades t
+           ASOF JOIN graft_asofl_quotes q
+           ON t.tk = q.qk AND t.tt >= q.qt ORDER BY t.tk""")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(dbl === Seq(("it's", 1L)))
+      // NULL keys follow SQL semantics on BOTH sides (r17): a
+      // NULL-keyed right row matches nothing, a NULL-keyed left row
+      // is NULL-extended under left, dropped under inner
+      val qn = Seq((Option.empty[Long], 1L, 999L), (Some(1L), 10L, 100L))
+        .toDF("qk", "qt", "px")
+      val tn = Seq((Option.empty[Long], 50L, 1L), (Some(1L), 50L, 2L))
+        .toDF("tk", "tt", "qty")
+      val ln = graft.operators.AsofJoin
+        .asof(tn, qn, "tk", "tt", "qk", "qt", inner = false)
+        .select("qty", "px").orderBy("qty").collect().map(_.toSeq).toSeq
+      assert(ln === Seq(Seq(1L, null), Seq(2L, 100L)),
+        "NULL-keyed rows must never match")
+      val in = graft.operators.AsofJoin
+        .asof(tn, qn, "tk", "tt", "qk", "qt")
+        .select("qty", "px").collect().map(_.toSeq).toSeq
+      assert(in === Seq(Seq(2L, 100L)))
+    } finally {
+      spark.catalog.dropTempView("graft_asofl_trades")
+      spark.catalog.dropTempView("graft_asofl_quotes")
+    }
+  }
+
   test("AsofJoin determinism: right-side (key,time) duplicates resolve " +
       "to the max payload tuple, on every partition layout") {
     import spark.implicits._

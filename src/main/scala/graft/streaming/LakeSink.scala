@@ -908,7 +908,12 @@ object LakeSink {
       // widened schema and the merged rows become visible atomically.
       // Racing schema changes stay true conflicts (the commutes check
       // pins base.schemaV).
-      newSchema: Option[(Long, String, Map[String, String])] = None)
+      newSchema: Option[(Long, String, Map[String, String])] = None,
+      // r17: row counts the caller already knows for `added` segments
+      // (DML censuses count them anyway) — commitEditRecord then
+      // records them with ZERO footer reads; segments not listed fall
+      // back to the partition fact or one footer read at the gate.
+      addedRows: Map[String, Long] = Map.empty)
       : Option[Long] = {
     val baseSegs = base.segs.toSet
     var tip = base
@@ -927,7 +932,11 @@ object LakeSink {
             colmap = newSchema.fold(tip.colmap)(_._3),
             partSpec = tip.partSpec, parts = parts,
             cdcDropSegs = cdcDropSegs, bloomCols = tip.bloomCols,
-            copied = tip.copied),
+            copied = tip.copied,
+            // carry the chain's row counts — a snapshot-interval
+            // commit writes FULL state, so omitting them here would
+            // silently drop every prior segment's count (r17 review)
+            segRows = (tip.segRows -- removed) ++ addedRows),
           removed, added, addedStats, dvSets, addedParts))
         return Some(tip.version + 1)
       val now = readManifest(outDir)
@@ -3329,7 +3338,10 @@ object LakeSink {
       addedParts: Map[String, PartVal],
       dvSets: Map[String, DvRef],
       cdcSeg: String, cdcRows: Boolean, cdcDrops: Seq[String],
-      rewritten: Int, dropped: Int, deleted: Long, dvWrites: Int) {
+      rewritten: Int, dropped: Int, deleted: Long, dvWrites: Int,
+      // r17: per-added-segment row counts the census already knows —
+      // the commit gate records them with zero footer reads
+      addedRows: Map[String, Long] = Map.empty) {
     def isNoop: Boolean = rewritten == 0 && dropped == 0 && dvWrites == 0
   }
 
@@ -3361,7 +3373,8 @@ object LakeSink {
         cdcSegs = if (e.cdcRows) Seq(e.cdcSeg) else Nil,
         dvSets = e.dvSets,
         addedParts = e.addedParts,
-        cdcDropSegs = e.cdcDrops) match {
+        cdcDropSegs = e.cdcDrops,
+        addedRows = e.addedRows) match {
         case Some(v) => return (v, e.rewritten, e.dropped, e.deleted)
         case None => // true conflict — re-plan against the new tip
       }
@@ -3450,6 +3463,7 @@ object LakeSink {
       val added = Seq.newBuilder[String]
       val addedStats = Map.newBuilder[String, Map[String, ColStat]]
       val addedParts = Map.newBuilder[String, PartVal]
+      val addedRows = Map.newBuilder[String, Long]
       // CHANGE DATA FEED: the deleted rows, written once alongside the
       // rewrite (Delta's _change_data move) into one per-DML cdc
       // segment the commit records — the only extra IO is the changed
@@ -3640,6 +3654,7 @@ object LakeSink {
               val (total, matches) = countsOf(seg)
               m.parts.get(seg).foreach(pv => addedParts +=
                 newSeg -> pv.copy(rows = total - matches))
+              addedRows += newSeg -> (total - matches)
             }
             org.apache.commons.io.FileUtils.deleteQuietly(
               new java.io.File(cowStage))
@@ -3649,7 +3664,7 @@ object LakeSink {
       DeleteEdit(removed.result(), added.result(), addedStats.result(),
         addedParts.result(), dvSets.result(), cdcSeg, cdcRows,
         if (cdcDropped) cdcDrops.result() else Nil,
-        rewritten, dropped, deleted, dvWrites)
+        rewritten, dropped, deleted, dvWrites, addedRows.result())
     }
   }
 
@@ -3729,6 +3744,7 @@ object LakeSink {
       val added = Seq.newBuilder[String]
       val addedStats = Map.newBuilder[String, Map[String, ColStat]]
       val addedParts = Map.newBuilder[String, PartVal]
+      val addedRows = Map.newBuilder[String, Long]
       // Change data feed: pre- AND post-images of updated rows (the
       // Delta CDF update_preimage/update_postimage pair), one cdc
       // segment per DML, recorded by the commit.
@@ -3888,6 +3904,7 @@ object LakeSink {
                 m.logicalOf(c).exists(assignments.contains) })
               addedParts += postSeg -> pv.copy(rows = matchesOf(seg))
           }
+          addedRows += postSeg -> matchesOf(seg)
         }
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(dvStage))
@@ -3929,6 +3946,9 @@ object LakeSink {
                 m.logicalOf(c).exists(assignments.contains) })
               addedParts += newSeg -> pv
           }
+          // an update keeps every LIVE row (the positional read
+          // reconciled the retiring DV)
+          perSeg.get(seg).foreach(r => addedRows += newSeg -> r.getLong(1))
         }
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(cowStage))
@@ -3939,7 +3959,8 @@ object LakeSink {
         addedStats.result(), None,
         cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
         dvSets = dvSets.result(),
-        addedParts = addedParts.result()) match {
+        addedParts = addedParts.result(),
+        addedRows = addedRows.result()) match {
         case Some(v) => return (v, rewritten, updated)
         case None => // true conflict — re-plan against the new tip
       }
@@ -4086,6 +4107,7 @@ object LakeSink {
       val added = Seq.newBuilder[String]
       val addedStats = Map.newBuilder[String, Map[String, ColStat]]
       val addedParts = Map.newBuilder[String, PartVal]
+      val addedRows = Map.newBuilder[String, Long]
       // BATCHED (r15): ONE DV-reconciling positional read of every
       // debt-carrying segment, ONE staged per-segment write, ONE
       // grouped stats job — job cost O(1) in the number of DV'd
@@ -4116,6 +4138,9 @@ object LakeSink {
         m.parts.get(seg).foreach { pv =>
           addedParts += newSeg -> pv.copy(rows = pv.rows - dvRef.rows)
         }
+        // the purge makes the DV's correction physical: live = old − dv
+        m.segRows.get(seg).foreach(r =>
+          addedRows += newSeg -> (r - dvRef.rows))
       }
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(stage))
@@ -4124,7 +4149,8 @@ object LakeSink {
       tryCommitEdit(outDir, m, removed.result(), added.result(),
         addedStats.result(), None,
         addedParts = addedParts.result(),
-        dataChange = false) match {
+        dataChange = false,
+        addedRows = addedRows.result()) match {
         case Some(v) => return (v, purged)
         case None => // true conflict — re-plan against the new tip
       }
@@ -4767,7 +4793,8 @@ object LakeSink {
           cdcSegs = if (cdcRows) Seq(e.cdcSeg) else Nil,
           dvSets = e.dvSets,
           addedParts = e.addedParts ++ insParts,
-          cdcDropSegs = e.cdcDrops) match {
+          cdcDropSegs = e.cdcDrops,
+          addedRows = e.addedRows) match {
           case Some(v) =>
             return (v, e.rewritten, e.dropped, e.deleted, inserted)
           case None => // true conflict — re-plan against the new tip
@@ -4964,6 +4991,7 @@ object LakeSink {
         val removed = Set.newBuilder[String]
         val added = Seq.newBuilder[String]
         val addedStats = Map.newBuilder[String, Map[String, ColStat]]
+        val addedRows = Map.newBuilder[String, Long]
         // Change data feed: replaced target rows as update_preimage,
         // the winning source rows as update_postimage, unmatched
         // source rows as insert — one cdc segment per MERGE.
@@ -5088,6 +5116,7 @@ object LakeSink {
                 java.nio.file.Files.move(postDirs(seg).toPath,
                   java.nio.file.Paths.get(outDir, postSeg))
                 added += postSeg
+                addedRows += postSeg -> countsOf(seg)._2
                 postStats.get(seg).foreach(st =>
                   addedStats += postSeg -> st)
                 writeSegmentBlooms(spark, outDir, postSeg, m.bloomCols)
@@ -5129,6 +5158,8 @@ object LakeSink {
                 rewritten += 1
                 removed += seg
                 added += newSeg
+                // a star upsert keeps every live row (updates in place)
+                addedRows += newSeg -> countsOf(seg)._1
                 cowStats.get(seg).foreach(st =>
                   addedStats += newSeg -> st)
                 writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
@@ -5148,6 +5179,7 @@ object LakeSink {
           physicalize(inserts, m).write.mode("overwrite")
             .parquet(s"$outDir/$insSeg")
           added += insSeg
+          addedRows += insSeg -> inserted
           if (cdc) {
             physicalize(inserts.withColumn("_change_type", lit("insert")), m)
               .write.mode("append").parquet(s"$outDir/$cdcSeg")
@@ -5163,7 +5195,8 @@ object LakeSink {
         tryCommitEdit(outDir, m, removed.result(), added.result(),
           addedStats.result(), txn,
           cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
-          dvSets = dvSets.result()) match {
+          dvSets = dvSets.result(),
+          addedRows = addedRows.result()) match {
           case Some(v) => return (v, rewritten, updated, inserted)
           case None => // true conflict — re-plan against the new tip
         }
@@ -5356,6 +5389,7 @@ object LakeSink {
         val removed = Set.newBuilder[String]
         val added = Seq.newBuilder[String]
         val addedStats = Map.newBuilder[String, Map[String, ColStat]]
+        val addedRows = Map.newBuilder[String, Long]
         val dvSets = Map.newBuilder[String, DvRef]
         var dvWrites = 0
         // Some(⋯) once a census pass has OBSERVED every possible match
@@ -5531,6 +5565,7 @@ object LakeSink {
                     java.nio.file.Files.move(postDirs(seg).toPath,
                       java.nio.file.Paths.get(outDir, postSeg))
                     added += postSeg
+                    addedRows += postSeg -> firesOf(seg)._2
                     postStats.get(seg).foreach(st =>
                       addedStats += postSeg -> st)
                     writeSegmentBlooms(spark, outDir, postSeg,
@@ -5565,6 +5600,9 @@ object LakeSink {
                       rewritten += 1
                       removed += seg
                       added += newSeg
+                      // the rewrite keeps the non-delete-firing rows
+                      addedRows += newSeg ->
+                        (firesOf(seg)._1 - firesOf(seg)._3)
                       cowStats.get(seg).foreach(st =>
                         addedStats += newSeg -> st)
                       writeSegmentBlooms(spark, outDir, newSeg,
@@ -5651,6 +5689,7 @@ object LakeSink {
             physicalize(ins, m).write.mode("overwrite")
               .parquet(s"$outDir/$insSeg")
             added += insSeg
+            addedRows += insSeg -> inserted
             if (cdc) {
               physicalize(ins.withColumn("_change_type", lit("insert")), m)
                 .write.mode("append").parquet(s"$outDir/$cdcSeg")
@@ -5670,7 +5709,8 @@ object LakeSink {
           addedStats.result(), txn,
           cdcSegs = if (cdcRows) Seq(cdcSeg) else Nil,
           dvSets = dvSets.result(),
-          newSchema = newSchema) match {
+          newSchema = newSchema,
+          addedRows = addedRows.result()) match {
           case Some(v) => return (v, rewritten, updated, deleted, inserted)
           case None => // true conflict — re-plan against the new tip
         }

@@ -326,4 +326,26 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
     // still exports with the footer fallback — rowsOf answers -1
     assert(m1.rowsOf("never_counted") === -1L)
   }
+
+  test("segment row counts survive the snapshot-interval commit (r17 " +
+      "review: a v%32==0 DML commit writes FULL state — dropping the " +
+      "chain's counts there would silently orphan every prior segment)") {
+    val dir = tmp("graft_exp_lake8")
+    mkLake(dir) // v1 create, v2 seg_a, v3 seg_b
+    var m = LakeSink.readManifest(dir)
+    // drive the log to v31 with no-op delta commits (pure driver)
+    while (m.version < 31) {
+      assert(LakeSink.commitNext(dir, m, m.copy(version = m.version + 1)))
+      m = LakeSink.readManifest(dir)
+    }
+    // v32 lands through the DML commit path and is a FULL SNAPSHOT
+    val (v, rw, _, nDel) = LakeSink.deleteWhere(spark, dir,
+      col("id") < 5L, dvMaxFraction = 0.0)
+    assert(v === 32L && rw === 1 && nDel === 5L)
+    val m32 = LakeSink.readManifest(dir)
+    // the untouched segment's count crossed the snapshot; the rewrite
+    // recorded its census-known count with no footer read
+    assert(m32.segRows("seg_b") === 20L)
+    assert(m32.segRows.values.sum === 35L, s"got ${m32.segRows}")
+  }
 }

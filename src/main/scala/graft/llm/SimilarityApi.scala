@@ -116,12 +116,32 @@ object SimilarityApi {
       s
     }
     val n = cand.length
-    val picked = scala.collection.mutable.ArrayBuffer(
-      (0 until n).maxBy(i => (weight(i), -i.toDouble)))
-    val bestSim = Array.tabulate(n)(i => dot(vecs(i), vecs(picked.head)))
+    // O(n·k) selection (r18 — the r17 verdict's one `weak` row): the
+    // r17 loop tested `picked.contains` per candidate per pick —
+    // ArrayBuffer linear membership made selection O(n·k²), ~2×10¹¹
+    // serial driver comparisons at a production k = 4096. A Boolean
+    // membership mask keeps the scan O(n) per pick; the incremental
+    // bestSim update was already O(n·dim). Pick order is UNCHANGED
+    // (first-max == lowest index on ties, exactly the old
+    // maxBy((score, -i)) choice), so centroids — and the measured
+    // recall curve — are bit-identical.
+    val inPick = new Array[Boolean](n)
+    val seed = (0 until n).maxBy(i => (weight(i), -i.toDouble))
+    inPick(seed) = true
+    val picked = scala.collection.mutable.ArrayBuffer(seed)
+    val bestSim = Array.tabulate(n)(i => dot(vecs(i), vecs(seed)))
     while (picked.length < math.min(k, n)) {
-      val next = (0 until n).filterNot(picked.contains)
-        .maxBy(i => (weight(i) * (1.0 - bestSim(i)), -i.toDouble))
+      var next = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < n) {
+        if (!inPick(j)) {
+          val sc = weight(j) * (1.0 - bestSim(j))
+          if (sc > bestScore) { bestScore = sc; next = j }
+        }
+        j += 1
+      }
+      inPick(next) = true
       picked += next
       var i = 0
       while (i < n) {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,11 +40,30 @@ object AsofJoin {
     * output = every left column, then every right column (the matched
     * row's values, or NULLs for unmatched left rows under the outer
     * variant). Column name sets must be disjoint — the SQL surface
-    * strips alias qualifiers, so a shared name would be ambiguous. */
+    * strips alias qualifiers, so a shared name would be ambiguous.
+    *
+    * `strict = true` (r18, the r17 verdict's missing #5): the bound
+    * becomes `l.t > r.t` — a right row AT the left row's timestamp no
+    * longer matches (the "no lookahead at the decision instant"
+    * semantics time-series backtests need). Implemented as a SORT
+    * flip, not a filter: at equal time the left row orders BEFORE the
+    * right rows, so the running last-right-payload simply has not
+    * seen them yet — same one-shuffle plan, zero extra passes.
+    *
+    * `tolerance` (r18, pandas `merge_asof`'s bounded-staleness knob):
+    * a match older than `tolerance` (i.e. `l.t − r.t > tolerance`) is
+    * discarded — dropped when `inner`, NULL-extended otherwise. Pass
+    * a numeric Column for numeric time columns (epoch µs etc.) or an
+    * INTERVAL expression for timestamps. Exactness is free: the as-of
+    * match is the LATEST right row in bound, so it has the minimal
+    * time delta — if it is out of tolerance every earlier candidate
+    * is too, and one post-window predicate on the carried match is
+    * the whole implementation (no second pass, no re-join). */
   def asof(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
-      inner: Boolean = true): DataFrame = {
+      inner: Boolean = true, strict: Boolean = false,
+      tolerance: Option[Column] = None): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"as-of join requires disjoint column names; shared: " +
@@ -58,9 +77,14 @@ object AsofJoin {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
     val rType = right.select(struct(rCols.map(col): _*)).schema.head.dataType
+    // `__asof_o` is the equal-time ORDER between the sides: right
+    // rows first for the `>=` bound (a same-instant right row may
+    // match), LEFT rows first under `strict` (it must not — the
+    // running last-right simply has not reached it yet)
     val l = left.select(
       col(leftKey).as("__asof_k"), col(leftTime).as("__asof_t"),
       lit(1).as("__asof_side"),
+      lit(if (strict) 0 else 1).as("__asof_o"),
       struct(lCols.map(col): _*).as("__asof_l"),
       lit(null).cast(rType).as("__asof_r"))
     val lType = l.schema("__asof_l").dataType
@@ -77,21 +101,32 @@ object AsofJoin {
       .select(
         col(rightKey).as("__asof_k"), col(rightTime).as("__asof_t"),
         lit(0).as("__asof_side"),
+        lit(if (strict) 1 else 0).as("__asof_o"),
         lit(null).cast(lType).as("__asof_l"),
         struct(rCols.map(col): _*).as("__asof_r"))
-    // rows first by time, right-before-left at equal time (<= match),
+    // rows first by time, the bound's side-order at equal time
+    // (right-before-left = `<=` match, left-before-right = strict),
     // equal-right-(key,time) ties by payload → the max tuple is LAST
     // in the frame and wins deterministically
     val w = Window.partitionBy("__asof_k")
-      .orderBy(col("__asof_t").asc, col("__asof_side").asc,
+      .orderBy(col("__asof_t").asc, col("__asof_o").asc,
         col("__asof_r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val leftOnly = l.unionByName(r)
       .withColumn("__asof_m",
         last(col("__asof_r"), ignoreNulls = true).over(w))
       .filter(col("__asof_side") === 1)
+    // bounded staleness: a carried match older than `tolerance` is no
+    // match at all — when() without otherwise NULLs it out, and the
+    // inner/left split below treats it exactly like any unmatched row
+    val bounded = tolerance.fold(leftOnly) { tol =>
+      leftOnly.withColumn("__asof_m",
+        when(col("__asof_m").isNotNull &&
+          (col("__asof_t") - col("__asof_m").getField(rightTime)) <= tol,
+          col("__asof_m")))
+    }
     val matched = // inner drops unmatched; left keeps them NULL-extended
-      if (inner) leftOnly.filter(col("__asof_m").isNotNull) else leftOnly
+      if (inner) bounded.filter(col("__asof_m").isNotNull) else bounded
     matched.select(
       lCols.map(c => matched("__asof_l").getField(c).as(c)) ++
         rCols.map(c => matched("__asof_m").getField(c).as(c)): _*)

@@ -2919,11 +2919,12 @@ object Extensions {
         val nDv = LakeSink.readManifest(dir).dv.size
         val rcpt = s.sql(s"EXPORT TABLE $tbl TO '$exportDirSql'")
           .collect().head
-        require(rcpt.getInt(2) == nDv,
-          s"export rewrote ${rcpt.getInt(2)} segments, expected the " +
+        require(rcpt.getInt(3) == nDv,
+          s"export rewrote ${rcpt.getInt(3)} segments, expected the " +
             s"$nDv DV'd ones")
-        require(rcpt.getInt(1) > 0,
-          "export hard-linked nothing — the zero-copy path never ran")
+        require(rcpt.getInt(1) > 0 && rcpt.getInt(2) == 0,
+          "export hard-linked nothing — the zero-copy path never ran " +
+            s"(linked ${rcpt.getInt(1)}, copied ${rcpt.getInt(2)})")
         LakeSink.readTable(s, dir)
           .agg(
             count(lit(1)).as("n_rows"),
@@ -2931,7 +2932,7 @@ object Extensions {
             countDistinct("event_type").as("n_types"),
             min("event_id").as("min_id"),
             max("event_id").as("max_id"),
-            lit(rcpt.getInt(2).toLong).as("n_rewritten"))
+            lit(rcpt.getInt(3).toLong).as("n_rewritten"))
       } finally LakeCatalog.unregister(tbl)
     },
     // the oracle reads THE EXPORTED FILES — the only oracle in the
@@ -2984,9 +2985,11 @@ object Extensions {
         val nSegs = LakeSink.readManifest(dir).segs.size
         val rcpt = s.sql(s"EXPORT TABLE $tbl TO '$exportPartDirSql' " +
           "PARTITIONED BY (event_type)").collect().head
-        require(rcpt.getInt(1) == 0 && rcpt.getInt(2) == nSegs,
+        require(rcpt.getInt(1) == 0 && rcpt.getInt(2) == 0 &&
+            rcpt.getInt(3) == nSegs,
           s"partitioned export must rewrite everything: linked " +
-            s"${rcpt.getInt(1)}, rewrote ${rcpt.getInt(2)} of $nSegs")
+            s"${rcpt.getInt(1)}, copied ${rcpt.getInt(2)}, rewrote " +
+            s"${rcpt.getInt(3)} of $nSegs")
         val nDirs = new java.io.File(exportPartDirSql).listFiles()
           .count(f => f.isDirectory &&
             f.getName.startsWith("event_type="))
@@ -3044,9 +3047,10 @@ object Extensions {
         val a = LakeSink.readManifest(dir).version
         val r1 = s.sql(s"EXPORT TABLE $tbl TO '$exportIncrDirSql'")
           .collect().head
-        require(r1.getInt(1) > 0 && r1.getInt(2) == 0,
+        require(r1.getInt(1) > 0 && r1.getInt(2) == 0 && r1.getInt(3) == 0,
           s"base export of a clean clone must pure-link, got " +
-            s"${r1.getInt(1)} links / ${r1.getInt(2)} rewrites")
+            s"${r1.getInt(1)} links / ${r1.getInt(2)} copies / " +
+            s"${r1.getInt(3)} rewrites")
         // the appended slice is DERIVED FROM EVENTS so the oracle can
         // re-derive it: one new key per event_id % 1000 == 0
         LakeSink.appendSegment(s, dir,
@@ -3058,16 +3062,17 @@ object Extensions {
         val r2 = s.sql(
           s"EXPORT TABLE $tbl TO '$exportIncrDirSql' SINCE VERSION $a")
           .collect().head
-        require(r2.getInt(2) == 0 && r2.getInt(1) > 0,
+        require(r2.getInt(3) == 0 && r2.getInt(2) == 0 && r2.getInt(1) > 0,
           s"delta export of a clean append must pure-link, got " +
-            s"${r2.getInt(1)} links / ${r2.getInt(2)} rewrites")
+            s"${r2.getInt(1)} links / ${r2.getInt(2)} copies / " +
+            s"${r2.getInt(3)} rewrites")
         LakeSink.readTable(s, dir)
           .agg(
             count(lit(1)).as("n_rows"),
             sum("vc").as("sum_cents"),
             countDistinct("event_type").as("n_types"),
             max("event_id").as("max_id"),
-            lit(r2.getLong(3)).as("delta_rows"))
+            lit(r2.getLong(4)).as("delta_rows"))
       } finally LakeCatalog.unregister(tbl)
     },
     // bare-glob read of the COMBINED directory == the tip's state
@@ -3085,6 +3090,77 @@ object Extensions {
                    (SELECT CAST(count(*) AS BIGINT) FROM ev
                     WHERE event_id % 1000 = 0) AS delta_rows
             FROM '$exportIncrDirSql/*.parquet'"""))
+
+  /** MULTI-COLUMN PARTITIONED EXPORT (r18, the r17 verdict's #2:
+    * `partitionBy` took one column while the lake's own partition
+    * specs are composite): `EXPORT TABLE … PARTITIONED BY
+    * (event_type, r3)` emits NESTED Hive `k=v/k=v/` directories in
+    * spec order, and the DuckDB oracle reads the two-level tree with
+    * `hive_partitioning=1` AND FILTERS ON BOTH partition columns — a
+    * foreign engine independently proving the nested layout and its
+    * two-dimensional prunability (the date+tenant shape a 100 TB
+    * export handoff actually has). The receipt REQUIREs the
+    * rewrite-everything contract and n_leaf_dirs pins that every
+    * (event_type, r3) pair became its own leaf directory. The lake is
+    * purpose-built (the canonical lake has no second low-cardinality
+    * column): events projected to (event_id, event_type,
+    * r3 = event_id % 3, vc), all re-derivable by the oracle. */
+  private val exportMultiDirSql = jvmPath("graft_sql_export_multi")
+  private val sqlLakeExportMulti = QueryDef(
+    "sql_lake_export_multi",
+    (s, d) => {
+      import graft.streaming.{LakeCatalog, LakeSink}
+      val dir = tmpPath("graft_sql_export_multi_src", d)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(exportMultiDirSql))
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"),
+        (col("event_id") % 3).as("r3"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      LakeSink.createTable(dir, ev.schema)
+      LakeSink.appendSegment(s, dir, ev, "seg_all")
+      val tbl = "graft_sql_export_multi_" + runTag(d)
+      LakeCatalog.register(tbl, dir)
+      try {
+        val rcpt = s.sql(s"EXPORT TABLE $tbl TO '$exportMultiDirSql' " +
+          "PARTITIONED BY (event_type, r3)").collect().head
+        require(rcpt.getInt(1) == 0 && rcpt.getInt(2) == 0 &&
+            rcpt.getInt(3) == 1,
+          s"composite-partitioned export must rewrite everything: " +
+            s"linked ${rcpt.getInt(1)}, copied ${rcpt.getInt(2)}, " +
+            s"rewrote ${rcpt.getInt(3)} of 1")
+        // the nested structure itself: event_type=*/r3=* leaf dirs,
+        // counted level by level (spec order outer → inner)
+        val top = new java.io.File(exportMultiDirSql).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+        require(top.nonEmpty, "no event_type= directories")
+        val leaves = top.map(_.listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("r3="))).sum
+        LakeSink.readTable(s, dir)
+          .filter(col("event_type") === "click" && col("r3") === 1L)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum("vc").as("sum_cents"),
+            min("event_id").as("min_id"),
+            max("event_id").as("max_id"),
+            lit(leaves.toLong).as("n_leaf_dirs"))
+      } finally LakeCatalog.unregister(tbl)
+    },
+    // the oracle reads the NESTED k=v/k=v tree with DuckDB's
+    // hive_partitioning and filters on BOTH partition columns — the
+    // two-dimensional pruning interop IS the check; n_leaf_dirs
+    // re-derives the live (event_type, r3) pair count from events
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(vc) AS BIGINT) AS sum_cents,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   (SELECT CAST(count(DISTINCT event_type || '|' ||
+                      CAST(event_id % 3 AS VARCHAR)) AS BIGINT)
+                    FROM events) AS n_leaf_dirs
+            FROM read_parquet('$exportMultiDirSql/*/*/*.parquet',
+                              hive_partitioning=1)
+            WHERE event_type = 'click' AND r3 = 1"""))
 
   val defs: Seq[QueryDef] = Seq(
     mergeUpsert, joinBucketed, csvRoundtrip, aggStats, aggHistogram,
@@ -3104,5 +3180,5 @@ object Extensions {
     sinkLakeImport, sinkLakeCopyInto, sqlLakeMergeMulti, sqlLakeMergeEvolve,
     sqlLakeReplace, sqlLakeCtas,
     sinkLakeBloomPrune, sqlLakeRtas, sqlLakeExport, sqlLakeExportPart,
-    sqlLakeExportIncr)
+    sqlLakeExportIncr, sqlLakeExportMulti)
 }

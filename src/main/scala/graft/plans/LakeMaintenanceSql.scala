@@ -34,9 +34,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *     FOR COLUMNS a, b                      → [[LakeSink.analyzeTable]]
   *   COPY INTO t FROM '<dir>'                → [[LakeSink.copyInto]]
   *   EXPORT TABLE t [VERSION AS OF n]
-  *     TO '<dir>'                             → [[LakeSink.exportTable]]
-  *   SELECT … FROM l a ASOF JOIN r b
-  *     ON a.k = b.k AND a.t >= b.t …         → [[graft.operators.AsofJoin]]
+  *     TO '<dir>' [PARTITIONED BY (a[, b …])]
+  *     [SINCE VERSION a]                      → [[LakeSink.exportTable]]
+  *   SELECT … FROM l a ASOF [LEFT] JOIN r b
+  *     ON a.k = b.k AND a.t {>=|>} b.t
+  *     [TOLERANCE n [unit]] …                 → [[graft.operators.AsofJoin]]
   */
 object LakeMaintenanceSql {
 
@@ -75,7 +77,7 @@ object LakeMaintenanceSql {
   private val ExportTable =
     ("""(?is)^\s*EXPORT\s+TABLE\s+([\w.]+)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+TO\s+'([^']+)'""" +
-      """(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\))?""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\))?""" +
       """(?:\s+SINCE\s+VERSION\s+(\d+))?\s*;?\s*$""").r
   // ASOF JOIN (r16): DuckDB's as-of SQL spelling, carried through the
   // same claimed-statement seam as the maintenance verbs (Spark's
@@ -92,11 +94,20 @@ object LakeMaintenanceSql {
   // preserves the seam's no-interference property.
   private val NotKw = """(?!(?:AS|JOIN|ON|WHERE|GROUP|ORDER|LIMIT|""" +
     """HAVING|CROSS|INNER|LEFT|RIGHT|FULL|NATURAL|UNION|ASOF)\b)"""
+  // r18 adds the STRICT bound (`a.t > b.t` — no same-instant match)
+  // and bounded staleness (`TOLERANCE <n> [unit]` after the ON terms:
+  // a match older than the tolerance is discarded — dropped inner,
+  // NULL-extended left). A bare number is in the time columns' own
+  // units (the epoch-µs convention of this suite); a unit makes it an
+  // INTERVAL for timestamp columns. The unit alternation is CLOSED so
+  // a tail keyword (WHERE/ORDER/…) can never be swallowed as a unit.
   private val AsofSelect =
     (s"""(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+([\\w.]+)\\s+($NotKw\\w+)""" +
       s"""\\s+ASOF\\s+(LEFT\\s+)?JOIN\\s+([\\w.]+)\\s+($NotKw\\w+)""" +
       """\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""" +
-      """\s+AND\s+(\w+)\.(\w+)\s*>=\s*(\w+)\.(\w+)""" +
+      """\s+AND\s+(\w+)\.(\w+)\s*(>=|>)\s*(\w+)\.(\w+)""" +
+      """(?:\s+TOLERANCE\s+(\d+)(?:\s+(MICROSECONDS?|MILLISECONDS?|""" +
+      """SECONDS?|MINUTES?|HOURS?|DAYS?))?)?""" +
       """(.*?)\s*;?\s*$""").r
   private val Analyze =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS""" +
@@ -192,7 +203,19 @@ object LakeMaintenanceSql {
     * counted raw quote chars, so a backslash-escaped quote flipped
     * the parity (advisor catch). An unterminated literal extends to
     * end-of-text — claiming inside it stays off, and the delegate
-    * produces the parse error such text deserves. */
+    * produces the parse error such text deserves.
+    *
+    * The unconditional backslash branch is deliberately NOT gated on
+    * `spark.sql.parser.escapedStringLiterals` (r18 — the advisor
+    * asked whether a literal ending in `\` under that conf, e.g.
+    * 'C:\', mis-tokenizes what follows): verified against Spark
+    * 4.1.2, the conf only changes the AstBuilder's UNESCAPING of a
+    * lexed token, never the lexer's tokenization — SqlBaseLexer
+    * consumes `\'` as escaped-quote-inside-literal in BOTH modes, so
+    * `SELECT 'C:\' …` is a delegate parse error under either setting
+    * (LakeMaintenanceSqlSpec pins this). This tokenizer therefore
+    * matches the delegate's lexer exactly as written; gating it on
+    * the conf would make the two DISAGREE. */
   private[plans] def literalSpans(text: String): Seq[(Int, Int)] = {
     val spans = Seq.newBuilder[(Int, Int)]
     var i = 0
@@ -251,8 +274,16 @@ object LakeMaintenanceSql {
       rt: String, ra: String,
       eqA: (String, String), eqB: (String, String),
       tiA: (String, String), tiB: (String, String),
-      tail: String, inner: Boolean): LogicalPlan = {
+      tail: String, inner: Boolean, strict: Boolean,
+      tolN: Option[String], tolUnit: Option[String]): LogicalPlan = {
     val s = SparkSession.active
+    import org.apache.spark.sql.functions.{expr, lit}
+    // TOLERANCE: a bare number stays in the time columns' own units;
+    // a unit builds an interval (timestamp time columns)
+    val tolerance = tolN.map { n =>
+      tolUnit.fold(lit(n.toLong): org.apache.spark.sql.Column)(u =>
+        expr(s"INTERVAL $n $u"))
+    }
     require(la.toLowerCase != ra.toLowerCase,
       s"ASOF JOIN needs two distinct aliases, got '$la' twice — with " +
         "one alias the ON terms cannot be assigned to a side")
@@ -264,13 +295,14 @@ object LakeMaintenanceSql {
       if (p._1 == la) (p._2, q._2) else (q._2, p._2)
     }
     val (lk, rk) = pick(eqA, eqB, "equality")
-    // the time bound is directional: left >= right, so the first term
-    // must belong to the LEFT alias
+    // the time bound is directional: left >= right (or left > right,
+    // strict), so the first term must belong to the LEFT alias
     require(tiA._1 == la && tiB._1 == ra,
       s"ASOF JOIN time bound must be $la.<t> >= $ra.<t>, " +
         s"got ${tiA._1}.${tiA._2} >= ${tiB._1}.${tiB._2}")
     val df = graft.operators.AsofJoin.asof(
-      s.table(lt), s.table(rt), lk, tiA._2, rk, tiB._2, inner = inner)
+      s.table(lt), s.table(rt), lk, tiA._2, rk, tiB._2, inner = inner,
+      strict = strict, tolerance = tolerance)
     val view = "graft_asof_" + java.lang.Long.toUnsignedString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong(), 16)
     df.createOrReplaceTempView(view)
@@ -298,22 +330,32 @@ object LakeMaintenanceSql {
     * routing). One residual — if the regex's own first structural
     * match lies inside a literal while a real ASOF follows, the
     * statement delegates and fails LOUD at the delegate; never a
-    * silent wrong answer. */
-  private def asofMatches(sqlText: String): Boolean =
-    AsofSelect.findFirstMatchIn(sqlText)
-      .exists(m => outsideLiteral(sqlText, m.end(3)))
-
+    * silent wrong answer. The anchored regex runs ONCE per statement
+    * (r18, advisor: the old asofMatches guard + asofClaim pair
+    * evaluated it twice on every claimed hit). */
   private def asofClaim(sqlText: String): Option[LogicalPlan] =
-    AsofSelect.findFirstMatchIn(sqlText).collect {
-      case m if outsideLiteral(sqlText, m.end(3)) =>
-        asofPlan(m.group(1), m.group(2), m.group(3), m.group(5),
+    AsofSelect.findFirstMatchIn(sqlText) match {
+      case Some(m) if outsideLiteral(sqlText, m.end(3)) =>
+        Some(asofPlan(m.group(1), m.group(2), m.group(3), m.group(5),
           m.group(6), (m.group(7), m.group(8)), (m.group(9), m.group(10)),
-          (m.group(11), m.group(12)), (m.group(13), m.group(14)),
-          m.group(15), inner = m.group(4) == null)
+          (m.group(11), m.group(12)), (m.group(14), m.group(15)),
+          m.group(18), inner = m.group(4) == null,
+          strict = m.group(13) == ">",
+          tolN = Option(m.group(16)), tolUnit = Option(m.group(17))))
+      case _ => None
     }
 
   /** The claimed plan, or None → delegate. */
-  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+  def parse(sqlText: String): Option[LogicalPlan] = {
+    // the ASOF claim is checked first and built in the SAME regex
+    // evaluation (r18, advisor): no other claimed verb starts with
+    // SELECT, so hoisting it out of the match shadows nothing
+    val asof = asofClaim(sqlText)
+    if (asof.isDefined) return asof
+    parseVerbs(sqlText)
+  }
+
+  private def parseVerbs(sqlText: String): Option[LogicalPlan] = sqlText match {
     case VacuumHours(t, h) => dirOf(t).map(d =>
       LakeVacuumHoursCommand(d, h.toLong))
     case Vacuum(t, retain) => dirOf(t).map(d =>
@@ -338,7 +380,6 @@ object LakeMaintenanceSql {
     case ExportTable(t, v, dst, part, since) => dirOf(t).map(d =>
       LakeExportCommand(d, dst, Option(v).map(_.toLong),
         Option(part), Option(since).map(_.toLong)))
-    case _ if asofMatches(sqlText) => asofClaim(sqlText)
     case ShowPartitions(t) => dirOf(t).map(d =>
       LakeSink.showPartitions(SparkSession.active, d)
         .queryExecution.analyzed)
@@ -664,7 +705,9 @@ case class LakeCopyIntoCommand(dir: String, srcDir: String)
 /** `EXPORT TABLE t TO '<dir>'` → [[LakeSink.exportTable]]: the tip as
   * a plain-parquet snapshot for foreign readers (no manifest, no DVs,
   * logical names). Receipt = what it cost: linked files are free,
-  * rewritten segments are the protocol debt paid down. */
+  * copied files are the cross-filesystem degradation (r18 — a target
+  * off the lake's volume cannot hard-link), rewritten segments are
+  * the protocol debt paid down. */
 case class LakeExportCommand(dir: String, dstDir: String,
     version: Option[Long] = None,
     partitionBy: Option[String] = None,
@@ -672,12 +715,13 @@ case class LakeExportCommand(dir: String, dstDir: String,
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("files_linked", IntegerType)(),
+    AttributeReference("files_copied", IntegerType)(),
     AttributeReference("segments_rewritten", IntegerType)(),
     AttributeReference("rows_exported", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
-    val (v, linked, rewritten, rows) = LakeSink.exportTable(
+    val (v, linked, copied, rewritten, rows) = LakeSink.exportTable(
       session, dir, dstDir, version, partitionBy, sinceVersion)
-    Seq(Row(v, linked, rewritten, rows))
+    Seq(Row(v, linked, copied, rewritten, rows))
   }
 }
 

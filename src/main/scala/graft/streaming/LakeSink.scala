@@ -916,6 +916,17 @@ object LakeSink {
       addedRows: Map[String, Long] = Map.empty)
       : Option[Long] = {
     val baseSegs = base.segs.toSet
+    // resolve every added segment's row count ONCE, before the CAS
+    // loop (r18, advisor: the commit gate's footer fallback otherwise
+    // re-read every added segment's footers on EACH lost race) — same
+    // priority order as the gate: caller-known count, partition fact,
+    // one footer read; unreadable segments record nothing (advisory)
+    val addedRowsFull: Map[String, Long] = added.flatMap { s =>
+      addedRows.get(s).orElse(addedParts.get(s).map(_.rows))
+        .orElse(try Some(segmentFooterRows(outDir, s))
+                catch { case _: Exception => None })
+        .map(s -> _)
+    }.toMap
     var tip = base
     while (true) {
       val segs = tip.segs.filterNot(removed) ++ added
@@ -936,7 +947,7 @@ object LakeSink {
             // carry the chain's row counts — a snapshot-interval
             // commit writes FULL state, so omitting them here would
             // silently drop every prior segment's count (r17 review)
-            segRows = (tip.segRows -- removed) ++ addedRows),
+            segRows = (tip.segRows -- removed) ++ addedRowsFull),
           removed, added, addedStats, dvSets, addedParts))
         return Some(tip.version + 1)
       val now = readManifest(outDir)
@@ -2477,22 +2488,27 @@ object LakeSink {
     * unlinks the lake's own names — the clone independence argument).
     * Target must not already hold files (a partial prior export must
     * be cleaned explicitly; silently merging two exports would
-    * double-count). Same-filesystem requirement for the link path is
-    * inherent; on an object store the link step becomes a server-side
-    * copy of the clean segments' objects.
+    * double-count). A target on a DIFFERENT FILESYSTEM (r18, the r17
+    * verdict's #4: `Files.createLink` threw raw on EXDEV) degrades
+    * per file to `Files.copy` — the receipt's `copied` count is the
+    * price paid; on an object store the same seam becomes a
+    * server-side copy of the clean segments' objects.
     *
     * PARTITIONED export (r17, the r16 verdict's #3): `partitionBy`
     * emits the standard Hive `col=value/` layout instead of the flat
     * one, so foreign engines PRUNE on the partition column (DuckDB
-    * `hive_partitioning=1`, Spark/Trino natively). Always a rewrite —
-    * deliberately: re-bucketing by value is inherently data movement
-    * (the source layout is segment-oriented), and a uniform layout
-    * (partition values in DIRECTORY NAMES only, never repeated inside
-    * files) is what every foreign reader agrees on; linking
-    * partition-fact segments would mix files-with-column into a
-    * layout whose other files lack it. Cost: O(table bytes) in ONE
-    * distributed job — the same scan/shuffle any engine pays to
-    * re-partition.
+    * `hive_partitioning=1`, Spark/Trino natively). COMPOSITE specs
+    * (r18, the r17 verdict's #2: one column only, while the lake's
+    * own partition specs compose) are comma-separated — `"day,
+    * tenant"` nests `day=v/tenant=v/` directories in spec order.
+    * Always a rewrite — deliberately: re-bucketing by value is
+    * inherently data movement (the source layout is
+    * segment-oriented), and a uniform layout (partition values in
+    * DIRECTORY NAMES only, never repeated inside files) is what
+    * every foreign reader agrees on; linking partition-fact segments
+    * would mix files-with-column into a layout whose other files
+    * lack it. Cost: O(table bytes) in ONE distributed job — the same
+    * scan/shuffle any engine pays to re-partition.
     *
     * INCREMENTAL export (r17, #4): `sinceVersion = Some(a)` exports
     * ONLY the segments versions a+1..target added, APPENDING to a
@@ -2503,17 +2519,27 @@ object LakeSink {
     * removed/rewritten base segment (compaction, DML), a DV change on
     * a base segment (new deletions), schema evolution, or a column-
     * mapping change. The combined directory then equals
-    * `readTableAsOf(target)` exactly. The caller owns the combined-
-    * directory contract (same layout both runs; the target holding
-    * exactly the version-a export).
+    * `readTableAsOf(target)` exactly.
     *
-    * Returns (version exported, files hard-linked, segments
-    * rewritten, live rows exported — the DELTA's rows when
-    * incremental). */
+    * The combined-directory contract is CHECKED, not trusted (r18 —
+    * the r17 verdict's #3 and the advisor's fresh-target hole: the
+    * commonest misuse, an empty or wrong-version target, silently
+    * produced an incomplete directory that still read cleanly).
+    * Every export stamps an underscore-hidden receipt
+    * (`_graft_export.txt`: exported version + layout; `_`-prefixed,
+    * so Spark/DuckDB/pandas globs never see it), and an incremental
+    * export REFUSES unless the target carries one whose version
+    * equals `sinceVersion` and whose layout (flat vs partition spec)
+    * equals this export's — a flat delta can never silently land in
+    * a partitioned tree or vice versa.
+    *
+    * Returns (version exported, files hard-linked, files copied —
+    * the cross-filesystem fallback, segments rewritten, live rows
+    * exported — the DELTA's rows when incremental). */
   def exportTable(spark: SparkSession, lakeDir: String,
       outDir: String, version: Option[Long] = None,
       partitionBy: Option[String] = None,
-      sinceVersion: Option[Long] = None): (Long, Int, Int, Long) = {
+      sinceVersion: Option[Long] = None): (Long, Int, Int, Int, Long) = {
     // time-travel export (r16): hand a foreign reader ANY retained
     // version, not just the tip — the audit/repro handoff ("give me
     // the table as the model saw it"), same horizon as RESTORE/clone
@@ -2557,33 +2583,62 @@ object LakeSink {
         m.segs.filterNot(base.segs.toSet)
     }
     val out = Paths.get(outDir)
-    // a FULL export never merges into leftovers; an INCREMENTAL one
-    // exists to append to the prior export
-    if (sinceVersion.isEmpty)
-      require(!Files.isDirectory(out) || listDir(out).isEmpty,
-        s"export target $outDir already holds files — exports never " +
-          "merge; clean the target or pick a fresh one")
+    val pcols: Seq[String] =
+      partitionBy.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    sinceVersion match {
+      case None =>
+        // a FULL export never merges into leftovers
+        require(!Files.isDirectory(out) || listDir(out).isEmpty,
+          s"export target $outDir already holds files — exports never " +
+            "merge; clean the target or pick a fresh one")
+      case Some(a) =>
+        // an INCREMENTAL export exists to append to the prior export —
+        // and PROVES one is there (r18): the target must carry the
+        // receipt of exactly the version-a export in exactly this
+        // layout, or the combined directory would silently be
+        // incomplete (fresh/wrong-version target) or mixed-layout
+        // (flat delta into a partitioned tree, or vice versa)
+        val mk = readExportMarker(out)
+        require(mk.isDefined,
+          s"SINCE VERSION $a: target $outDir holds no prior export " +
+            "receipt (_graft_export.txt) — an incremental export can " +
+            "only append to a directory a previous EXPORT TABLE " +
+            "wrote; run a full export first")
+        val (prevV, prevCols) = mk.get
+        require(prevV == a,
+          s"SINCE VERSION $a: target $outDir holds the export of " +
+            s"version $prevV — the delta a+1..tip only composes onto " +
+            s"the version-$a export; export SINCE VERSION $prevV, or " +
+            "run a full export into a clean target")
+        require(prevCols == pcols,
+          s"export layouts cannot mix: target $outDir holds a " +
+            s"${layoutName(prevCols)} export, this export is " +
+            s"${layoutName(pcols)} — a combined directory must keep " +
+            "ONE layout; run a full export into a clean target")
+    }
     Files.createDirectories(out)
     val cur = tableSchema(spark, lakeDir, m)
     val dvRows = expSegs.flatMap(m.dv.get).map(_.rows).sum
     val rows = expSegs.map(s =>
       m.segRows.getOrElse(s, segmentFooterRows(lakeDir, s))).sum - dvRows
-    partitionBy.foreach { pcol =>
-      require(cur.fieldNames.contains(pcol),
+    if (pcols.nonEmpty) {
+      pcols.foreach(pcol => require(cur.fieldNames.contains(pcol),
         s"PARTITIONED BY ($pcol): no such column in " +
-          cur.fieldNames.mkString(", "))
+          cur.fieldNames.mkString(", ")))
       if (expSegs.nonEmpty) {
-        val dataCols = cur.fieldNames.filterNot(_ == pcol)
+        val dataCols = cur.fieldNames.filterNot(pcols.contains)
         readSegments(spark, lakeDir, m, expSegs)
-          .select((dataCols :+ pcol).map(org.apache.spark.sql
+          .select((dataCols ++ pcols).map(org.apache.spark.sql
             .functions.col).toSeq: _*)
-          .write.mode("append").partitionBy(pcol).parquet(out.toString)
+          .write.mode("append").partitionBy(pcols: _*)
+          .parquet(out.toString)
       }
       require(listDir(out).exists(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith(pcol + "=")) ||
+          p.getFileName.toString.startsWith(pcols.head + "=")) ||
           expSegs.isEmpty,
-        s"partitioned export produced no $pcol= directories")
-      return (m.version, 0, expSegs.size, rows)
+        s"partitioned export produced no ${pcols.head}= directories")
+      writeExportMarker(out, m.version, pcols)
+      return (m.version, 0, 0, expSegs.size, rows)
     }
     val want = cur.fields.map(f => (f.name, f.dataType)).toSeq
     // Link-eligible = byte-identical semantics for a plain reader.
@@ -2607,13 +2662,14 @@ object LakeSink {
     // that `spark.read.parquet(dir)`, `read_parquet('dir/[*].pq')`,
     // and pandas all take with zero options.
     var files = 0
+    var copies = 0
     linkable.foreach { s =>
       listDir(Paths.get(lakeDir, s)).foreach { p =>
         if (Files.isRegularFile(p) &&
             p.getFileName.toString.endsWith(".parquet")) {
-          Files.createLink(
-            out.resolve(s + "__" + p.getFileName.toString), p)
-          files += 1
+          if (linkOrCopy(out.resolve(s + "__" + p.getFileName.toString), p))
+            files += 1
+          else copies += 1
         }
       }
     }
@@ -2642,7 +2698,60 @@ object LakeSink {
     // the r16 verdict's #7: serial footer opens were O(segments) per
     // export, against the verb's own O(links)-metadata claim); only
     // segments a legacy manifest never counted fall back to footers
-    (m.version, files, rewrite.size, rows)
+    writeExportMarker(out, m.version, Nil)
+    (m.version, files, copies, rewrite.size, rows)
+  }
+
+  /** Hard-link `src` as `target`, degrading to a byte copy when the
+    * filesystem refuses the link (EXDEV — target off the lake's
+    * volume; the object-store analogue is a server-side copy). True =
+    * linked, false = copied; anything else (target exists, source
+    * unreadable) stays LOUD. */
+  private def linkOrCopy(target: java.nio.file.Path,
+      src: java.nio.file.Path): Boolean =
+    try { Files.createLink(target, src); true }
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException => throw e
+      case _: java.nio.file.FileSystemException |
+           _: UnsupportedOperationException =>
+        Files.copy(src, target); false
+    }
+
+  /** The export receipt stamped into every export target
+    * (`_graft_export.txt`: the exported version and layout). The `_`
+    * prefix keeps it invisible to Spark/DuckDB/pandas parquet reads —
+    * the exported directory stays "plain" — while giving the
+    * INCREMENTAL verb something to verify the base against (r18). */
+  private def exportMarker(out: java.nio.file.Path): java.nio.file.Path =
+    out.resolve("_graft_export.txt")
+
+  private def layoutName(pcols: Seq[String]): String =
+    if (pcols.isEmpty) "flat" else s"PARTITIONED BY (${pcols.mkString(", ")})"
+
+  private def writeExportMarker(out: java.nio.file.Path, v: Long,
+      pcols: Seq[String]): Unit =
+    Files.write(exportMarker(out),
+      (s"version=$v\nlayout=" +
+        (if (pcols.isEmpty) "flat" else "part:" + pcols.mkString(","))
+      ).getBytes("UTF-8"))
+
+  private def readExportMarker(
+      out: java.nio.file.Path): Option[(Long, Seq[String])] = {
+    val p = exportMarker(out)
+    if (!Files.isRegularFile(p)) None
+    else {
+      val kv = new String(Files.readAllBytes(p), "UTF-8")
+        .linesIterator.flatMap { ln =>
+          ln.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+      for (v <- kv.get("version"); lay <- kv.get("layout")) yield
+        (v.toLong,
+          if (lay == "flat") Nil
+          else lay.stripPrefix("part:").split(",").toSeq)
+    }
   }
 
   // ---- IMPORT / CONVERT (r12) -----------------------------------------
@@ -4848,6 +4957,7 @@ object LakeSink {
     var segs: Seq[String] = Nil
     var parts: Map[String, PartVal] = Map.empty
     var stats: Map[String, Map[String, ColStat]] = Map.empty
+    var segRowsKnown: Map[String, Long] = Map.empty
     spec match {
       case Some(s) =>
         val cols = s.split(",").toSeq
@@ -4859,7 +4969,10 @@ object LakeSink {
           java.util.concurrent.ThreadLocalRandom.current().nextLong())
         val seg = f"seg_r${m.version + 1}%010d_rtas_$nonce"
         df.write.mode("overwrite").parquet(s"$outDir/$seg")
-        if (segmentFooterRows(outDir, seg) > 0L) segs = Seq(seg)
+        // the count is in hand — carry it (r18, advisor: the commit
+        // gate's fallback re-read this same footer a second time)
+        val rtasRows = segmentFooterRows(outDir, seg)
+        if (rtasRows > 0L) { segs = Seq(seg); segRowsKnown = Map(seg -> rtasRows) }
         else org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"$outDir/$seg"))
     }
@@ -4868,6 +4981,7 @@ object LakeSink {
       expects = Map.empty, cdcSegs = Nil, dataChange = true,
       dv = Map.empty, colmap = Map.empty, partSpec = spec,
       parts = parts, cdcDropSegs = Nil, bloomCols = Nil,
+      segRows = segRowsKnown,
       // idempotence ledgers (txns above, the COPY INTO load history
       // here) SURVIVE redefinition: a replayed batch or a re-run
       // loader must stay a no-op on the replaced table too
@@ -5444,6 +5558,16 @@ object LakeSink {
             // source keys, and the source is the broadcast-small side
             // of every MERGE. Collected via the target-side values
             // (== the source keys wherever a match fired).
+            //
+            // The keys are deduplicated GLOBALLY before they reach the
+            // driver (r18, advisor: the r17 shape shipped one
+            // collect_set PER __dv_s group, so a key matching in many
+            // segments reached the driver once per segment — up to
+            // |source| × |segments| rows). The per-segment aggregate
+            // is persisted (it is segments-sized), the counts collect
+            // WITHOUT the key sets, and one distributed
+            // explode+distinct over the cached rows ships each key
+            // exactly once.
             val cntAggs = Seq(
               count(lit(1)),
               coalesce(sum(when(inIdx(col("__mc"), updIdx), 1L)
@@ -5454,12 +5578,18 @@ object LakeSink {
                 coalesce(sum(when(inIdx(col("__mc"), updIdx) &&
                   !coalesce(expr(sql), lit(false)), 1L)
                   .otherwise(0L)), lit(0L)) } :+
-              collect_set(when(col("__isM"), col("__k")))
-            val perSeg = post.groupBy(col("__dv_s"))
-              .agg(cntAggs.head, cntAggs.tail: _*)
-              .collect().map(r => r.getString(0) -> r).toMap
-            matchedKeys = Some(perSeg.valuesIterator
-              .flatMap(_.getSeq[Row](4 + checks.size)).toSet.toSeq)
+              collect_set(when(col("__isM"), col("__k"))).as("__mk")
+            val perSegAgg = post.groupBy(col("__dv_s"))
+              .agg(cntAggs.head, cntAggs.tail: _*).persist()
+            val perSeg = try {
+              val counts = perSegAgg.drop("__mk")
+                .collect().map(r => r.getString(0) -> r).toMap
+              matchedKeys = Some(perSegAgg
+                .select(org.apache.spark.sql.functions
+                  .explode(col("__mk")).as("__k"))
+                .distinct().collect().map(_.getStruct(0)).toSeq)
+              counts
+            } finally perSegAgg.unpersist()
             def firesOf(seg: String): (Long, Long, Long) =
               perSeg.get(seg).map(r =>
                 (r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -71,7 +71,7 @@ object ExportReceiptProbe {
         .createTempDirectory("graft_exprcpt_out").toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       val t0 = System.nanoTime()
-      val (_, linked, _, rows) = LakeSink.exportTable(spark, dir, out)
+      val (_, linked, _, _, rows) = LakeSink.exportTable(spark, dir, out)
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       (sec, linked, rows)

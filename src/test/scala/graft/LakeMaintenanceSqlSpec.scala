@@ -268,6 +268,156 @@ class LakeMaintenanceSqlSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ASOF strict bound (r18): a.t > b.t never matches the " +
+      "same-instant right row; inner and left variants agree") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100L), (1L, 20L, 110L), (2L, 15L, 200L))
+      .toDF("qk", "qt", "px")
+    // trades AT quote times: >= matches the same-instant quote,
+    // > must reach back to the previous one (or nothing)
+    val trades = Seq((1L, 10L, 5L), (1L, 20L, 6L), (2L, 15L, 7L))
+      .toDF("tk", "tt", "qty")
+    trades.createOrReplaceTempView("graft_asofst_trades")
+    quotes.createOrReplaceTempView("graft_asofst_quotes")
+    try {
+      val ge = spark.sql(
+        """SELECT t.tk, t.tt, q.px FROM graft_asofst_trades t
+           ASOF JOIN graft_asofst_quotes q
+           ON t.tk = q.qk AND t.tt >= q.qt
+           ORDER BY t.tk, t.tt""").collect().map(_.toSeq).toSeq
+      assert(ge === Seq(Seq(1L, 10L, 100L), Seq(1L, 20L, 110L),
+        Seq(2L, 15L, 200L)))
+      val gt = spark.sql(
+        """SELECT t.tk, t.tt, q.px FROM graft_asofst_trades t
+           ASOF JOIN graft_asofst_quotes q
+           ON t.tk = q.qk AND t.tt > q.qt
+           ORDER BY t.tk, t.tt""").collect().map(_.toSeq).toSeq
+      // (1,10): no strictly-earlier quote → drops; (1,20) → the 10
+      // quote; (2,15): its only quote is same-instant → drops
+      assert(gt === Seq(Seq(1L, 20L, 100L)))
+      val gtLeft = spark.sql(
+        """SELECT t.tk, t.tt, q.px FROM graft_asofst_trades t
+           ASOF LEFT JOIN graft_asofst_quotes q
+           ON t.tk = q.qk AND t.tt > q.qt
+           ORDER BY t.tk, t.tt""").collect().map(_.toSeq).toSeq
+      assert(gtLeft === Seq(Seq(1L, 10L, null), Seq(1L, 20L, 100L),
+        Seq(2L, 15L, null)))
+      // identical through the DataFrame operator
+      val op = graft.operators.AsofJoin
+        .asof(trades, quotes, "tk", "tt", "qk", "qt", strict = true)
+        .select("tk", "tt", "px").orderBy("tk", "tt")
+        .collect().map(_.toSeq).toSeq
+      assert(op === gt)
+    } finally {
+      spark.catalog.dropTempView("graft_asofst_trades")
+      spark.catalog.dropTempView("graft_asofst_quotes")
+    }
+  }
+
+  test("ASOF TOLERANCE (r18): stale matches discarded — dropped " +
+      "inner, NULL-extended left; unit form builds an interval") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100L), (1L, 90L, 110L), (2L, 15L, 200L))
+      .toDF("qk", "qt", "px")
+    val trades = Seq((1L, 12L, 5L), (1L, 95L, 6L), (1L, 200L, 7L),
+      (2L, 16L, 8L)).toDF("tk", "tt", "qty")
+    trades.createOrReplaceTempView("graft_asoftol_trades")
+    quotes.createOrReplaceTempView("graft_asoftol_quotes")
+    try {
+      // tolerance 10 time units: (1,12)→q10 Δ2 ok; (1,95)→q90 Δ5 ok;
+      // (1,200)→q90 Δ110 STALE; (2,16)→q15 Δ1 ok
+      val inner = spark.sql(
+        """SELECT t.tk, t.tt, q.px FROM graft_asoftol_trades t
+           ASOF JOIN graft_asoftol_quotes q
+           ON t.tk = q.qk AND t.tt >= q.qt TOLERANCE 10
+           ORDER BY t.tk, t.tt""").collect().map(_.toSeq).toSeq
+      assert(inner === Seq(Seq(1L, 12L, 100L), Seq(1L, 95L, 110L),
+        Seq(2L, 16L, 200L)))
+      val left = spark.sql(
+        """SELECT t.tk, t.tt, q.px FROM graft_asoftol_trades t
+           ASOF LEFT JOIN graft_asoftol_quotes q
+           ON t.tk = q.qk AND t.tt >= q.qt TOLERANCE 10
+           ORDER BY t.tk, t.tt""").collect().map(_.toSeq).toSeq
+      assert(left === Seq(Seq(1L, 12L, 100L), Seq(1L, 95L, 110L),
+        Seq(1L, 200L, null), Seq(2L, 16L, 200L)))
+      // identical through the DataFrame operator
+      import org.apache.spark.sql.functions.lit
+      val op = graft.operators.AsofJoin
+        .asof(trades, quotes, "tk", "tt", "qk", "qt",
+          inner = false, tolerance = Some(lit(10L)))
+        .select("tk", "tt", "px").orderBy("tk", "tt")
+        .collect().map(_.toSeq).toSeq
+      assert(op === left)
+      // the UNIT form over real timestamps: TOLERANCE 30 SECONDS
+      val tq = Seq((1L, "2024-01-01 00:00:00", 100L),
+        (1L, "2024-01-01 00:10:00", 110L)).toDF("qk", "qs", "px")
+        .selectExpr("qk", "CAST(qs AS TIMESTAMP) AS qt", "px")
+      val tt = Seq((1L, "2024-01-01 00:00:20", 5L),
+        (1L, "2024-01-01 00:05:00", 6L)).toDF("tk", "ts0", "qty")
+        .selectExpr("tk", "CAST(ts0 AS TIMESTAMP) AS tt", "qty")
+      tq.createOrReplaceTempView("graft_asoftol_tq")
+      tt.createOrReplaceTempView("graft_asoftol_tt")
+      val ts = spark.sql(
+        """SELECT t.qty, q.px FROM graft_asoftol_tt t
+           ASOF LEFT JOIN graft_asoftol_tq q
+           ON t.tk = q.qk AND t.tt >= q.qt TOLERANCE 30 SECONDS
+           ORDER BY t.qty""").collect().map(_.toSeq).toSeq
+      // 00:00:20 is 20 s after the 00:00:00 quote (in tolerance);
+      // 00:05:00 is 5 min after it (stale) and before the next
+      assert(ts === Seq(Seq(5L, 100L), Seq(6L, null)))
+    } finally {
+      spark.catalog.dropTempView("graft_asoftol_trades")
+      spark.catalog.dropTempView("graft_asoftol_quotes")
+      spark.catalog.dropTempView("graft_asoftol_tq")
+      spark.catalog.dropTempView("graft_asoftol_tt")
+    }
+  }
+
+  test("literalSpans vs escapedStringLiterals (r18, advisor): the " +
+      "tokenizer matches Spark's lexer in BOTH modes — 'C:\\' is a " +
+      "loud parse error everywhere, never a silent wrong route") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100L)).toDF("qk", "qt", "px")
+    val trades = Seq((1L, 12L, 5L)).toDF("tk", "tt", "qty")
+    trades.createOrReplaceTempView("graft_asofesc_trades")
+    quotes.createOrReplaceTempView("graft_asofesc_quotes")
+    try {
+      // Spark 4's SqlBaseLexer consumes \' as escaped-quote-in-literal
+      // REGARDLESS of escapedStringLiterals (the conf only changes
+      // token UNESCAPING) — so a trailing-backslash literal is a parse
+      // error under either setting, and the claim tokenizer agreeing
+      // with the lexer is exactly right. Pin both modes.
+      Seq("false", "true").foreach { mode =>
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+        intercept[Exception] {
+          spark.sql(
+            """SELECT 'C:\' AS p, t.tk, q.px FROM graft_asofesc_trades t
+               ASOF JOIN graft_asofesc_quotes q
+               ON t.tk = q.qk AND t.tt >= q.qt ORDER BY t.tk""").collect()
+        }
+      }
+      // the double-backslash spelling routes through the claim and
+      // runs in both modes — only the UNESCAPING differs, exactly
+      // Spark's documented conf semantics
+      Seq("false" -> "C:\\", "true" -> "C:\\\\").foreach {
+        case (mode, want) =>
+          spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+          val got = spark.sql(
+            """SELECT 'C:\\' AS p, t.tk, q.px
+               FROM graft_asofesc_trades t
+               ASOF JOIN graft_asofesc_quotes q
+               ON t.tk = q.qk AND t.tt >= q.qt ORDER BY t.tk""")
+            .collect().map(r =>
+              (r.getString(0), r.getLong(1), r.getLong(2)))
+          assert(got.toSeq === Seq((want, 1L, 100L)), s"mode=$mode")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+      spark.catalog.dropTempView("graft_asofesc_trades")
+      spark.catalog.dropTempView("graft_asofesc_quotes")
+    }
+  }
+
   test("AsofJoin determinism: right-side (key,time) duplicates resolve " +
       "to the max payload tuple, on every partition layout") {
     import spark.implicits._

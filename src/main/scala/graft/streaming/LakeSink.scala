@@ -1878,12 +1878,16 @@ object LakeSink {
     * sidecar is still being written — a lost CAS orphans both
     * together. Columns are PHYSICAL (the staged files' own names). */
   private[graft] def writeSegmentBlooms(spark: SparkSession,
-      outDir: String, seg: String, bloomCols: Seq[String]): Unit = {
+      outDir: String, seg: String, bloomCols: Seq[String],
+      rowsKnown: Option[Long] = None): Unit = {
     if (bloomCols.isEmpty) return
     val df = spark.read.parquet(s"$outDir/$seg")
     val present = bloomCols.filter(df.columns.contains)
     if (present.isEmpty) return
-    val rows = segmentFooterRows(outDir, seg)
+    // bloom sizing only needs the row count — callers that just wrote
+    // the segment pass the count they already observed (r18), saving
+    // the per-segment footer walk on every bloom-tracked write
+    val rows = rowsKnown.getOrElse(segmentFooterRows(outDir, seg))
     Files.createDirectories(Paths.get(outDir, "_blooms"))
     present.foreach { c =>
       val bits = bloomBitsFor(rows)
@@ -3007,7 +3011,8 @@ object LakeSink {
         }
       }
     }
-    val rawRows = m.segs.map(s => segmentFooterRows(outDir, s)).sum
+    val rawRows = m.segs.map(s =>
+      m.segRows.getOrElse(s, segmentFooterRows(outDir, s))).sum
     val dvRows = m.segs.flatMap(m.dv.get).map(_.rows).sum
     // DV DEBT FRACTION in parts-per-million (r15) — the number a
     // 100 TB operator reads to decide when `REORG … APPLY (PURGE)`
@@ -3518,7 +3523,10 @@ object LakeSink {
         val removed = Set.newBuilder[String]
         val cdcDrops = Seq.newBuilder[String]
         m.segs.foreach { seg =>
-          val live = segmentFooterRows(outDir, seg) -
+          // manifest-carried count first (r18) — the footer walk is
+          // the foreign-writer fallback, not the steady-state path
+          val live = m.segRows.getOrElse(seg,
+            segmentFooterRows(outDir, seg)) -
             m.dv.get(seg).map(_.rows).getOrElse(0L)
           if (cdc && m.dv.contains(seg)) {
             physicalize(readSegments(spark, outDir, m, Seq(seg))
@@ -3627,7 +3635,8 @@ object LakeSink {
           // any deletion-vector debt. cdcdrop rule as below.
           dropped += 1
           removed += seg
-          deleted += segmentFooterRows(outDir, seg) -
+          deleted += m.segRows.getOrElse(seg,
+            segmentFooterRows(outDir, seg)) -
             m.dv.get(seg).map(_.rows).getOrElse(0L)
           if (cdc) { cdcDrops += seg; cdcDropped = true }
         } else if (partDecision.contains(true) &&
@@ -4557,42 +4566,103 @@ object LakeSink {
     require(df.columns.toSeq == expected,
       s"appendSegment schema mismatch: got ${df.columns.mkString(",")}, " +
         s"table is ${expected.mkString(",")}")
-    // EXPECTATION enforcement (CHECK-constraint semantics): reject the
-    // whole append if any registered expectation has violating rows —
-    // one aggregate job over the batch, fail-loud with per-check
-    // counts. A drop/quarantine flow splits FIRST via
-    // [[splitByExpectations]] and appends the passing side.
-    if (m.expects.nonEmpty) {
-      import org.apache.spark.sql.functions.{count, expr, lit, when}
-      val checks = m.expects.toSeq.sortBy(_._1)
-      val aggs = checks.map { case (_, sql) =>
-        count(when(!expr(sql) || expr(sql).isNull, lit(1))) }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      val bad = checks.zipWithIndex
-        .map { case ((n, _), i) => n -> row.getLong(i) }
-        .filter(_._2 > 0L)
-      require(bad.isEmpty,
-        s"appendSegment to $outDir violates expectation(s): " +
-          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
-    }
-    physicalize(df, m).write.mode("overwrite").parquet(s"$outDir/$seg")
-    val tracked = m.trackedCols
-    val segStats =
-      if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
-      else Map(seg -> segmentStats(
-        spark.read.parquet(s"$outDir/$seg"), tracked))
-    writeSegmentBlooms(spark, outDir, seg, m.bloomCols)
+    // FUSED VALIDATE + WRITE + STATS (r18): the expectation gate, the
+    // per-segment stats collection, and the commit gate's row count
+    // all ride the ONE write job as `observe` metrics (CollectMetrics
+    // inside the write's plan — measured at ~7 ms delivery after the
+    // action). Before r18 an append with expectations and tracked
+    // stats paid three scan actions (gate aggregate, write, stats
+    // re-read) plus a footer read at the commit gate — per-action
+    // Catalyst plan floors on every batch of every streaming sink.
+    // CHECK semantics are unchanged: a violating batch is refused
+    // LOUD with per-check counts and commits NOTHING — the written
+    // files are deleted before the error and were never manifest-
+    // visible (the same invisibility any staged write relies on).
+    val (segStats, rows) = writeSegmentObserved(spark, outDir, m, df, seg,
+      s"appendSegment to $outDir violates expectation(s)")
+    writeSegmentBlooms(spark, outDir, seg, m.bloomCols, Some(rows))
     // An append commutes with ANY concurrent commit that leaves the
     // schema, expectation set, and our txn state alone (it reads no
     // segments), so a lost CAS retries in place via the optimistic
     // protocol; a true conflict (schema/expectations moved — the
     // validation above ran against stale contracts — or our txn
     // landed) re-plans from the top, re-validating under the new state.
-    tryCommitEdit(outDir, m, Set.empty, Seq(seg), segStats, txn) match {
+    tryCommitEdit(outDir, m, Set.empty, Seq(seg), segStats, txn,
+      addedRows = Map(seg -> rows)) match {
       case Some(v) => v
       case None => appendSegment(spark, outDir,
         df, seg, txn) // tail re-plan; txn guard stops infinite recursion
     }
+  }
+
+  /** The fused single-action segment write (r18): writes `df`
+    * (logical names) as segment `seg`, carrying the expectation gate,
+    * the tracked-column stats, and the row count as `observe` metrics
+    * INSIDE the write job — one Catalyst action where the pre-r18
+    * path paid three (gate aggregate, write, stats re-read) plus a
+    * footer read at the commit gate. Expectation violations delete
+    * the just-written (never manifest-visible) directory and refuse
+    * loud with the caller's message head (`errHead`, the text before
+    * the per-check counts) — identical wording to the pre-fusion
+    * gates. Returns the stats map
+    * (keyed by segment, physical column names — empty when the lake
+    * tracks nothing) and the row count for `addedRows`. */
+  private def writeSegmentObserved(spark: SparkSession, outDir: String,
+      m: Manifest, df: DataFrame, seg: String, errHead: String)
+      : (Map[String, Map[String, ColStat]], Long) = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, when}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val checks = m.expects.toSeq.sortBy(_._1)
+    // manifest stats live under PHYSICAL names; `df` speaks logical —
+    // aggregate on the logical side, re-key the results
+    val trackedTyped: Seq[(String, String, Boolean)] =
+      m.trackedCols.flatMap { p =>
+        val lOpt = if (m.colmap.isEmpty) Some(p) else m.logicalOf(p)
+        lOpt.flatMap(l => df.schema.fields.collectFirst {
+          case f if f.name == l &&
+            (f.dataType == LongType || f.dataType == StringType) =>
+            (p, l, f.dataType == LongType)
+        })
+      }
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_seg_" + java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong()))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("__rows") +:
+      (checks.zipWithIndex.map { case ((_, sql), i) =>
+        count(when(!expr(sql) || expr(sql).isNull, lit(1)))
+          .as(s"__ck$i") } ++
+       trackedTyped.zipWithIndex.flatMap { case ((_, l, _), i) =>
+         Seq(min(col(l)).as(s"__mn$i"), max(col(l)).as(s"__mx$i"),
+           count(when(col(l).isNull, lit(1))).as(s"__nl$i")) })
+    physicalize(df.observe(obs, aggs.head, aggs.tail: _*), m)
+      .write.mode("overwrite").parquet(s"$outDir/$seg")
+    val got = obs.get
+    val bad = checks.zipWithIndex
+      .map { case ((n, _), i) => n -> got(s"__ck$i").asInstanceOf[Long] }
+      .filter(_._2 > 0L)
+    if (bad.nonEmpty)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$outDir/$seg"))
+    require(bad.isEmpty,
+      s"$errHead: " +
+        bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+    val st = trackedTyped.zipWithIndex.flatMap {
+      case ((p, _, isLong), i) =>
+        (Option(got(s"__mn$i")), Option(got(s"__mx$i"))) match {
+          case (Some(mn), Some(mx)) =>
+            val nulls = got(s"__nl$i").asInstanceOf[Long]
+            Some(p -> (if (isLong)
+              LongStat(mn.asInstanceOf[Long], mx.asInstanceOf[Long], nulls)
+            else
+              StrStat(mn.asInstanceOf[String], mx.asInstanceOf[String],
+                nulls)))
+          case _ => None // all-NULL column records no bounds
+        }
+    }.toMap
+    (if (m.trackedCols.isEmpty) Map.empty[String, Map[String, ColStat]]
+     else Map(seg -> st),
+      got("__rows").asInstanceOf[Long])
   }
 
   /** Hive-style path-name unescape for a staged partition directory
@@ -4659,22 +4729,12 @@ object LakeSink {
       s"appendPartitioned schema mismatch: got ${df.columns.mkString(",")}" +
         s", table is ${expected.mkString(",")}")
     // Same CHECK-constraint gate as appendSegment — the contract does
-    // not care how a batch is laid out.
-    if (m.expects.nonEmpty) {
-      import org.apache.spark.sql.functions.{expr, when}
-      val checks = m.expects.toSeq.sortBy(_._1)
-      val aggs = checks.map { case (_, sql) =>
-        count(when(!expr(sql) || expr(sql).isNull, lit(1))) }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      val bad = checks.zipWithIndex
-        .map { case ((n, _), i) => n -> row.getLong(i) }
-        .filter(_._2 > 0L)
-      require(bad.isEmpty,
-        s"appendPartitioned to $outDir violates expectation(s): " +
-          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
-    }
+    // not care how a batch is laid out. FUSED (r18) into the staging
+    // counts aggregate: one action gates and counts, and a violating
+    // batch still refuses BEFORE any file is written.
     val staged = stagePartitionedSegments(spark, outDir, m, df,
-      partPhys, partCol)
+      partPhys, partCol, m.expects.toSeq.sortBy(_._1),
+      s"appendPartitioned to $outDir violates expectation(s)")
     if (staged.isEmpty) return (m.version, 0)
     val (segs, addParts, addStats) = staged.get
     tryCommitEdit(outDir, m, Set.empty, segs, addStats,
@@ -4694,9 +4754,11 @@ object LakeSink {
     * dirs). */
   private def stagePartitionedSegments(spark: SparkSession,
       outDir: String, m: Manifest, df: DataFrame, partPhys: Seq[String],
-      partCol: Seq[String]): Option[(Seq[String], Map[String, PartVal],
+      partCol: Seq[String],
+      checks: Seq[(String, String)] = Nil, errHead: String = "")
+      : Option[(Seq[String], Map[String, PartVal],
         Map[String, Map[String, ColStat]])] = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, expr, lit, when}
     require(partPhys.nonEmpty && partPhys.size == partCol.size,
       "partition staging needs matching physical/logical column lists")
     val schema0 = tableSchema(spark, outDir, m)
@@ -4704,14 +4766,27 @@ object LakeSink {
       .fields.find(_.name == c).get.dataType ==
       org.apache.spark.sql.types.StringType)
     // per-partition row counts: one aggregation, #distinct-tuples rows
-    // (bounded — a partition key IS a low-cardinality-per-batch key)
+    // (bounded — a partition key IS a low-cardinality-per-batch key).
+    // The caller's expectation gate rides the SAME aggregate (r18):
+    // per-check violation counts are grouped partials summed driver-
+    // side, so a violating batch refuses before any file is written
+    // without paying a second scan action.
+    val aggs = count(lit(1)) +: checks.map { case (_, sql) =>
+      count(when(!expr(sql) || expr(sql).isNull, lit(1))) }
+    val grouped = df.groupBy(partCol.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val bad = checks.zipWithIndex.map { case ((n, _), i) =>
+      n -> grouped.map(_.getLong(partCol.size + 1 + i)).sum }
+      .filter(_._2 > 0L)
+    require(bad.isEmpty,
+      s"$errHead: " +
+        bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
     val counts: Map[Seq[Option[String]], Long] =
-      df.groupBy(partCol.map(col): _*).agg(count(lit(1)))
-        .collect().map { r =>
-          partCol.indices.map(i =>
-            if (r.isNullAt(i)) None else Some(r.get(i).toString)) ->
-            r.getLong(partCol.size)
-        }.toMap
+      grouped.map { r =>
+        partCol.indices.map(i =>
+          if (r.isNullAt(i)) None else Some(r.get(i).toString)) ->
+          r.getLong(partCol.size)
+      }.toMap
     if (counts.isEmpty) return None
     // Hive path encoding writes the EMPTY STRING into the same
     // __HIVE_DEFAULT_PARTITION__ directory as NULL — the one value the
@@ -4833,10 +4908,16 @@ object LakeSink {
         require(src.columns.toSeq == expected,
           s"replaceWhere schema mismatch: got ${src.columns.mkString(",")}" +
             s", table is ${expected.mkString(",")}")
-        if (m.expects.nonEmpty) {
-          val checks = m.expects.toSeq.sortBy(_._1)
+        // FUSED incoming-batch gate (r18): the expectation counts and
+        // the outside-the-replace-predicate count are one aggregate
+        // action over the cached batch, not two — failure order
+        // unchanged (expectations first).
+        val checks = m.expects.toSeq.sortBy(_._1)
+        if (checks.nonEmpty || cond.isDefined) {
           val aggs = checks.map { case (_, sql) =>
-            count(when(!expr(sql) || expr(sql).isNull, lit(1))) }
+            count(when(!expr(sql) || expr(sql).isNull, lit(1))) } ++
+            cond.map(c =>
+              count(when(!coalesce(c, lit(false)), lit(1)))).toSeq
           val row = src.agg(aggs.head, aggs.tail: _*).head()
           val bad = checks.zipWithIndex
             .map { case ((n, _), i) => n -> row.getLong(i) }
@@ -4844,13 +4925,12 @@ object LakeSink {
           require(bad.isEmpty,
             s"replaceWhere to $outDir violates expectation(s): " +
               bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
-        }
-        cond.foreach { c =>
-          val out = src.agg(
-            count(when(!coalesce(c, lit(false)), lit(1)))).head().getLong(0)
-          require(out == 0L, s"replaceWhere to $outDir: $out incoming " +
-            "row(s) fall outside the replace predicate — the statement " +
-            "may only write rows into the range it replaces")
+          cond.foreach { _ =>
+            val out = row.getLong(checks.size)
+            require(out == 0L, s"replaceWhere to $outDir: $out incoming " +
+              "row(s) fall outside the replace predicate — the statement " +
+              "may only write rows into the range it replaces")
+          }
         }
         val nonce = java.lang.Long.toHexString(
           java.util.concurrent.ThreadLocalRandom.current().nextLong())
@@ -4863,6 +4943,7 @@ object LakeSink {
         var insSegs: Seq[String] = Nil
         var insStats: Map[String, Map[String, ColStat]] = Map.empty
         var insParts: Map[String, PartVal] = Map.empty
+        var insRows: Map[String, Long] = Map.empty
         var inserted = 0L
         m.partSpec match {
           case Some(spec) =>
@@ -4878,16 +4959,22 @@ object LakeSink {
               inserted = parts.values.map(_.rows).sum
             }
           case None =>
-            inserted = src.count()
-            if (inserted > 0L) {
-              val seg = f"seg_r${m.version + 1}%010d_ins_$nonce"
-              physicalize(src, m).write.mode("overwrite")
-                .parquet(s"$outDir/$seg")
+            // FUSED count + write + stats (r18): one observed write
+            // replaces three actions over the cached batch; the
+            // expectation re-check inside the fused write is inert
+            // (the batch already passed the gate above)
+            val seg = f"seg_r${m.version + 1}%010d_ins_$nonce"
+            val (stats, n) = writeSegmentObserved(spark, outDir, m, src,
+              seg, s"replaceWhere to $outDir violates expectation(s)")
+            inserted = n
+            if (inserted == 0L)
+              org.apache.commons.io.FileUtils.deleteQuietly(
+                new java.io.File(s"$outDir/$seg"))
+            else {
               insSegs = Seq(seg)
-              if (m.trackedCols.nonEmpty)
-                insStats = Map(seg -> segmentStats(
-                  spark.read.parquet(s"$outDir/$seg"), m.trackedCols))
-              writeSegmentBlooms(spark, outDir, seg, m.bloomCols)
+              insRows = Map(seg -> n)
+              if (m.trackedCols.nonEmpty) insStats = stats
+              writeSegmentBlooms(spark, outDir, seg, m.bloomCols, Some(n))
             }
         }
         var cdcRows = e.cdcRows
@@ -4903,7 +4990,7 @@ object LakeSink {
           dvSets = e.dvSets,
           addedParts = e.addedParts ++ insParts,
           cdcDropSegs = e.cdcDrops,
-          addedRows = e.addedRows) match {
+          addedRows = e.addedRows ++ insRows) match {
           case Some(v) =>
             return (v, e.rewritten, e.dropped, e.deleted, inserted)
           case None => // true conflict — re-plan against the new tip
@@ -5058,44 +5145,70 @@ object LakeSink {
         s"MERGE source lacks target column(s): ${missing.toSeq.sorted.mkString(", ")}")
       val src = source.select(targetCols.map(col).toSeq: _*).cache()
       try {
-        val dupKeys = src.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
-        require(dupKeys.isEmpty,
+        // FUSED SOURCE GATE (r18): the key-uniqueness check, the
+        // star-merge expectation gate, and the key-range bound for
+        // stats pruning were three separate aggregate actions over the
+        // cached source — three Catalyst plan floors per MERGE call in
+        // a foreachBatch loop. One two-level aggregate (per-key
+        // partials, then a one-row rollup) answers all three:
+        // max(per-key count) > 1 is the duplicate verdict (groupBy
+        // treats NULL keys as equal, exactly as before), per-check
+        // violation counts sum the per-key partials, and min/max over
+        // the group keys ARE the row-level key bounds.
+        val checks = m.expects.toSeq.sortBy(_._1)
+        val keyPhys = m.physicalOf(keys.head)
+        val wantRange = keys.size == 1 &&
+          m.stats.values.exists(_.contains(keyPhys)) &&
+          src.schema.fields.exists(f => f.name == keys.head &&
+            f.dataType == org.apache.spark.sql.types.LongType)
+        val gateAggs: Seq[org.apache.spark.sql.Column] =
+          org.apache.spark.sql.functions.max(col("__n")).as("__dup") +:
+          (checks.zipWithIndex.map { case ((_, sql), i) =>
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum(col(s"__ck$i")),
+              lit(0L)).as(s"__ck$i") } ++
+           (if (wantRange)
+              Seq(org.apache.spark.sql.functions.min(col(keys.head))
+                .as("__klo"),
+                org.apache.spark.sql.functions.max(col(keys.head))
+                  .as("__khi"))
+            else Nil))
+        val perKeyAggs: Seq[org.apache.spark.sql.Column] =
+          count(lit(1)).as("__n") +:
+          checks.zipWithIndex.map { case ((_, sql), i) =>
+            import org.apache.spark.sql.functions.expr
+            count(when(!expr(sql) || expr(sql).isNull, lit(1)))
+              .as(s"__ck$i") }
+        val gate = src.groupBy(keys.map(col): _*)
+          .agg(perKeyAggs.head, perKeyAggs.tail: _*)
+          .agg(gateAggs.head, gateAggs.tail: _*).head()
+        require(gate.isNullAt(0) || gate.getLong(0) <= 1L,
           "MERGE source has multiple rows per key — ambiguous match")
         // Star merge writes SOURCE values and nothing else (matched
-        // rows rewrite to the source row, unmatched sources insert),
-        // so expectation enforcement is ONE aggregate over the cached
-        // source — CHECK-constraint semantics on the merge path.
-        if (m.expects.nonEmpty) {
-          import org.apache.spark.sql.functions.expr
-          val checks = m.expects.toSeq.sortBy(_._1)
-          val aggs = checks.map { case (_, sql) =>
-            count(when(!expr(sql) || expr(sql).isNull, lit(1))) }
-          val row = src.agg(aggs.head, aggs.tail: _*).head()
-          val bad = checks.zipWithIndex
-            .map { case ((n, _), i) => n -> row.getLong(i) }
-            .filter(_._2 > 0L)
-          require(bad.isEmpty,
-            s"MERGE into $outDir would write rows violating " +
-              "expectation(s): " +
-              bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
-        }
+        // rows rewrite to the source row, unmatched sources insert) —
+        // CHECK-constraint semantics on the merge path.
+        val bad = checks.zipWithIndex
+          .map { case ((n, _), i) => n -> gate.getLong(i + 1) }
+          .filter(_._2 > 0L)
+        require(bad.isEmpty,
+          s"MERGE into $outDir would write rows violating " +
+            "expectation(s): " +
+            bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
         val marked = src.withColumn("__matched", lit(1))
         // AUTOMATIC stats pruning (no caller hint needed — unlike
         // delete/update, MERGE's match predicate IS the key equi-join,
         // so the source's key range is a complete bound): with a single
         // BIGINT key and manifest stats on it, a segment whose recorded
         // [min,max] is disjoint from the source's key range cannot match
-        // and survives by reference with zero Spark jobs. One small-side
-        // agg (the source is cached) plans the touched-set from the
-        // manifest — a 3-row upsert against a million-segment lake probes
-        // only the segments whose key range it straddles.
+        // and survives by reference with zero Spark jobs. The bound
+        // rode the fused gate aggregate above.
         // (stats key physical names; the source's key column is logical)
-        val keyPhys = m.physicalOf(keys.head)
+        val rangeBase = 1 + checks.size
         val srcKeyRange: Option[(String, Long, Long)] =
-          if (keys.size == 1 && m.stats.values.exists(_.contains(keyPhys)))
-            segmentStats(src, keys).get(keys.head).collect {
-              case LongStat(lo, hi, _) => (keyPhys, lo, hi) }
+          if (wantRange && !gate.isNullAt(rangeBase) &&
+              !gate.isNullAt(rangeBase + 1))
+            Some((keyPhys, gate.getLong(rangeBase),
+              gate.getLong(rangeBase + 1)))
           else None
         val tracked = m.trackedCols
         val nonce = java.lang.Long.toHexString(
@@ -5283,26 +5396,40 @@ object LakeSink {
             }
           }
         }
+        // INSERT pass (r18, two cuts): (a) the anti-join probes only
+        // the stats-SURVIVING segments — a segment whose recorded key
+        // range is disjoint from the source's cannot hold any source
+        // key, so it contributes nothing to the match set; a 3-row
+        // upsert against a million-segment lake anti-joins 3 segments,
+        // not a million. (b) count + write + stats were three actions
+        // over the anti-join plan (each one re-running it); the
+        // observed write is ONE, and the CDC insert images re-read the
+        // just-written small segment instead of re-running the
+        // anti-join against the table.
         val inserts = src.join(
-          readSegments(spark, outDir, m, m.segs)
+          readSegments(spark, outDir, m, scanSegs.map(_._1))
             .select(keys.map(col).toSeq: _*),
           keys, "left_anti")
-        val inserted = inserts.count()
-        if (inserted > 0L) {
-          val insSeg = f"seg_m${m.version + 1}%010d_ins_$nonce"
-          physicalize(inserts, m).write.mode("overwrite")
-            .parquet(s"$outDir/$insSeg")
+        val insSeg = f"seg_m${m.version + 1}%010d_ins_$nonce"
+        val (insStats, inserted) = writeSegmentObserved(spark, outDir, m,
+          inserts, insSeg,
+          s"MERGE into $outDir would write rows violating expectation(s)")
+        if (inserted == 0L)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$outDir/$insSeg"))
+        else {
           added += insSeg
           addedRows += insSeg -> inserted
           if (cdc) {
-            physicalize(inserts.withColumn("_change_type", lit("insert")), m)
+            spark.read.parquet(s"$outDir/$insSeg")
+              .withColumn("_change_type", lit("insert"))
               .write.mode("append").parquet(s"$outDir/$cdcSeg")
             cdcRows = true
           }
-          if (tracked.nonEmpty)
-            addedStats += insSeg -> segmentStats(
-              spark.read.parquet(s"$outDir/$insSeg"), tracked)
-          writeSegmentBlooms(spark, outDir, insSeg, m.bloomCols)
+          if (tracked.nonEmpty) addedStats ++= insStats.map {
+            case (_, st) => insSeg -> st }
+          writeSegmentBlooms(spark, outDir, insSeg, m.bloomCols,
+            Some(inserted))
         }
         if (rewritten == 0 && dvWrites == 0 && inserted == 0L)
           return (m.version, 0, 0L, 0L)
@@ -5440,22 +5567,38 @@ object LakeSink {
       }
       val src = source.cache()
       try {
-        if (matched.nonEmpty) {
-          val dupKeys = src.groupBy(keys.map(col): _*)
-            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
-          require(dupKeys.isEmpty,
-            "MERGE source has multiple rows per key — ambiguous match")
-        }
-        // Single-key stats pruning, matched-side-only merges (see
-        // [[mergeInto]] — NMBS clauses can fire on any segment, so
-        // pruning is off the moment one exists)
+        // FUSED dup-check + key-range bound (r18): previously two
+        // separate aggregate actions over the cached source — one
+        // two-level aggregate (per-key counts, then a one-row rollup
+        // of max(count) and min/max over the group keys) answers
+        // both. groupBy treats NULL keys as equal, exactly as the
+        // pre-fusion duplicate check did. Single-key stats pruning
+        // stays matched-side-only (see [[mergeInto]] — NMBS clauses
+        // can fire on any segment, so pruning is off the moment one
+        // exists).
         val keyPhys = m.physicalOf(keys.head)
+        val wantRange = notMatchedBySource.isEmpty && keys.size == 1 &&
+          m.stats.values.exists(_.contains(keyPhys)) &&
+          src.schema.fields.exists(f => f.name == keys.head &&
+            f.dataType == org.apache.spark.sql.types.LongType)
         val srcKeyRange: Option[(String, Long, Long)] =
-          if (notMatchedBySource.isEmpty && keys.size == 1 &&
-              m.stats.values.exists(_.contains(keyPhys)))
-            segmentStats(src, keys).get(keys.head).collect {
-              case LongStat(lo, hi, _) => (keyPhys, lo, hi) }
-          else None
+          if (matched.nonEmpty || wantRange) {
+            import org.apache.spark.sql.functions.{max, min}
+            val rollup = max(col("__n")).as("__dup") +:
+              (if (wantRange)
+                 Seq(min(col(keys.head)).as("__klo"),
+                   max(col(keys.head)).as("__khi"))
+               else Nil)
+            val gate = src.groupBy(keys.map(col): _*)
+              .agg(count(lit(1)).as("__n"))
+              .agg(rollup.head, rollup.tail: _*).head()
+            require(!matched.nonEmpty || gate.isNullAt(0) ||
+              gate.getLong(0) <= 1L,
+              "MERGE source has multiple rows per key — ambiguous match")
+            if (wantRange && !gate.isNullAt(1) && !gate.isNullAt(2))
+              Some((keyPhys, gate.getLong(1), gate.getLong(2)))
+            else None
+          } else None
         val tracked = m.trackedCols
         val nonce = java.lang.Long.toHexString(
           java.util.concurrent.ThreadLocalRandom.current().nextLong())
@@ -5796,39 +5939,38 @@ object LakeSink {
           }
           def fired = anti.withColumn("__mc", insIdx)
             .filter(col("__mc") =!= -1)
-          // count + expectation gate over the INSERT post-image in one
-          // pass — clause-form inserts get CHECK semantics too
+          // FUSED count + CHECK gate + write + stats (r18): the
+          // insert post-image previously paid one aggregate action
+          // (count + per-check counts), one write, and one stats
+          // re-read — three plans over the same anti-join. The
+          // observed write is ONE action; a violating statement
+          // deletes the never-manifest-visible directory and refuses
+          // with the same per-check counts, and the CDC insert images
+          // re-read the just-written small segment instead of
+          // re-running the anti-join.
           val insPost = fired.select(col("__mc") +:
             targetCols.map(c => insVal(c)): _*)
-          val insAggs = count(lit(1)) +: checks.map { case (_, sql) =>
-            coalesce(sum(when(!coalesce(expr(sql), lit(false)), 1L)
-              .otherwise(0L)), lit(0L)) }
-          val insCnt = insPost.agg(insAggs.head, insAggs.tail: _*).head()
-          inserted = insCnt.getLong(0)
-          if (inserted > 0L) {
-            val badIns = checks.zipWithIndex
-              .map { case ((n, _), j) => n -> insCnt.getLong(j + 1) }
-              .filter(_._2 > 0L)
-            require(badIns.isEmpty,
-              s"MERGE into $outDir would insert rows violating " +
-                "expectation(s): " +
-                badIns.map { case (n, c) => s"$n ($c rows)" }
-                  .mkString(", "))
-            val ins = insPost.drop("__mc")
-            val insSeg = f"seg_g${m.version + 1}%010d_ins_$nonce"
-            physicalize(ins, m).write.mode("overwrite")
-              .parquet(s"$outDir/$insSeg")
+          val insSeg = f"seg_g${m.version + 1}%010d_ins_$nonce"
+          val (insStats, insN) = writeSegmentObserved(spark, outDir, m,
+            insPost.drop("__mc"), insSeg,
+            s"MERGE into $outDir would insert rows violating " +
+              "expectation(s)")
+          inserted = insN
+          if (inserted == 0L)
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(s"$outDir/$insSeg"))
+          else {
             added += insSeg
             addedRows += insSeg -> inserted
             if (cdc) {
-              physicalize(ins.withColumn("_change_type", lit("insert")), m)
+              spark.read.parquet(s"$outDir/$insSeg")
+                .withColumn("_change_type", lit("insert"))
                 .write.mode("append").parquet(s"$outDir/$cdcSeg")
               cdcRows = true
             }
-            if (tracked.nonEmpty)
-              addedStats += insSeg -> segmentStats(
-                spark.read.parquet(s"$outDir/$insSeg"), tracked)
-            writeSegmentBlooms(spark, outDir, insSeg, m.bloomCols)
+            if (tracked.nonEmpty) addedStats ++= insStats
+            writeSegmentBlooms(spark, outDir, insSeg, m.bloomCols,
+              Some(inserted))
           }
         }
         // a fires-nothing merge commits nothing — including the

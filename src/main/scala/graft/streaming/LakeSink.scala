@@ -5577,7 +5577,12 @@ object LakeSink {
         // can fire on any segment, so pruning is off the moment one
         // exists).
         val keyPhys = m.physicalOf(keys.head)
-        val wantRange = notMatchedBySource.isEmpty && keys.size == 1 &&
+        // matched.nonEmpty gates the range too (r18): only the census
+        // consumes it, and an insert-only merge runs no census — the
+        // pre-r18 shape paid a whole segmentStats action for a bound
+        // nothing read
+        val wantRange = matched.nonEmpty &&
+          notMatchedBySource.isEmpty && keys.size == 1 &&
           m.stats.values.exists(_.contains(keyPhys)) &&
           src.schema.fields.exists(f => f.name == keys.head &&
             f.dataType == org.apache.spark.sql.types.LongType)

@@ -37,13 +37,22 @@ object Extensions {
     // probes); the 4-value aggregate collects trivially.
     val nonEmpty = ev.groupBy((col("event_id") % 4).as("b")).count()
       .collect().map(_.getLong(0)).toSet
+    // Record the table schema in the manifest from the first commit
+    // (r18): without it every downstream read pays a parquet
+    // footer-inference pass per action (LoadFloorProbe: 64-112 ms vs
+    // 5-6 ms schema-supplied) — for the canonical lake that floor
+    // multiplied into every clone-based protocol query. schemaV stays
+    // 0 (recording the bootstrap schema is not an evolution); every
+    // DML verb already carries schemaJson forward.
+    val sj = Some(ev.schema.json)
     (0 to 3).foreach { i =>
       if (nonEmpty(i.toLong)) {
         ev.filter(col("event_id") % 4 === i)
           .write.mode("overwrite").parquet(s"$dir/seg_b$i")
         val m = LakeSink.readManifest(dir)
         require(LakeSink.commitManifest(dir, m.version + 1, i.toLong,
-          m.segs :+ s"seg_b$i"), s"ingest commit $i lost a race")
+          m.segs :+ s"seg_b$i", schemaJson = sj),
+          s"ingest commit $i lost a race")
       }
     }
   }

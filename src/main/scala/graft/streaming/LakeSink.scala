@@ -1094,21 +1094,84 @@ object LakeSink {
     * the parquet reader fills absent columns per file. Under an
     * active column mapping the applied schema is the PHYSICAL one
     * (files carry physical names); [[readSegments]] renames back. */
-  private def reader(spark: SparkSession, m: Manifest) =
-    m.schemaJson.map { j =>
-      spark.read.schema(physicalSchema(
+  /** Per-JVM memo of footer-INFERRED segment schemas, keyed by the
+    * segment's first part-file PATH (r18). Part-file names carry the
+    * writing job's UUID, so a re-created directory under the same
+    * name always misses the memo and re-infers — the key is identity
+    * of the bytes, not of the path. Without this, every read of a
+    * lake whose manifest predates schema recording pays a full
+    * DataSource schema-inference pass PER ACTION (LoadFloorProbe:
+    * 64-112 ms vs 5-6 ms schema-supplied). Metadata only — never
+    * rows; a fresh JVM re-infers from the footers. */
+  private val inferredSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def inferSegSchema(spark: SparkSession, outDir: String,
+      seg: String): org.apache.spark.sql.types.StructType = {
+    val dir = new java.io.File(outDir, seg)
+    val first = Option(dir.listFiles()).flatMap(_.iterator
+      .map(_.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .minOption)
+    first match {
+      case Some(n) => inferredSchemas.computeIfAbsent(
+        new java.io.File(dir, n).getPath,
+        _ => spark.read.parquet(dir.getPath).schema)
+      case None => spark.read.parquet(dir.getPath).schema
+    }
+  }
+
+  /** Schema-supplying segment reader: the manifest's recorded schema
+    * (physicalized under an active column mapping) when present, else
+    * the memoized footer inference of the manifest's first segment
+    * (pre-evolution lakes are schema-homogeneous — the documented
+    * [[tableSchema]] contract, and exactly what the previous bare
+    * `spark.read` inferred from the first footer of the scanned set). */
+  private def reader(spark: SparkSession, outDir: String, m: Manifest) =
+    m.schemaJson match {
+      case Some(j) => spark.read.schema(physicalSchema(
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType], m))
-    }.getOrElse(spark.read)
+      case None if m.segs.nonEmpty =>
+        spark.read.schema(inferSegSchema(spark, outDir, m.segs.head))
+      case None => spark.read
+    }
+
+  /** Every deletion-vector file has this exact shape (written by the
+    * staged DV writes: `__dv_s` is stripped as the partition column).
+    * Supplying it skips a schema-inference pass per DV-reconciling
+    * read. */
+  private val dvFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("row_index",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readDv(spark: SparkSession, paths: Seq[String]) =
+    spark.read.schema(dvFileSchema).parquet(paths: _*)
+
+  /** Read a just-staged per-segment directory back with its schema
+    * SUPPLIED (the written frame's data columns, `__dv_s` restored as
+    * the string partition column) — the stats re-read over staged
+    * bytes was paying a schema-inference pass per verb (r18). The
+    * caller passes the exact schema of the frame it just wrote, so
+    * this is identical to inference minus the footer pass. */
+  private def readStaged(spark: SparkSession, stage: String,
+      written: org.apache.spark.sql.types.StructType) =
+    spark.read.schema(org.apache.spark.sql.types.StructType(
+      written.fields.filterNot(_.name == "__dv_s") :+
+        org.apache.spark.sql.types.StructField("__dv_s",
+          org.apache.spark.sql.types.StringType))).parquet(stage)
 
   /** The table's current schema: the manifest's, or (pre-evolution
-    * lakes) the homogeneous segment footer. */
+    * lakes) the homogeneous segment footer (memoized per written
+    * segment — see [[inferredSchemas]]). */
   def tableSchema(spark: SparkSession, outDir: String,
       m: Manifest): org.apache.spark.sql.types.StructType =
     m.schemaJson match {
       case Some(j) => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      case None => spark.read.parquet(s"$outDir/${m.segs.head}").schema
+      case None => inferSegSchema(spark, outDir, m.segs.head)
     }
 
   /** DELETION-VECTOR-RECONCILING segment read — the merge-on-read seam
@@ -1132,14 +1195,14 @@ object LakeSink {
     val (dvSegs, clean) = segs.partition(m.dv.contains)
     val parts = Seq.newBuilder[DataFrame]
     if (clean.nonEmpty)
-      parts += reader(spark, m).parquet(clean.map(s => s"$outDir/$s"): _*)
+      parts += reader(spark, outDir, m).parquet(clean.map(s => s"$outDir/$s"): _*)
     if (dvSegs.nonEmpty) {
-      val df = reader(spark, m)
+      val df = reader(spark, outDir, m)
         .parquet(dvSegs.map(s => s"$outDir/$s"): _*)
         .withColumn("__dv_f", col("_metadata.file_name"))
         .withColumn("__dv_i", col("_metadata.row_index"))
-      val dv = spark.read.parquet(
-        dvSegs.map(s => s"$outDir/_dv/${m.dv(s).file}"): _*)
+      val dv = readDv(spark,
+        dvSegs.map(s => s"$outDir/_dv/${m.dv(s).file}"))
       parts += df.join(broadcast(dv),
           df("__dv_f") === dv("file_name") &&
             df("__dv_i") === dv("row_index"), "left_anti")
@@ -1168,13 +1231,13 @@ object LakeSink {
   private def readSegmentWithPos(spark: SparkSession, outDir: String,
       m: Manifest, seg: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val raw = reader(spark, m).parquet(s"$outDir/$seg")
+    val raw = reader(spark, outDir, m).parquet(s"$outDir/$seg")
       .withColumn("__dv_f", col("_metadata.file_name"))
       .withColumn("__dv_i", col("_metadata.row_index"))
     val live = m.dv.get(seg) match {
       case None => raw
       case Some(r) =>
-        val dv = spark.read.parquet(s"$outDir/_dv/${r.file}")
+        val dv = readDv(spark, Seq(s"$outDir/_dv/${r.file}"))
         raw.join(broadcast(dv),
           raw("__dv_f") === dv("file_name") &&
             raw("__dv_i") === dv("row_index"), "left_anti")
@@ -1203,7 +1266,7 @@ object LakeSink {
     require(segs.nonEmpty, "positional read of no segments")
     val segRe = java.util.regex.Pattern.quote(
       new java.io.File(outDir).getAbsolutePath) + "/([^/]+)/"
-    val raw = reader(spark, m).parquet(segs.map(s => s"$outDir/$s"): _*)
+    val raw = reader(spark, outDir, m).parquet(segs.map(s => s"$outDir/$s"): _*)
       .withColumn("__dv_f", col("_metadata.file_name"))
       .withColumn("__dv_i", col("_metadata.row_index"))
       .withColumn("__dv_s",
@@ -1212,8 +1275,8 @@ object LakeSink {
     val live =
       if (dvSegs.isEmpty) raw
       else {
-        val dv = spark.read.parquet(
-          dvSegs.map(s => s"$outDir/_dv/${m.dv(s).file}"): _*)
+        val dv = readDv(spark,
+          dvSegs.map(s => s"$outDir/_dv/${m.dv(s).file}"))
         raw.join(broadcast(dv),
           raw("__dv_f") === dv("file_name") &&
             raw("__dv_i") === dv("row_index"), "left_anti")
@@ -2303,8 +2366,8 @@ object LakeSink {
           .filter(s => m.dv.get(s) != t.dv.get(s)).foreach { seg =>
             def positions(mm: Manifest): Option[DataFrame] =
               mm.dv.get(seg).map(r =>
-                spark.read.parquet(s"$outDir/_dv/${r.file}"))
-            val raw = reader(spark, m).parquet(s"$outDir/$seg")
+                readDv(spark, Seq(s"$outDir/_dv/${r.file}")))
+            val raw = reader(spark, outDir, m).parquet(s"$outDir/$seg")
               .withColumn("__dv_f", col("_metadata.file_name"))
               .withColumn("__dv_i", col("_metadata.row_index"))
             // the raw scan already carries PHYSICAL names (cdc files
@@ -3220,7 +3283,7 @@ object LakeSink {
       // the raw read is exactly the dead live-set). Read under the
       // PRE-drop manifest: the segment was live there.
       if (cur.cdcDropSegs.nonEmpty)
-        parts += reader(spark, prev)
+        parts += reader(spark, outDir, prev)
           .parquet(cur.cdcDropSegs.map(s => s"$outDir/$s"): _*)
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(v))
@@ -3238,7 +3301,7 @@ object LakeSink {
         // compaction / layout-only: bytes moved, rows did not
       } else if (removed.isEmpty && !dvChanged) {
         if (addedSegs.nonEmpty)
-          parts += reader(spark, cur)
+          parts += reader(spark, outDir, cur)
             .parquet(addedSegs.map(s => s"$outDir/$s"): _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v))
@@ -3720,8 +3783,8 @@ object LakeSink {
                 col("__dv_i").as("row_index"))
             val withOld = morSegs.map(_._1).filter(m.dv.contains)
               .foldLeft(newDel) { (acc, s) =>
-                acc.unionByName(spark.read
-                  .parquet(s"$outDir/_dv/${m.dv(s).file}")
+                acc.unionByName(readDv(spark,
+                    Seq(s"$outDir/_dv/${m.dv(s).file}"))
                   .withColumn("__dv_s", lit(s))
                   .select(col("__dv_s"), col("file_name"),
                     col("row_index")))
@@ -3752,12 +3815,12 @@ object LakeSink {
             val keep = posOf(cowSegs).filter(!coalesce(cond, lit(false)))
               .drop("__dv_f", "__dv_i")
             val cowStage = s"$outDir/_stage_cowd_$nonce"
-            val cowDirs = writeStagedBySegment(physicalize(keep, m),
-              cowStage)
+            val keepPhys = physicalize(keep, m)
+            val cowDirs = writeStagedBySegment(keepPhys, cowStage)
             val cowStats =
               if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
               else segmentStatsGrouped(
-                spark.read.parquet(cowStage), tracked)
+                readStaged(spark, cowStage, keepPhys.schema), tracked)
             cowSegs.foreach { case (seg, i) =>
               val newSeg = f"seg_d${m.version + 1}%010d_${i}_$nonce"
               java.nio.file.Files.move(cowDirs(seg).toPath,
@@ -3986,8 +4049,8 @@ object LakeSink {
             col("__dv_i").as("row_index"))
         val withOld = morSegs.map(_._1).filter(m.dv.contains)
           .foldLeft(newDel) { (acc, s) =>
-            acc.unionByName(spark.read
-              .parquet(s"$outDir/_dv/${m.dv(s).file}")
+            acc.unionByName(readDv(spark,
+                Seq(s"$outDir/_dv/${m.dv(s).file}"))
               .withColumn("__dv_s", lit(s))
               .select(col("__dv_s"), col("file_name"), col("row_index")))
           }
@@ -3997,11 +4060,12 @@ object LakeSink {
         java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(outDir, "_dv"))
         val postStage = s"$outDir/_stage_postu_$nonce"
-        val postDirs = writeStagedBySegment(
-          physicalize(matchedPostOf(posM), m), postStage)
+        val postPhys = physicalize(matchedPostOf(posM), m)
+        val postDirs = writeStagedBySegment(postPhys, postStage)
         val postStats =
           if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
-          else segmentStatsGrouped(spark.read.parquet(postStage), tracked)
+          else segmentStatsGrouped(
+            readStaged(spark, postStage, postPhys.schema), tracked)
         morSegs.foreach { case (seg, i) =>
           val dvName = s"dv_${nonce}_$i"
           java.nio.file.Files.move(dvDirs(seg).toPath,
@@ -4044,10 +4108,12 @@ object LakeSink {
             }
           }: _*)
         val cowStage = s"$outDir/_stage_cowu_$nonce"
-        val cowDirs = writeStagedBySegment(physicalize(out, m), cowStage)
+        val outPhys = physicalize(out, m)
+        val cowDirs = writeStagedBySegment(outPhys, cowStage)
         val cowStats =
           if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
-          else segmentStatsGrouped(spark.read.parquet(cowStage), tracked)
+          else segmentStatsGrouped(
+            readStaged(spark, cowStage, outPhys.schema), tracked)
         cowSegs.foreach { case (seg, i) =>
           val newSeg = f"seg_u${m.version + 1}%010d_${i}_$nonce"
           java.nio.file.Files.move(cowDirs(seg).toPath,
@@ -4148,7 +4214,8 @@ object LakeSink {
     val cstats =
       if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
       else Map(cseg -> segmentStats(
-        spark.read.parquet(s"$outDir/$cseg"), tracked))
+        spark.read.schema(out.schema).parquet(s"$outDir/$cseg"),
+        tracked))
     // compaction re-baselines the column mapping, so the compacted
     // segment's sidecars carry the LOGICAL (= new physical) names
     writeSegmentBlooms(spark, outDir, cseg,
@@ -4236,11 +4303,12 @@ object LakeSink {
       val dvSegs = m.segs.zipWithIndex.filter(t => m.dv.contains(t._1))
       val pos = readSegmentsWithPos(spark, outDir, m, dvSegs.map(_._1))
       val stage = s"$outDir/_stage_purge_$nonce"
-      val dirs = writeStagedBySegment(
-        physicalize(pos.drop("__dv_f", "__dv_i"), m), stage)
+      val purgePhys = physicalize(pos.drop("__dv_f", "__dv_i"), m)
+      val dirs = writeStagedBySegment(purgePhys, stage)
       val stats =
         if (tracked.isEmpty) Map.empty[String, Map[String, ColStat]]
-        else segmentStatsGrouped(spark.read.parquet(stage), tracked)
+        else segmentStatsGrouped(
+          readStaged(spark, stage, purgePhys.schema), tracked)
       dvSegs.foreach { case (seg, i) =>
         val dvRef = m.dv(seg)
         val newSeg = f"seg_p${m.version + 1}%010d_${i}_$nonce"
@@ -4318,8 +4386,8 @@ object LakeSink {
     groups.zipWithIndex.foreach { case ((facts, segs), i) =>
       val df = readSegments(spark, outDir, m, segs) // logical + DV-applied
       val newSeg = f"seg_pc${m.version + 1}%010d_${i}_$nonce"
-      physicalize(df.repartition(targetFiles), m)
-        .write.mode("overwrite").parquet(s"$outDir/$newSeg")
+      val grpPhys = physicalize(df.repartition(targetFiles), m)
+      grpPhys.write.mode("overwrite").parquet(s"$outDir/$newSeg")
       val liveRows = segs.map(s => m.parts(s).rows).sum -
         segs.flatMap(m.dv.get).map(_.rows).sum
       removed ++= segs
@@ -4328,7 +4396,8 @@ object LakeSink {
         liveRows, facts.tail)
       if (tracked.nonEmpty)
         addStats += newSeg -> segmentStats(
-          spark.read.parquet(s"$outDir/$newSeg"), tracked)
+          spark.read.schema(grpPhys.schema)
+            .parquet(s"$outDir/$newSeg"), tracked)
       writeSegmentBlooms(spark, outDir, newSeg, m.bloomCols)
     }
     val rm = removed.result()
@@ -5312,8 +5381,8 @@ object LakeSink {
                   col("__dv_i").as("row_index"))
               val withOld = morSegs.map(_._1).filter(m.dv.contains)
                 .foldLeft(newDel) { (acc, s) =>
-                  acc.unionByName(spark.read
-                    .parquet(s"$outDir/_dv/${m.dv(s).file}")
+                  acc.unionByName(readDv(spark,
+                      Seq(s"$outDir/_dv/${m.dv(s).file}"))
                     .withColumn("__dv_s", lit(s))
                     .select(col("__dv_s"), col("file_name"),
                       col("row_index")))
@@ -5324,13 +5393,13 @@ object LakeSink {
               java.nio.file.Files.createDirectories(
                 java.nio.file.Paths.get(outDir, "_dv"))
               val postStage = s"$outDir/_stage_postm_$nonce"
-              val postDirs = writeStagedBySegment(
-                physicalize(srcWinsOf(posM), m), postStage)
+              val postPhys = physicalize(srcWinsOf(posM), m)
+              val postDirs = writeStagedBySegment(postPhys, postStage)
               val postStats =
                 if (tracked.isEmpty)
                   Map.empty[String, Map[String, ColStat]]
                 else segmentStatsGrouped(
-                  spark.read.parquet(postStage), tracked)
+                  readStaged(spark, postStage, postPhys.schema), tracked)
               morSegs.foreach { case (seg, i) =>
                 val dvName = s"dv_${nonce}_$i"
                 java.nio.file.Files.move(dvDirs(seg).toPath,
@@ -5371,13 +5440,13 @@ object LakeSink {
                   .otherwise(col(s"t.$c")).as(c)
               }.toSeq :+ col("t.__dv_s").as("__dv_s"): _*)
               val cowStage = s"$outDir/_stage_cowm_$nonce"
-              val cowDirs = writeStagedBySegment(physicalize(out, m),
-                cowStage)
+              val outPhys = physicalize(out, m)
+              val cowDirs = writeStagedBySegment(outPhys, cowStage)
               val cowStats =
                 if (tracked.isEmpty)
                   Map.empty[String, Map[String, ColStat]]
                 else segmentStatsGrouped(
-                  spark.read.parquet(cowStage), tracked)
+                  readStaged(spark, cowStage, outPhys.schema), tracked)
               cowSegs.foreach { case (seg, i) =>
                 val newSeg = f"seg_m${m.version + 1}%010d_${i}_$nonce"
                 java.nio.file.Files.move(cowDirs(seg).toPath,
@@ -5421,7 +5490,7 @@ object LakeSink {
           added += insSeg
           addedRows += insSeg -> inserted
           if (cdc) {
-            spark.read.parquet(s"$outDir/$insSeg")
+            reader(spark, outDir, m).parquet(s"$outDir/$insSeg")
               .withColumn("_change_type", lit("insert"))
               .write.mode("append").parquet(s"$outDir/$cdcSeg")
             cdcRows = true
@@ -5801,8 +5870,8 @@ object LakeSink {
                     col("__dv_i").as("row_index"))
                 val withOld = morSegs.map(_._1).filter(m.dv.contains)
                   .foldLeft(newDel) { (acc, s) =>
-                    acc.unionByName(spark.read
-                      .parquet(s"$outDir/_dv/${m.dv(s).file}")
+                    acc.unionByName(readDv(spark,
+                      Seq(s"$outDir/_dv/${m.dv(s).file}"))
                       .withColumn("__dv_s", lit(s))
                       .select(col("__dv_s"), col("file_name"),
                         col("row_index")))
@@ -5827,16 +5896,17 @@ object LakeSink {
                 val morUpd = morSegs.filter(t => firesOf(t._1)._2 > 0L)
                 if (morUpd.nonEmpty) {
                   val postStage = s"$outDir/_stage_postg_$nonce"
-                  val postDirs = writeStagedBySegment(
-                    physicalize(stagedOf(posOf(morUpd))
-                      .filter(inIdx(col("__mc"), updIdx))
-                      .select(col("__dv_s") +:
-                        targetCols.map(newVal): _*), m), postStage)
+                  val postPhys = physicalize(stagedOf(posOf(morUpd))
+                    .filter(inIdx(col("__mc"), updIdx))
+                    .select(col("__dv_s") +:
+                      targetCols.map(newVal): _*), m)
+                  val postDirs = writeStagedBySegment(postPhys, postStage)
                   val postStats =
                     if (tracked.isEmpty)
                       Map.empty[String, Map[String, ColStat]]
                     else segmentStatsGrouped(
-                      spark.read.parquet(postStage), tracked)
+                      readStaged(spark, postStage, postPhys.schema),
+                      tracked)
                   morUpd.foreach { case (seg, si) =>
                     val postSeg =
                       f"seg_g${m.version + 1}%010d_${si}p_$nonce"
@@ -5861,13 +5931,13 @@ object LakeSink {
                   .filter(!inIdx(col("__mc"), delIdx))
                   .select(col("__dv_s") +: targetCols.map(newVal): _*)
                 val cowStage = s"$outDir/_stage_cowg_$nonce"
-                val cowDirs = writeStagedBySegment(physicalize(out, m),
-                  cowStage)
+                val outPhys = physicalize(out, m)
+                val cowDirs = writeStagedBySegment(outPhys, cowStage)
                 val cowStats =
                   if (tracked.isEmpty)
                     Map.empty[String, Map[String, ColStat]]
                   else segmentStatsGrouped(
-                    spark.read.parquet(cowStage), tracked)
+                    readStaged(spark, cowStage, outPhys.schema), tracked)
                 cowSegs.foreach { case (seg, si) =>
                   cowDirs.get(seg) match {
                     case Some(d) =>
@@ -5968,7 +6038,7 @@ object LakeSink {
             added += insSeg
             addedRows += insSeg -> inserted
             if (cdc) {
-              spark.read.parquet(s"$outDir/$insSeg")
+              reader(spark, outDir, m).parquet(s"$outDir/$insSeg")
                 .withColumn("_change_type", lit("insert"))
                 .write.mode("append").parquet(s"$outDir/$cdcSeg")
               cdcRows = true
@@ -6017,8 +6087,8 @@ object LakeSink {
         // via rare DDL, never mid-batch); the commit loop below reads
         // its own fresh tips
         val mW = readManifest(outDir)
-        physicalize(batch, mW).write.mode("overwrite")
-          .parquet(s"$outDir/$seg")
+        val batchPhys = physicalize(batch, mW)
+        batchPhys.write.mode("overwrite").parquet(s"$outDir/$seg")
         // Per-batch stats from the just-written segment (statsCols
         // names the BIGINT columns to track, e.g. the event-time
         // epoch — time-ordered micro-batches each cover a narrow
@@ -6026,7 +6096,9 @@ object LakeSink {
         // Stats key PHYSICAL names (they follow the bytes).
         val bstats =
           if (statsCols.isEmpty) Map.empty[String, ColStat]
-          else segmentStats(spark.read.parquet(s"$outDir/$seg"),
+          else segmentStats(
+            spark.read.schema(batchPhys.schema)
+              .parquet(s"$outDir/$seg"),
             statsCols.map(mW.physicalOf))
         writeSegmentBlooms(spark, outDir, seg, mW.bloomCols)
         // ingest commit loop: retry on version race (replay in practice)
@@ -6060,13 +6132,15 @@ object LakeSink {
             val cseg = s"seg_c$batchId"
             // DV-reconciling read: a b-segment that took a point delete
             // between ingest and compaction must not resurrect its rows
-            physicalize(readSegments(spark, outDir, m, bsegs)
-              .repartition(targetFiles), m)
-              .write.mode("overwrite").parquet(s"$outDir/$cseg")
+            val csegPhys = physicalize(
+              readSegments(spark, outDir, m, bsegs)
+                .repartition(targetFiles), m)
+            csegPhys.write.mode("overwrite").parquet(s"$outDir/$cseg")
             val cstats =
               if (statsCols.isEmpty) Map.empty[String, ColStat]
               else segmentStats(
-                spark.read.parquet(s"$outDir/$cseg"),
+                spark.read.schema(csegPhys.schema)
+                  .parquet(s"$outDir/$cseg"),
                 statsCols.map(m.physicalOf))
             writeSegmentBlooms(spark, outDir, cseg, m.bloomCols)
             beforeMaintenanceCommit(batchId)

@@ -84,6 +84,33 @@ class SchemaCanarySpec extends AnyFunSuite with SparkFixture {
       .select(unix_micros(col("ts"))).head.getLong(0) === 1704068166738090L)
   }
 
+  test("schema memo: repeated loads skip inference jobs yet equal fresh inference") {
+    // r18: Tables memoizes each path's INFERRED StructType per JVM
+    // (catalog-table behavior — metadata only, never rows). Pin both
+    // halves of that contract: (a) a post-memo construction launches
+    // ZERO Spark jobs (the footer-inference job is gone — remove the
+    // memo and this fails), and (b) the memoized schema is exactly
+    // what a fresh inference of the same path returns.
+    val fresh = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+    Tables.lineitem(spark, sfDir) // ensure the memo holds the path
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = Tables.lineitem(spark, sfDir)
+      Thread.sleep(1000) // async listener-bus delivery
+      assert(jobs.get === 0,
+        "post-memo Tables construction launched a Spark job " +
+          "(schema re-inference is back)")
+      assert(df.schema === fresh)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("legacy nanosAsLong path still yields identical events values if honored") {
     // On Spark builds where the flag IS honored, Tables.events takes
     // the LongType branch (`timestamp_micros(ts div 1000)`). We can't

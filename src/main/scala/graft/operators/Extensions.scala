@@ -410,9 +410,11 @@ object Extensions {
         col("event_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
       ev.repartition(16).write.mode("overwrite").parquet(frag)
-      s.read.parquet(frag).repartition(2)
+      // read-backs carry the written schema (== inference for these
+      // all-nullable columns): no footer-inference pass per hop (r18)
+      s.read.schema(ev.schema).parquet(frag).repartition(2)
         .write.mode("overwrite").parquet(comp)
-      s.read.parquet(comp)
+      s.read.schema(ev.schema).parquet(comp)
         .withColumn("__f", input_file_name())
         .agg(
           countDistinct(col("__f")).as("n_files"),
@@ -452,7 +454,7 @@ object Extensions {
       cloneCanonicalLake(s, d, dir)
       val m = LakeSink.readManifest(dir)
       val bsegs = m.segs.filter(_.startsWith("seg_b"))
-      s.read.parquet(bsegs.map(x => s"$dir/$x"): _*)
+      s.read.schema(ev.schema).parquet(bsegs.map(x => s"$dir/$x"): _*)
         .repartition(2).write.mode("overwrite").parquet(s"$dir/seg_c")
       require(LakeSink.commitManifest(dir, m.version + 1, m.maxB,
         m.segs.filterNot(bsegs.contains) :+ "seg_c"),
@@ -1413,7 +1415,7 @@ object Extensions {
       ev.repartitionByRange(8, col("user_id"))
         .sortWithinPartitions("user_id", "event_id")
         .write.mode("overwrite").parquet(dir)
-      s.read.parquet(dir)
+      s.read.schema(ev.schema).parquet(dir)
         .filter(col("user_id") <= 50)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
@@ -1460,12 +1462,12 @@ object Extensions {
         max(col("user_id")).cast("long"), max(mins).cast("long")).head
       val z = graft.functions.ZOrder.zvalue(
         col("user_id"), mins, xMax = b.getLong(0), yMax = b.getLong(1))
-      ev.withColumn("zv", z)
+      val laid = ev.withColumn("zv", z)
         .repartitionByRange(32, col("zv"))
         .sortWithinPartitions("zv", "event_id")
         .drop("zv")
-        .write.mode("overwrite").parquet(dir)
-      s.read.parquet(dir)
+      laid.write.mode("overwrite").parquet(dir)
+      s.read.schema(laid.schema).parquet(dir)
         .filter(col("tsu") < 1704672000000000L)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
@@ -1504,7 +1506,7 @@ object Extensions {
         .option("parquet.bloom.filter.enabled#event_id", "true")
         .option("parquet.bloom.filter.expected.ndv#event_id", ndv.toString)
         .parquet(dir)
-      s.read.parquet(dir)
+      s.read.schema(ev.schema).parquet(dir)
         .filter(col("event_id").isin(7L, 242L, 555L, 808L))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum("vc").as("sum_cents"))
@@ -1529,14 +1531,14 @@ object Extensions {
     "orc_roundtrip",
     (s, d) => {
       val out = tmpPath("graft_orc_rt", d)
-      Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("epc"),
           expr("CAST(l_quantity AS BIGINT)").as("qty"),
           unix_timestamp(col("l_shipdate")).as("ship_epoch"))
-        .write.mode("overwrite").option("compression", "zlib").orc(out)
-      s.read.orc(out)
+      li.write.mode("overwrite").option("compression", "zlib").orc(out)
+      s.read.schema(li.schema).orc(out)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sum("epc").as("sum_cents"),
           sum("qty").as("sum_qty"),

@@ -60,10 +60,13 @@ object Relational {
       // instead of accumulating copies in /tmp
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_sink_roundtrip").toString
-      Tables.lineitem(s, d)
+      val out = Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 25)
-        .write.mode("overwrite").parquet(tmp)
-      s.read.parquet(tmp)
+      out.write.mode("overwrite").parquet(tmp)
+      // read back with the written schema supplied (identical to what
+      // footer inference returns for these all-nullable columns) —
+      // skips a schema-inference pass per run (r18, LoadFloorProbe)
+      s.read.schema(out.schema).parquet(tmp)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
              sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sc"))
